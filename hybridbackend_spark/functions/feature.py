@@ -1,0 +1,62 @@
+"""Feature-engineering scalar functions (SURVEY §2.9).
+
+The reference's feature pipeline (``docs/tutorial/ranking/data.py:148-193``)
+applies: sentinel imputation, log1p, min-max/constant normalization, cast,
+modulo hash-bucketing, and hashing. All are pure Column expressions — they
+stay in whole-stage codegen and cost nothing extra at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+
+__all__ = [
+    "impute",
+    "log1p_feature",
+    "normalize",
+    "mod_bucket",
+    "hash_bucket",
+    "concat_features",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def impute(col: Column | str, default: Any, valid_min: Any = 0) -> Column:
+    """Sentinel imputation: ``where(x >= valid_min, x, default)`` —
+    reference ``data.py:151-156`` (missingness is encoded as negative
+    sentinels, not nulls). Nulls also map to ``default``."""
+    c = _c(col)
+    return F.when(c.isNotNull() & (c >= F.lit(valid_min)), c).otherwise(F.lit(default))
+
+
+def log1p_feature(col: Column | str) -> Column:
+    """``log(1 + x)`` transform (reference ``data.py:158-160``)."""
+    return F.log1p(_c(col).cast("double"))
+
+
+def normalize(col: Column | str, norm: float) -> Column:
+    """Constant normalization ``x / norm`` (reference ``data.py:161-163``)."""
+    return _c(col).cast("double") / F.lit(float(norm))
+
+
+def mod_bucket(col: Column | str, num_buckets: int) -> Column:
+    """Non-negative modulo bucketing ``id % n`` (reference ``data.py:179``;
+    the partitioner behind sharded lookup, ``partition_by_modulo_ops.cc``)."""
+    return F.pmod(_c(col), F.lit(num_buckets))
+
+
+def hash_bucket(col: Column | str, num_buckets: int, seed: int = 42) -> Column:
+    """Hash bucketing via xxhash64 (stand-in for the reference's murmur3
+    GPU hash, ``common/murmur3.cu.h``): uniform even for skewed id spaces."""
+    return F.pmod(F.xxhash64(_c(col), F.lit(seed)), F.lit(num_buckets))
+
+
+def concat_features(*cols: Column | str) -> Column:
+    """Dense-feature concat into one array (reference keras layer,
+    ``keras/layers/__init__.py:29-46``)."""
+    return F.array(*[_c(c).cast("double") for c in cols])

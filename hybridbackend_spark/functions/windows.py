@@ -1,0 +1,98 @@
+"""Window / ordering-dependent operators (SURVEY §2.5).
+
+Ordered per-key event lists (``prep_2_bahavior.py:50-52``), per-row sliding
+time windows (``prep_3_merge.py:51-68``), and run-length grouping (the
+contiguous-indicator-run segmentation inside GAUC, ``metrics/gauc.cc:101-108``,
+which is also the classic sessionization pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "ordered_collect",
+    "sliding_time_window",
+    "run_length_ids",
+    "sessionize",
+]
+
+
+def ordered_collect(
+    df: DataFrame, key: str, order: str, value: str, alias: str = "items"
+) -> DataFrame:
+    """Order-stable group-by collect_list: per ``key``, the ``value``s
+    sorted by ``order``. collect_list alone has no order guarantee after a
+    shuffle, so sort structs then project — deterministic on any cluster."""
+    return (
+        df.groupBy(key)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(order).alias("o"), F.col(value).alias("v")))
+            ).alias("_sv")
+        )
+        .withColumn(alias, F.transform(F.col("_sv"), lambda s: s["v"]))
+        .drop("_sv")
+    )
+
+
+def sliding_time_window(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    lower: int,
+    upper: int,
+    aggs: dict[str, Column],
+    ts_unit_expr: Column | None = None,
+) -> DataFrame:
+    """Per-row sliding window over event time: for each row, aggregate the
+    same key's rows with ts offset in ``[lower, upper]`` (seconds relative
+    to the row's own ts; use upper=-1 to exclude the row). The per-event
+    form of the reference's history clip. One shuffle on ``key``."""
+    t = ts_unit_expr if ts_unit_expr is not None else F.unix_timestamp(F.col(ts))
+    base = df.withColumn("_tsec", t)
+    w = Window.partitionBy(key).orderBy("_tsec").rangeBetween(lower, upper)
+    out = base
+    for alias, expr in aggs.items():
+        out = out.withColumn(alias, expr.over(w))
+    return out.drop("_tsec")
+
+
+def _order_cols(order) -> list:
+    return [order] if isinstance(order, str) else list(order)
+
+
+def run_length_ids(
+    df: DataFrame, key: str, order, indicator: str, alias: str = "run_id"
+) -> DataFrame:
+    """Assign a run id that increments whenever ``indicator`` changes within
+    ``key`` ordered by ``order`` (str or sequence; include a unique
+    tie-break column for determinism) — lag + cumulative-sum pattern (the
+    GAUC indicator-run segmentation)."""
+    w = Window.partitionBy(key).orderBy(*_order_cols(order))
+    changed = (
+        F.col(indicator) != F.lag(F.col(indicator)).over(w)
+    ).cast("long")
+    return df.withColumn(
+        alias,
+        F.sum(F.coalesce(changed, F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_seconds: int, alias: str = "session_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: new session when the gap to the previous event
+    of the same key exceeds ``gap_seconds``. (Streaming variant:
+    ``F.session_window`` — see streaming module.)"""
+    w = Window.partitionBy(key).orderBy(*([ts, tiebreak] if tiebreak else [ts]))
+    tsec = F.unix_timestamp(F.col(ts))
+    gap = tsec - F.lag(tsec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        alias,
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -1,0 +1,233 @@
+"""Join operators: sharded lookup (embedding join), pooled lookup,
+left join with empty-array default, and as-of / time-window clipping.
+
+The reference's central dataflow is a distributed embedding lookup
+(``embedding/sharding.py:168-205``): ids -> modulo partition -> all-to-all
+-> ``unique`` dedup -> local gather -> route back. Relationally this is a
+shuffle equi-join of a high-duplication fact key stream against a huge
+hash-partitioned dimension table, with build-side dedup. Catalyst picks the
+join strategy; what it does NOT do automatically is the dedup-before-shuffle
+(SURVEY §4.3.1), so ``lookup_join`` exposes it explicitly: distinct keys are
+joined first, then results re-expanded to the fact rows — at high key
+duplication this shrinks the shuffled probe side by the duplication factor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "lookup_join",
+    "pooled_lookup",
+    "left_join_with_default",
+    "clip_history",
+    "asof_join",
+]
+
+
+def lookup_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dedup_keys: bool = True,
+    broadcast_threshold_rows: int | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a (possibly highly duplicated) key stream against a dimension
+    table — the relational form of the sharded embedding lookup.
+
+    ``dedup_keys=True`` reproduces the reference's ``unique``-before-exchange
+    (``embedding/sharding.py:186-187``): the dim table is probed once per
+    DISTINCT key, then results fan back out by joining to the fact. At 100 TB
+    with zipfian ids (the recommender case) this cuts the dim-side shuffle
+    traffic by the duplication factor; the fact->distinct map-side combine is
+    a partial aggregate, so the extra shuffle moves only unique keys.
+
+    With a small dim table, pass ``broadcast_threshold_rows`` to skip all
+    shuffles via a broadcast-hash join (two broadcast probes, zero exchange
+    of the fact table).
+    """
+    if not dedup_keys:
+        return fact.join(dim, on=key, how=how)
+    uniq = fact.select(key).distinct()
+    resolved = uniq.join(dim, on=key, how="inner")
+    if broadcast_threshold_rows is not None:
+        resolved = F.broadcast(resolved)
+    return fact.join(resolved, on=key, how=how)
+
+
+def pooled_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    ids_col: str,
+    row_id: str,
+    vec_col: str,
+    combiner: str = "sum",
+    dedup_keys: bool = False,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Pooled sparse lookup (``embedding_lookup_sparse`` with sum/mean
+    combiner, reference ``docs/tutorial/ranking/data.py:180-193``): each fact
+    row carries an ARRAY of ids; look each up in ``dim`` and pool the
+    resulting vectors element-wise per row.
+
+    explode(ids) -> join -> groupBy(row_id) element-wise agg. The
+    element-wise vector sum is expressed with ``aggregate`` over collected
+    vectors (JVM-side); rows with empty id lists yield an empty array.
+
+    Strategy knobs: ``broadcast_dim=True`` (default) hints a broadcast-hash
+    join — right for dims that fit in executor memory; zero shuffle of the
+    exploded fact. For a huge sharded dim, set ``broadcast_dim=False`` and
+    ``dedup_keys=True`` to reproduce the reference's unique-before-exchange
+    (probe the dim once per distinct id, worth it at high duplication).
+    """
+    if combiner not in ("sum", "mean"):
+        raise ValueError("combiner must be 'sum' or 'mean'")
+    exploded = fact.select(row_id, F.explode_outer(F.col(ids_col)).alias("_lk_id"))
+    dim_keyed = dim.withColumnRenamed(dim.columns[0], "_lk_id")
+    if dedup_keys:
+        joined = lookup_join(exploded, dim_keyed, "_lk_id", how="left")
+    else:
+        right = F.broadcast(dim_keyed) if broadcast_dim else dim_keyed
+        joined = exploded.join(right, on="_lk_id", how="left")
+    pooled = (
+        joined.groupBy(row_id)
+        .agg(F.collect_list(F.col(vec_col)).alias("_vecs"))
+        .withColumn(
+            vec_col,
+            F.when(F.size("_vecs") == 0, F.array().cast(f"array<double>")).otherwise(
+                F.aggregate(
+                    F.expr("slice(_vecs, 2, size(_vecs) - 1)"),
+                    F.transform(F.element_at("_vecs", 1), lambda x: x.cast("double")),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b.cast("double")),
+                )
+            ),
+        )
+    )
+    if combiner == "mean":
+        pooled = pooled.withColumn(
+            vec_col,
+            F.transform(F.col(vec_col), lambda x: x / F.size("_vecs")),
+        )
+    return pooled.drop("_vecs")
+
+
+def left_join_with_default(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    defaults: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Left join that fills unmatched right-side columns with defaults
+    (reference history-merge pattern, ``prep_3_merge.py:41-48``: missing
+    per-user history -> empty list). ``defaults`` maps column -> default
+    expression, e.g. ``{"hist": F.array()}``."""
+    out = left.join(right, on=on, how="left")
+    for col, default in (defaults or {}).items():
+        out = out.withColumn(col, F.coalesce(F.col(col), default))
+    return out
+
+
+def clip_history(
+    ts_list: Column | str,
+    val_list: Column | str,
+    anchor_ts: Column | str,
+    duration: Column | int,
+) -> Column:
+    """Per-row as-of clip of a (timestamp[], value[]) history pair: keep
+    values whose ts lies in ``[anchor - duration, anchor)`` (reference
+    time-window clipping, ``prep_3_merge.py:51-68``). Returns the clipped
+    value array; apply twice to also clip the ts array. Pure expression —
+    no shuffle, no UDF."""
+    ts = F.col(ts_list) if isinstance(ts_list, str) else ts_list
+    vals = F.col(val_list) if isinstance(val_list, str) else val_list
+    anchor = F.col(anchor_ts) if isinstance(anchor_ts, str) else anchor_ts
+    dur = F.lit(duration) if isinstance(duration, int) else duration
+    zipped = F.zip_with(ts, vals, lambda t, v: F.struct(t.alias("t"), v.alias("v")))
+    kept = F.filter(zipped, lambda s: (s["t"] >= anchor - dur) & (s["t"] < anchor))
+    return F.transform(kept, lambda s: s["v"])
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the single right row with the
+    latest ``right_ts <= left_ts`` (backward) or earliest ``>=`` (forward)
+    within the same ``on`` key, optionally within ``tolerance`` (same units
+    as the ts columns).
+
+    Implemented as union + window sort rather than a range cross-join: tag
+    both sides, sort within each key by time, and carry the last-seen right
+    row forward with ``last(..., ignorenulls=True)``. One shuffle on the key
+    — the same cost as the equi-join Spark would need anyway, and immune to
+    the quadratic blowup of a naive range join. Skewed keys are handled by
+    AQE; at extreme skew pre-salt the key.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c != on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    filled = unioned.select(
+        on,
+        "_t",
+        "_is_left",
+        *lcols,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(F.when(F.col("_is_left") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_rt"),
+    ).filter(F.col("_is_left") == 1)
+
+    if tolerance is not None:
+        gap = (
+            (F.col("_t") - F.col("_rt"))
+            if direction == "backward"
+            else (F.col("_rt") - F.col("_t"))
+        )
+        keep = F.col("_rt").isNotNull() & (gap <= tolerance)
+        for c in rcols:
+            filled = filled.withColumn(c, F.when(keep, F.col(c)))
+    return filled.withColumnRenamed("_t", left_ts).drop("_is_left", "_rt")

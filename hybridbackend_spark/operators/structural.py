@@ -1,0 +1,163 @@
+"""Structural operators over ragged (array) columns and batches.
+
+Spark-first equivalents of the reference's batching/set-structural layer
+(SURVEY §2.7): pad-to-dense (``DataFrame.Value.to_tensor``,
+``data/dataframe.py:332-345``), default population
+(``populate_defaults``, ``data/dataframe.py:458-501``), dedup-restore
+gather (``data/deduplicate/dataset.py:28-67`` + ``dataframe.py:301-320``),
+deterministic seeded shuffle (``rebatch_buffer.cc:272-286``), rebatch as
+explicit batch-id assignment, and fixed-shape validation
+(``tensorflow/common/arrow.cc:138-184``).
+
+All functions are expression-level (JVM, whole-stage codegen) — no Python
+UDFs. They scale horizontally: every transform is per-row or per-partition
+with no driver collect and no shuffle except where semantically required
+(seeded global shuffle, exact batch numbering).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..schema import Field
+
+__all__ = [
+    "pad_to_dense",
+    "populate_defaults",
+    "dedup_restore",
+    "gather",
+    "seeded_shuffle",
+    "with_batch_id",
+    "unbatch",
+    "validate_fixed_shape",
+    "assert_fixed_shape",
+]
+
+_ZERO_BY_DTYPE = {
+    "string": "",
+    "binary": b"",
+}
+
+
+def pad_to_dense(col: Column | str, target_len: int, fill: Any = None) -> Column:
+    """Pad a variable-length array column to exactly ``target_len`` with
+    ``fill`` (default 0/"" by element type), truncating longer arrays.
+
+    Equivalent of the reference ``to_tensor(pad=...)`` densify. Pure
+    expression — stays inside codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    fill_lit = F.lit(0) if fill is None else F.lit(fill)
+    pad_count = F.greatest(F.lit(0), F.lit(target_len) - F.size(c))
+    padded = F.concat(c, F.array_repeat(fill_lit, pad_count))
+    return F.slice(padded, 1, target_len)
+
+
+def populate_defaults(df: DataFrame, fields: Sequence[Field]) -> DataFrame:
+    """Add any missing columns as constant defaults (scalar or array),
+    cast to the field's Spark type."""
+    existing = set(df.columns)
+    for f in fields:
+        if f.name in existing:
+            continue
+        if f.default_value is None:
+            raise ValueError(f"missing column {f.name!r} has no default_value")
+        df = df.withColumn(f.name, F.lit(f.default_value).cast(f.spark_type))
+    return df
+
+
+def gather(values: Column | str, indices: Column | str) -> Column:
+    """``out[i] = values[indices[i]]`` for two array columns — the gather
+    primitive behind dedup-restore (0-based indices)."""
+    v = F.col(values) if isinstance(values, str) else values
+    idx = F.col(indices) if isinstance(indices, str) else indices
+    return F.transform(idx, lambda i: F.element_at(v, (i + 1).cast("int")))
+
+
+def dedup_restore(
+    df: DataFrame, restore_map: Mapping[str, str], drop_index: bool = True
+) -> DataFrame:
+    """Restore block-deduplicated columns: for each ``value_col -> idx_col``
+    mapping, expand ``value_col`` (array of uniques per block) through
+    ``idx_col`` (array of inverse indices per block) back to the duplicated
+    layout. Reference read-path restore (``data/deduplicate/dataset.py``).
+    """
+    for value_col, idx_col in restore_map.items():
+        df = df.withColumn(value_col, gather(F.col(value_col), F.col(idx_col)))
+        if drop_index:
+            df = df.drop(idx_col)
+    return df
+
+
+def seeded_shuffle(df: DataFrame, seed: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic global shuffle: order rows by ``xxhash64(row, seed)``.
+
+    Unlike ``F.rand(seed)`` (which depends on partition layout), hashing the
+    row content with a seed gives the same order regardless of input split
+    planning — reproducible across cluster sizes. One shuffle (range
+    partition + sort), AQE-friendly.
+    """
+    cols = [F.col(c) for c in df.columns]
+    out = df.orderBy(F.xxhash64(*cols, F.lit(seed)))
+    if partitions:
+        out = out.coalesce(partitions)
+    return out
+
+
+def with_batch_id(
+    df: DataFrame,
+    batch_size: int,
+    order_by: Sequence[str] | None = None,
+    drop_remainder: bool = False,
+) -> DataFrame:
+    """Assign a ``batch_id`` column grouping rows into exact
+    ``batch_size``-row batches — the relational rendering of the reference's
+    ``rebatch`` (``data/rebatch/``). Requires a total order to be
+    deterministic; pass ``order_by`` (defaults to all columns).
+
+    Note: exact global batch numbering needs a global row numbering — a
+    single-partition window. This is inherently sequential and intended for
+    training-feed export at the edge of the pipeline, not as a mid-plan
+    operator at 100 TB. For scale, prefer per-partition batching via
+    ``maxRecordsPerBatch`` on the Arrow boundary (zero-shuffle).
+    """
+    order = [F.col(c) for c in (order_by or df.columns)]
+    w = Window.orderBy(*order)
+    out = df.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    if drop_remainder:
+        total = df.count()
+        n_full = (total // batch_size) * batch_size
+        out = out.withColumn(
+            "_rn", F.row_number().over(w)
+        ).filter(F.col("_rn") <= n_full).drop("_rn")
+    return out
+
+
+def unbatch(df: DataFrame, array_cols: Sequence[str]) -> DataFrame:
+    """Explode parallel array columns row-wise (reference
+    ``unbatch_and_to_sparse``, ``data/dataframe.py:510-549``): one output
+    row per array position, scalars duplicated."""
+    if not array_cols:
+        return df
+    zipped = F.arrays_zip(*[F.col(c) for c in array_cols])
+    other = [c for c in df.columns if c not in array_cols]
+    ex = df.select(*other, F.explode(zipped).alias("_z"))
+    return ex.select(*other, *[F.col(f"_z.{c}").alias(c) for c in array_cols])
+
+
+def validate_fixed_shape(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Filter helper returning rows violating a fixed-shape invariant
+    ``size(col) == k`` (reference shape validation,
+    ``tensorflow/common/arrow.cc:138-184``)."""
+    return df.filter(F.size(F.col(col)) != k)
+
+
+def assert_fixed_shape(df: DataFrame, col: str, k: int) -> None:
+    """Raise if any row violates ``size(col) == k``."""
+    bad = validate_fixed_shape(df, col, k).limit(1).count()
+    if bad:
+        raise ValueError(f"column {col!r} violates fixed shape [{k}]")

@@ -1,0 +1,665 @@
+"""Query registry: every implemented operator exposed as a named query
+over the driver's test tables, each paired with an ANSI-SQL oracle that
+DuckDB can run on the same parquet files.
+
+Conventions (driver contract):
+- each query fn takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL;
+- double-typed aggregates are rounded (2-6 dp) in BOTH engines so that
+  floating-point summation-order differences cannot flip the value hash;
+- deterministic tie-breaks everywhere an order matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .functions.feature import log1p_feature, mod_bucket
+from .functions.metrics import accuracy as _accuracy
+from .functions.metrics import auc as _auc
+from .functions.metrics import gauc as _gauc
+from .functions.windows import (
+    ordered_collect,
+    run_length_ids,
+    sessionize,
+    sliding_time_window,
+)
+from .operators.joins import asof_join, left_join_with_default, lookup_join, pooled_lookup
+
+def _money_sum(expr):
+    """Exact money aggregation: quantize each row to integer cents (the
+    per-row double is bit-identical across engines since the expression
+    tree is identical), sum as integers, divide once. Immune to
+    summation-order half-boundary flips that plain round(sum(x),2) has."""
+    return F.sum(F.round(expr * 100).cast("long")) / F.lit(100.0)
+
+
+_SQL_MONEY = "sum(CAST(round(({expr}) * 100) AS BIGINT)) / 100.0"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a test table. ``events.ts`` is written as Parquet TIMESTAMP(NANOS),
+    which Spark 4 has no timestamp type for — read nanos as long (runtime
+    conf) and truncate to microsecond timestamps (exact integer division;
+    matches DuckDB's nanosecond value truncated to Spark's precision)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.1-§2.6: scan, filter, project, join, agg, sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0
+                                                                       AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> pushed filter -> hash agg (partial+final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+             / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim join + agg + top-k. The customer and
+    orders sides are small relative to lineitem — Catalyst/AQE broadcasts
+    them, so lineitem never shuffles before the aggregate."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name, r.r_name,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+             / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join; all dims broadcast, a single pass
+    over the fact table with zero fact-side shuffle before the agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1/P4: projection + predicate, both pushed into the Parquet scan
+    (verify with .explain: PushedFilters + 3-column ReadSchema)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_quantity") > 45)
+        )
+        .drop("l_shipdate")
+    )
+
+
+@register(
+    "rollup_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: hierarchical rollup aggregation (free from Catalyst)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A10: multi-distinct aggregation (expand + two-phase agg).
+    The scale path for ballpark cardinality is approx_count_distinct
+    (HLL, no expand) — not oracle-comparable, so the exact form is the
+    correctness query."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/W4: top-k per group via ranking window; single shuffle on the
+    group key, no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lookup joins (SURVEY §2.3 — the embedding-lookup family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lookup_join_dedup",
+    """
+    SELECT e.event_id, emb.vec_id, emb.label
+    FROM (SELECT event_id, ((event_id % 500) + 500) % 500 AS vec_id FROM events) e
+    JOIN embeddings emb ON e.vec_id = emb.vec_id
+    """,
+)
+def lookup_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: sharded-embedding-lookup as a relational join with
+    dedup-before-shuffle (unique keys probe the dim once, then fan back
+    out). Mirrors reference ``embedding/sharding.py:168-205``."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", mod_bucket(F.col("event_id"), 500).alias("vec_id")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return lookup_join(ev, emb, "vec_id", dedup_keys=True, broadcast_threshold_rows=1)
+
+
+@register(
+    "pooled_lookup_sum",
+    """
+    SELECT l.l_orderkey,
+           round(sum(list_sum(list_transform(emb.embedding, x -> x::DOUBLE))), 3)
+             AS pooled_checksum
+    FROM (SELECT l_orderkey, ((l_partkey % 500) + 500) % 500 AS vec_id FROM lineitem) l
+    JOIN embeddings emb ON l.vec_id = emb.vec_id
+    GROUP BY l.l_orderkey
+    """,
+)
+def pooled_lookup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: pooled sparse lookup (embedding_lookup_sparse, sum combiner):
+    per order, sum the looked-up vectors element-wise; checksum = sum of
+    elements so the oracle compares scalars, not float arrays."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", mod_bucket(F.col("l_partkey"), 500).alias("vec_id")
+    )
+    ids = li.groupBy("l_orderkey").agg(F.collect_list("vec_id").alias("ids"))
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pooled = pooled_lookup(ids, emb, "ids", "l_orderkey", "embedding", combiner="sum")
+    return pooled.select(
+        "l_orderkey",
+        F.round(
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 3
+        ).alias("pooled_checksum"),
+    )
+
+
+@register(
+    "left_join_defaults",
+    """
+    SELECT o.o_orderkey,
+           coalesce(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100)
+                             AS BIGINT)) / 100.0, 0.0) AS revenue,
+           count(l.l_orderkey) AS n_items
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def left_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left join with default fill for unmatched rows (reference
+    history-merge: missing history -> empty/zero)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        _money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return left_join_with_default(
+        o,
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        defaults={"revenue": F.lit(0.0), "n_items": F.lit(0)},
+    )
+
+
+@register(
+    "asof_prior_click",
+    """
+    SELECT p.event_id, c.ts AS prior_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: as-of join — for each purchase, the latest click at-or-before it
+    by the same user. Union + window implementation (one shuffle on the
+    key; no range cross-join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    return out.select("event_id", F.col("click_ts").alias("prior_click_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Window / ordering operators (SURVEY §2.5-§2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_lag",
+    """
+    SELECT event_id,
+           row_number() OVER w AS rn,
+           round(lag(value) OVER w, 2) AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: ranking + lag analytics per user, deterministic tie-break."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+    )
+
+
+@register(
+    "sliding_window_1h",
+    """
+    SELECT event_id,
+           count(*) OVER w - 1 AS cnt_1h,
+           round(coalesce(sum(value) OVER w - value, 0.0), 2) AS sum_1h
+    FROM (SELECT *, floor(epoch(ts))::BIGINT AS tsec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def sliding_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: per-row sliding event-time window — activity of the same user in
+    the trailing hour (excluding the row itself via subtraction, which keeps
+    RANGE-peer semantics identical across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_time_window(
+        ev,
+        key="user_id",
+        ts="ts",
+        lower=-3600,
+        upper=0,
+        aggs={
+            "_cnt": F.count(F.lit(1)),
+            "_sum": F.sum("value"),
+        },
+    )
+    return out.select(
+        "event_id",
+        (F.col("_cnt") - 1).alias("cnt_1h"),
+        F.round(F.coalesce(F.col("_sum") - F.col("value"), F.lit(0.0)), 2).alias(
+            "sum_1h"
+        ),
+    )
+
+
+@register(
+    "run_length_events",
+    """
+    SELECT event_id,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    )
+    """,
+)
+def run_length_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: contiguous-run segmentation (GAUC indicator runs /
+    run-length encoding): run id increments when event_type changes."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_length_ids(
+        ev, key="user_id", order=["ts", "event_id"], indicator="event_type"
+    )
+    return out.select("event_id", "run_id")
+
+
+@register(
+    "sessionize_30m",
+    """
+    SELECT event_id,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+                       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    """,
+)
+def sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap starts a new session."""
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id")
+    return out.select("event_id", "session_id")
+
+
+@register(
+    "ordered_history",
+    """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_type) AS history
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def ordered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/W1: order-stable per-key collect_list (the reference's user
+    behavior-sequence construction), serialized to a string so the oracle
+    compares scalars."""
+    ev = _t(spark, sf_dir, "events")
+    out = ordered_collect(ev, key="user_id", order="ts", value="event_type")
+    return out.select("user_id", F.array_join("items", ",").alias("history"))
+
+
+# ---------------------------------------------------------------------------
+# Metrics (SURVEY §2.4 A5-A8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metric_mean_accuracy",
+    """
+    SELECT round(avg(label), 6) AS mean_label,
+           round(avg(CASE WHEN ((vec_id % 10) + 10) % 10 = label
+                          THEN 1.0 ELSE 0.0 END), 6) AS acc
+    FROM embeddings
+    """,
+)
+def metric_mean_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6: streaming mean + accuracy as one partial+final aggregation."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "pred", mod_bucket(F.col("vec_id"), 10)
+    )
+    return emb.agg(
+        F.round(F.avg("label"), 6).alias("mean_label"),
+        F.round(
+            F.avg((F.col("pred") == F.col("label")).cast("double")), 6
+        ).alias("acc"),
+    )
+
+
+_AUC_ORACLE = """
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+             embedding[1]::DOUBLE AS s
+      FROM embeddings
+    ), hist AS (
+      SELECT s, sum(y) AS p, sum(1.0 - y) AS n
+      FROM scored GROUP BY s
+    ), swept AS (
+      SELECT p, n,
+             coalesce(sum(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS n_below
+      FROM hist
+    )
+    SELECT round(sum(p * (n_below + n / 2)) / (sum(p) * sum(n)), 6) AS auc
+    FROM swept
+"""
+
+
+@register("metric_auc", _AUC_ORACLE)
+def metric_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: exact ROC AUC as a distributed rank statistic (reference
+    ``metrics/auc.py`` histogram in the num_thresholds->inf limit)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("double").alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("s"),
+    )
+    out = _auc(emb, label="y", score="s", alias="_auc_raw")
+    return out.select(F.round("_auc_raw", 6).alias("auc"))
+
+
+_GAUC_ORACLE = """
+    WITH scored AS (
+      SELECT ((vec_id % 20) + 20) % 20 AS g,
+             CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+             embedding[1]::DOUBLE AS s
+      FROM embeddings
+    ), hist AS (
+      SELECT g, s, sum(y) AS p, sum(1.0 - y) AS n
+      FROM scored GROUP BY g, s
+    ), swept AS (
+      SELECT g, p, n,
+             coalesce(sum(n) OVER (PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS n_below
+      FROM hist
+    ), per_group AS (
+      SELECT g,
+             sum(p * (n_below + n / 2)) / (sum(p) * sum(n)) AS auc_g,
+             sum(p) + sum(n) AS cnt, sum(p) AS pos, sum(n) AS neg
+      FROM swept GROUP BY g
+    )
+    SELECT round(sum(auc_g * cnt) / sum(cnt), 6) AS gauc
+    FROM per_group WHERE pos > 0 AND neg > 0
+"""
+
+
+@register("metric_gauc", _GAUC_ORACLE)
+def metric_gauc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: grouped AUC — exact per-group AUC, impression-weighted mean
+    (reference ``metrics/gauc.cc:39-80``)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        mod_bucket(F.col("vec_id"), 20).alias("g"),
+        (F.col("label") >= 5).cast("double").alias("y"),
+        F.element_at("embedding", 1).cast("double").alias("s"),
+    )
+    out = _gauc(emb, group="g", label="y", score="s", weight="count", alias="_g")
+    return out.select(F.round("_g", 6).alias("gauc"))
+
+
+# ---------------------------------------------------------------------------
+# Feature pipeline (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_transform",
+    """
+    SELECT event_id,
+           round(ln(1 + value), 6) AS log_value,
+           ((user_id % 16) + 16) % 16 AS bucket,
+           round(value / 1000.0, 6) AS norm_value,
+           CASE WHEN value IS NOT NULL AND value >= 0 THEN value ELSE -1.0 END
+             AS imputed
+    FROM events
+    """,
+)
+def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5: imputation, log1p, normalization, modulo bucketing as pure
+    Column expressions (whole-stage codegen; zero extra cost at scale)."""
+    from .functions.feature import impute, normalize
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(log1p_feature("value"), 6).alias("log_value"),
+        mod_bucket(F.col("user_id"), 16).alias("bucket"),
+        F.round(normalize("value", 1000.0), 6).alias("norm_value"),
+        impute("value", default=-1.0).alias("imputed"),
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def get_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,110 @@
+"""Columnar tabular sources: Parquet / ORC / CSV scan with projection,
+schema validation, default population, and densify.
+
+Spark-first re-expression of the reference scan pipeline
+(``Dataset.from_parquet``, ``data/tabular/dataset_v2.py:248-311`` and
+``table.py:194-228``): schema resolution from the file footer, declared-field
+merge, column projection (Catalyst prunes the Parquet scan to the projected
+columns), corrupted-file skipping, default-value population for absent
+columns, and optional pad-to-dense for ragged columns.
+
+What the reference does imperatively — row-group partitioning across
+workers, multi-file interleave, thread budgets — Spark's split planning
+does natively (`spark.sql.files.maxPartitionBytes` governs split size), so
+none of it is re-implemented here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schema import Field, infer_fields, merge_fields
+
+__all__ = ["read_tabular", "read_parquet", "read_orc", "read_csv"]
+
+
+def _first_path(paths: str | Sequence[str]) -> str:
+    return paths if isinstance(paths, str) else paths[0]
+
+
+def read_tabular(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    fmt: str = "parquet",
+    fields: Sequence[Field] | None = None,
+    field_ignore_case: bool = False,
+    skip_corrupted_data: bool = False,
+    to_dense: bool | dict[str, int] = False,
+    **options: str,
+) -> DataFrame:
+    """Scan Parquet/ORC/CSV into a DataFrame with the engine's field
+    semantics.
+
+    - ``fields``: projection + validation. Only these columns are read
+      (column pruning reaches the scan); dtype/ragged-rank mismatches
+      raise. Fields absent from files but carrying ``default_value`` are
+      materialized as constant columns (reference ``populate_defaults``,
+      ``data/dataframe.py:458-501``).
+    - ``skip_corrupted_data``: map to ``spark.sql.files.ignoreCorruptFiles``
+      semantics via the per-read option.
+    - ``to_dense``: pad ragged array columns with their dtype's zero value
+      to the per-field target length (dict name->len), reference
+      ``to_tensor`` (``data/dataframe.py:332-345``).
+    """
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    reader = spark.read.format(fmt)
+    if skip_corrupted_data:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path_list)
+
+    if fields:
+        inferred = infer_fields(_first_path(path_list)) if fmt in ("parquet", "orc") else None
+        if inferred is not None:
+            merged = merge_fields(fields, inferred, ignore_case=field_ignore_case)
+        else:
+            merged = list(fields)
+        df = _project_and_default(df, merged, field_ignore_case)
+
+    if to_dense:
+        targets = to_dense if isinstance(to_dense, dict) else {}
+        from ..operators.structural import pad_to_dense
+
+        for f in fields or []:
+            if f.ragged_rank == 1 or f.shape:
+                n = targets.get(f.name)
+                if n:
+                    df = df.withColumn(f.name, pad_to_dense(F.col(f.name), n))
+    return df
+
+
+def _project_and_default(
+    df: DataFrame, fields: Sequence[Field], ignore_case: bool
+) -> DataFrame:
+    cols_by_key = {
+        (c.lower() if ignore_case else c): c for c in df.columns
+    }
+    projected = []
+    for f in fields:
+        key = f.name.lower() if ignore_case else f.name
+        src = cols_by_key.get(key)
+        if src is not None:
+            projected.append(F.col(src).alias(f.name))
+        else:
+            projected.append(F.lit(f.default_value).cast(f.spark_type).alias(f.name))
+    return df.select(*projected)
+
+
+def read_parquet(spark: SparkSession, paths, **kw) -> DataFrame:
+    return read_tabular(spark, paths, fmt="parquet", **kw)
+
+
+def read_orc(spark: SparkSession, paths, **kw) -> DataFrame:
+    return read_tabular(spark, paths, fmt="orc", **kw)
+
+
+def read_csv(spark: SparkSession, paths, header: bool = True, **kw) -> DataFrame:
+    return read_tabular(spark, paths, fmt="csv", header=str(header).lower(), **kw)

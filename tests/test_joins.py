@@ -1,0 +1,98 @@
+import datetime
+
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.operators.joins import (
+    asof_join,
+    clip_history,
+    left_join_with_default,
+    lookup_join,
+    pooled_lookup,
+)
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [10.0, 20.0]), (2, [100.0, 200.0])],
+        "id: long, vec: array<double>",
+    )
+
+
+def test_lookup_join_dedup(spark):
+    fact = spark.createDataFrame([(i % 3,) for i in range(30)], "id: long")
+    out = lookup_join(fact, _dim(spark), "id")
+    assert out.count() == 30
+    got = out.filter(F.col("id") == 1).select("vec").first()[0]
+    assert got == [10.0, 20.0]
+
+
+def test_lookup_join_matches_plain_join(spark):
+    fact = spark.createDataFrame([(i % 3,) for i in range(30)], "id: long")
+    a = sorted(map(tuple, lookup_join(fact, _dim(spark), "id").collect()))
+    b = sorted(map(tuple, fact.join(_dim(spark), "id").collect()))
+    assert a == b
+
+
+def test_pooled_lookup_sum_and_mean(spark):
+    fact = spark.createDataFrame(
+        [(1, [0, 1]), (2, [2]), (3, [])],
+        "row_id: long, ids: array<long>",
+    )
+    out = pooled_lookup(fact, _dim(spark), "ids", "row_id", "vec", combiner="sum")
+    got = {r["row_id"]: r["vec"] for r in out.collect()}
+    assert got[1] == [11.0, 22.0]
+    assert got[2] == [100.0, 200.0]
+    mean = pooled_lookup(fact, _dim(spark), "ids", "row_id", "vec", combiner="mean")
+    gm = {r["row_id"]: r["vec"] for r in mean.collect()}
+    assert gm[1] == [5.5, 11.0]
+
+
+def test_left_join_with_default(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k: long")
+    right = spark.createDataFrame([(1, [7])], "k: long, hist: array<int>")
+    out = left_join_with_default(left, right, "k", {"hist": F.array()})
+    got = {r["k"]: r["hist"] for r in out.collect()}
+    assert got[1] == [7] and got[2] == []
+
+
+def test_clip_history(spark):
+    df = spark.createDataFrame(
+        [([1, 5, 9], ["a", "b", "c"], 10)],
+        "ts: array<int>, vals: array<string>, anchor: int",
+    )
+    out = df.select(clip_history("ts", "vals", "anchor", 6).alias("kept"))
+    # keep ts in [4, 10): 5, 9
+    assert out.collect()[0]["kept"] == ["b", "c"]
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+        "k: long, t: long, lv: string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "c1"), (1, 15, "c2"), (1, 20, "c3"), (2, 9, "c4")],
+        "k: long, rt: long, rv: string",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt")
+    got = {r["lv"]: r["rv"] for r in out.collect()}
+    # at-or-before semantics: p2(t=20) matches c3(rt=20); p3(t=5) has no prior
+    assert got == {"p1": "c1", "p2": "c3", "p3": None}
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 100, "x")], "k: long, t: long, lv: string")
+    right = spark.createDataFrame([(1, 10, "old")], "k: long, rt: long, rv: string")
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt", tolerance=50)
+    assert out.collect()[0]["rv"] is None
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 10, "p")], "k: long, t: long, lv: string")
+    right = spark.createDataFrame(
+        [(1, 9, "before"), (1, 12, "after"), (1, 30, "later")],
+        "k: long, rt: long, rv: string",
+    )
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
+                    direction="forward")
+    assert out.collect()[0]["rv"] == "after"

@@ -1,0 +1,78 @@
+import random
+
+import pytest
+
+from hybridbackend_spark.functions.metrics import (
+    accuracy,
+    auc,
+    auc_histogram,
+    gauc,
+    streaming_mean,
+)
+
+
+def _sklearn_free_auc(pairs):
+    """Exact rank AUC oracle in pure python (ties get half credit)."""
+    pos = [s for y, s in pairs if y == 1]
+    neg = [s for y, s in pairs if y == 0]
+    total = 0.0
+    for p in pos:
+        for n in neg:
+            total += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return total / (len(pos) * len(neg))
+
+
+def test_streaming_mean(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (6.0,)], "x: double")
+    assert streaming_mean(df, "x").collect()[0]["mean"] == 3.0
+
+
+def test_accuracy(spark):
+    df = spark.createDataFrame([(1, 1), (0, 1), (0, 0), (1, 1)], "y: int, p: int")
+    assert accuracy(df, "y", "p").collect()[0]["accuracy"] == 0.75
+
+
+def test_auc_exact(spark):
+    random.seed(0)
+    pairs = [(random.randint(0, 1), round(random.random(), 2)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "y: int, s: double")
+    got = auc(df, "y", "s").collect()[0]["auc"]
+    assert got == pytest.approx(_sklearn_free_auc(pairs), abs=1e-12)
+
+
+def test_auc_perfect_and_inverted(spark):
+    df = spark.createDataFrame([(0, 0.1), (0, 0.2), (1, 0.8), (1, 0.9)], "y: int, s: double")
+    assert auc(df, "y", "s").collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame([(1, 0.1), (0, 0.9)], "y: int, s: double")
+    assert auc(inv, "y", "s").collect()[0]["auc"] == 0.0
+
+
+def test_auc_histogram_converges(spark):
+    random.seed(1)
+    pairs = [(random.randint(0, 1), random.random()) for _ in range(2000)]
+    df = spark.createDataFrame(pairs, "y: int, s: double")
+    exact = _sklearn_free_auc(pairs)
+    approx = auc_histogram(df, "y", "s", num_thresholds=500).collect()[0]["auc"]
+    assert approx == pytest.approx(exact, abs=0.01)
+
+
+def test_gauc(spark):
+    random.seed(2)
+    rows = []
+    expect_num = expect_den = 0.0
+    for g in range(5):
+        pairs = [(random.randint(0, 1), round(random.random(), 2)) for _ in range(80)]
+        rows += [(g, y, s) for y, s in pairs]
+        pos = sum(1 for y, _ in pairs if y == 1)
+        if 0 < pos < len(pairs):
+            expect_num += _sklearn_free_auc(pairs) * len(pairs)
+            expect_den += len(pairs)
+    df = spark.createDataFrame(rows, "g: int, y: int, s: double")
+    got = gauc(df, "g", "y", "s").collect()[0]["gauc"]
+    assert got == pytest.approx(expect_num / expect_den, abs=1e-12)
+
+
+def test_gauc_skips_single_class_groups(spark):
+    rows = [(0, 1, 0.5), (0, 1, 0.6), (1, 1, 0.9), (1, 0, 0.1)]
+    df = spark.createDataFrame(rows, "g: int, y: int, s: double")
+    assert gauc(df, "g", "y", "s").collect()[0]["gauc"] == 1.0

@@ -1,0 +1,62 @@
+import pytest
+from pyspark.sql import types as T
+
+from hybridbackend_spark.schema import (
+    Field,
+    SchemaMismatchError,
+    fields_to_struct,
+    infer_fields,
+    merge_fields,
+    validate_files,
+)
+
+
+def test_field_spark_types():
+    assert Field("a", "int64").spark_type == T.LongType()
+    assert Field("b", "float32", ragged_rank=1).spark_type == T.ArrayType(T.FloatType())
+    assert Field("c", "string", ragged_rank=2).spark_type == T.ArrayType(
+        T.ArrayType(T.StringType())
+    )
+    # fixed-shape list maps to a single array level
+    assert Field("d", "int32", shape=(4,)).spark_type == T.ArrayType(T.IntegerType())
+    # unsigned widening
+    assert Field("e", "uint32").spark_type == T.LongType()
+    assert Field("f", "uint64").spark_type == T.DecimalType(20, 0)
+
+
+def test_field_invalid():
+    with pytest.raises(ValueError):
+        Field("a", "complex128")
+    with pytest.raises(ValueError):
+        Field("a", "int64", ragged_rank=1, shape=(3,))
+
+
+def test_fields_to_struct_dupes():
+    with pytest.raises(SchemaMismatchError):
+        fields_to_struct([Field("a"), Field("a")])
+
+
+def test_infer_fields(sf_dir):
+    fields = {f.name: f for f in infer_fields(f"{sf_dir}/embeddings.parquet")}
+    assert fields["vec_id"].dtype == "int64"
+    assert fields["embedding"].dtype == "float32"
+    assert fields["embedding"].ragged_rank == 1
+    assert fields["label"].dtype == "int32"
+
+
+def test_merge_fields_mismatch(sf_dir):
+    inferred = infer_fields(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(SchemaMismatchError):
+        merge_fields([Field("vec_id", "string")], inferred)
+    # absent without default -> error; absent with default -> kept
+    with pytest.raises(SchemaMismatchError):
+        merge_fields([Field("nope", "int64")], inferred)
+    merged = merge_fields([Field("nope", "int64", default_value=7)], inferred)
+    assert merged[0].default_value == 7
+
+
+def test_validate_files(sf_dir):
+    same = [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/lineitem.parquet"]
+    assert validate_files(same) == []
+    diff = [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"]
+    assert len(validate_files(diff)) > 0

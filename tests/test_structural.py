@@ -1,0 +1,76 @@
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.operators.structural import (
+    dedup_restore,
+    pad_to_dense,
+    populate_defaults,
+    seeded_shuffle,
+    unbatch,
+    validate_fixed_shape,
+    with_batch_id,
+)
+from hybridbackend_spark.schema import Field
+
+
+def test_pad_to_dense(spark):
+    df = spark.createDataFrame(
+        [([1, 2],), ([1, 2, 3, 4, 5],), ([],)], "xs: array<int>"
+    )
+    out = [r[0] for r in df.select(pad_to_dense("xs", 3)).collect()]
+    assert out == [[1, 2, 0], [1, 2, 3], [0, 0, 0]]
+
+
+def test_pad_to_dense_fill(spark):
+    df = spark.createDataFrame([(["a"],)], "xs: array<string>")
+    out = df.select(pad_to_dense("xs", 3, fill="?")).collect()[0][0]
+    assert out == ["a", "?", "?"]
+
+
+def test_populate_defaults(spark):
+    df = spark.createDataFrame([(1,)], "a: long")
+    out = populate_defaults(df, [Field("a"), Field("b", "float64", default_value=0.5)])
+    row = out.collect()[0]
+    assert row["b"] == 0.5
+
+
+def test_dedup_restore(spark):
+    # block-dedup layout: unique values + inverse index per block
+    df = spark.createDataFrame(
+        [(["x", "y"], [0, 1, 1, 0])],
+        "vals: array<string>, idx: array<int>",
+    )
+    out = dedup_restore(df, {"vals": "idx"}).collect()[0]["vals"]
+    assert out == ["x", "y", "y", "x"]
+
+
+def test_seeded_shuffle_deterministic(spark):
+    df = spark.range(100)
+    a = [r[0] for r in seeded_shuffle(df, seed=7).collect()]
+    b = [r[0] for r in seeded_shuffle(df.repartition(13), seed=7).collect()]
+    assert a == b  # identical order regardless of input partitioning
+    assert a != list(range(100))
+    c = [r[0] for r in seeded_shuffle(df, seed=8).collect()]
+    assert a != c
+
+
+def test_with_batch_id(spark):
+    df = spark.range(10)
+    out = with_batch_id(df, 4, order_by=["id"])
+    counts = {r["batch_id"]: r["n"] for r in out.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 4, 1: 4, 2: 2}
+    dropped = with_batch_id(df, 4, order_by=["id"], drop_remainder=True)
+    assert dropped.count() == 8
+
+
+def test_unbatch(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20], ["a", "b"])], "k: long, xs: array<int>, ys: array<string>"
+    )
+    rows = unbatch(df, ["xs", "ys"]).collect()
+    assert [(r["k"], r["xs"], r["ys"]) for r in rows] == [(1, 10, "a"), (1, 20, "b")]
+
+
+def test_validate_fixed_shape(spark):
+    df = spark.createDataFrame([([1, 2],), ([1],)], "xs: array<int>")
+    assert validate_fixed_shape(df, "xs", 2).count() == 1

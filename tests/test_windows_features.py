@@ -1,0 +1,67 @@
+import datetime
+
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.functions.feature import (
+    concat_features,
+    hash_bucket,
+    impute,
+    log1p_feature,
+    mod_bucket,
+    normalize,
+)
+from hybridbackend_spark.functions.windows import (
+    ordered_collect,
+    run_length_ids,
+    sessionize,
+)
+
+
+def test_impute(spark):
+    df = spark.createDataFrame([(5.0,), (-1.0,), (None,)], "x: double")
+    out = [r[0] for r in df.select(impute("x", default=0.0)).collect()]
+    assert out == [5.0, 0.0, 0.0]
+
+
+def test_mod_and_hash_bucket(spark):
+    df = spark.createDataFrame([(-7,), (7,)], "x: long")
+    mods = [r[0] for r in df.select(mod_bucket("x", 5)).collect()]
+    assert mods == [3, 2]  # pmod keeps buckets non-negative
+    hashes = [r[0] for r in df.select(hash_bucket("x", 5)).collect()]
+    assert all(0 <= h < 5 for h in hashes)
+
+
+def test_concat_features(spark):
+    df = spark.createDataFrame([(1, 2.5)], "a: long, b: double")
+    assert df.select(concat_features("a", "b")).collect()[0][0] == [1.0, 2.5]
+
+
+def test_run_length_ids(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (2, 1, "z")],
+        "k: long, t: long, v: string",
+    )
+    out = {(r["k"], r["t"]): r["run_id"] for r in
+           run_length_ids(df, "k", "t", "v").collect()}
+    assert out == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 3, (2, 1): 1}
+
+
+def test_sessionize(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + datetime.timedelta(seconds=100)),
+        (1, base + datetime.timedelta(seconds=5000)),
+    ]
+    df = spark.createDataFrame(rows, "k: long, ts: timestamp")
+    out = sorted(r["session_id"] for r in
+                 sessionize(df, "k", "ts", gap_seconds=1800).collect())
+    assert out == [1, 1, 2]
+
+
+def test_ordered_collect(spark):
+    df = spark.createDataFrame(
+        [(1, 3, "c"), (1, 1, "a"), (1, 2, "b")], "k: long, t: long, v: string"
+    )
+    got = ordered_collect(df, "k", "t", "v").collect()[0]["items"]
+    assert got == ["a", "b", "c"]

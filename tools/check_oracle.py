@@ -1,0 +1,115 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style canonicalization: repr of rounded double
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "|".join(norm_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from hybridbackend_spark.session import get_session
+
+    spark = get_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            ocols = res.columns
+            orows = [tuple(r) for r in res.fetchall()]
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_count = len(srows) == len(orows)
+        sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
+        ok_hash = sh == oh
+        status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
+        print(
+            f"{status}  {name}: rows {len(srows)}/{len(orows)} "
+            f"cols={'=' if ok_cols else f'{scols} vs {ocols}'} "
+            f"hash={'=' if ok_hash else f'{sh} vs {oh}'}  [{time.time()-t0:.1f}s]"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and ok_count and not ok_hash:
+                order = sorted(range(len(scols)), key=lambda i: scols[i])
+                sset = sorted("|".join(norm_value(r[i]) for i in order) for r in srows)
+                oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                oset = sorted("|".join(norm_value(r[i]) for i in oorder) for r in orows)
+                diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+                for a, b in diffs:
+                    print(f"        spark: {a}\n        duck : {b}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
