@@ -1,0 +1,364 @@
+"""Deduplication operators for large-scale corpus curation: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (the point of each algorithm at 100 TB):
+- exact: one hash-groupBy — the shuffle key is a 64-bit content hash, not
+  the document body, so shuffle volume is rows x ~40 bytes.
+- MinHash+LSH: signatures are computed per-row (no shuffle); the only
+  shuffles are the band-bucket explode-groupBy (rows x n_bands keys) and
+  the candidate-pair verification join. Collisions within a band bucket
+  are the ONLY pairs ever compared — never the quadratic all-pairs.
+- SimHash: per-row 64-bit sketch, candidates via banded key equality
+  (Hamming-adjacent buckets), same join shape as LSH.
+- n-gram Jaccard: exact verification metric; only run on candidate pairs
+  (or small corpora) — it explodes shingles (rows x shingles), so it is
+  the verify step, not the discovery step, at scale.
+- embedding cosine: exact within LSH/IVF buckets — see similarity module.
+
+Everything is expression-level except nothing: no Python UDFs at all.
+MinHash permutations use the affine trick: h_k(x) = (a_k * x + b_k) mod p
+over a single xxhash64 of each shingle — one hash per shingle, k cheap
+affine maps (standard MinHash construction, cf. Broder '97).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens, word_shingles
+
+__all__ = [
+    "content_hash",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "simhash_sketches",
+    "simhash_candidates",
+    "ngram_jaccard_pairs",
+    "cosine_near_dup_pairs",
+]
+
+# Mersenne prime 2^31-1: small enough that (h * a + b) stays inside a
+# signed 64-bit long (ANSI mode rejects overflow), large enough for MinHash.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def content_hash(col: Column | str, normalize: bool = True) -> Column:
+    """64-bit content hash for exact dedup. ``normalize`` lowercases and
+    collapses whitespace first (whitespace-insensitive exactness)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.xxhash64(c)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact deduplication keeping the smallest id per normalized content:
+    one hash-groupBy on the content hash. Returns the surviving rows'
+    ids + group sizes (dup_count)."""
+    h = content_hash(text_col, normalize).alias("_h")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("_h")
+    )
+
+
+def _affine_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine MinHash maps (python-side
+    constants; folded into the plan as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P - 1), rng.randrange(0, _MERSENNE_P - 1))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as ``num_hashes`` columns ``mh0..mhK`` per id.
+
+    Plan shape (the scale-correct one): shingle -> xxhash64 -> explode ->
+    ONE groupBy(id) with ``num_hashes`` partial-aggregated ``min`` exprs
+    (each an affine map of the same base hash modulo a Mersenne prime).
+    Map-side combine collapses each partition to one row per id before the
+    shuffle, so shuffle volume is |ids| x num_hashes longs regardless of
+    document length. (A single per-row expression tree recomputing the
+    shingle array per hash function dies in codegen — measured, not
+    guessed.)
+
+    Empty documents get the sentinel ``_MERSENNE_P`` in every slot.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(text_col, shingle_n)).alias("_s"),
+    ).select(
+        id_col, (F.abs(F.xxhash64("_s")) % _MERSENNE_P).alias("_h")
+    )
+    aggs = [
+        F.coalesce(
+            F.min((F.col("_h") * a + b) % _MERSENNE_P), F.lit(_MERSENNE_P)
+        ).alias(f"mh{k}")
+        for k, (a, b) in enumerate(_affine_coeffs(num_hashes, seed))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash
+    signatures: rows whose signature agrees on ALL rows of any band land in
+    the same bucket. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Plan shape: signatures (see :func:`minhash_signatures`) -> ``bands``
+    bucket keys per row -> posexplode -> self-join on (band, bucket).
+    Collisions within a band bucket are the only pairs ever compared —
+    never the quadratic all-pairs. Bucket skew (a degenerate band over
+    boilerplate) is handled by AQE skew-join splitting.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    band_keys = [
+        F.xxhash64(
+            F.lit(b), F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+        )
+        for b in range(bands)
+    ]
+    with_bands = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup dedup: LSH candidates -> exact Jaccard verify at
+    ``threshold`` -> keep the smallest id of each connected pair group
+    (single-pass union into min-representative; transitive closure
+    approximated by min-id absorption, adequate for dedup).
+
+    Returns surviving ids.
+    """
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed
+    )
+    verified = _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold)
+    # drop every id that appears as the larger member of a confirmed pair
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).distinct().join(losers, id_col, "left_anti")
+
+
+def _verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    threshold: float,
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sha") + F.size("_shb") - F.col("_inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash_sketches(
+    df: DataFrame, text_col: str, id_col: str, num_bits: int = 48
+) -> DataFrame:
+    """SimHash sketch per id (column ``sketch``, long): for each bit
+    position, sum +1/-1 votes of each token-hash bit; sign -> bit.
+
+    Same explode -> partial-agg shape as :func:`minhash_signatures`:
+    tokens -> xxhash64 -> explode -> groupBy(id) with ``num_bits``
+    conditional-sum aggregates -> bits assembled into one long.
+    ``num_bits <= 63`` to stay in signed range.
+    """
+    if not 0 < num_bits <= 63:
+        raise ValueError("num_bits must be in (0, 63]")
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t")
+    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(num_bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sketch = F.lit(0).cast("long")
+    for i in range(num_bits):
+        sketch = sketch + F.when(
+            F.coalesce(F.col(f"v{i}"), F.lit(0)) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return voted.select(F.col(id_col), sketch.alias("sketch"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 48,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidates via SimHash banding: split the sketch into
+    ``bands`` contiguous bit blocks; docs sharing any block are candidates
+    (guaranteed to catch pairs within Hamming distance < bands)."""
+    r = num_bits // bands
+    sk = simhash_sketches(df, text_col, id_col, num_bits)
+    mask = (1 << r) - 1
+    with_bands = sk.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sketch", b * r).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "block"),
+    )
+    a, b = with_bands.alias("a"), with_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shingle inverted index:
+    explode shingles -> self-join on shingle -> count common -> Jaccard.
+    Exact but explodes rows x shingles: at scale, use as the verify stage
+    behind minhash_lsh_candidates; standalone only for modest corpora."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sizes = sh.select(id_col, F.size("_sh").alias("_n"))
+    inv = sh.select(id_col, F.explode("_sh").alias("_g"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "_na")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "_nb")
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    bucket_bits: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. ``bucket_bits = 0`` compares
+    all pairs (exact; quadratic — small corpora / verify stage only).
+    ``bucket_bits = k`` first buckets vectors by k random-hyperplane signs
+    (deterministic seeded planes); only same-bucket pairs are compared —
+    the scale path (recall < 1, tunable by k).
+    """
+    from .similarity import cosine, random_hyperplane_key
+
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    if bucket_bits > 0:
+        v = v.withColumn("_bkt", random_hyperplane_key("_v", bucket_bits, seed))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if bucket_bits > 0:
+        join_on = (F.col("a._bkt") == F.col("b._bkt")) & cond
+        joined = a.join(b, join_on)
+    else:
+        joined = a.crossJoin(b).filter(cond)
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,287 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(exact baseline) and LSH / IVF bucketed approximate variants (scale path).
+
+Expression-only dot products (``zip_with`` + ``aggregate`` — JVM, codegen)
+so the kernels run without Python. At 100 TB the exact path is only for
+a broadcast-able query set (queries x corpus partition-local score +
+per-query top-k via window); the LSH/IVF paths bound the candidate set
+per query by bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "normalize_vec",
+    "random_hyperplane_key",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "ivf_assign",
+    "cosine_topk_ivf",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-wise dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def normalize_vec(a: Column) -> Column:
+    """L2-normalize (pre-normalizing the corpus once turns cosine top-k
+    into dot top-k — do this before repeated queries)."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def _as_double_vec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side constants,
+    folded into the plan as literals)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(bits):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def random_hyperplane_key(
+    vec: Column | str, bits: int, seed: int = 7, dim: int = 64
+) -> Column:
+    """Sign-random-projection LSH bucket key: bit i = sign(v . plane_i).
+    Cosine-similar vectors collide with probability 1 - theta/pi per bit."""
+    v = _as_double_vec(vec)
+    key = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        key = key + bit
+    return key
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the query set against the
+    corpus, score per (query, corpus) pair, per-query top-k via ranking
+    window. Scales with |corpus| x |queries| — keep the query side small
+    (it is broadcast); the corpus is never shuffled, and the window
+    partitions by query id (shuffle = scored pairs, bounded by
+    |queries| x |corpus| rows of 3 columns, prune with LSH/IVF beyond)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"), _as_double_vec(query_vec).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), _as_double_vec(corpus_vec).alias("_cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "_qid",
+        "_cid",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("_qid") != F.col("_cid"))
+    w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            "cos",
+            "rnk",
+        )
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+    bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: ``n_tables`` independent sign-LSH tables;
+    candidates = corpus rows sharing a bucket with the query in ANY table;
+    exact cosine + top-k over candidates only. Recall grows with tables,
+    cost ~ corpus x tables exploded keys, candidate join per bucket."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"), _as_double_vec(query_vec).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), _as_double_vec(corpus_vec).alias("_cv")
+    )
+
+    def keyed(df, vec, out):
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(
+                    *[
+                        random_hyperplane_key(F.col(vec), bits, seed + t, dim)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("_tbl", out),
+        )
+
+    qk = keyed(q, "_qv", "_qbkt").withColumnRenamed("_tbl", "_qtbl")
+    ck = keyed(c, "_cv", "_cbkt")
+    cands = (
+        ck.join(
+            F.broadcast(qk),
+            (F.col("_tbl") == F.col("_qtbl")) & (F.col("_cbkt") == F.col("_qbkt")),
+        )
+        .select("_qid", "_qv", "_cid", "_cv")
+        .distinct()
+    )
+    if exclude_self:
+        cands = cands.filter(F.col("_qid") != F.col("_cid"))
+    scored = cands.select(
+        "_qid", "_cid", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            "cos",
+            "rnk",
+        )
+    )
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "ivf_cell"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+    ``centroids`` are driver-side constants (train offline / sample);
+    assignment is a per-row argmin over literal arrays — no shuffle."""
+    v = _as_double_vec(vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(x) for x in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(pairs)
+    return df.withColumn(out_col, best["i"])
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k: corpus pre-partitioned by nearest centroid;
+    each query probes its ``n_probe`` nearest cells only. Equi-join on the
+    cell id replaces the cross join — cost ~ corpus/|cells| x n_probe per
+    query."""
+    v = _as_double_vec(query_vec)
+    c_assigned = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("_cid"), _as_double_vec(corpus_vec).alias("_cv")),
+        "_cv",
+        centroids,
+        "_cell",
+    )
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(x) for x in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    q_probed = queries.select(
+        F.col(query_id).alias("_qid"),
+        v.alias("_qv"),
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["i"]
+            )
+        ).alias("_cell"),
+    )
+    cands = c_assigned.join(F.broadcast(q_probed), "_cell")
+    if exclude_self:
+        cands = cands.filter(F.col("_qid") != F.col("_cid"))
+    scored = cands.select(
+        "_qid", "_cid", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            "cos",
+            "rnk",
+        )
+    )

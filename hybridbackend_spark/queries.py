@@ -663,3 +663,318 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def get_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (driver north-star; documents table)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks, trim(text) AS txt FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6)
+             AS mean_token_len,
+           round(length(regexp_replace(txt, '[^0-9]', '', 'g'))::DOUBLE / length(txt), 6)
+             AS digit_ratio,
+           round(len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','a','in','is','for','on','with'], x)))::DOUBLE
+             / len(toks), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals (length/digit/stopword ratios) as
+    pure expressions over the documents table."""
+    from .operators.text import quality_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    s = quality_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_tokens"].alias("n_tokens"),
+        F.round(s["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(s["digit_ratio"], 6).alias("digit_ratio"),
+        F.round(s["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "lang_id_distribution",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','von','mit','für','auf','ein'], x))) AS h_de,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','for','on','with'], x))) AS h_en,
+        len(list_filter(toks, x -> list_contains(['el','la','los','y','de','un','una','es','para','en'], x))) AS h_es,
+        len(list_filter(toks, x -> list_contains(['le','la','les','et','de','un','une','est','pour','dans'], x))) AS h_fr
+      FROM t
+    )
+    SELECT CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+                WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+                WHEN h_fr > 0 THEN 'fr'
+                ELSE 'und' END AS lang_pred,
+           count(*) AS n_docs
+    FROM h GROUP BY 1
+    """,
+)
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword profiles, argmax with alphabetical
+    tie-break) aggregated to a distribution."""
+    from .operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "fingerprint_docs",
+    """
+    SELECT doc_id,
+           sum(((i - 1) % 64 + 1) * ascii(ch))::BIGINT AS fp
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text)), '')) AS ch,
+             generate_subscripts(string_split(lower(trim(text)), ''), 1) AS i
+      FROM documents
+    )
+    GROUP BY doc_id
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling document fingerprint (position-weighted
+    char-code sum)."""
+    from .operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (driver north-star; documents + embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized content hash-groupBy (keep min id)."""
+    from .operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+               i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM t a, t b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """,
+)
+def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.3 isolates the
+    planted near-duplicates in the synthetic corpus)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.3)
+
+
+@register("minhash_lsh_dedup_docs")  # rows-only: hash constants not SQL-expressible
+def minhash_lsh_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup dedup at Jaccard>=0.8: surviving
+    doc ids. Verified in tests against the exact-Jaccard ground truth."""
+    from .operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8)
+
+
+@register("simhash_docs")  # rows-only: xxhash64 not reproducible in DuckDB SQL
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 48-bit SimHash sketch + banded candidate pair count."""
+    from .operators.dedup import simhash_sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_sketches(docs, "text", "doc_id", num_bits=48)
+
+
+@register(
+    "cosine_near_dup_pairs",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+    """,
+)
+def cosine_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs mode (the verify
+    path; LSH-bucketed mode is the scale path, tested separately)."""
+    from .operators.dedup import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (driver north-star; embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cosine_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6) AS cos
+      FROM q, e c WHERE c.vec_id != q.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors (the ANN
+    baseline; broadcast queries, corpus never shuffled)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+
+
+@register("cosine_topk_lsh_docs")  # rows-only: approximate (recall < 1)
+def cosine_topk_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate cosine top-5 (sign random projections,
+    4 tables x 8 bits). Recall vs brute force asserted in tests."""
+    from .operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5, bits=6, n_tables=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining relational coverage (SURVEY §2.3 J6, §2.8 set ops, pivot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS n_with_orders,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        AS n_without_orders
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(o, "c_custkey", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_with_orders")
+    )
+    anti = c.join(o, "c_custkey", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_without_orders")
+    )
+    return semi.crossJoin(anti)
+
+
+@register(
+    "set_ops_orders",
+    """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT
+      (SELECT count(*) FROM (SELECT o_custkey FROM hi UNION SELECT o_custkey FROM urgent))
+        AS n_union,
+      (SELECT count(*) FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent))
+        AS n_intersect,
+      (SELECT count(*) FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM urgent))
+        AS n_except
+    """,
+)
+def set_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: union / intersect / except (distinct semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    u = hi.union(urgent).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    i = hi.intersect(urgent).agg(F.count(F.lit(1)).alias("n_intersect"))
+    e = hi.subtract(urgent).agg(F.count(F.lit(1)).alias("n_except"))
+    return u.crossJoin(i).crossJoin(e)
+
+
+@register(
+    "pivot_returns",
+    """
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with fixed pivot values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )

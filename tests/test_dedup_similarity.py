@@ -1,0 +1,120 @@
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.operators.dedup import (
+    cosine_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+    simhash_sketches,
+)
+from hybridbackend_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    ivf_assign,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+    (2, "completely different text about spark query engines and columnar scans"),
+    (3, "THE  QUICK brown fox jumps over the lazy dog again and again today"),
+    (4, "unrelated words describing benchmark harness throughput numbers"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+def test_exact_dedup_normalized(spark):
+    # doc 3 == doc 0 after lowercase + whitespace collapse
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    rows = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows[0] == 2 and 3 not in rows
+    assert out.count() == 4
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cands = minhash_lsh_candidates(_docs(spark), "text", "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 3) in pairs  # exact dup modulo case/space
+    assert (0, 1) in pairs  # one-word difference
+    survivors = {
+        r["doc_id"] for r in minhash_lsh_dedup(_docs(spark), "text", "doc_id").collect()
+    }
+    assert 0 in survivors and 2 in survivors and 4 in survivors
+    assert 3 not in survivors
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_simhash_near_for_near_texts(spark):
+    sk = {r["doc_id"]: r["sketch"] for r in
+          simhash_sketches(_docs(spark), "text", "doc_id").collect()}
+    assert sk[0] == sk[3]  # same token multiset
+    ham_near = bin(sk[0] ^ sk[1]).count("1")
+    ham_far = bin(sk[0] ^ sk[2]).count("1")
+    assert ham_near < ham_far
+    cands = simhash_candidates(_docs(spark), "text", "doc_id")
+    assert (0, 3) in {(r["id_a"], r["id_b"]) for r in cands.collect()}
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0]),   # anti-parallel to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, v: array<float>")
+
+
+def test_cosine_near_dup_pairs_exact(spark):
+    out = cosine_near_dup_pairs(_vecs(spark), "v", "vec_id", threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_cosine_topk_bruteforce(spark):
+    v = _vecs(spark)
+    out = cosine_topk(v.filter("vec_id = 0"), v, "vec_id", "vec_id", "v", "v", k=2)
+    rows = sorted((r["rnk"], r["neighbor_id"]) for r in out.collect())
+    assert rows[0] == (1, 1)  # nearest neighbor of 0 is 1
+
+
+def test_cosine_topk_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
+    approx = cosine_topk_lsh(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, bits=4, n_tables=8,
+    )
+    e = {(r["vec_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["vec_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # 8 tables x 4 bits on 500 vecs: decent recall
+
+
+def test_ivf_assign_and_topk(spark):
+    v = _vecs(spark)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    assigned = {r["vec_id"]: r["ivf_cell"] for r in
+                ivf_assign(v, "v", cents).collect()}
+    assert assigned[0] == 0 and assigned[2] == 1 and assigned[3] == 2
+    out = cosine_topk_ivf(
+        v.filter("vec_id = 0"), v, "vec_id", "vec_id", "v", "v",
+        centroids=cents, k=2, n_probe=1,
+    )
+    got = {r["neighbor_id"] for r in out.collect()}
+    assert 1 in got  # near-dup in the same probed cell
