@@ -978,3 +978,38 @@ def pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("O", "qty_O")
         .withColumnRenamed("F", "qty_F")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (SURVEY §2.10 + driver north-star): executed via availableNow
+# so the bounded result is oracle-comparable; identical code serves the
+# live stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start_sec,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation with watermark,
+    executed synchronously (availableNow trigger -> memory sink). The
+    bounded replay of the stream must equal the batch SQL aggregation."""
+    from .streaming.ops import read_event_stream, run_available_now, tumbling_agg
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_agg(stream, "ts", "1 hour", keys=["event_type"])
+    out = run_available_now(agg)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

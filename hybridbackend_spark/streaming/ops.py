@@ -1,0 +1,179 @@
+"""Structured Streaming operators: windowed aggregations, sessionization,
+streaming dedup, and synchronous (availableNow) execution helpers.
+
+The reference's streaming layer is an iterator pull pipeline with
+replica-synchronized termination (``data/sync/sync_replicas_dataset.cc``) and
+no event-time semantics. Spark's Structured Streaming supplies coordination,
+checkpointing, and exactly-once natively (SURVEY §2.10 T1/T3), so this
+module only adds the event-time operators the driver's north-star asks for:
+watermarks, tumbling/sliding/session windows, and stateful dedup.
+
+Every operator is defined on an unbounded DataFrame and works identically
+on a bounded one — tests drive them with availableNow over parquet, which
+is also the replay/backfill story at scale.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_dedup",
+    "run_available_now",
+]
+
+# events.parquet carries TIMESTAMP(NANOS); streaming reads use an explicit
+# long schema + micros truncation, mirroring the batch-side loader.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events table (nanos ts -> micros
+    timestamp). ``max_files_per_trigger`` throttles ingest for
+    backpressure control."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # File-source streams require a directory; a concrete file path becomes
+    # its parent dir + a glob filter on the file name.
+    import os
+
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.load(path)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    watermark: str = "30 minutes",
+    aggs: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data watermark.
+    Defaults to count + sum(value)."""
+    aggs = aggs or {
+        "n_events": F.count(F.lit(1)),
+        "sum_value": F.round(F.sum("value"), 2),
+    }
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), duration), *keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time window (overlapping windows every ``slide``)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), duration, slide), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame,
+    ts: str,
+    gap: str,
+    keys: Sequence[str],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session windows: dynamic-length windows closing after ``gap``
+    inactivity per key (streaming analog of the batch ``sessionize``)."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: Sequence[str], ts: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stateful streaming dedup on ``keys`` with bounded state:
+    duplicates arriving within the watermark horizon are dropped;
+    state older than the watermark is evicted (constant memory at scale)."""
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str | None = None
+) -> DataFrame:
+    """Execute a streaming plan synchronously over all currently-available
+    input (availableNow trigger -> memory sink) and return the bounded
+    result. This is the replay/backfill path: identical code serves the
+    live stream and the batch catch-up."""
+    qname = name or f"hb_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"hbq_{qname}_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

@@ -1,0 +1,74 @@
+"""Streaming operators driven synchronously with availableNow over the
+events parquet — batch result is the oracle (same engine guarantees the
+same window semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.streaming.ops import (
+    read_event_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    return read_event_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    from hybridbackend_spark.queries import _t
+
+    return _t(spark, sf_dir, "events")
+
+
+def test_tumbling_agg_matches_batch(spark, event_stream, events_batch):
+    out = run_available_now(
+        tumbling_agg(event_stream, "ts", "1 hour", keys=["event_type"])
+    )
+    batch = (
+        events_batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_sliding_agg_runs(spark, event_stream):
+    out = run_available_now(
+        sliding_agg(event_stream, "ts", "1 hour", "30 minutes")
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # sliding windows overlap: more windows than tumbling
+    tumbling = run_available_now(tumbling_agg(event_stream, "ts", "1 hour"))
+    assert len(rows) > tumbling.count()
+
+
+def test_session_agg_runs(spark, event_stream, events_batch):
+    out = run_available_now(
+        session_agg(event_stream, "ts", "30 minutes", keys=["user_id"])
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # total events preserved across sessions
+    assert sum(r["n_events"] for r in rows) == events_batch.count()
+
+
+def test_stream_dedup(spark, event_stream, events_batch):
+    deduped = run_available_now(
+        stream_dedup(event_stream, ["user_id", "event_type"], "ts",
+                     watermark="365 days")
+    )
+    n_distinct = events_batch.select("user_id", "event_type").distinct().count()
+    assert deduped.count() == n_distinct
