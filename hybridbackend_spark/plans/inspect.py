@@ -1,0 +1,106 @@
+"""Physical-plan inspection helpers: the engine's scale discipline,
+machine-checkable.
+
+The reference enforces its execution strategy in C++ (fixed kernels);
+on Spark the strategy lives in the optimizer, so we assert properties of
+the chosen physical plan instead: filters/projections reached the scan,
+small dims broadcast, shuffle counts are bounded, codegen covers the hot
+path. Used by tests and available to users for plan regression gates.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "physical_plan",
+    "scan_read_schema",
+    "pushed_filters",
+    "count_exchanges",
+    "has_broadcast_join",
+    "codegen_stage_count",
+    "assert_column_pruned",
+    "assert_filter_pushed",
+    "assert_max_shuffles",
+    "assert_broadcast_join",
+]
+
+
+def physical_plan(df: DataFrame) -> str:
+    # plan metadata (PushedFilters/ReadSchema) truncates at
+    # maxMetadataStringLength; raise it before stringifying
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(df: DataFrame) -> list[str]:
+    return [
+        ln for ln in physical_plan(df).splitlines() if "FileScan" in ln or "Scan " in ln
+    ]
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names appearing in the scan's ReadSchema (what is actually
+    read off disk after pruning)."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols += [p.split(":")[0].strip() for p in m.group(1).split(",") if p.strip()]
+    return cols
+
+
+def pushed_filters(df: DataFrame) -> str:
+    plan = physical_plan(df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    return m.group(1) if m else ""
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (broadcast
+    exchanges excluded)."""
+    plan = physical_plan(df)
+    return len(re.findall(r"Exchange (?!SinglePartition)(?:hash|range)partitioning", plan)) + len(
+        re.findall(r"Exchange SinglePartition", plan)
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    plan = physical_plan(df)
+    stages = set(re.findall(r"\*\((\d+)\)", plan))
+    stages |= set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(stages)
+
+
+def assert_column_pruned(df: DataFrame, must_not_read: list[str]) -> None:
+    read = set(scan_read_schema(df))
+    bad = read & set(must_not_read)
+    if bad:
+        raise AssertionError(f"scan reads pruned columns {sorted(bad)}; plan:\n{physical_plan(df)[:2000]}")
+
+
+def assert_filter_pushed(df: DataFrame, col: str) -> None:
+    if col not in pushed_filters(df):
+        raise AssertionError(
+            f"no pushed filter on {col!r}; PushedFilters=[{pushed_filters(df)}]"
+        )
+
+
+def assert_max_shuffles(df: DataFrame, n: int) -> None:
+    got = count_exchanges(df)
+    if got > n:
+        raise AssertionError(
+            f"plan has {got} shuffle exchanges (> {n}); plan:\n{physical_plan(df)[:3000]}"
+        )
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    if not has_broadcast_join(df):
+        raise AssertionError(
+            f"expected a broadcast join; plan:\n{physical_plan(df)[:3000]}"
+        )

@@ -1013,3 +1013,103 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function coverage (SURVEY §2.9 F7/F10: string/date/json built-ins)
+# and correlated-subquery decorrelation (§4.1 — free from Catalyst)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS is_green
+    FROM part
+    WHERE p_size >= 10
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: string built-ins (upper/substr/length/concat/like) — free from
+    Spark; demonstrated for API-surface parity."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("is_green"),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: date part extraction + aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "json_functions",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k_value
+    FROM events
+    WHERE json_extract_string(props, '$.k')::BIGINT > 50
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: JSON field extraction from a string column with a pushed
+    numeric filter on the extracted value."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value") > 50)
+
+
+@register(
+    "q17_small_quantity",
+    """
+    SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    WHERE l.l_quantity < t.half_avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated aggregate subquery, decorrelated to a
+    broadcast self-join on the per-part average)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    joined = li.join(F.broadcast(avg_qty), "l_partkey").filter(
+        F.col("l_quantity") < F.col("half_avg_qty")
+    )
+    return joined.agg(
+        (_money_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
+    )

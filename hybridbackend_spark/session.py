@@ -31,6 +31,9 @@ DEFAULT_CONF = {
     # Parquet: vectorized reader + filter pushdown are on by default;
     # keep corrupt-file skipping opt-in per read, not global.
     "spark.sql.parquet.filterPushdown": "true",
+    # Full metadata in plan strings so pushdown/pruning assertions can
+    # inspect PushedFilters/ReadSchema without truncation.
+    "spark.sql.maxMetadataStringLength": "10000",
     "spark.ui.enabled": "false",
 }
 

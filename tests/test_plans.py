@@ -1,0 +1,76 @@
+"""Plan-shape regression gates: the scale properties the engine promises
+(pushdown, pruning, broadcast, bounded shuffles) asserted on real plans."""
+
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_filter_pushed,
+    assert_max_shuffles,
+    codegen_stage_count,
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+)
+from hybridbackend_spark.queries import (
+    lookup_join_dedup,
+    q1_pricing_summary,
+    q3_top_orders,
+    q5_nation_revenue,
+    scan_filter_project,
+)
+
+
+def test_scan_projection_pruned_and_pushed(spark, sf_dir):
+    df = scan_filter_project(spark, sf_dir)
+    # only the 4 referenced columns are read off disk
+    assert_column_pruned(df, ["l_extendedprice", "l_returnflag", "l_comment"])
+    read = scan_read_schema(df)
+    assert set(read) == {"l_orderkey", "l_partkey", "l_quantity", "l_shipdate"}
+    assert_filter_pushed(df, "l_quantity")
+    assert_filter_pushed(df, "l_shipdate")
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # scan -> partial agg -> ONE exchange -> final agg
+    df = q1_pricing_summary(spark, sf_dir)
+    assert_max_shuffles(df, 1)
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    assert "partial_sum" in physical_plan(df)  # map-side combine present
+
+
+def test_codegen_covers_agg_after_execution(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    assert codegen_stage_count(df) >= 1
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    df = q3_top_orders(spark, sf_dir)
+    assert_broadcast_join(df)
+
+
+def test_q5_star_join_no_fact_shuffle_before_agg(spark, sf_dir):
+    df = q5_nation_revenue(spark, sf_dir)
+    assert_broadcast_join(df)
+    # all four dim joins broadcast; the only shuffle is the final group-by
+    assert_max_shuffles(df, 1)
+
+
+def test_lookup_join_broadcast(spark, sf_dir):
+    df = lookup_join_dedup(spark, sf_dir)
+    assert_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey")
+    )
+    assert "o_totalprice" in pushed_filters(df)
+    # pruning: only the two referenced columns read
+    assert set(scan_read_schema(df)) == {"o_orderkey", "o_totalprice"}

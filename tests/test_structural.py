@@ -74,3 +74,21 @@ def test_unbatch(spark):
 def test_validate_fixed_shape(spark):
     df = spark.createDataFrame([([1, 2],), ([1],)], "xs: array<int>")
     assert validate_fixed_shape(df, "xs", 2).count() == 1
+
+
+def test_block_dedup_roundtrip(spark):
+    from hybridbackend_spark.operators.structural import (
+        block_dedup_decode,
+        block_dedup_encode,
+    )
+
+    rows = [(i, i // 3, f"u{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id: long, grp: long, user: string")
+    enc = block_dedup_encode(df, ["user"], block_size=4, order_by=["id"])
+    assert enc.count() == 3
+    # compression: unique arrays shorter than block arrays
+    first = enc.orderBy("batch_id").first()
+    assert len(first["user"]) == 2 and len(first["user_idx"]) == 4
+    dec = block_dedup_decode(enc, ["user"], ["id", "grp"])
+    got = sorted(map(tuple, dec.select("id", "grp", "user").collect()))
+    assert got == sorted(rows)
