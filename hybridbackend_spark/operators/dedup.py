@@ -142,6 +142,11 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    # the band self-join references the signature subtree twice (a/b
+    # sides); persist so signatures are computed once — at scale they are
+    # |ids| x num_hashes longs, far smaller than recomputing the shingle
+    # pipeline twice
+    sig = sig.persist()
     band_keys = [
         F.xxhash64(
             F.lit(b), F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])

@@ -35,6 +35,7 @@ def read_tabular(
     fmt: str = "parquet",
     fields: Sequence[Field] | None = None,
     field_ignore_case: bool = False,
+    field_map_fn=None,
     skip_corrupted_data: bool = False,
     to_dense: bool | dict[str, int] = False,
     **options: str,
@@ -47,8 +48,14 @@ def read_tabular(
       raise. Fields absent from files but carrying ``default_value`` are
       materialized as constant columns (reference ``populate_defaults``,
       ``data/dataframe.py:458-501``).
+    - ``field_map_fn``: transforms the resolved field list before the
+      projection is applied (reference ``field_map_fn`` hook,
+      ``data/tabular/table.py:83``) — rename/retype/reorder fields.
     - ``skip_corrupted_data``: map to ``spark.sql.files.ignoreCorruptFiles``
       semantics via the per-read option.
+    - Remote filesystems: paths with hdfs://, s3a://, oss:// (etc.)
+      schemes pass straight through to Spark's Hadoop FS layer — the
+      reference's ``OpenArrowFile`` URI resolution is native here.
     - ``to_dense``: pad ragged array columns with their dtype's zero value
       to the per-field target length (dict name->len), reference
       ``to_tensor`` (``data/dataframe.py:332-345``).
@@ -67,6 +74,8 @@ def read_tabular(
             merged = merge_fields(fields, inferred, ignore_case=field_ignore_case)
         else:
             merged = list(fields)
+        if field_map_fn is not None:
+            merged = list(field_map_fn(merged))
         df = _project_and_default(df, merged, field_ignore_case)
 
     if to_dense:
