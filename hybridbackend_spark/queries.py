@@ -1113,3 +1113,24 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (_money_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
     )
+
+
+@register("cosine_topk_ivf_docs")  # rows-only: approximate (n_probe < cells)
+def cosine_topk_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate cosine top-5: corpus bucketed by nearest of 8 fixed
+    axis-aligned centroids (deterministic stand-in for trained centroids),
+    queries probe their 2 nearest cells. Recall vs brute force asserted in
+    tests; here the rows-only gate checks stability."""
+    from .operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    centroids = []
+    for i in range(8):
+        c = [0.0] * 64
+        c[i * 8 : i * 8 + 8] = [1.0] * 8
+        centroids.append(c)
+    return cosine_topk_ivf(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        centroids=centroids, k=5, n_probe=2,
+    )

@@ -165,7 +165,7 @@ def run_available_now(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete" if _has_aggregate(stream_df) else "append")
+        .outputMode(_output_mode(stream_df))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -174,6 +174,8 @@ def run_available_now(
     return stream_df.sparkSession.table(qname)
 
 
-def _has_aggregate(df: DataFrame) -> bool:
+def _output_mode(df: DataFrame) -> str:
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "Aggregate" in plan
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return "update"  # custom stateful ops declare their own output mode
+    return "complete" if "Aggregate" in plan else "append"

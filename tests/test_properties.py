@@ -1,0 +1,43 @@
+"""Property-based tests for pure-python engine components (no Spark)."""
+
+from hypothesis import given, settings, strategies as st
+
+from hybridbackend_spark.operators.dedup import _MERSENNE_P, _affine_coeffs
+from hybridbackend_spark.schema import Field, fields_to_struct
+
+
+@given(st.integers(1, 128), st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_affine_coeffs_deterministic_and_in_range(k, seed):
+    a = _affine_coeffs(k, seed)
+    b = _affine_coeffs(k, seed)
+    assert a == b and len(a) == k
+    for x, y in a:
+        assert 1 <= x < _MERSENNE_P - 1 and 0 <= y < _MERSENNE_P - 1
+        # affine map output stays in signed-64 territory pre-modulo
+        assert (_MERSENNE_P - 1) * x + y < 2**63
+
+
+@given(
+    st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=20),
+    st.sampled_from(["int8", "int32", "int64", "uint32", "uint64", "float32", "float64", "string"]),
+    st.integers(0, 3),
+)
+@settings(max_examples=50, deadline=None)
+def test_field_struct_roundtrip(name, dtype, rank):
+    f = Field(name, dtype, ragged_rank=rank)
+    st_type = fields_to_struct([f])
+    assert st_type.fields[0].name == name
+    depth = 0
+    t = st_type.fields[0].dataType
+    while t.typeName() == "array":
+        depth += 1
+        t = t.elementType
+    assert depth == rank
+
+
+@given(st.integers(-(2**40), 2**40), st.integers(1, 10**6))
+@settings(max_examples=50, deadline=None)
+def test_pmod_semantics_match_oracle_form(x, n):
+    # the ((x % n) + n) % n form used in every oracle equals Spark's pmod
+    assert ((x % n) + n) % n == x % n if x >= 0 else ((x % n) + n) % n >= 0

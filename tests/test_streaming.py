@@ -72,3 +72,24 @@ def test_stream_dedup(spark, event_stream, events_batch):
     )
     n_distinct = events_batch.select("user_id", "event_type").distinct().count()
     assert deduped.count() == n_distinct
+
+
+def test_stateful_running_counter(spark, event_stream, events_batch):
+    from hybridbackend_spark.streaming.stateful import running_counter
+
+    out = run_available_now(running_counter(event_stream))
+    # last emission per user equals the batch totals
+    latest = {}
+    for r in out.collect():
+        latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    # availableNow may process several micro-batches; keep the max-count emission
+    assert set(latest) == set(batch)
+    for uid, (n, s) in batch.items():
+        assert latest[uid][0] == n
+        assert abs(latest[uid][1] - s) < 0.05
