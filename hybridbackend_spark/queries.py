@@ -1134,3 +1134,61 @@ def cosine_topk_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, emb, "vec_id", "vec_id", "embedding", "embedding",
         centroids=centroids, k=5, n_probe=2,
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, source, n_chars,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+             len({_TOKS_SQL}) AS n_tokens,
+             list_sum(list_transform({_TOKS_SQL}, x -> length(x)))::DOUBLE
+               / len({_TOKS_SQL}) AS mtl,
+             length(regexp_replace(trim(text), '[^0-9]', '', 'g'))::DOUBLE
+               / length(trim(text)) AS digit_ratio,
+             length(regexp_replace(trim(text), '[^.,;:!?''"]', '', 'g'))::DOUBLE
+               / length(trim(text)) AS punct_ratio,
+             len(list_filter({_TOKS_SQL}, x -> list_contains(
+               ['the','and','of','to','a','in','is','for','on','with'], x)))::DOUBLE
+               / len({_TOKS_SQL}) AS stop_ratio
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             round(0.4 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+                          AND mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least(stop_ratio * 5, 1.0)
+             + 0.2 * (1 - least(digit_ratio * 5, 1.0))
+             + 0.1 * (1 - least(punct_ratio * 5, 1.0)), 6) AS q
+      FROM sig
+    ), kept AS (
+      SELECT * FROM scored WHERE q >= 0.5
+    ), survivors AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY norm_text
+    )
+    SELECT k.source, count(*) AS n_docs, round(avg(k.n_chars), 2) AS avg_chars
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    GROUP BY k.source
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: quality-score filter -> exact
+    dedup (survivor = min doc_id per normalized text) -> per-source stats.
+    The shape of a real 100 TB pre-training data pipeline, built entirely
+    from the engine's operators."""
+    from .operators.dedup import exact_dedup
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.withColumn("q", quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.5
+    )
+    survivors = exact_dedup(kept, "text", "doc_id").select("doc_id")
+    return (
+        kept.join(survivors, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
