@@ -117,24 +117,45 @@ def with_batch_id(
     ``rebatch`` (``data/rebatch/``). Requires a total order to be
     deterministic; pass ``order_by`` (defaults to all columns).
 
-    Note: exact global batch numbering needs a global row numbering — a
-    single-partition window. This is inherently sequential and intended for
-    training-feed export at the edge of the pipeline, not as a mid-plan
-    operator at 100 TB. For scale, prefer per-partition batching via
-    ``maxRecordsPerBatch`` on the Arrow boundary (zero-shuffle).
+    Global row numbering is computed DISTRIBUTED: range-partition on the
+    order columns, number rows locally per partition, then add
+    per-partition row-count offsets (driver collect bounded by partition
+    count). No single-partition window — the plan scales with the data.
+    (For training-feed export without exact global numbering, prefer
+    per-partition batching via ``maxRecordsPerBatch`` on the Arrow
+    boundary — zero shuffle.)
     """
     order = [F.col(c) for c in (order_by or df.columns)]
-    w = Window.orderBy(*order)
-    out = df.withColumn(
-        "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local)).persist()
+    counts = dict(
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    rn = F.coalesce(offset_expr, F.lit(0)) + F.col("_local_rn")
+    out = local.withColumn("batch_id", ((rn - 1) / batch_size).cast("long"))
     if drop_remainder:
-        total = df.count()
+        total = acc
         n_full = (total // batch_size) * batch_size
-        out = out.withColumn(
-            "_rn", F.row_number().over(w)
-        ).filter(F.col("_rn") <= n_full).drop("_rn")
-    return out
+        out = out.filter(rn <= n_full)
+    return out.drop("_pid", "_local_rn")
 
 
 def unbatch(df: DataFrame, array_cols: Sequence[str]) -> DataFrame:

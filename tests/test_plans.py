@@ -74,3 +74,36 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir):
     assert "o_totalprice" in pushed_filters(df)
     # pruning: only the two referenced columns read
     assert set(scan_read_schema(df)) == {"o_orderkey", "o_totalprice"}
+
+
+def test_auc_no_global_window(spark, sf_dir):
+    # the AUC sweep must range-partition, not funnel through one partition
+    from hybridbackend_spark.queries import metric_auc
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(metric_auc(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    # the only SinglePartition exchange allowed is the final scalar agg
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window " in ln or "Window\n" in ln]
+    for ln in windows:
+        assert "_pid" in ln or "windowspecdefinition(_g" in ln
+
+
+def test_asof_single_shuffle_on_key(spark, sf_dir):
+    from hybridbackend_spark.queries import asof_prior_click
+    from hybridbackend_spark.plans.inspect import count_exchanges
+
+    df = asof_prior_click(spark, sf_dir)
+    # union + window: one hash exchange on user_id (x2 input branches max)
+    assert count_exchanges(df) <= 2
+
+
+def test_batch_id_distributed(spark):
+    from hybridbackend_spark.operators.structural import with_batch_id
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    df = with_batch_id(spark.range(100), 10, order_by=["id"])
+    plan = physical_plan(df)
+    assert "rangepartitioning" in plan
