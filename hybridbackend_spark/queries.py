@@ -1192,3 +1192,53 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "pad_to_dense_embeddings",
+    """
+    SELECT vec_id,
+           len(list_concat(embedding, [0.0::FLOAT for _ in range(8)])[1:72]) AS padded_len,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE)), 3) AS checksum
+    FROM embeddings
+    """,
+)
+def pad_to_dense_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 parse/pad-to-dense: pad each embedding to 72 elements with zeros
+    (output: padded length + value checksum, scalar-comparable)."""
+    from .operators.structural import pad_to_dense
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(pad_to_dense(F.col("embedding"), 72, fill=0.0)).alias("padded_len"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            3,
+        ).alias("checksum"),
+    )
+
+
+@register(
+    "block_dedup_roundtrip",
+    """
+    SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def block_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3: dictionary-compress customer rows into 64-row blocks
+    (mktsegment deduplicated per block with inverse indices) then restore.
+    The oracle is the identity — the roundtrip must reproduce the table."""
+    from .operators.structural import block_dedup_decode, block_dedup_encode
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    enc = block_dedup_encode(
+        c, ["c_mktsegment"], block_size=64, order_by=["c_custkey"]
+    )
+    return block_dedup_decode(enc, ["c_mktsegment"], ["c_custkey", "c_nationkey"])
