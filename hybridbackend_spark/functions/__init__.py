@@ -1,1 +1,1 @@
-from . import feature, metrics, windows
+from . import feature, metrics, udf, windows

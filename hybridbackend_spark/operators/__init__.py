@@ -1,1 +1,1 @@
-from . import structural, joins
+from . import dedup, exchange, joins, multimodal, similarity, structural, text

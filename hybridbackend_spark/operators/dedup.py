@@ -4,18 +4,18 @@ MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 Scale design notes (the point of each algorithm at 100 TB):
 - exact: one hash-groupBy — the shuffle key is a 64-bit content hash, not
   the document body, so shuffle volume is rows x ~40 bytes.
-- MinHash+LSH: signatures are computed per-row (no shuffle); the only
-  shuffles are the band-bucket explode-groupBy (rows x n_bands keys) and
-  the candidate-pair verification join. Collisions within a band bucket
-  are the ONLY pairs ever compared — never the quadratic all-pairs.
-- SimHash: per-row 64-bit sketch, candidates via banded key equality
-  (Hamming-adjacent buckets), same join shape as LSH.
-- n-gram Jaccard: exact verification metric; only run on candidate pairs
-  (or small corpora) — it explodes shingles (rows x shingles), so it is
-  the verify step, not the discovery step, at scale.
+- MinHash+LSH: signatures via explode + partial-aggregated mins (shuffle =
+  |ids| x num_hashes longs, independent of document length); candidates
+  via banded bucket self-join. Collisions within a band bucket are the
+  ONLY pairs ever compared — never the quadratic all-pairs.
+- SimHash: sketch via explode + bit-vote sums (same shape), candidates via
+  banded key equality (catches pairs within Hamming distance < bands).
+- n-gram Jaccard: exact pairs from a hashed-shingle inverted index with
+  per-pair common counts out of the join's groupBy; ``max_df`` caps
+  heavy-tail shingles at extreme scale.
 - embedding cosine: exact within LSH/IVF buckets — see similarity module.
 
-Everything is expression-level except nothing: no Python UDFs at all.
+Everything is expression-level: no Python UDFs at all.
 MinHash permutations use the affine trick: h_k(x) = (a_k * x + b_k) mod p
 over a single xxhash64 of each shingle — one hash per shingle, k cheap
 affine maps (standard MinHash construction, cf. Broder '97).
@@ -23,7 +23,7 @@ affine maps (standard MinHash construction, cf. Broder '97).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens, word_shingles
 

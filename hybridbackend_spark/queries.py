@@ -17,7 +17,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .functions.feature import log1p_feature, mod_bucket
-from .functions.metrics import accuracy as _accuracy
 from .functions.metrics import auc as _auc
 from .functions.metrics import gauc as _gauc
 from .functions.windows import (
