@@ -1241,3 +1241,27 @@ def block_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, ["c_mktsegment"], block_size=64, order_by=["c_custkey"]
     )
     return block_dedup_decode(enc, ["c_mktsegment"], ["c_custkey", "c_nationkey"])
+
+
+@register(
+    "percentiles_orders",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (ordered-statistics
+    aggregation; the approximate scale path is percentile_approx /
+    t-digest, not oracle-comparable across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
