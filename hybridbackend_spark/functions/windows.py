@@ -70,14 +70,16 @@ def run_length_ids(
     tie-break column for determinism) — lag + cumulative-sum pattern (the
     GAUC indicator-run segmentation)."""
     w = Window.partitionBy(key).orderBy(*_order_cols(order))
+    # IS DISTINCT FROM semantics (null-safe): first row's lag is NULL, so a
+    # non-null indicator starts a run; two NULL indicators are the same run.
     changed = (
-        F.col(indicator) != F.lag(F.col(indicator)).over(w)
+        ~F.col(indicator).eqNullSafe(F.lag(F.col(indicator)).over(w))
     ).cast("long")
     return df.withColumn(
         alias,
-        F.sum(F.coalesce(changed, F.lit(1))).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )
 
 
@@ -94,5 +96,7 @@ def sessionize(
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         alias,
-        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
     )

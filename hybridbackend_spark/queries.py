@@ -464,8 +464,9 @@ def sliding_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "run_length_events",
     """
     SELECT event_id,
-           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run_id
     FROM (
       SELECT event_id, user_id, ts,
              CASE WHEN event_type IS DISTINCT FROM
@@ -489,9 +490,9 @@ def run_length_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_30m",
     """
     SELECT event_id,
-           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_id
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM (
       SELECT event_id, user_id, ts,
              CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
