@@ -52,7 +52,11 @@ def partition_by_dual_modulo_keys(
     inter_key)."""
     c = F.col(key) if isinstance(key, str) else key
     intra = F.pmod(c, F.lit(local_size))
-    inter = F.pmod((c / local_size).cast("long"), F.lit(num_nodes))
+    # Exact integer quotient: (c - intra) is an exact multiple of
+    # local_size, and decimal division keeps every long representable —
+    # float64 division would misplace keys above 2^53.
+    quot = ((c - intra).cast("decimal(38,0)") / F.lit(local_size)).cast("long")
+    inter = F.pmod(quot, F.lit(num_nodes))
     return intra, inter
 
 

@@ -41,15 +41,21 @@ _ZERO_BY_DTYPE = {
 }
 
 
-def pad_to_dense(col: Column | str, target_len: int, fill: Any = None) -> Column:
+def pad_to_dense(
+    col: Column | str, target_len: int, fill: Any = None, dtype: str | None = None
+) -> Column:
     """Pad a variable-length array column to exactly ``target_len`` with
-    ``fill`` (default 0/"" by element type), truncating longer arrays.
+    ``fill``, truncating longer arrays. When ``fill`` is None the default
+    comes from ``dtype`` (""/b"" for string/binary, 0 otherwise); pass
+    ``dtype`` for non-numeric element types — a bare 0 would not cast.
 
     Equivalent of the reference ``to_tensor(pad=...)`` densify. Pure
     expression — stays inside codegen.
     """
     c = F.col(col) if isinstance(col, str) else col
-    fill_lit = F.lit(0) if fill is None else F.lit(fill)
+    if fill is None:
+        fill = _ZERO_BY_DTYPE.get(dtype, 0) if dtype else 0
+    fill_lit = F.lit(fill)
     pad_count = F.greatest(F.lit(0), F.lit(target_len) - F.size(c))
     padded = F.concat(c, F.array_repeat(fill_lit, pad_count))
     return F.slice(padded, 1, target_len)
@@ -111,6 +117,7 @@ def with_batch_id(
     batch_size: int,
     order_by: Sequence[str] | None = None,
     drop_remainder: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Assign a ``batch_id`` column grouping rows into exact
     ``batch_size``-row batches — the relational rendering of the reference's
@@ -131,7 +138,14 @@ def with_batch_id(
         "_pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("_pid").orderBy(*order)
-    local = ranged.withColumn("_local_rn", F.row_number().over(w_local)).persist()
+    # Eager localCheckpoint, not persist: the offsets collected below must
+    # see the exact partition layout the downstream plan reads, and
+    # checkpoint blocks are freed with the DataFrame (cache entries leak
+    # for the session lifetime). checkpoint=False is for plan inspection
+    # in tests only.
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    if checkpoint:
+        local = local.localCheckpoint(eager=True)
     counts = dict(
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
     )
@@ -202,27 +216,37 @@ def block_dedup_encode(
 
     Uses :func:`with_batch_id` for block numbering — like that operator,
     intended at the storage edge of the pipeline, not mid-plan.
+
+    Rows are collected as ONE struct per row (not one collect_list per
+    column): per-column collect_list silently drops nulls, which would
+    shorten columns independently and misalign sibling values in the
+    block. The struct list is sorted on the ``order_by`` key, so the
+    encoded layout is reproducible regardless of shuffle order (matching
+    the reference's order-preserving per-block np.unique format); pass a
+    unique ``order_by`` for full determinism. Null values in dedup
+    columns roundtrip: array_position yields a null index and the decode
+    gather restores null.
     """
+    order = list(order_by or df.columns)
+    rest = [c for c in df.columns if c not in order]
     other = [c for c in df.columns if c not in dedup_cols]
-    blocked = with_batch_id(df, block_size, order_by=order_by)
-    aggs = []
+    blocked = with_batch_id(df, block_size, order_by=order)
+    row_struct = F.struct(*[F.col(c) for c in order + rest])
+    enc = blocked.groupBy("batch_id").agg(
+        F.sort_array(F.collect_list(row_struct)).alias("_rows")
+    )
     for c in other:
-        aggs.append(F.collect_list(c).alias(c))
+        enc = enc.withColumn(c, F.col("_rows").getField(c))
     for c in dedup_cols:
-        aggs.append(F.collect_list(c).alias(f"_{c}_all"))
-    enc = blocked.groupBy("batch_id").agg(*aggs)
-    for c in dedup_cols:
-        enc = (
-            enc.withColumn(c, F.array_distinct(F.col(f"_{c}_all")))
-            .withColumn(
-                f"{c}_idx",
-                F.expr(
-                    f"transform(_{c}_all, v -> cast(array_position({c}, v) as int) - 1)"
-                ),
-            )
-            .drop(f"_{c}_all")
-        )
-    return enc
+        enc = enc.withColumn(f"_{c}_all", F.col("_rows").getField(c)).withColumn(
+            c, F.array_distinct(F.col(f"_{c}_all"))
+        ).withColumn(
+            f"{c}_idx",
+            F.expr(
+                f"transform(_{c}_all, v -> cast(array_position({c}, v) as int) - 1)"
+            ),
+        ).drop(f"_{c}_all")
+    return enc.drop("_rows")
 
 
 def block_dedup_decode(

@@ -75,10 +75,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """
     bound = F.transform(
         F.array(tokens(col)),
-        lambda toks: F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        lambda toks: F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                )
             )
         ),
     )

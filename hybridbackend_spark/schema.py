@@ -189,14 +189,20 @@ def merge_fields(
                 )
             merged.append(f)
             continue
-        if found.dtype != f.dtype or found.ragged_rank != f.ragged_rank:
+        # A declared fixed shape is a length invariant over a list column:
+        # both render as ArrayType, so shape=(k,) matches a rank-1 file.
+        eff_rank = 1 if (f.ragged_rank == 0 and f.shape) else f.ragged_rank
+        if found.dtype != f.dtype or found.ragged_rank != eff_rank:
             raise SchemaMismatchError(
-                f"field {f.name!r}: declared ({f.dtype}, rank={f.ragged_rank}) "
+                f"field {f.name!r}: declared ({f.dtype}, rank={eff_rank}) "
                 f"!= file ({found.dtype}, rank={found.ragged_rank})"
             )
-        # Keep declared extras (shape invariant, default) with file identity.
+        # Keep declared extras (shape invariant, default) with file identity;
+        # a shape-carrying field keeps its declared rank 0 (shape implies
+        # the ArrayType level).
+        rank = f.ragged_rank if f.shape else found.ragged_rank
         merged.append(
-            Field(found.name, found.dtype, found.ragged_rank, f.shape, f.default_value)
+            Field(found.name, found.dtype, rank, f.shape, f.default_value)
         )
     return merged
 

@@ -84,9 +84,13 @@ def read_tabular(
 
         for f in fields or []:
             if f.ragged_rank == 1 or f.shape:
-                n = targets.get(f.name)
+                # Explicit dict target wins; to_dense=True pads to the
+                # field's declared fixed shape.
+                n = targets.get(f.name) or (f.shape[0] if f.shape else None)
                 if n:
-                    df = df.withColumn(f.name, pad_to_dense(F.col(f.name), n))
+                    df = df.withColumn(
+                        f.name, pad_to_dense(F.col(f.name), n, dtype=f.dtype)
+                    )
     return df
 
 

@@ -38,6 +38,17 @@ def test_dual_modulo_keys(spark):
     assert row["i1"] == 13 % 4 and row["i2"] == (13 // 4) % 5
 
 
+def test_dual_modulo_keys_exact_above_2_53(spark):
+    # keys above 2^53 lose precision in float division; the quotient must
+    # use exact integer arithmetic to match the reference's integer
+    # dual-modulo placement
+    big = (1 << 60) + 12345678901
+    df = spark.createDataFrame([(big,)], "k: long")
+    intra, inter = partition_by_dual_modulo_keys("k", 7, 11)
+    row = df.select(intra.alias("i1"), inter.alias("i2")).first()
+    assert row["i1"] == big % 7 and row["i2"] == (big // 7) % 11
+
+
 def test_key_skew_report(spark):
     df = spark.createDataFrame([(1,)] * 90 + [(2,)] * 10, "k: int")
     top = key_skew_report(df, "k").collect()

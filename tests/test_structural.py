@@ -92,3 +92,42 @@ def test_block_dedup_roundtrip(spark):
     dec = block_dedup_decode(enc, ["user"], ["id", "grp"])
     got = sorted(map(tuple, dec.select("id", "grp", "user").collect()))
     assert got == sorted(rows)
+
+
+def test_block_dedup_nulls_stay_aligned(spark):
+    # nulls in any column must not shift sibling values within a block
+    # (struct-per-row collect keeps columns aligned; per-column
+    # collect_list would silently drop nulls)
+    from hybridbackend_spark.operators.structural import (
+        block_dedup_decode,
+        block_dedup_encode,
+    )
+
+    rows = [
+        (0, None, "u0"),
+        (1, 10, None),
+        (2, None, "u0"),
+        (3, 30, "u1"),
+        (4, 40, "u1"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id: long, grp: long, user: string")
+    enc = block_dedup_encode(df, ["user"], block_size=3, order_by=["id"])
+    dec = block_dedup_decode(enc, ["user"], ["id", "grp"])
+    got = sorted(
+        dec.select("id", "grp", "user").collect(), key=lambda r: r["id"]
+    )
+    assert [(r["id"], r["grp"], r["user"]) for r in got] == rows
+
+
+def test_block_dedup_encode_reproducible(spark):
+    # encoded in-block layout is order-stable regardless of input layout
+    from hybridbackend_spark.operators.structural import block_dedup_encode
+
+    rows = [(i, f"u{i % 3}") for i in range(12)]
+    df = spark.createDataFrame(rows, "id: long, user: string")
+    a = block_dedup_encode(df, ["user"], 4, order_by=["id"]).orderBy("batch_id")
+    b = block_dedup_encode(df.repartition(7), ["user"], 4, order_by=["id"]).orderBy(
+        "batch_id"
+    )
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]

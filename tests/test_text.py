@@ -34,8 +34,10 @@ def test_bpe_ish_token_count(spark):
 def test_word_shingles(spark):
     got = _one(spark, "a b c d", word_shingles("text", 3))
     assert got == ["a b c", "b c d"]
-    # shorter than n: single truncated shingle
-    assert _one(spark, "a b", word_shingles("text", 3)) == ["a b"]
+    # shorter than n: no shingles (full n-gram semantics; the MinHash
+    # sentinel path relies on the empty set)
+    assert _one(spark, "a b", word_shingles("text", 3)) == []
+    assert _one(spark, "", word_shingles("text", 3)) == []
 
 
 def test_char_shingles(spark):
