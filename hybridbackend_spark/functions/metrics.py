@@ -70,13 +70,16 @@ def auc(df: DataFrame, label: str, score: str, alias: str = "auc") -> DataFrame:
 
 
 def _distributed_prefix_sum(
-    df: DataFrame, order_col: str, value_col: str, out_col: str
+    df: DataFrame, order_col: str, value_col: str, out_col: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``out = sum(value) over rows strictly before this one in order_col``
     without a single-partition window: range-partition on the order column,
     local exclusive cumsum inside each partition, then add the prefix of
     whole-partition totals (collected to the driver — bounded by the
-    partition count)."""
+    partition count). ``checkpoint=False`` skips the eager materialization
+    (plan-inspection/testing only: the offsets are then not guaranteed to
+    match a recomputed layout)."""
     from pyspark.sql import Window as W
 
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -91,7 +94,13 @@ def _distributed_prefix_sum(
     local = ranged.withColumn(
         "_local_below", F.coalesce(F.sum(value_col).over(w_local), F.lit(0.0))
     )
-    local = local.persist()
+    # Eager localCheckpoint, not persist: the offsets collected below must
+    # see the exact partition layout the downstream plan reads (range
+    # sampling could differ on recompute), and checkpoint blocks are freed
+    # when the DataFrame is dropped — cache entries would leak for the
+    # session lifetime.
+    if checkpoint:
+        local = local.localCheckpoint(eager=True)
     totals = dict(
         local.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
     )

@@ -108,7 +108,13 @@ def minhash_signatures(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias("_s"),
     ).select(
-        id_col, (F.abs(F.xxhash64("_s")) % _MERSENNE_P).alias("_h")
+        # Keep nulls null: docs with < shingle_n tokens shingle to [],
+        # which explode_outer turns into one null row; xxhash64 skips
+        # null inputs and would hash to the seed, masking the sentinel.
+        id_col,
+        F.when(
+            F.col("_s").isNotNull(), F.abs(F.xxhash64("_s")) % _MERSENNE_P
+        ).alias("_h"),
     )
     aggs = [
         F.coalesce(
@@ -137,39 +143,46 @@ def minhash_lsh_candidates(
     Collisions within a band bucket are the only pairs ever compared —
     never the quadratic all-pairs. Bucket skew (a degenerate band over
     boilerplate) is handled by AQE skew-join splitting.
+
+    The self-join references the signature subtree twice, so signatures
+    are persisted for the duration of ONE eager computation of the
+    candidate pairs (localCheckpoint), then unpersisted — no cached
+    blocks outlive the call, and the returned DataFrame is a
+    materialized, lineage-free pair list (its checkpoint blocks are
+    released by the ContextCleaner when the DataFrame is dropped).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    # the band self-join references the signature subtree twice (a/b
-    # sides); persist so signatures are computed once — at scale they are
-    # |ids| x num_hashes longs, far smaller than recomputing the shingle
-    # pipeline twice
     sig = sig.persist()
-    band_keys = [
-        F.xxhash64(
-            F.lit(b), F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+    try:
+        band_keys = [
+            F.xxhash64(
+                F.lit(b), F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+            )
+            for b in range(bands)
+        ]
+        with_bands = sig.select(
+            F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bucket")
         )
-        for b in range(bands)
-    ]
-    with_bands = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bucket")
-    )
-    a = with_bands.alias("a")
-    b = with_bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        a = with_bands.alias("a")
+        b = with_bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
 
 
 def minhash_lsh_dedup(
@@ -361,12 +374,22 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     bucket_bits: int = 0,
     seed: int = 7,
+    dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. ``bucket_bits = 0`` compares
     all pairs (exact; quadratic — small corpora / verify stage only).
-    ``bucket_bits = k`` first buckets vectors by k random-hyperplane signs
-    (deterministic seeded planes); only same-bucket pairs are compared —
-    the scale path (recall < 1, tunable by k).
+    ``bucket_bits = k`` buckets vectors by k random-hyperplane signs in
+    each of ``n_tables`` independent tables (deterministic seeded planes);
+    only pairs sharing a bucket in SOME table are compared — the scale
+    path. Recall per pair is 1-(1-p^k)^T with p = 1-theta/pi; tune k down
+    or T up to raise recall. ``dim`` must match the embedding
+    dimensionality (raises per-row otherwise — a mismatch would silently
+    degenerate bucketing to one bucket).
+
+    Scale shape: the self-join shuffles only (id, table, bucket) rows —
+    vectors are re-joined afterwards for the surviving candidates, so
+    shuffle volume is |ids| x T keys, not T copies of the embeddings.
     """
     from .similarity import cosine, random_hyperplane_key
 
@@ -375,19 +398,46 @@ def cosine_near_dup_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     if bucket_bits > 0:
-        v = v.withColumn("_bkt", random_hyperplane_key("_v", bucket_bits, seed))
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    if bucket_bits > 0:
-        join_on = (F.col("a._bkt") == F.col("b._bkt")) & cond
-        joined = a.join(b, join_on)
-    else:
-        joined = a.crossJoin(b).filter(cond)
-    return (
-        joined.select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+        keys = [
+            random_hyperplane_key("_v", bucket_bits, seed + t, dim)
+            for t in range(n_tables)
+        ]
+        keyed = v.select(
+            F.col(id_col), F.posexplode(F.array(*keys)).alias("_tbl", "_bkt")
         )
-        .filter(F.col("cos") >= threshold)
-    )
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._tbl") == F.col("b._tbl"))
+                & (F.col("a._bkt") == F.col("b._bkt"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        joined = pairs.join(
+            v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        ).join(
+            v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+        )
+        scored = joined.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        scored = (
+            a.crossJoin(b)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+            )
+        )
+    return scored.filter(F.col("cos") >= threshold)
