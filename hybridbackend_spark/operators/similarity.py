@@ -71,7 +71,12 @@ def random_hyperplane_key(
     vec: Column | str, bits: int, seed: int = 7, dim: int = 64
 ) -> Column:
     """Sign-random-projection LSH bucket key: bit i = sign(v . plane_i).
-    Cosine-similar vectors collide with probability 1 - theta/pi per bit."""
+    Cosine-similar vectors collide with probability 1 - theta/pi per bit.
+
+    ``dim`` must equal the vectors' length: raises at runtime on mismatch
+    (a shorter/longer vector would zip to null dots and silently send
+    everything to bucket 0, degenerating the scale path to all-pairs).
+    """
     v = _as_double_vec(vec)
     key = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
@@ -80,7 +85,14 @@ def random_hyperplane_key(
             F.lit(0).cast("long")
         )
         key = key + bit
-    return key
+    return F.when(F.size(v) == dim, key).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_hyperplane_key: expected dim={dim}, got "),
+                F.size(v).cast("string"),
+            )
+        ).cast("long")
+    )
 
 
 def cosine_topk(

@@ -788,7 +788,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               generate_series(1, greatest(len({_TOKS_SQL}) - 2, 1)),
+               generate_series(1, len({_TOKS_SQL}) - 2),
                i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))) AS s
       FROM documents
     )
@@ -848,11 +848,79 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs mode (the verify
-    path; LSH-bucketed mode is the scale path, tested separately)."""
+    path; :func:`cosine_near_dup_bucketed` is the demonstrated scale
+    path)."""
     from .operators.dedup import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+
+
+def _plane_sql_literals(bits: int, seed: int, dim: int) -> list[str]:
+    """The SAME deterministic hyperplanes the Spark operator folds into its
+    plan, rendered as DuckDB list literals (repr round-trips doubles
+    exactly), so the oracle reproduces the bucketing bit-for-bit."""
+    from .operators.similarity import _hyperplanes
+
+    return [
+        "[" + ", ".join(repr(x) for x in p) + "]"
+        for p in _hyperplanes(dim, bits, seed)
+    ]
+
+
+def _bucket_sql(bits: int, seed: int, dim: int) -> str:
+    return " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(list_zip(v, {plane}),
+             p -> p[1] * p[2])) >= 0 THEN {1 << i} ELSE 0 END)"""
+        for i, plane in enumerate(_plane_sql_literals(bits, seed, dim))
+    )
+
+
+_N_TABLES = 4
+_BUCKET_COLS = ", ".join(
+    f"{_bucket_sql(bits=8, seed=7 + t, dim=64)} AS bkt{t}" for t in range(_N_TABLES)
+)
+_BUCKET_MATCH = " OR ".join(f"x.bkt{t} = y.bkt{t}" for t in range(_N_TABLES))
+
+
+@register(
+    "cosine_near_dup_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_COLS} FROM e)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(
+             list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+                * sqrt(list_sum(list_transform(y.v, q -> q * q)))), 6) AS cos
+    FROM b x, b y
+    WHERE ({_BUCKET_MATCH}) AND x.vec_id < y.vec_id
+      AND list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+          / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+             * sqrt(list_sum(list_transform(y.v, q -> q * q)))) >= 0.35
+    """,
+)
+def cosine_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on the BUCKETED scale path: 4
+    independent sign-LSH tables of 8 hyperplane bits each; only pairs
+    sharing a bucket in some table are compared — equi-joins on the
+    bucket keys, never the quadratic cross join. The oracle embeds the
+    identical plane constants, so this row proves the scale path
+    end-to-end (recall vs exact is asserted subset-wise in tests)."""
+    from .operators.dedup import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb,
+        "embedding",
+        "vec_id",
+        threshold=0.35,
+        bucket_bits=8,
+        seed=7,
+        dim=64,
+        n_tables=_N_TABLES,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,7 @@ def test_cosine_near_dup_pairs_bucketed(spark):
     bucketed = {
         (r["id_a"], r["id_b"])
         for r in cosine_near_dup_pairs(
-            _vecs(spark), "v", "vec_id", 0.9, bucket_bits=1, seed=7
+            _vecs(spark), "v", "vec_id", 0.9, bucket_bits=1, seed=7, dim=3
         ).collect()
     }
     # bucketed results are a subset of exact (candidates only shrink)
@@ -139,7 +139,7 @@ def test_cosine_near_dup_pairs_bucketed(spark):
     again = {
         (r["id_a"], r["id_b"])
         for r in cosine_near_dup_pairs(
-            _vecs(spark), "v", "vec_id", 0.9, bucket_bits=1, seed=7
+            _vecs(spark), "v", "vec_id", 0.9, bucket_bits=1, seed=7, dim=3
         ).collect()
     }
     assert bucketed == again

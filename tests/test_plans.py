@@ -78,17 +78,27 @@ def test_filter_pushdown_reaches_parquet(spark, sf_dir):
 
 def test_auc_no_global_window(spark, sf_dir):
     # the AUC sweep must range-partition, not funnel through one partition
-    from hybridbackend_spark.queries import metric_auc
+    # (checkpoint=False keeps the sweep lineage visible for inspection; the
+    # production path eagerly checkpoints the identical plan)
+    from hybridbackend_spark.functions.metrics import (
+        _distributed_prefix_sum,
+        _score_histogram,
+    )
     from hybridbackend_spark.plans.inspect import physical_plan
 
-    plan = physical_plan(metric_auc(spark, sf_dir))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "cast(event_id % 2 as double) as label", "value as score"
+    )
+    swept = _distributed_prefix_sum(
+        _score_histogram(ev, "label", "score"), "_s", "_n", "_n_below",
+        checkpoint=False,
+    )
+    plan = physical_plan(swept)
     assert "rangepartitioning" in plan
-    # the only SinglePartition exchange allowed is the final scalar agg
-    import re
-
+    # every window partitions by _pid — no global single-partition window
     windows = [ln for ln in plan.splitlines() if "Window " in ln or "Window\n" in ln]
     for ln in windows:
-        assert "_pid" in ln or "windowspecdefinition(_g" in ln
+        assert "_pid" in ln
 
 
 def test_asof_single_shuffle_on_key(spark, sf_dir):
@@ -104,6 +114,16 @@ def test_batch_id_distributed(spark):
     from hybridbackend_spark.operators.structural import with_batch_id
     from hybridbackend_spark.plans.inspect import physical_plan
 
-    df = with_batch_id(spark.range(100), 10, order_by=["id"])
+    df = with_batch_id(spark.range(100), 10, order_by=["id"], checkpoint=False)
     plan = physical_plan(df)
     assert "rangepartitioning" in plan
+
+
+def test_cosine_bucketed_no_cartesian(spark, sf_dir):
+    # the demonstrated scale path must never cross-join the corpus
+    from hybridbackend_spark.queries import cosine_near_dup_bucketed
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(cosine_near_dup_bucketed(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
