@@ -213,10 +213,61 @@ def extract_audio_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     dim: int = 32,
+    frame_bytes: int = 1024,
     fake: bool = True,
 ) -> DataFrame:
-    """Audio feature extraction (MFCC-shaped stub): (id, features
-    array<float>)."""
-    return decode_image_features(df, payload_col, id_col, dim, fake).withColumnRenamed(
-        "features", "features"
+    """Audio feature extraction (MFCC-shaped stub): frame the byte stream
+    into ``frame_bytes`` windows, compute a per-frame pseudo-energy, then
+    pool frame energies into a ``dim``-length feature vector (mean/delta
+    banding — the pooling shape a real MFCC pipeline produces). Output:
+    (id, n_frames, features array<float>).
+
+    Unlike :func:`decode_image_features` (one hash expansion of the whole
+    payload), this follows the audio-native frame->feature->pool structure,
+    so swapping in a real codec only replaces ``_frame_energy``."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+        ]
     )
+
+    def _frame_energy(chunk: bytes, i: int) -> float:
+        h = hashlib.sha256(chunk + i.to_bytes(4, "little")).digest()
+        return sum(h[:8]) / (8 * 255.0)
+
+    def _extract_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(_STRICT_MSG.format(kind="audio"))
+            ids, counts, feats = [], [], []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    ids.append(mid)
+                    counts.append(0)
+                    feats.append(None)
+                    continue
+                raw = bytes(p)
+                chunks = [
+                    raw[o : o + frame_bytes]
+                    for o in range(0, max(len(raw), 1), frame_bytes)
+                ]
+                energies = [_frame_energy(c, i) for i, c in enumerate(chunks)]
+                # pool per-frame energies into dim bands: band mean +
+                # first difference (delta), cycled to fill dim
+                vec = []
+                for k in range(dim):
+                    e = energies[k % len(energies)]
+                    prev = energies[(k - 1) % len(energies)]
+                    vec.append(float(e if k % 2 == 0 else e - prev))
+                ids.append(mid)
+                counts.append(len(chunks))
+                feats.append(vec)
+            yield pd.DataFrame(
+                {id_col: ids, "n_frames": counts, "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_extract_batch, out_schema)

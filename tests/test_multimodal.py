@@ -53,3 +53,18 @@ def test_sample_video_frames_explodes(media):
     assert sorted(r["frame_idx"] for r in frames0) == [0, 1, 2]
     # distinct frames per index
     assert len({bytes(r["frame"]) for r in frames0}) == 3
+
+
+def test_extract_audio_features(spark):
+    from hybridbackend_spark.operators.multimodal import extract_audio_features
+
+    rows = [(i, bytes([i % 251]) * (1500 + 700 * i)) for i in range(4)]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = {r["media_id"]: r for r in extract_audio_features(media, dim=8).collect()}
+    # frame count follows payload length, not a constant
+    assert out[0]["n_frames"] == 2 and out[3]["n_frames"] == 4
+    assert all(len(r["features"]) == 8 for r in out.values())
+    # deterministic and payload-dependent
+    again = {r["media_id"]: r for r in extract_audio_features(media, dim=8).collect()}
+    assert out[1]["features"] == again[1]["features"]
+    assert out[1]["features"] != out[2]["features"]
