@@ -12,6 +12,7 @@ Conventions (driver contract):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1333,4 +1334,102 @@ def percentiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested-ragged (rank-2) scan: SURVEY data-model claim, reference
+# parquet_dataset_ragged_nested_test.py:43-75
+# ---------------------------------------------------------------------------
+
+_NESTED_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "nested_ragged.parquet",
+)
+
+
+@register(
+    "nested_ragged_scan",
+    f"""
+    SELECT id,
+           len(matrix)::INT AS n_outer,
+           len(flatten(matrix))::INT AS n_inner,
+           CAST(coalesce(list_sum(flatten(matrix)), 0) AS BIGINT) AS total,
+           round(coalesce(list_sum(flatten(weights)), 0), 2) AS wsum
+    FROM read_parquet('{_NESTED_FIXTURE}')
+    """,
+)
+def nested_ragged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 ragged read end-to-end: a pyarrow-written (foreign)
+    list<list<int64>> / list<list<float64>> parquet file is read through
+    read_tabular with declared rank-2 Fields, then reduced per row
+    (outer size, flattened size, flattened sums) — proving the nested
+    data model through the scan, the type mapping, and expression-level
+    nested reductions. Fixture: tools/make_fixtures.py (committed)."""
+    from .schema import Field
+    from .sources import read_tabular
+
+    df = read_tabular(
+        spark,
+        _NESTED_FIXTURE,
+        fields=[
+            Field("id", "int64"),
+            Field("matrix", "int64", ragged_rank=2),
+            Field("weights", "float64", ragged_rank=2),
+        ],
+    )
+    flat_m = F.flatten("matrix")
+    return df.select(
+        "id",
+        F.size("matrix").alias("n_outer"),
+        F.size(flat_m).alias("n_inner"),
+        F.aggregate(flat_m, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total"
+        ),
+        F.round(
+            F.aggregate(F.flatten("weights"), F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("wsum"),
+    )
+
+
+@register(
+    "orc_scan_suppliers",
+    """
+    SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def orc_scan_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ORC scan through read_orc, oracled against the SAME rows in the
+    parquet-backed DuckDB view — the ORC copy is converted once per sf
+    from the parquet table with pyarrow (a foreign ORC writer, so Spark's
+    ORC reader faces a file it didn't produce)."""
+    import pyarrow.orc as po
+    import pyarrow.parquet as pq
+
+    from .schema import Field
+    from .sources import read_orc
+
+    gen_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "generated",
+    )
+    os.makedirs(gen_dir, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    orc_path = os.path.join(gen_dir, f"supplier_{tag}.orc")
+    if not os.path.exists(orc_path):
+        po.write_table(pq.read_table(f"{sf_dir}/supplier.parquet"), orc_path)
+    df = read_orc(
+        spark,
+        orc_path,
+        fields=[
+            Field("s_suppkey", "int64"),
+            Field("s_nationkey", "int32"),
+            Field("s_acctbal", "float64"),
+        ],
+    )
+    return df.select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
     )

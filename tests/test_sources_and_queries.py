@@ -81,3 +81,61 @@ def test_projection_pushdown_plan(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "l_quantity" not in plan
+
+
+def test_nested_ragged_rank2_read_and_roundtrip(spark, tmp_path):
+    # reference parity: list<list<int64>> scan + roundtrip
+    # (parquet_dataset_ragged_nested_test.py:43-75)
+    import pytest
+
+    from hybridbackend_spark.queries import _NESTED_FIXTURE
+    from hybridbackend_spark.schema import SchemaMismatchError
+    from hybridbackend_spark.sources import read_tabular
+
+    df = read_tabular(
+        spark,
+        _NESTED_FIXTURE,
+        fields=[Field("id", "int64"), Field("matrix", "int64", ragged_rank=2)],
+    )
+    assert dict(df.dtypes)["matrix"] == "array<array<bigint>>"
+    got = {r["id"]: r["matrix"] for r in df.filter("id in (0, 3)").collect()}
+    assert got[0] == []
+    assert got[3] == [[300, 301, 302], [], [320]]
+
+    # declared rank must match the file
+    with pytest.raises(SchemaMismatchError):
+        read_tabular(
+            spark, _NESTED_FIXTURE, fields=[Field("matrix", "int64", ragged_rank=1)]
+        )
+
+    # spark-write -> read roundtrip preserves the nested values
+    out = str(tmp_path / "nested_rt.parquet")
+    df.write.parquet(out)
+    back = {r["id"]: r["matrix"] for r in spark.read.parquet(out).collect()}
+    assert back == {r["id"]: r["matrix"] for r in df.collect()}
+
+
+def test_skip_corrupted_data(spark, tmp_path):
+    # S3: one good file + one truncated file in a directory; with
+    # skip_corrupted_data=True the good rows survive, without it the scan
+    # errors (reference retry loop, data/tabular/dataset.cc:263-268)
+    import shutil
+
+    import pytest
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.range(100).coalesce(1).write.mode("overwrite").parquet(str(d / "good"))
+    good = next((d / "good").glob("part-*.parquet"))
+    shutil.copy(good, d / "a_good.parquet")
+    raw = good.read_bytes()
+    (d / "b_corrupt.parquet").write_bytes(raw[: len(raw) // 2])
+    shutil.rmtree(d / "good")
+
+    from hybridbackend_spark.sources import read_parquet
+
+    ok = read_parquet(spark, str(d), skip_corrupted_data=True)
+    assert ok.count() == 100
+
+    with pytest.raises(Exception):
+        read_parquet(spark, str(d)).count()
