@@ -1,1 +1,1 @@
-from . import dedup, exchange, joins, multimodal, similarity, structural, text
+from . import dedup, exchange, graph, joins, multimodal, similarity, structural, text

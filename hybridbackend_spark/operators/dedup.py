@@ -196,18 +196,24 @@ def minhash_lsh_dedup(
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates -> exact Jaccard verify at
-    ``threshold`` -> keep the smallest id of each connected pair group
-    (single-pass union into min-representative; transitive closure
-    approximated by min-id absorption, adequate for dedup).
+    ``threshold`` -> keep the smallest id of each CONNECTED COMPONENT of
+    verified pairs (true transitive closure via iterative min-label
+    propagation, :func:`~hybridbackend_spark.operators.graph.
+    connected_components` — a chain A~B~C keeps only A even when A and C
+    are not directly similar).
 
     Returns surviving ids.
     """
+    from .graph import connected_components
+
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n, seed
     )
     verified = _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold)
-    # drop every id that appears as the larger member of a confirmed pair
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    comp = connected_components(verified, "id_a", "id_b")
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
     return df.select(id_col).distinct().join(losers, id_col, "left_anti")
 
 

@@ -1,0 +1,89 @@
+"""Distributed connected components over an edge list — the transitive-
+closure step of near-duplicate deduplication.
+
+The reference's dedup guarantees transitivity only within a block
+(per-block ``np.unique``, ``docs/tutorial/ranking/taobao/data/
+deduplicate.py:42-80``); corpus-level LSH dedup needs true components:
+min-id "absorption" (drop every id that appears as the larger member of
+a pair) is wrong whenever a non-minimal node is only ever the SMALLER
+member of its edges — e.g. edges (1,3),(2,3): node 2 survives absorption
+but is in component {1,2,3}.
+
+Algorithm: iterative min-label propagation. labels start as own id; each
+round every node takes the min of its own label and its neighbors'
+labels; stop when no label changes. Rounds needed = graph diameter
+(near-dup clusters are shallow; the worst case is a path). Each round is
+one join + one groupBy — both shuffles on the node id, partial-agg
+combined. Lineage is cut with an eager localCheckpoint per round so the
+plan does not grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Return (id, component) for every node in ``edges``, where
+    ``component`` is the smallest id reachable from the node. Undirected:
+    each input pair is used in both directions.
+
+    ``max_iter`` bounds the propagation rounds (diameter of the largest
+    component); raises if not converged by then.
+    """
+    sym = edges.select(
+        F.col(src).alias("_n"), F.col(dst).alias("_m")
+    ).union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("_n").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _label_sum(lbl: DataFrame):
+        # labels only ever decrease, so the (exact, overflow-free) sum of
+        # components is a strictly decreasing convergence measure — one
+        # cheap aggregate per round instead of a join-and-compare
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("_m"), F.col("component").alias("_mc")
+                ),
+                "_m",
+            )
+            .groupBy(F.col("_n").alias("id"))
+            .agg(F.min("_mc").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )

@@ -143,3 +143,48 @@ def test_cosine_near_dup_pairs_bucketed(spark):
         ).collect()
     }
     assert bucketed == again
+
+
+def test_connected_components_chain_and_star(spark):
+    from hybridbackend_spark.operators.graph import connected_components
+
+    # (1,3),(2,3): the pattern min-id absorption gets wrong — node 2
+    # never appears as the larger pair member yet is in component 1
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a: long, id_b: long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_minhash_lsh_dedup_transitive_chain(spark):
+    # docs 1 and 3 similar, 2 and 3 similar, 1 and 2 NOT similar:
+    # a transitive closure keeps only doc 1; absorption would keep doc 2
+    from hybridbackend_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_pairs,
+    )
+
+    toks = [f"w{i}x" for i in range(60)]
+    rows = [
+        (1, " ".join(toks[0:40])),
+        (3, " ".join(toks[4:44])),
+        (2, " ".join(toks[8:48])),
+        (50, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", 3, 0.7).collect()
+    }
+    assert exact == {(1, 3), (2, 3)}  # the planted chain, nothing else
+    survivors = {
+        r["doc_id"]
+        for r in minhash_lsh_dedup(df, "text", "doc_id", threshold=0.7).collect()
+    }
+    assert survivors == {1, 50}
