@@ -130,8 +130,20 @@ def auc_histogram(
     """Reference-parity bucketed AUC (``metrics/auc.py:38-186``): scores in
     [0,1] are bucketed into ``num_thresholds`` bins, confusion counts
     accumulated per bin (partial per partition, merged at final — the
-    allreduce analog at ``metrics/auc.py:169-170``), then trapezoid-
-    integrated. Converges to :func:`auc` as thresholds grow."""
+    allreduce analog at ``metrics/auc.py:169-170``), then integrated.
+
+    ``curve="ROC"``: trapezoidal TPR/FPR integral; converges to
+    :func:`auc` as thresholds grow. ``curve="PR"``: the reference's
+    ``interpolate_pr_auc`` (``metrics/auc.py:281-344``, the
+    Davis-Goadrich careful interpolation): between consecutive
+    thresholds, precision is integrated in closed form assuming TP and
+    FP grow linearly — each interval contributes
+    ``slope * (dTP + intercept * ln(p_hi/p_lo)) / P``.
+
+    The windows here order at most ``num_thresholds`` histogram rows —
+    a bounded single-partition sort by construction, not a scale trap."""
+    if curve not in ("ROC", "PR"):
+        raise NotImplementedError(f"unsupported curve {curve!r}")
     b = F.least(
         F.lit(num_thresholds - 1),
         F.floor(F.col(score) * num_thresholds).cast("int"),
@@ -151,6 +163,29 @@ def auc_histogram(
         F.sum("_p").alias("_P"), F.sum("_n").alias("_N")
     ).collect()[0]
     P, N = float(total["_P"]), float(total["_N"])
+    if curve == "PR":
+        # pair each non-empty bucket with the next higher one (empty
+        # buckets have zero deltas and contribute nothing, so skipping
+        # them is exact); beyond the top bucket tp = fp = 0
+        w_asc = Window.orderBy("_b")
+        pairs = swept.select(
+            F.col("_tp").alias("_tp1"),
+            (F.col("_tp") + F.col("_fp")).alias("_p1"),
+            F.coalesce(F.lead("_tp").over(w_asc), F.lit(0.0)).alias("_tp2"),
+            F.coalesce(
+                F.lead(F.col("_tp") + F.col("_fp")).over(w_asc), F.lit(0.0)
+            ).alias("_p2"),
+        )
+        dtp = F.col("_tp1") - F.col("_tp2")
+        dp = F.col("_p1") - F.col("_p2")
+        slope = F.when(dp > 0, dtp / dp).otherwise(F.lit(0.0))
+        intercept = F.col("_tp2") - slope * F.col("_p2")
+        log_ratio = F.when(
+            (F.col("_p1") > 0) & (F.col("_p2") > 0),
+            F.log(F.col("_p1") / F.col("_p2")),
+        ).otherwise(F.lit(0.0))
+        term = slope * (dtp + intercept * log_ratio) / F.lit(P)
+        return pairs.agg(F.sum(term).alias(alias))
     pts = (
         swept.select(
             (F.col("_tp") / P).alias("tpr"), (F.col("_fp") / N).alias("fpr")
@@ -165,8 +200,6 @@ def auc_histogram(
             / 2
         ).alias("_a")
     )
-    if curve != "ROC":
-        raise NotImplementedError("only ROC histogram integration implemented")
     return trap.agg(F.sum("_a").alias(alias))
 
 

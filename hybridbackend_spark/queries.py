@@ -588,6 +588,59 @@ def metric_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("_auc_raw", 6).alias("auc"))
 
 
+_AUC_PR_ORACLE = """
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+             1.0 / (1.0 + exp(-(embedding[1]::DOUBLE))) AS s
+      FROM embeddings
+    ), hist AS (
+      SELECT least(199, floor(s * 200)::INT) AS b,
+             sum(y)::DOUBLE AS p, sum(1.0 - y)::DOUBLE AS n
+      FROM scored GROUP BY 1
+    ), swept AS (
+      SELECT b,
+             sum(p) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(n) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      FROM hist
+    ), pairs AS (
+      SELECT tp AS tp1, tp + fp AS p1,
+             coalesce(lead(tp) OVER (ORDER BY b), 0.0) AS tp2,
+             coalesce(lead(tp + fp) OVER (ORDER BY b), 0.0) AS p2
+      FROM swept
+    ), terms AS (
+      SELECT tp1 - tp2 AS dtp, p1 - p2 AS dp, tp1, tp2, p1, p2 FROM pairs
+    )
+    SELECT round(
+      sum(CASE WHEN dp > 0 THEN
+            (dtp / dp) * (dtp + (tp2 - (dtp / dp) * p2)
+              * CASE WHEN p1 > 0 AND p2 > 0 THEN ln(p1 / p2) ELSE 0.0 END)
+          ELSE 0.0 END) / (SELECT sum(p) FROM hist), 6) AS pr_auc
+    FROM terms
+"""
+
+
+@register("metric_auc_pr", _AUC_PR_ORACLE)
+def metric_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (PR branch): bucketed precision-recall AUC with the reference's
+    careful interpolation (``interpolate_pr_auc``, reference
+    ``metrics/auc.py:281-344``). Scores are squashed to [0,1] with a
+    sigmoid (monotone, so ranking semantics are unchanged) before the
+    200-bucket histogram."""
+    from .functions.metrics import auc_histogram
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("double").alias("y"),
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.element_at("embedding", 1).cast("double")))
+        ).alias("s"),
+    )
+    out = auc_histogram(emb, "y", "s", num_thresholds=200, curve="PR", alias="_pr")
+    return out.select(F.round("_pr", 6).alias("pr_auc"))
+
+
 _GAUC_ORACLE = """
     WITH scored AS (
       SELECT ((vec_id % 20) + 20) % 20 AS g,

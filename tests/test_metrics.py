@@ -76,3 +76,50 @@ def test_gauc_skips_single_class_groups(spark):
     rows = [(0, 1, 0.5), (0, 1, 0.6), (1, 1, 0.9), (1, 0, 0.1)]
     df = spark.createDataFrame(rows, "g: int, y: int, s: double")
     assert gauc(df, "g", "y", "s").collect()[0]["gauc"] == 1.0
+
+
+def test_auc_histogram_pr_interpolated(spark):
+    import math
+
+    import pytest
+
+    from hybridbackend_spark.functions.metrics import auc_histogram
+
+    rows = [
+        (1.0, 0.91), (1.0, 0.85), (0.0, 0.78), (1.0, 0.66), (0.0, 0.61),
+        (1.0, 0.52), (0.0, 0.44), (0.0, 0.35), (1.0, 0.22), (0.0, 0.15),
+    ]
+    df = spark.createDataFrame(rows, "y: double, s: double")
+    got = auc_histogram(df, "y", "s", num_thresholds=20, curve="PR").collect()[0][0]
+
+    # independent reference implementation of careful interpolation
+    T = 20
+    hist = {}
+    for y, s in rows:
+        b = min(T - 1, int(s * T))
+        p, n = hist.get(b, (0.0, 0.0))
+        hist[b] = (p + y, n + (1.0 - y))
+    P = sum(p for p, _ in hist.values())
+    bs = sorted(hist)
+    tp = fp = 0.0
+    cum = {}
+    for b in reversed(bs):
+        tp += hist[b][0]
+        fp += hist[b][1]
+        cum[b] = (tp, fp)
+    expect = 0.0
+    for i, b in enumerate(bs):
+        tp1, fp1 = cum[b]
+        tp2, fp2 = cum[bs[i + 1]] if i + 1 < len(bs) else (0.0, 0.0)
+        p1, p2 = tp1 + fp1, tp2 + fp2
+        dtp, dp = tp1 - tp2, p1 - p2
+        slope = dtp / dp if dp > 0 else 0.0
+        intercept = tp2 - slope * p2
+        lr = math.log(p1 / p2) if p1 > 0 and p2 > 0 else 0.0
+        expect += slope * (dtp + intercept * lr) / P
+    assert got == pytest.approx(expect, abs=1e-12)
+    # PR-AUC of a decent ranker sits between prevalence (0.5) and 1
+    assert 0.5 < got < 1.0
+
+    with pytest.raises(NotImplementedError):
+        auc_histogram(df, "y", "s", curve="XYZ")
