@@ -30,6 +30,7 @@ __all__ = [
     "gather",
     "seeded_shuffle",
     "with_batch_id",
+    "arrow_training_feed",
     "unbatch",
     "validate_fixed_shape",
     "assert_fixed_shape",
@@ -170,6 +171,63 @@ def with_batch_id(
         n_full = (total // batch_size) * batch_size
         out = out.filter(rn <= n_full)
     return out.drop("_pid", "_local_rn")
+
+
+def arrow_training_feed(
+    df: DataFrame, batch_size: int, drop_remainder: bool = False
+) -> DataFrame:
+    """Physical batch-exact training feed with ZERO shuffle (the
+    reference's ``rebatch`` buffer, ``data/rebatch/rebatch_buffer.cc``,
+    re-expressed at Spark's Arrow boundary): inside each partition,
+    incoming Arrow record batches are buffered and re-sliced to EXACTLY
+    ``batch_size`` rows; each output row is tagged with
+    (``feed_part`` = partition id, ``feed_batch`` = batch ordinal within
+    the partition). Every (feed_part, feed_batch) group has exactly
+    ``batch_size`` rows except at most one remainder per partition
+    (dropped when ``drop_remainder``).
+
+    Unlike :func:`with_batch_id` (exact GLOBAL numbering — needs a range
+    shuffle), this is the scale path for feeding trainers: numbering is
+    per-partition, so no data moves and the whole operator is a single
+    Arrow-boundary pass.
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("feed_part", T.IntegerType()),
+            T.StructField("feed_batch", T.LongType()),
+        ]
+    )
+
+    def _rebatch(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        acc: pa.Table | None = None
+
+        def _tag(tbl: pa.Table, batch_idx: int):
+            n = tbl.num_rows
+            tbl = tbl.append_column("feed_part", pa.array([pid] * n, pa.int32()))
+            tbl = tbl.append_column(
+                "feed_batch", pa.array([batch_idx] * n, pa.int64())
+            )
+            yield from tbl.combine_chunks().to_batches()
+
+        for rb in batches:
+            t = pa.Table.from_batches([rb])
+            acc = t if acc is None else pa.concat_tables([acc, t])
+            while acc.num_rows >= batch_size:
+                yield from _tag(acc.slice(0, batch_size), seq)
+                acc = acc.slice(batch_size)
+                seq += 1
+        if acc is not None and acc.num_rows and not drop_remainder:
+            yield from _tag(acc, seq)
+
+    return df.mapInArrow(_rebatch, out_schema)
 
 
 def unbatch(df: DataFrame, array_cols: Sequence[str]) -> DataFrame:

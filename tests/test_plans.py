@@ -127,3 +127,31 @@ def test_cosine_bucketed_no_cartesian(spark, sf_dir):
     plan = physical_plan(cosine_near_dup_bucketed(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_shuffle_free(spark, sf_dir, tmp_path):
+    # both sides bucketed on the join key by the same bucket count:
+    # the join must plan with ZERO exchanges (the durable analog of the
+    # reference's static sharding, embedding/sharding.py:99-131)
+    from hybridbackend_spark.sources.bucketed import (
+        read_bucketed_table,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", str(tmp_path / "bo"), "o_orderkey", 8)
+    write_bucketed(li, "b_lineitem", str(tmp_path / "bl"), "l_orderkey", 8)
+    try:
+        bo = read_bucketed_table(spark, "b_orders")
+        bl = read_bucketed_table(spark, "b_lineitem")
+        j = bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert j.count() > 0
+        assert count_exchanges(j) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -131,3 +131,34 @@ def test_block_dedup_encode_reproducible(spark):
         "batch_id"
     )
     assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
+def test_arrow_training_feed_exact_batches(spark):
+    from hybridbackend_spark.operators.structural import arrow_training_feed
+    from hybridbackend_spark.plans.inspect import count_exchanges
+
+    df = spark.range(1000).repartition(4)
+    fed = arrow_training_feed(df, 64)
+    sizes = (
+        fed.groupBy("feed_part", "feed_batch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # every batch is exactly 64 rows except at most one remainder per part
+    by_part = {}
+    for r in sizes:
+        by_part.setdefault(r["feed_part"], []).append(r["n"])
+    for ns in by_part.values():
+        assert sum(1 for n in ns if n != 64) <= 1
+        assert all(n <= 64 for n in ns)
+    assert fed.count() == 1000
+    # zero shuffle beyond the explicit repartition input
+    assert count_exchanges(arrow_training_feed(spark.range(100), 10)) == 0
+
+    dropped = arrow_training_feed(df, 64, drop_remainder=True)
+    assert all(
+        r["n"] == 64
+        for r in dropped.groupBy("feed_part", "feed_batch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
