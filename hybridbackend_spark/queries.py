@@ -1013,10 +1013,48 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5)
 
 
-@register("cosine_topk_lsh_docs")  # rows-only: approximate (recall < 1)
+_LSH_TOPK_TABLES = 6
+_LSH_TOPK_BUCKET_COLS = ", ".join(
+    f"{_bucket_sql(bits=6, seed=7 + t, dim=64)} AS b{t}"
+    for t in range(_LSH_TOPK_TABLES)
+)
+_LSH_TOPK_MATCH = " OR ".join(
+    f"q.b{t} = c.b{t}" for t in range(_LSH_TOPK_TABLES)
+)
+
+_COS_SQL = """
+    round(
+      list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(qv, z -> z * z)))
+         * sqrt(list_sum(list_transform(cv, z -> z * z)))), 6)
+"""
+
+
+@register(
+    "cosine_topk_lsh_docs",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_LSH_TOPK_BUCKET_COLS} FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS vec_id, q.v AS qv, c.vec_id AS neighbor_id,
+             c.v AS cv
+      FROM b q, b c
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id AND ({_LSH_TOPK_MATCH})
+    ),
+    scored AS (SELECT vec_id, neighbor_id, {_COS_SQL} AS cos FROM cand)
+    SELECT vec_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
 def cosine_topk_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate cosine top-5 (sign random projections,
-    4 tables x 8 bits). Recall vs brute force asserted in tests."""
+    6 tables x 6 bits). The oracle embeds the identical hyperplane
+    constants, so the approximate result itself is hash-checked — not
+    just its row count; recall vs brute force is asserted in tests."""
     from .operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1237,24 +1275,69 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cosine_topk_ivf_docs")  # rows-only: approximate (n_probe < cells)
+def _ivf_centroids() -> list[list[float]]:
+    cents = []
+    for i in range(8):
+        c = [0.0] * 64
+        c[i * 8 : i * 8 + 8] = [1.0] * 8
+        cents.append(c)
+    return cents
+
+
+def _ivf_dist_structs() -> str:
+    """Per-centroid squared-distance structs, element-for-element the
+    same arithmetic the Spark operator folds into its plan."""
+    parts = []
+    for i, cent in enumerate(_ivf_centroids()):
+        lit = "[" + ", ".join(repr(x) for x in cent) + "]"
+        parts.append(
+            f"""struct_pack(d := list_sum(list_transform(list_zip(v, {lit}),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), i := {i})"""
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+@register(
+    "cosine_topk_ivf_docs",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v, (list_sort({_ivf_dist_structs()}))[1].i AS cell
+      FROM e
+    ),
+    probed AS (
+      SELECT vec_id, v, unnest(list_transform(
+               (list_sort({_ivf_dist_structs()}))[1:2], s -> s.i)) AS cell
+      FROM e WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT q.vec_id AS vec_id, q.v AS qv, c.vec_id AS neighbor_id, c.v AS cv
+      FROM probed q JOIN assigned c ON q.cell = c.cell
+      WHERE c.vec_id != q.vec_id
+    ),
+    scored AS (SELECT vec_id, neighbor_id, {_COS_SQL} AS cos FROM cand)
+    SELECT vec_id, neighbor_id, cos, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
 def cosine_topk_ivf_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate cosine top-5: corpus bucketed by nearest of 8 fixed
     axis-aligned centroids (deterministic stand-in for trained centroids),
-    queries probe their 2 nearest cells. Recall vs brute force asserted in
-    tests; here the rows-only gate checks stability."""
+    queries probe their 2 nearest cells. The oracle replicates the
+    assignment and probing with the identical centroid constants, so the
+    approximate result is hash-checked; recall vs brute force is
+    asserted in tests."""
     from .operators.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    centroids = []
-    for i in range(8):
-        c = [0.0] * 64
-        c[i * 8 : i * 8 + 8] = [1.0] * 8
-        centroids.append(c)
     return cosine_topk_ivf(
         q, emb, "vec_id", "vec_id", "embedding", "embedding",
-        centroids=centroids, k=5, n_probe=2,
+        centroids=_ivf_centroids(), k=5, n_probe=2,
     )
 
 

@@ -74,9 +74,17 @@ def read_tabular(
             merged = merge_fields(fields, inferred, ignore_case=field_ignore_case)
         else:
             merged = list(fields)
+        src_names = [f.name for f in merged]
         if field_map_fn is not None:
+            # positional mapping: field i of the output is read from file
+            # column i of the resolved list, so a rename keeps its data
             merged = list(field_map_fn(merged))
-        df = _project_and_default(df, merged, field_ignore_case)
+            if len(merged) != len(src_names):
+                raise ValueError(
+                    "field_map_fn must preserve the field count (rename/"
+                    "retype in place; add or drop columns via `fields`)"
+                )
+        df = _project_and_default(df, merged, field_ignore_case, src_names)
 
     if to_dense:
         targets = to_dense if isinstance(to_dense, dict) else {}
@@ -95,14 +103,18 @@ def read_tabular(
 
 
 def _project_and_default(
-    df: DataFrame, fields: Sequence[Field], ignore_case: bool
+    df: DataFrame,
+    fields: Sequence[Field],
+    ignore_case: bool,
+    src_names: Sequence[str] | None = None,
 ) -> DataFrame:
     cols_by_key = {
         (c.lower() if ignore_case else c): c for c in df.columns
     }
     projected = []
-    for f in fields:
-        key = f.name.lower() if ignore_case else f.name
+    for i, f in enumerate(fields):
+        name = src_names[i] if src_names is not None else f.name
+        key = name.lower() if ignore_case else name
         src = cols_by_key.get(key)
         if src is not None:
             projected.append(F.col(src).alias(f.name))

@@ -1,3 +1,5 @@
+from pyspark.sql import functions as F
+
 from hybridbackend_spark.schema import Field
 from hybridbackend_spark.sources import read_parquet
 
@@ -139,3 +141,42 @@ def test_skip_corrupted_data(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_parquet(spark, str(d)).count()
+
+
+def test_field_map_fn_renames(spark, sf_dir):
+    # P2: transform the resolved field list before projection
+    # (reference field_map_fn hook, data/tabular/table.py:83)
+    from dataclasses import replace
+
+    def upper_keys(fields):
+        return [
+            replace(f, name=f.name.upper()) if f.name == "l_orderkey" else f
+            for f in fields
+        ]
+
+    df = read_parquet(
+        spark,
+        f"{sf_dir}/lineitem.parquet",
+        fields=[Field("l_orderkey", "int64"), Field("l_quantity", "float64")],
+        field_map_fn=upper_keys,
+    )
+    assert df.columns == ["L_ORDERKEY", "l_quantity"]
+    # the renamed column carries the FILE data, not a null default
+    plain = read_parquet(
+        spark, f"{sf_dir}/lineitem.parquet", fields=[Field("l_orderkey", "int64")]
+    )
+    assert (
+        df.agg(F.sum("L_ORDERKEY")).collect()[0][0]
+        == plain.agg(F.sum("l_orderkey")).collect()[0][0]
+    )
+
+
+def test_multi_file_interleave(spark, sf_dir):
+    # S6: a list of paths scans as one dataset (Spark's split planning
+    # interleaves files natively)
+    single = read_parquet(spark, f"{sf_dir}/region.parquet")
+    double = read_parquet(
+        spark, [f"{sf_dir}/region.parquet", f"{sf_dir}/region.parquet"]
+    )
+    assert double.count() == 2 * single.count()
+    assert double.columns == single.columns
