@@ -1,0 +1,250 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+deterministic hash splits, repetition-based quality signals, contiguous
+sequence packing, and overlapping document chunking.
+
+These extend the reference's data-prep surface (its tutorials do offline
+corpus prep with pandas, e.g. ``docs/tutorial/ranking/taobao/data/
+prep_3_merge.py``) with the operations a 100 TB text pipeline needs.
+Everything is expression-level or partial-agg shaped — no Python row
+loops, no driver-side data:
+
+- ``hash_bucket``/``hash_split``: pure expressions, zero shuffle. The
+  bucket is the first 8 hex digits of md5 — portable across engines
+  (DuckDB: ``('0x' || substr(md5(x),1,8))::BIGINT``), stable across
+  runs/cluster sizes, and uniform enough for split fractions.
+- ``repetition_signals``: explode grams -> two key-partial aggregations.
+  Shuffle keys are (doc_id, gram) then doc_id; both combine map-side, so
+  shuffled bytes scale with distinct grams, not corpus bytes.
+- ``pack_sequences``: distributed prefix sum (range partition + local
+  window + per-partition offsets), never a single-partition window.
+- ``chunk_documents``: per-row array expressions + one explode; no
+  shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens
+
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "repetition_signals",
+    "pack_sequences",
+    "chunk_documents",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(
+    key: Column | str, n_buckets: int = 10_000, seed: int = 0
+) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5 of the key.
+
+    Unlike ``xxhash64`` this is reproducible in any engine with md5
+    (the DuckDB oracle uses the identical arithmetic), so assignment
+    decisions made here can be re-derived downstream of the pipeline.
+    """
+    h = F.md5(F.concat_ws(":", _c(key).cast("string"), F.lit(str(seed))))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key: Column | str,
+    weights: Mapping[str, float] | None = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test by default) by
+    deterministic hash of ``key`` — the standard leakage-safe alternative
+    to ``randomSplit`` (same key always lands in the same split, across
+    runs and across derived tables keyed by the same id)."""
+    weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
+    total = sum(weights.values())
+    bucket = hash_bucket(key, n_buckets=1_000_000, seed=seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(acc * 1_000_000)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition statistics (Gopher-rule family): distinct
+    word ratio, top-word fraction, duplicate-bigram fraction. High
+    repetition marks boilerplate/spam for corpus filtering.
+
+    One explode of tagged grams -> count per (doc, kind, gram) ->
+    aggregate per doc. Both aggregations partial-combine map-side.
+    """
+    words = tokens(_c(text_col))
+    bigrams = F.when(
+        F.size(words) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        )
+    )
+    tagged = F.concat(
+        F.transform(words, lambda w: F.struct(F.lit(1).alias("kind"), w.alias("g"))),
+        F.transform(bigrams, lambda b: F.struct(F.lit(2).alias("kind"), b.alias("g"))),
+    )
+    grams = df.select(F.col(id_col), F.explode(tagged).alias("t")).select(
+        id_col, F.col("t.kind").alias("kind"), F.col("t.g").alias("g")
+    )
+    counts = grams.groupBy(id_col, "kind", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is_w = F.col("kind") == 1
+    is_b = F.col("kind") == 2
+    agg = counts.groupBy(id_col).agg(
+        F.sum(F.when(is_w, F.col("c"))).cast("long").alias("n_words"),
+        F.count(F.when(is_w, F.lit(1))).cast("long").alias("n_distinct_words"),
+        F.max(F.when(is_w, F.col("c"))).cast("long").alias("top_word_count"),
+        F.coalesce(F.sum(F.when(is_b, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.count(F.when(is_b, F.lit(1))).cast("long").alias("n_distinct_bigrams"),
+    )
+    return agg.select(
+        id_col,
+        "n_words",
+        "n_distinct_words",
+        F.round(F.col("n_distinct_words") / F.col("n_words"), 6).alias(
+            "distinct_word_ratio"
+        ),
+        F.round(F.col("top_word_count") / F.col("n_words"), 6).alias(
+            "top_word_frac"
+        ),
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                / F.col("n_bigrams"),
+                6,
+            )
+        )
+        .alias("dup_bigram_frac"),
+    )
+
+
+def _global_running_sum(
+    df: DataFrame, value_col: str, order_by: Sequence[str], out_col: str
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in ``order_by`` order,
+    computed distributed: range-partition on the order columns, window-sum
+    locally, then add per-partition totals as offsets (driver collect
+    bounded by partition count — same scheme as
+    ``structural.with_batch_id``; no single-partition window)."""
+    order = [F.col(c) for c in order_by]
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(parts, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_local_sum", F.sum(value_col).over(w_local)
+    ).localCheckpoint(eager=True)
+    totals = dict(
+        local.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    offset_expr = (
+        F.element_at(
+            F.create_map(
+                *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    return local.withColumn(
+        out_col,
+        (F.coalesce(offset_expr, F.lit(0)) + F.col("_local_sum")).cast("long"),
+    ).drop("_pid", "_local_sum")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Contiguous concat-and-chunk sequence packing: documents in
+    ``order_by`` order are laid end-to-end in token space and cut into
+    ``budget``-token bins. A document's bin is where its first token
+    lands (documents may spill across bin boundaries — the standard
+    LLM-pretraining packing, zero padding waste).
+
+    Adds ``cum_tokens`` (inclusive running total), ``bin_id``, and
+    ``bin_offset`` (start position of the document within its bin).
+    """
+    order = list(order_by or [id_col])
+    out = _global_running_sum(df, token_count_col, order, "cum_tokens")
+    start = F.col("cum_tokens") - F.col(token_count_col)
+    # exact integer div/mod — float division drifts above 2^53 total tokens
+    return (
+        out.withColumn("_start", start)
+        .withColumn("bin_id", F.expr(f"_start div {int(budget)}"))
+        .withColumn("bin_offset", F.pmod(F.col("_start"), F.lit(int(budget))))
+        .drop("_start")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks
+    (``chunk_tokens`` wide, starts every ``stride`` tokens) — the
+    retrieval-indexing / context-window prep primitive. Start positions
+    are the multiples of ``stride`` below the token count, so every
+    token is covered and the final chunk may be short.
+
+    Pure per-row array expressions + one explode: no shuffle.
+    """
+    toks = tokens(_c(text_col))
+    bound = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    exploded = bound.select(
+        id_col, "_toks", F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        (F.col("start") / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

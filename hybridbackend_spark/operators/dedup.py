@@ -44,6 +44,21 @@ __all__ = [
 _MERSENNE_P = (1 << 31) - 1
 
 
+def _portable_hash(col: Column, hex_digits: int) -> Column:
+    """Deterministic integer hash reproducible in ANY engine with md5:
+    the first ``hex_digits`` md5 hex digits as an integer (DuckDB:
+    ``('0x' || substr(md5(x), 1, n))::BIGINT``). ``hex_digits <= 15`` so
+    the value fits a signed 64-bit long exactly in every engine.
+
+    xxhash64 (the default base hash) is faster but engine-specific;
+    portable mode trades ~one md5 per shingle for an oracle that can
+    recompute the identical signatures.
+    """
+    if not 0 < hex_digits <= 15:
+        raise ValueError("hex_digits must be in (0, 15]")
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("long")
+
+
 def content_hash(col: Column | str, normalize: bool = True) -> Column:
     """64-bit content hash for exact dedup. ``normalize`` lowercases and
     collapses whitespace first (whitespace-insensitive exactness)."""

@@ -1569,3 +1569,235 @@ def orc_scan_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-prep operators (LLM pipeline: splits, repetition, packing, chunking)
+# ---------------------------------------------------------------------------
+
+# portable deterministic bucket: first 8 md5 hex digits as an int.
+# Spark: conv(substring(md5(x),1,8),16,10)  ==  DuckDB: ('0x'||substr(md5(x),1,8))::BIGINT
+_BUCKET_SQL = (
+    "(('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT % 1000000)"
+)
+
+
+@register(
+    "hash_split_documents",
+    f"""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN {_BUCKET_SQL} < 980000 THEN 'train'
+                  WHEN {_BUCKET_SQL} < 990000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY split
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split by md5 of doc_id
+    (98/1/1). The oracle recomputes the identical hash arithmetic, so the
+    assignment itself is hash-checked, not just the counts' plausibility.
+    Zero shuffle for the assignment; one partial-agg shuffle for the
+    distribution summary."""
+    from .operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", seed=0)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "repetition_signals_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    words AS (SELECT doc_id, unnest(w) AS g, 1 AS kind FROM t),
+    bigr AS (
+      SELECT doc_id, w[u.i] || ' ' || w[u.i + 1] AS g, 2 AS kind
+      FROM t, unnest(range(1, len(w))) u(i)
+    ),
+    cnt AS (
+      SELECT doc_id, kind, g, count(*) AS c
+      FROM (SELECT * FROM words UNION ALL SELECT * FROM bigr)
+      GROUP BY doc_id, kind, g
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN kind = 1 THEN c END) AS BIGINT) AS n_words,
+             count(CASE WHEN kind = 1 THEN 1 END) AS n_distinct_words,
+             CAST(max(CASE WHEN kind = 1 THEN c END) AS BIGINT) AS top_word,
+             CAST(coalesce(sum(CASE WHEN kind = 2 THEN c END), 0) AS BIGINT) AS n_bigrams,
+             count(CASE WHEN kind = 2 THEN 1 END) AS n_distinct_bigrams
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct_words,
+           round(n_distinct_words::DOUBLE / n_words, 6) AS distinct_word_ratio,
+           round(top_word::DOUBLE / n_words, 6) AS top_word_frac,
+           CASE WHEN n_bigrams = 0 THEN 0.0
+                ELSE round((n_bigrams - n_distinct_bigrams)::DOUBLE / n_bigrams, 6)
+           END AS dup_bigram_frac
+    FROM agg
+    """,
+)
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition filters per document: distinct-word
+    ratio, top-word fraction, duplicate-bigram fraction. Explode grams ->
+    two map-side-combining aggregations; shuffle bytes scale with
+    distinct grams, not corpus bytes."""
+    from .operators.corpus import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences_docs",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS_SQL})::BIGINT AS n_tok FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tok, cum_tokens,
+           (cum_tokens - n_tok) // 2048 AS bin_id,
+           (cum_tokens - n_tok) % 2048 AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token bins (a doc's
+    bin is where its first token lands). The global running token total
+    is a distributed prefix sum — range partition + local window +
+    per-partition offsets, never a single-partition window."""
+    from .operators.corpus import pack_sequences
+    from .operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    return pack_sequences(docs, "doc_id", "n_tok", budget=2048)
+
+
+@register(
+    "chunk_documents_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           u.s // 24 AS chunk_id,
+           u.s AS start,
+           array_to_string(list_slice(w, u.s + 1, u.s + 32), ' ') AS chunk_text,
+           least(32, len(w) - u.s)::BIGINT AS n_chunk_tokens
+    FROM t, unnest(range(0, len(w), 24)) u(s)
+    WHERE len(w) > 0
+    """,
+)
+def chunk_documents_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token chunks, stride 24) for
+    retrieval indexing / context prep. Per-row array expressions + one
+    explode — no shuffle."""
+    from .operators.corpus import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, stride=24
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming coverage beyond tumbling (SURVEY §2.10 north-star: sliding,
+# session, stateful dedup) — each replayed availableNow vs a batch oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    SELECT ((floor(epoch(ts) / 900) - u.k) * 900)::BIGINT AS window_start_sec,
+           count(*) AS n_events
+    FROM events, unnest([0, 1, 2, 3]) u(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1h wide, every 15m): each event lands
+    in exactly 4 overlapping windows. The oracle materializes the same 4
+    window starts per event arithmetically."""
+    from .streaming.ops import read_event_stream, run_available_now, sliding_agg
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_agg(stream, "ts", "1 hour", "15 minutes")
+    out = run_available_now(agg)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"), "n_events"
+    )
+
+
+@register(
+    "stream_session_user",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+               AS sid
+      FROM o
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 10 MINUTE) AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (session_window, 10m gap) per
+    user. A session closes after 10 minutes of inactivity; its end is
+    last-event + gap — the oracle sessionizes the batch table with the
+    identical semantics (new session when the gap is >= 10m)."""
+    from .streaming.ops import read_event_stream, run_available_now, session_agg
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = session_agg(stream, "ts", "10 minutes", keys=["user_id"])
+    out = run_available_now(agg)
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type): duplicates within the watermark horizon are
+    dropped with bounded state. Only the key columns are emitted — which
+    physical row survives is not part of the contract."""
+    from .streaming.ops import read_event_stream, run_available_now, stream_dedup
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(
+        stream_dedup(stream, ["user_id", "event_type"], "ts")
+    )
+    return out.select("user_id", "event_type")

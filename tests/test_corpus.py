@@ -1,0 +1,121 @@
+"""Corpus-prep operators: hash splits, repetition signals, sequence
+packing, document chunking (operators/corpus.py)."""
+
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.operators.corpus import (
+    chunk_documents,
+    hash_bucket,
+    hash_split,
+    pack_sequences,
+    repetition_signals,
+)
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k", seed=7).orderBy("k").collect()
+    b = hash_split(df, "k", seed=7).orderBy("k").collect()
+    assert a == b  # same seed -> identical assignment
+    splits = {r["split"] for r in a}
+    assert splits <= {"train", "val", "test"}
+    n_train = sum(1 for r in a if r["split"] == "train")
+    assert n_train > 1800  # ~98% of 2000
+    # different seed reassigns some keys
+    c = hash_split(df, "k", seed=8).orderBy("k").collect()
+    assert any(x["split"] != y["split"] for x, y in zip(a, c))
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    import duckdb
+
+    got = (
+        spark.range(100)
+        .select(hash_bucket("id", n_buckets=1000, seed=3).alias("b"))
+        .collect()
+    )
+    want = duckdb.sql(
+        "SELECT (('0x' || substr(md5(r || ':3'), 1, 8))::BIGINT % 1000) "
+        "FROM (SELECT range::VARCHAR r FROM range(100))"
+    ).fetchall()
+    assert [r["b"] for r in got] == [w[0] for w in want]
+
+
+def test_repetition_signals_planted(spark):
+    rows = [
+        (1, "a a a a"),  # 1 distinct word; bigram 'a a' x3 all dups
+        (2, "a b c d"),  # all distinct
+        (3, "x"),  # single word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_words"] == 4 and out[1]["n_distinct_words"] == 1
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_bigram_frac"] == round(2 / 3, 6)  # 3 bigrams, 1 distinct
+    assert out[2]["distinct_word_ratio"] == 1.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[3]["n_bigrams"] if "n_bigrams" in out[3] else True
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_pack_sequences_bins(spark):
+    # docs of 60 tokens each, budget 100: starts 0,60,120,180,240 ->
+    # bins 0,0,1,1,2 with offsets 0,60,20,80,40
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(5)], ["doc_id", "n_tok"]
+    )
+    out = (
+        pack_sequences(df, "doc_id", "n_tok", budget=100)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["bin_id"] for r in out] == [0, 0, 1, 1, 2]
+    assert [r["bin_offset"] for r in out] == [0, 60, 20, 80, 40]
+    assert [r["cum_tokens"] for r in out] == [60, 120, 180, 240, 300]
+
+
+def test_pack_sequences_matches_single_partition_window(spark, sf_dir):
+    from hybridbackend_spark.operators.text import token_count
+    from pyspark.sql import Window
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", token_count("text").cast("long").alias("n_tok"))
+    )
+    got = pack_sequences(docs, "doc_id", "n_tok", budget=512)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = docs.withColumn("cum_tokens", F.sum("n_tok").over(w))
+    pairs = {r["doc_id"]: r["cum_tokens"] for r in want.collect()}
+    for r in got.collect():
+        assert r["cum_tokens"] == pairs[r["doc_id"]]
+
+
+def test_chunk_documents_boundaries(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, stride=3)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # starts 0,3,6,9 -> lengths 4,4,4,1
+    assert [r["start"] for r in d1] == [0, 3, 6, 9]
+    assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 4, 1]
+    assert d1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert d1[-1]["chunk_text"] == "w9"
+    # every token covered, overlap of 1 between consecutive chunks
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b"
+    assert not any(r["doc_id"] == 3 for r in rows)  # empty doc -> no chunks
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        chunk_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -93,3 +93,56 @@ def test_stateful_running_counter(spark, event_stream, events_batch):
     for uid, (n, s) in batch.items():
         assert latest[uid][0] == n
         assert abs(latest[uid][1] - s) < 0.05
+
+
+def test_session_state_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """Sessions whose events arrive in DIFFERENT microbatches must merge:
+    split the events table into 4 files, feed one file per trigger
+    (maxFilesPerTrigger=1), and require the multi-batch result to equal
+    the single-batch result. This exercises the state store across
+    triggers, not just within one batch."""
+    from hybridbackend_spark.queries import _t
+
+    events = _t(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_split")
+    # long->micros ts column written back as long nanos analog is not
+    # needed: write the already-truncated micro timestamps; the stream
+    # reader accepts TIMESTAMP directly (schema ts becomes timestamp).
+    events.repartition(4).write.parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    multi = run_available_now(
+        session_agg(
+            read_event_stream(
+                spark, src, schema=schema, max_files_per_trigger=1
+            ),
+            "ts",
+            "10 minutes",
+            keys=["user_id"],
+            watermark="720 hours",  # exceeds the data span: nothing is ever late
+        )
+    )
+    single = run_available_now(
+        session_agg(
+            read_event_stream(spark, src, schema=schema),
+            "ts",
+            "10 minutes",
+            keys=["user_id"],
+            watermark="720 hours",
+        )
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert sorted(map(tuple, multi.select(cols).collect())) == sorted(
+        map(tuple, single.select(cols).collect())
+    )
