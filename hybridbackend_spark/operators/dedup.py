@@ -105,6 +105,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as ``num_hashes`` columns ``mh0..mhK`` per id.
 
@@ -118,7 +119,17 @@ def minhash_signatures(
     guessed.)
 
     Empty documents get the sentinel ``_MERSENNE_P`` in every slot.
+
+    ``portable=True`` swaps the xxhash64 base hash for the md5-derived
+    :func:`_portable_hash` so an external SQL engine can recompute the
+    exact signatures (the DuckDB oracle does) — same plan shape, ~one
+    md5 per shingle extra cost.
     """
+    base = (
+        _portable_hash(F.col("_s"), 8) % _MERSENNE_P
+        if portable
+        else F.abs(F.xxhash64("_s")) % _MERSENNE_P
+    )
     sh = df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias("_s"),
@@ -127,9 +138,7 @@ def minhash_signatures(
         # which explode_outer turns into one null row; xxhash64 skips
         # null inputs and would hash to the seed, masking the sentinel.
         id_col,
-        F.when(
-            F.col("_s").isNotNull(), F.abs(F.xxhash64("_s")) % _MERSENNE_P
-        ).alias("_h"),
+        F.when(F.col("_s").isNotNull(), base).alias("_h"),
     )
     aggs = [
         F.coalesce(
@@ -148,6 +157,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash
     signatures: rows whose signature agrees on ALL rows of any band land in
@@ -169,7 +179,9 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_n, seed, portable
+    )
     sig = sig.persist()
     try:
         band_keys = [
@@ -209,6 +221,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates -> exact Jaccard verify at
     ``threshold`` -> keep the smallest id of each CONNECTED COMPONENT of
@@ -222,7 +235,7 @@ def minhash_lsh_dedup(
     from .graph import connected_components
 
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, seed
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed, portable
     )
     verified = _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold)
     comp = connected_components(verified, "id_a", "id_b")
@@ -257,7 +270,11 @@ def _verify_jaccard(
 
 
 def simhash_sketches(
-    df: DataFrame, text_col: str, id_col: str, num_bits: int = 48
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bits: int = 48,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash sketch per id (column ``sketch``, long): for each bit
     position, sum +1/-1 votes of each token-hash bit; sign -> bit.
@@ -265,13 +282,19 @@ def simhash_sketches(
     Same explode -> partial-agg shape as :func:`minhash_signatures`:
     tokens -> xxhash64 -> explode -> groupBy(id) with ``num_bits``
     conditional-sum aggregates -> bits assembled into one long.
-    ``num_bits <= 63`` to stay in signed range.
+    ``num_bits <= 63`` to stay in signed range (``<= 60`` with
+    ``portable=True`` — the md5-derived base hash carries 60 bits).
     """
-    if not 0 < num_bits <= 63:
-        raise ValueError("num_bits must be in (0, 63]")
+    if not 0 < num_bits <= (60 if portable else 63):
+        raise ValueError("num_bits out of range for this base hash")
+    base = (
+        _portable_hash(F.col("_t"), 15)
+        if portable
+        else F.xxhash64("_t")
+    )
     toks = df.select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t")
-    ).select(id_col, F.xxhash64("_t").alias("_h"))
+    ).select(id_col, base.alias("_h"))
     votes = [
         F.sum(
             F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -293,12 +316,13 @@ def simhash_candidates(
     id_col: str,
     num_bits: int = 48,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup candidates via SimHash banding: split the sketch into
     ``bands`` contiguous bit blocks; docs sharing any block are candidates
     (guaranteed to catch pairs within Hamming distance < bands)."""
     r = num_bits // bands
-    sk = simhash_sketches(df, text_col, id_col, num_bits)
+    sk = simhash_sketches(df, text_col, id_col, num_bits, portable)
     mask = (1 << r) - 1
     with_bands = sk.select(
         F.col(id_col),

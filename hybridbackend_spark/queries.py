@@ -864,23 +864,106 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.3)
 
 
-@register("minhash_lsh_dedup_docs")  # rows-only: hash constants not SQL-expressible
+def _minhash_dedup_oracle() -> str:
+    """Full SQL replica of the MinHash+LSH dedup pipeline: portable md5
+    base hash -> 64 affine mins -> 16-band tuple equality -> exact
+    Jaccard verify -> transitive closure via recursive CTE -> survivors.
+    The affine constants are the operator's own (seed 42)."""
+    from .operators.dedup import _MERSENNE_P, _affine_coeffs
+
+    coeffs = _affine_coeffs(64, 42)
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE_P}) AS mh{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    bands = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh{b * 4 + j} = b.mh{b * 4 + j}" for j in range(4))
+        + ")"
+        for b in range(16)
+    )
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))) AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(u.g), 1, 8))::BIGINT % {_MERSENNE_P}) AS h
+      FROM t, unnest(s) u(g) WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({bands})
+    ),
+    ver AS (
+      SELECT ia, ib FROM cand
+      JOIN t ta ON ta.doc_id = ia
+      JOIN t tb ON tb.doc_id = ib
+      WHERE (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) > 0
+        AND len(list_intersect(ta.s, tb.s))::DOUBLE
+            / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) >= 0.8
+    ),
+    edges AS (SELECT ia AS a, ib AS b FROM ver
+              UNION ALL SELECT ib, ia FROM ver),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents)
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
+    """
+
+
+@register("minhash_lsh_dedup_docs", _minhash_dedup_oracle())
 def minhash_lsh_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup dedup at Jaccard>=0.8: surviving
-    doc ids. Verified in tests against the exact-Jaccard ground truth."""
+    doc ids. Portable md5 base hash, so the oracle recomputes the exact
+    signatures, candidate bands, Jaccard verification, and transitive
+    closure (recursive CTE) — the whole pipeline is hash-checked, not
+    rows-only. Also verified in tests against exact-Jaccard ground truth."""
     from .operators.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8)
+    return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8, portable=True)
 
 
-@register("simhash_docs")  # rows-only: xxhash64 not reproducible in DuckDB SQL
+@register(
+    "simhash_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+               WHERE length(trim(text)) > 0),
+    h AS (SELECT doc_id, ('0x' || substr(md5(u.t), 1, 15))::BIGINT AS h
+          FROM t, unnest(w) u(t)),
+    v AS (SELECT doc_id, b.j AS j,
+                 sum(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h, unnest(range(0, 48)) b(j) GROUP BY doc_id, b.j),
+    s AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j)
+                               ELSE 0 END) AS BIGINT) AS sketch
+          FROM v GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(s.sketch, 0) AS sketch
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN s USING (doc_id)
+    """,
+)
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 48-bit SimHash sketch + banded candidate pair count."""
+    """Per-doc 48-bit SimHash sketch. Portable md5-derived base hash
+    (60 usable bits), so the oracle rebuilds the identical bit votes and
+    sketch values — hash-checked, not rows-only."""
     from .operators.dedup import simhash_sketches
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_sketches(docs, "text", "doc_id", num_bits=48)
+    return simhash_sketches(docs, "text", "doc_id", num_bits=48, portable=True)
 
 
 @register(

@@ -188,3 +188,27 @@ def test_minhash_lsh_dedup_transitive_chain(spark):
         for r in minhash_lsh_dedup(df, "text", "doc_id", threshold=0.7).collect()
     }
     assert survivors == {1, 50}
+
+
+def test_portable_mode_same_semantics(spark):
+    """portable=True (md5 base hash, oracle-reproducible) must behave like
+    the default xxhash64 mode on the planted corpus: same near-dup
+    discovery, same dedup survivors, same simhash near/far ordering."""
+    cands = minhash_lsh_candidates(_docs(spark), "text", "doc_id", portable=True)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 3) in pairs and (0, 1) in pairs
+    survivors = {
+        r["doc_id"]
+        for r in minhash_lsh_dedup(
+            _docs(spark), "text", "doc_id", portable=True
+        ).collect()
+    }
+    assert 0 in survivors and 3 not in survivors
+    sk = {
+        r["doc_id"]: r["sketch"]
+        for r in simhash_sketches(
+            _docs(spark), "text", "doc_id", portable=True
+        ).collect()
+    }
+    assert sk[0] == sk[3]
+    assert bin(sk[0] ^ sk[1]).count("1") < bin(sk[0] ^ sk[2]).count("1")
