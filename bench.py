@@ -44,6 +44,22 @@ HEADLINE = [
     "corpus_curation_pipeline",
 ]
 
+# Ops added after the round-1 baseline was frozen: timed and reported
+# separately so the headline total stays comparable to BASELINE.md
+# round-over-round.
+EXTRA = [
+    "repetition_signals_docs",
+    "pack_sequences_docs",
+    "chunk_documents_docs",
+    "hash_split_documents",
+    "label_centroid_embeddings",
+    "salted_agg_events",
+    "stream_sliding_counts",
+    "stream_session_user",
+    "stream_dedup_keys",
+    "simhash_docs",
+]
+
 # scan-throughput shapes mirroring the reference benchmark generator
 # (hybridbackend/tensorflow/benchmarks/data_benchmark_parquet.py:44-67):
 # int64 scalar columns, ragged numeric lists, strings.
@@ -84,6 +100,21 @@ def main() -> None:
             per_query[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        fn = queries[name]
+        try:
+            _run_noop(fn(spark, sf_dir))  # warm-up, untimed
+            times = []
+            for _ in range(max(1, REPS // 2)):
+                t0 = time.perf_counter()
+                _run_noop(fn(spark, sf_dir))
+                times.append(time.perf_counter() - t0)
+            extra[name] = round(min(times), 3)
+        except Exception as e:
+            extra[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
     scans: dict[str, float] = {}
     for label, (table, cols) in SCANS.items():
         path = f"{sf_dir}/{table}.parquet"
@@ -105,6 +136,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "extra_queries_sec": extra,
                 "scans_rows_per_sec": scans,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "reps": REPS, "agg": "min",

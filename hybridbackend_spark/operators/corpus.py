@@ -92,21 +92,37 @@ def repetition_signals(
 
     One explode of tagged grams -> count per (doc, kind, gram) ->
     aggregate per doc. Both aggregations partial-combine map-side.
+
+    The token array is LET-BOUND (outer transform over a one-element
+    array, same trick as ``text.word_shingles``): lambda closures
+    re-evaluate embedded expressions per element, so referencing
+    ``tokens(col)`` directly inside the bigram lambda would re-run the
+    regex split once per bigram — measured ~6x slower on this query.
     """
-    words = tokens(_c(text_col))
-    bigrams = F.when(
-        F.size(words) < 2, F.array().cast("array<string>")
-    ).otherwise(
+    empty = F.array().cast("array<struct<kind:int,g:string>>")
+    tagged = F.element_at(
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            F.array(tokens(_c(text_col))),
+            lambda ws: F.concat(
+                F.transform(
+                    ws, lambda w: F.struct(F.lit(1).alias("kind"), w.alias("g"))
+                ),
+                F.when(F.size(ws) < 2, empty).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ws) - 2),
+                        lambda i: F.struct(
+                            F.lit(2).alias("kind"),
+                            F.concat_ws(
+                                " ",
+                                F.element_at(ws, i + 1),
+                                F.element_at(ws, i + 2),
+                            ).alias("g"),
+                        ),
+                    )
+                ),
             ),
-        )
-    )
-    tagged = F.concat(
-        F.transform(words, lambda w: F.struct(F.lit(1).alias("kind"), w.alias("g"))),
-        F.transform(bigrams, lambda b: F.struct(F.lit(2).alias("kind"), b.alias("g"))),
+        ),
+        1,
     )
     grams = df.select(F.col(id_col), F.explode(tagged).alias("t")).select(
         id_col, F.col("t.kind").alias("kind"), F.col("t.g").alias("g")
@@ -148,7 +164,11 @@ def repetition_signals(
 
 
 def _global_running_sum(
-    df: DataFrame, value_col: str, order_by: Sequence[str], out_col: str
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str],
+    out_col: str,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Inclusive running sum of ``value_col`` in ``order_by`` order,
     computed distributed: range-partition on the order columns, window-sum
@@ -165,9 +185,12 @@ def _global_running_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn(
-        "_local_sum", F.sum(value_col).over(w_local)
-    ).localCheckpoint(eager=True)
+    local = ranged.withColumn("_local_sum", F.sum(value_col).over(w_local))
+    if checkpoint:
+        # eager localCheckpoint pins the partition layout the collected
+        # offsets came from; checkpoint=False keeps the range-partitioned
+        # plan visible for plan-shape tests
+        local = local.localCheckpoint(eager=True)
     totals = dict(
         local.groupBy("_pid").agg(F.sum(value_col).alias("_s")).collect()
     )
@@ -197,6 +220,7 @@ def pack_sequences(
     token_count_col: str,
     budget: int,
     order_by: Sequence[str] | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Contiguous concat-and-chunk sequence packing: documents in
     ``order_by`` order are laid end-to-end in token space and cut into
@@ -208,7 +232,9 @@ def pack_sequences(
     ``bin_offset`` (start position of the document within its bin).
     """
     order = list(order_by or [id_col])
-    out = _global_running_sum(df, token_count_col, order, "cum_tokens")
+    out = _global_running_sum(
+        df, token_count_col, order, "cum_tokens", checkpoint
+    )
     start = F.col("cum_tokens") - F.col(token_count_col)
     # exact integer div/mod — float division drifts above 2^53 total tokens
     return (

@@ -1884,3 +1884,97 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup(stream, ["user_id", "event_type"], "ts")
     )
     return out.select("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Vector centroids + skew-mitigated aggregation (scale-shape demonstrations)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroid_embeddings",
+    """
+    WITH e AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+      FROM e GROUP BY label, pos
+    )
+    SELECT label,
+           list(round(s / (1000000.0 * n), 6) ORDER BY pos) AS centroid,
+           max(n) AS n_vectors
+    FROM per GROUP BY label
+    """,
+)
+def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean) in the relational
+    scale shape: posexplode -> groupBy(label, dim) partial+final avg ->
+    reassemble sorted array. Shuffle volume is |labels| x dim doubles, not
+    the embedding table; this is the IVF-centroid / class-prototype
+    building block. Elements are summed as exact scaled integers so the
+    mean is reproducible across engines and partition orders."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    per = e.groupBy("label", "pos").agg(
+        F.sum(F.round(F.col("x") * 1_000_000).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = per.select(
+        "label",
+        "pos",
+        F.round(F.col("s") / (F.lit(1_000_000.0) * F.col("n")), 6).alias("c"),
+        "n",
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.max("n").alias("n_vectors"),
+    )
+
+
+@register(
+    "salted_agg_events",
+    f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {_SQL_MONEY.format(expr="value")} AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-stage aggregation: partial agg on a salted key
+    (hot keys spread over 8 sub-keys), final agg on the bare key. The
+    result equals a plain GROUP BY — the salt only reshapes the shuffle
+    so no single reducer owns a hot key's entire row set (reference
+    analog: modulo re-partition before reduction,
+    distribute/partition/partition_by_modulo_ops.cc:46-124). Money-exact
+    sums make the two-stage float total reproducible."""
+    from .operators.exchange import salted_key
+
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_sk", salted_key("event_type", 8)).withColumn(
+        "_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    partial = salted.groupBy("_sk").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_cents").alias("_s")
+    )
+    return (
+        partial.groupBy(F.col("_sk.key").alias("event_type"))
+        .agg(
+            F.sum("_n").alias("n_events"),
+            (F.sum("_s") / F.lit(100.0)).alias("sum_value"),
+        )
+    )

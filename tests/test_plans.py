@@ -155,3 +155,38 @@ def test_bucketed_join_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_pack_sequences_distributed(spark):
+    # the packing prefix sum must range-partition, never funnel through a
+    # single-partition window
+    from hybridbackend_spark.operators.corpus import pack_sequences
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    df = spark.range(1000).selectExpr("id AS doc_id", "id % 7 + 1 AS n_tok")
+    out = pack_sequences(df, "doc_id", "n_tok", budget=64, checkpoint=False)
+    plan = physical_plan(out)
+    assert "rangepartitioning" in plan
+    for ln in plan.splitlines():
+        if "Window " in ln:
+            assert "_pid" in ln
+
+
+def test_repetition_signals_partial_agg(spark, sf_dir):
+    # gram counting must combine map-side: shuffle bytes scale with
+    # distinct grams, not corpus bytes
+    from hybridbackend_spark.operators.corpus import repetition_signals
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(repetition_signals(docs))
+    assert "partial_count" in plan
+
+
+def test_label_centroid_bounded_shuffles(spark, sf_dir):
+    # posexplode -> (label, dim) agg -> label agg: exactly two bounded
+    # exchanges, each carrying |labels| x dim rows at most
+    from hybridbackend_spark.queries import label_centroid_embeddings
+    from hybridbackend_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(label_centroid_embeddings(spark, sf_dir)) <= 2
