@@ -1978,3 +1978,54 @@ def salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("_s") / F.lit(100.0)).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spec-driven feature pipeline (reference DataSpec, docs/tutorial/ranking/
+# data.py:39-199) — config-as-code transform application
+# ---------------------------------------------------------------------------
+
+_LINEITEM_SPEC = [
+    {"name": "l_quantity", "dtype": "float64", "default": 0, "log": True},
+    {"name": "l_extendedprice", "dtype": "float64", "norm": 10000.0},
+    {
+        "name": "l_partkey",
+        "dtype": "int64",
+        "default": 0,
+        "embedding": {"size": 1000, "dimension": 16},
+    },
+]
+
+
+@register(
+    "dataspec_transform",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(1 + CASE WHEN l_quantity IS NOT NULL AND l_quantity >= 0
+                             THEN l_quantity ELSE 0 END), 6) AS l_quantity,
+           round(l_extendedprice / 10000.0, 6) AS l_extendedprice,
+           ((CASE WHEN l_partkey IS NOT NULL AND l_partkey >= 0
+                  THEN l_partkey ELSE 0 END % 1000) + 1000) % 1000
+             AS l_partkey
+    FROM lineitem
+    """,
+)
+def dataspec_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's JSON DataSpec applied declaratively: numeric
+    features impute -> log1p -> normalize, categorical features impute ->
+    mod-bucket to embedding id space. One spec drives every column; all
+    transforms are codegen expressions (the oracle spells out the same
+    recipe column by column)."""
+    from .functions.spec import DataSpec
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+    )
+    out = DataSpec(_LINEITEM_SPEC).apply(li)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("l_quantity"),
+        F.round("l_extendedprice", 6).alias("l_extendedprice"),
+        "l_partkey",
+    )

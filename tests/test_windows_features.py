@@ -65,3 +65,48 @@ def test_ordered_collect(spark):
     )
     got = ordered_collect(df, "k", "t", "v").collect()[0]["items"]
     assert got == ["a", "b", "c"]
+
+
+def test_dataspec_json_roundtrip_and_flags(spark, tmp_path):
+    # reference DataSpec.read format (docs/tutorial/ranking/data.py:46-66)
+    import json
+
+    from hybridbackend_spark.functions.spec import DataSpec
+
+    spec_json = [
+        {"name": "x", "dtype": "float64", "default": 0, "log": True,
+         "norm": 10.0},
+        {"name": "cat", "dtype": "int64", "default": 0,
+         "embedding": {"size": 8, "dimension": 4}},
+        {"name": "tags", "dtype": "int64", "type": "list", "default": 0,
+         "embedding": {"size": 8, "dimension": 4}},
+    ]
+    p = tmp_path / "spec.json"
+    p.write_text(json.dumps(spec_json))
+    spec = DataSpec.read(str(p))
+    assert spec.embedding_sizes == {"x": None, "cat": 8, "tags": 8}
+    assert spec.embedding_dims["cat"] == 4
+    assert spec.norms["x"] == 10.0
+
+    df = spark.createDataFrame(
+        [(4.0, 10, [9, -3]), (-1.0, -5, [17, 2])], ["x", "cat", "tags"]
+    )
+    out = {
+        (round(r["x"], 9), r["cat"], tuple(r["tags"]))
+        for r in spec.apply(df).collect()
+    }
+    import math
+
+    # x: impute(-1 -> 0) -> log1p -> /10; cat: impute -> %8; tags: per-elem
+    assert (round(math.log1p(4.0) / 10.0, 9), 2, (1, 0)) in out  # -3 imputed to 0 first
+    assert (round(math.log1p(0.0) / 10.0, 9), 0, (1, 2)) in out
+
+    # disable flags: raw passthrough apart from dtype cast / bucketing
+    plain = DataSpec(spec_json, disable_imputation=True,
+                     disable_transform=True)
+    vals = {tuple(r)[:2] for r in plain.apply(df).collect()}
+    assert (4.0, 2) in vals and (-1.0, -5 % 8) in vals
+
+    # override_embedding_size rebuckets every categorical
+    small = DataSpec(spec_json, override_embedding_size=2)
+    assert small.embedding_sizes["cat"] == 2
