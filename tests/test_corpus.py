@@ -119,3 +119,46 @@ def test_chunk_documents_no_shuffle(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_matches_python_reference(spark):
+    # randomized differential test: 60 docs of varying token counts vs a
+    # direct python rendering of the chunking convention
+    import random
+
+    rng = random.Random(123)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    chunk, stride = 7, 5
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, stride=stride).collect()
+    }
+    want = {}
+    for i, text in rows:
+        toks = text.split() if text.strip() else []
+        for start in range(0, len(toks), stride):
+            piece = toks[start : start + chunk]
+            want[(i, start // stride)] = (start, " ".join(piece), len(piece))
+    assert got == want
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 300)) for i in range(500)]
+    budget = 256
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"]).repartition(7)
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tok", budget=budget).collect()
+    }
+    cum = 0
+    for i, n in rows:  # rows are already in doc_id order
+        start = cum
+        cum += n
+        assert got[i] == (cum, start // budget, start % budget)
