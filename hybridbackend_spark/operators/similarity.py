@@ -21,6 +21,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "ivf_assign",
+    "kmeans_train",
     "cosine_topk_ivf",
 ]
 
@@ -297,3 +298,71 @@ def cosine_topk_ivf(
             "rnk",
         )
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    init: list[list[float]] | None = None,
+    id_col: str | None = None,
+    scale: int = 1_000_000,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over an embedding column — trains the
+    IVF coarse quantizer (:func:`ivf_assign` / :func:`cosine_topk_ivf`
+    consume the result) instead of requiring offline centroids.
+
+    Each iteration is one Spark round trip, all heavy work distributed:
+    assignment is a per-row argmin over centroid literals (zero shuffle),
+    the update is posexplode -> groupBy(cell, dim) partial+final sums ->
+    a driver collect bounded by k x dim rows (centroids must fit on the
+    driver by definition). Empty cells keep their previous centroid.
+
+    Determinism: init is either explicit or the k smallest-``id_col``
+    rows; argmin tie-breaks on the lower cell id; per-element means sum
+    exact scaled integers (``round(x * scale)`` as long), so the trained
+    centroids are bit-reproducible across partitionings — and across
+    engines (the DuckDB oracle unrolls the same iterations).
+    """
+    if init is None:
+        if id_col is None:
+            raise ValueError("pass init centroids or id_col for seeding")
+        seed_rows = (
+            df.select(F.col(id_col), _as_double_vec(vec_col).alias("_v"))
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
+        centroids = [list(r["_v"]) for r in seed_rows]
+    else:
+        centroids = [list(map(float, c)) for c in init]
+    if len(centroids) != k:
+        raise ValueError(f"need {k} init centroids, got {len(centroids)}")
+
+    vecs = df.select(_as_double_vec(vec_col).alias("_v"))
+    for _ in range(iters):
+        assigned = ivf_assign(vecs, "_v", centroids, "_cell")
+        sums = (
+            assigned.select(
+                "_cell", F.posexplode("_v").alias("_pos", "_x")
+            )
+            .groupBy("_cell", "_pos")
+            .agg(
+                F.sum(F.round(F.col("_x") * scale).cast("long")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_s"] / (
+                float(scale) * r["_n"]
+            )
+        centroids = [
+            [by_cell[c][p] for p in sorted(by_cell[c])]
+            if c in by_cell
+            else centroids[c]  # empty cell: carry previous centroid
+            for c in range(k)
+        ]
+    return centroids

@@ -2029,3 +2029,85 @@ def dataspec_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_extendedprice", 6).alias("l_extendedprice"),
         "l_partkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid training (distributed Lloyd k-means) — closes the "centroids
+# are offline constants" gap: the coarse quantizer is trained IN the engine
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(iters: int = 2) -> str:
+    """Unrolled Lloyd iterations in SQL: assignment by lexicographic
+    (distance, cell) struct-min — identical tie-break to the Spark
+    argmin — and exact scaled-integer means, so every iteration's
+    centroids are bit-equal across engines."""
+    assign = (
+        "SELECT e.vec_id, e.v, (min(struct_pack("
+        "d := list_sum(list_transform(list_zip(e.v, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), i := c.cell))).i AS cell "
+        "FROM e, {src} c GROUP BY e.vec_id, e.v"
+    )
+    update = """
+    u{i} AS (
+      SELECT cell, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+      FROM a{i}
+    ),
+    s{i} AS (
+      SELECT cell, pos,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS s,
+             count(*) AS n
+      FROM u{i} GROUP BY cell, pos
+    ),
+    cu{i} AS (
+      SELECT cell, list(s / (1000000.0 * n) ORDER BY pos) AS c
+      FROM s{i} GROUP BY cell
+    ),
+    c{j} AS (
+      SELECT c{i}.cell, coalesce(cu{i}.c, c{i}.c) AS c
+      FROM c{i} LEFT JOIN cu{i} USING (cell)
+    )"""
+    parts = [
+        """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id::INT AS cell, v AS c FROM e WHERE vec_id < 8)"""
+    ]
+    for i in range(iters):
+        parts.append(f",\n    a{i} AS ({assign.format(src=f'c{i}')})")
+        parts.append("," + update.format(i=i, j=i + 1))
+    parts.append(f",\n    af AS ({assign.format(src=f'c{iters}')})")
+    parts.append(
+        f"""
+    SELECT af.cell, count(*) AS n_members,
+           any_value(list_transform(c{iters}.c, x -> round(x, 6))) AS centroid
+    FROM af JOIN c{iters} USING (cell)
+    GROUP BY af.cell
+    """
+    )
+    return "".join(parts)
+
+
+@register("ivf_train_centroids", _kmeans_oracle())
+def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer with 2 distributed Lloyd
+    iterations (deterministic init: 8 smallest vec_ids), then assign the
+    corpus. Assignment is a per-row argmin over centroid literals (zero
+    shuffle); each update is one bounded groupBy(cell, dim). The oracle
+    unrolls identical iterations in SQL — centroids and assignments are
+    bit-checked, not spot-checked."""
+    from .operators.similarity import ivf_assign, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_train(emb, "embedding", k=8, iters=2, id_col="vec_id")
+    assigned = ivf_assign(emb, "embedding", cents, "cell")
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    cent_lookup = F.element_at(
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents]),
+        F.col("cell") + 1,
+    )
+    return counts.withColumn(
+        "centroid", F.transform(cent_lookup, lambda x: F.round(x, 6))
+    )

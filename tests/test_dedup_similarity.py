@@ -212,3 +212,44 @@ def test_portable_mode_same_semantics(spark):
     }
     assert sk[0] == sk[3]
     assert bin(sk[0] ^ sk[1]).count("1") < bin(sk[0] ^ sk[2]).count("1")
+
+
+def test_kmeans_train_recovers_planted_clusters(spark):
+    from hybridbackend_spark.operators.similarity import ivf_assign, kmeans_train
+
+    # 3 tight planted clusters around orthogonal anchors
+    import random
+
+    rng = random.Random(5)
+    anchors = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+    rows = []
+    for i in range(90):
+        a = anchors[i % 3]
+        rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in a]))
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    cents = kmeans_train(df, "vec", k=3, iters=3, id_col="vid")
+    assigned = {
+        r["vid"]: r["cell"]
+        for r in ivf_assign(df, "vec", cents, "cell").select("vid", "cell").collect()
+    }
+    # every point of a planted cluster lands in one cell, 3 distinct cells
+    cells = [{assigned[i] for i in range(90) if i % 3 == m} for m in range(3)]
+    assert all(len(c) == 1 for c in cells)
+    assert len(set().union(*cells)) == 3
+    # trained centroids sit near the anchors
+    for c in cents:
+        best = min(sum((x - y) ** 2 for x, y in zip(c, a)) for a in anchors)
+        assert best < 0.3
+
+
+def test_kmeans_train_empty_cell_keeps_previous(spark):
+    from hybridbackend_spark.operators.similarity import kmeans_train
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["vid", "vec"]
+    )
+    far = [100.0, 100.0]  # captures nothing -> must survive verbatim
+    cents = kmeans_train(
+        df, "vec", k=2, iters=2, init=[[0.5, 0.5], far]
+    )
+    assert cents[1] == far
