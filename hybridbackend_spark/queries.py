@@ -2111,3 +2111,295 @@ def ivf_train_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "centroid", F.transform(cent_lookup, lambda x: F.round(x, 6))
     )
+
+
+# ---------------------------------------------------------------------------
+# Decorrelated-subquery suite (TPC-H Q4/Q7/Q10/Q16/Q18/Q22 shapes) — the
+# relational patterns a reference user's ad-hoc analytics would hit next:
+# EXISTS / IN / NOT IN / scalar subqueries, expressed so Catalyst
+# decorrelates them into semi/anti/broadcast joins (J6 family).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi
+    join with a non-equi residual (l_shipdate > o_orderdate). The probe
+    side carries only (l_orderkey, l_shipdate) — at 100 TB the semi join
+    shuffles two columns, never the lineitem payload."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+             / 100.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with a cross-dimension OR predicate.
+    Both nation legs broadcast; the nation filter semi-reduces supplier
+    and customer BEFORE they meet lineitem, so the fact table joins
+    against two already-tiny broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_3", "NATION_7")
+    n1 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = s.join(F.broadcast(n1), s.s_nationkey == n1.s_nk).select(
+        "s_suppkey", "supp_nation"
+    )
+    cn = c.join(F.broadcast(n2), c.c_nationkey == n2.c_nk).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             round(c.c_acctbal, 2) AS c_acctbal,
+             sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+               AS revenue_cents
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2)
+    )
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           revenue_cents / 100.0 AS revenue
+    FROM rev
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue, top 20 customers. The
+    top-k cutoff orders by EXACT integer cents (then custkey), so the
+    selected set is identical across engines and partition orders; Spark
+    runs it as a TakeOrderedAndProject (no global sort materialized)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+        .agg(
+            F.sum(
+                F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+                .cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    return (
+        rev.orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "c_acctbal",
+            (F.col("revenue_cents") / 100.0).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct (part, supplier) pairs from the fact
+    table stand in for partsupp; NOT IN over a filtered supplier list is
+    a broadcast anti join (the exclusion list is tiny by construction),
+    then a distinct-count per (brand, type, size)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-qualified IN subquery as a pre-aggregated
+    join. The quantity sum runs as exact BIGINTs (quantities are
+    integral), so the >250 cutoff cannot ulp-flip; the survivors (~1% of
+    orders) then join orders/customer, both join inputs already reduced."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    WITH stats AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment, count(*) AS numcust,
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer c, stats
+    WHERE c.c_acctbal > 0
+      AND CAST(round(c.c_acctbal * 100) AS BIGINT) * stats.n > stats.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join.
+    The 'above average balance' comparison is cross-multiplied into pure
+    integer arithmetic (cents * count > sum_cents) — no double division,
+    so the boundary set is bit-identical across engines. The scalar
+    aggregate broadcasts as a single row; the anti join streams orders
+    keys only."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    stats = c.agg(
+        F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.withColumn("cents", cents)
+        .join(F.broadcast(stats))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("cents") / 100.0).alias("totacctbal"),
+        )
+    )

@@ -190,3 +190,60 @@ def test_label_centroid_bounded_shuffles(spark, sf_dir):
     from hybridbackend_spark.plans.inspect import count_exchanges
 
     assert count_exchanges(label_centroid_embeddings(spark, sf_dir)) <= 2
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    # EXISTS must decorrelate to a semi join; the probe side carries only
+    # (l_orderkey, l_shipdate) — assert pruning reached the lineitem scan
+    from hybridbackend_spark.queries import q4_order_priority
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    import re
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "l_orderkey" in ln
+    ]
+    assert li_scans and all(
+        set(re.findall(r"l_\w+", ln)) <= {"l_orderkey", "l_shipdate"}
+        for ln in li_scans
+    )
+
+
+def test_q7_all_dims_broadcast_single_shuffle(spark, sf_dir):
+    # every dimension leg broadcasts; the only exchange is the final agg
+    from hybridbackend_spark.queries import q7_volume_shipping
+    from hybridbackend_spark.plans.inspect import assert_broadcast_join
+
+    df = q7_volume_shipping(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    from hybridbackend_spark.queries import q16_supplier_counts
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(q16_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_streams_keys_only(spark, sf_dir):
+    # NOT EXISTS -> anti join; the orders side must be pruned to o_custkey
+    # (+ the pushed o_orderdate predicate)
+    from hybridbackend_spark.queries import q22_idle_rich_customers
+    from hybridbackend_spark.plans.inspect import physical_plan
+    import re
+
+    plan = physical_plan(q22_idle_rich_customers(spark, sf_dir))
+    assert "LeftAnti" in plan
+    o_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema" in ln and "o_custkey" in ln
+    ]
+    assert o_scans and all(
+        set(re.findall(r"o_\w+", ln)) <= {"o_custkey", "o_orderdate"}
+        for ln in o_scans
+    )
