@@ -35,6 +35,8 @@ __all__ = [
     "repetition_signals",
     "pack_sequences",
     "chunk_documents",
+    "stratified_sample",
+    "stratified_topn",
 ]
 
 
@@ -273,4 +275,61 @@ def chunk_documents(
         F.col("start").cast("long").alias("start"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling as a PURE FILTER.
+
+    Keeps a row iff ``hash_bucket(key) < fraction(stratum) * denom`` — no
+    shuffle, no RNG state, no sort: at 100 TB this is a map-only pass
+    whose selectivity is exact-in-expectation and whose membership
+    decision is reproducible row-by-row (rerunning the pipeline, or
+    re-deriving the sample in another engine, selects the same rows).
+    This is the corpus-rebalancing primitive (e.g. downweight the
+    dominant language) used before expensive downstream stages.
+    """
+    bucket = hash_bucket(key, denom, seed)
+    s = _c(strata)
+    thresh: Column = F.lit(int(round(default_fraction * denom)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(s == value, F.lit(int(round(frac * denom)))).otherwise(
+            thresh
+        )
+    return df.filter(bucket < thresh)
+
+
+def stratified_topn(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen by deterministic hash order
+    (md5 of the key, ties broken by the key itself).
+
+    One shuffle on the stratum column + a per-stratum top-n window — the
+    exact-quota companion to :func:`stratified_sample` (which is
+    shuffle-free but only exact in expectation). Skewed strata are a
+    bounded problem: the window keeps only n rows per partition group
+    after the sort, and heavily skewed strata can be pre-filtered with
+    :func:`stratified_sample` at ~2x the target rate first.
+    """
+    h = F.md5(F.concat_ws(":", _c(key).cast("string"), F.lit(str(seed))))
+    w = (
+        Window.partitionBy(_c(strata)).orderBy(h, _c(key))
+    )
+    return (
+        df.withColumn("_ss_rn", F.row_number().over(w))
+        .filter(F.col("_ss_rn") <= n)
+        .drop("_ss_rn")
     )

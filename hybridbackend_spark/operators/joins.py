@@ -24,6 +24,7 @@ __all__ = [
     "left_join_with_default",
     "clip_history",
     "asof_join",
+    "interval_join",
 ]
 
 
@@ -231,3 +232,59 @@ def asof_join(
         for c in rcols:
             filled = filled.withColumn(c, F.when(keep, F.col(c)))
     return filled.withColumnRenamed("_t", left_ts).drop("_is_left", "_rt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_s: int,
+    extra_on: Column | None = None,
+) -> DataFrame:
+    """Point-in-interval range join without a cartesian product.
+
+    Naive ``points JOIN intervals ON start <= ts AND ts < end`` has no
+    equi-key, so Spark plans a broadcast-nested-loop / cartesian — a
+    scale-killer. This operator manufactures the equi-key: time is cut
+    into fixed buckets of ``bucket_width_s`` seconds, each interval is
+    exploded to every bucket it overlaps (``(end - start) / width + 1``
+    rows, so pick the width near the typical interval length), each point
+    belongs to exactly one bucket, and the join becomes a hash equi-join
+    on bucket id with the range predicate left as a residual filter. A
+    point matching an interval shares at least one bucket with it, and
+    since the point has exactly one bucket, no match is duplicated.
+
+    Intervals are half-open ``[start, end)``; timestamps compare at
+    microsecond precision. ``extra_on`` adds an extra residual predicate.
+
+    Spark-native alternative to the reference's offline pandas interval
+    clip (``docs/tutorial/ranking/taobao/data/prep_3_merge.py:51-68``)
+    generalized to two distinct tables.
+    """
+    w_us = int(bucket_width_s) * 1_000_000
+
+    def _us(col: str) -> str:
+        # cast handles TIMESTAMP_NTZ (session-TZ reinterpretation is
+        # consistent across both inputs, which is all bucketing needs)
+        return f"unix_micros(cast(`{col}` as timestamp))"
+
+    p = points.withColumn("_ij_bucket", F.expr(f"{_us(point_ts)} div {w_us}"))
+    iv = intervals.withColumn(
+        "_ij_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"{_us(start_col)} div {w_us}"),
+                F.expr(f"({_us(end_col)} - 1) div {w_us}"),
+            )
+        ),
+    )
+    cond = (
+        (p["_ij_bucket"] == iv["_ij_bucket"])
+        & (p[point_ts] >= iv[start_col])
+        & (p[point_ts] < iv[end_col])
+    )
+    if extra_on is not None:
+        cond = cond & extra_on
+    return p.join(iv, cond).drop("_ij_bucket")

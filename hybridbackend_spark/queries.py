@@ -2403,3 +2403,97 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / 100.0).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join + stratified sampling (scale-shaped corpus/event primitives)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_shipwindows",
+    """
+    WITH iv AS (
+      SELECT l_orderkey AS w_orderkey, l_linenumber AS w_line,
+             l_shipdate AS w_start, l_shipdate + INTERVAL 7 DAY AS w_end
+      FROM lineitem WHERE l_quantity > 49
+    ),
+    pts AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT w_orderkey, w_line, o_orderkey, o_orderdate
+    FROM iv JOIN pts
+      ON pts.o_orderdate >= iv.w_start AND pts.o_orderdate < iv.w_end
+    """,
+)
+def interval_join_shipwindows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: which big orders were placed inside
+    each high-quantity shipment's 7-day window. The naive non-equi join
+    is a cartesian; :func:`interval_join` buckets time at the interval
+    width so it runs as a hash equi-join on bucket id with the range
+    predicate residual (plan-gated: no CartesianProduct)."""
+    from .operators.joins import interval_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    iv = li.filter(F.col("l_quantity") > 49).select(
+        F.col("l_orderkey").alias("w_orderkey"),
+        F.col("l_linenumber").alias("w_line"),
+        F.col("l_shipdate").alias("w_start"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 7 DAY")).alias("w_end"),
+    )
+    pts = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderdate"
+    )
+    return interval_join(
+        pts, iv, "o_orderdate", "w_start", "w_end", bucket_width_s=7 * 86400
+    ).select("w_orderkey", "w_line", "o_orderkey", "o_orderdate")
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':1'), 1, 8))::BIGINT % 10000)
+          < CASE WHEN lang = 'en' THEN 1500 ELSE 6000 END
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample: keep 15% of the dominant 'en'
+    stratum and 60% of everything else, as a deterministic map-only
+    filter (zero shuffle; membership is re-derivable row-by-row — the
+    oracle recomputes the identical md5 arithmetic, so the SELECTED SET
+    is hash-checked, not just its size)."""
+    from .operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.15}, default_fraction=0.6, seed=1
+    ).select("doc_id", "lang")
+
+
+@register(
+    "stratified_topn_docs",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR || ':0'), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rn <= 5
+    """,
+)
+def stratified_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota sampling: exactly 5 documents per source, chosen by
+    deterministic md5 order — one shuffle on the stratum key, per-stratum
+    top-n window. The companion to the shuffle-free rate sampler when
+    the contract is an exact per-stratum count."""
+    from .operators.corpus import stratified_topn
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_topn(docs, "source", "doc_id", n=5).select(
+        "doc_id", "source"
+    )

@@ -162,3 +162,44 @@ def test_pack_sequences_matches_python_reference(spark):
         start = cum
         cum += n
         assert got[i] == (cum, start // budget, start % budget)
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    from hybridbackend_spark.operators.corpus import stratified_sample
+
+    df = spark.range(4000).selectExpr(
+        "id", "CASE WHEN id % 4 = 0 THEN 'big' ELSE 'small' END AS grp"
+    )
+    out1 = stratified_sample(df, "grp", "id", {"big": 0.8}, default_fraction=0.05)
+    out2 = stratified_sample(df, "grp", "id", {"big": 0.8}, default_fraction=0.05)
+    ids1 = sorted(r["id"] for r in out1.collect())
+    assert ids1 == sorted(r["id"] for r in out2.collect())  # reproducible
+    by = {r["grp"]: r["n"] for r in out1.groupBy("grp").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # 1000 'big' at 80% and 3000 'small' at 5%: loose binomial bounds
+    assert 700 <= by["big"] <= 900
+    assert 90 <= by["small"] <= 230
+    # repartitioning must not change membership (layout-independent)
+    ids3 = sorted(
+        r["id"]
+        for r in stratified_sample(
+            df.repartition(13), "grp", "id", {"big": 0.8}, default_fraction=0.05
+        ).collect()
+    )
+    assert ids3 == ids1
+
+
+def test_stratified_topn_exact_quota(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.corpus import stratified_topn
+
+    df = spark.range(500).selectExpr("id", "concat('s', id % 7) AS grp")
+    out = stratified_topn(df, "grp", "id", n=12)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {f"s{i}": 12 for i in range(7)}
+    # deterministic across layouts
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in stratified_topn(df.repartition(9), "grp", "id", n=12).collect())
+    assert a == b

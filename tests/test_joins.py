@@ -96,3 +96,58 @@ def test_asof_join_forward(spark):
     out = asof_join(left, right, on="k", left_ts="t", right_ts="rt",
                     direction="forward")
     assert out.collect()[0]["rv"] == "after"
+
+
+def test_interval_join_matches_naive_nonequi(spark):
+    """Differential: bucketed interval join == naive non-equi join on
+    random data, including boundary rows (ts == start kept, ts == end
+    dropped) and intervals spanning multiple buckets."""
+    import random
+
+    from hybridbackend_spark.operators.joins import interval_join
+
+    rng = random.Random(11)
+    base = 1_700_000_000
+    pts = [(i, base + rng.randrange(0, 100_000)) for i in range(200)]
+    ivs = []
+    for j in range(60):
+        s = base + rng.randrange(0, 100_000)
+        ivs.append((j, s, s + rng.randrange(1, 40_000)))  # up to 4 buckets @ w=10000s
+    # force exact boundary hits
+    ivs.append((60, pts[0][1], pts[0][1] + 50))      # ts == start -> match
+    ivs.append((61, pts[1][1] - 50, pts[1][1]))      # ts == end   -> no match
+    p = spark.createDataFrame(pts, ["pid", "ts_s"]).selectExpr(
+        "pid", "timestamp_seconds(ts_s) AS ts"
+    )
+    iv = spark.createDataFrame(ivs, ["wid", "s_s", "e_s"]).selectExpr(
+        "wid", "timestamp_seconds(s_s) AS w_start", "timestamp_seconds(e_s) AS w_end"
+    )
+    got = {
+        (r["pid"], r["wid"])
+        for r in interval_join(p, iv, "ts", "w_start", "w_end", 10_000)
+        .select("pid", "wid")
+        .collect()
+    }
+    want = {
+        (r["pid"], r["wid"])
+        for r in p.join(
+            iv, (p.ts >= iv.w_start) & (p.ts < iv.w_end)
+        ).select("pid", "wid").collect()
+    }
+    assert got == want
+    assert (0, 60) in got and (1, 61) not in got
+
+
+def test_interval_join_no_cartesian_plan(spark):
+    from hybridbackend_spark.operators.joins import interval_join
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    p = spark.range(10).selectExpr("id AS pid", "timestamp_seconds(id * 100) AS ts")
+    iv = spark.range(5).selectExpr(
+        "id AS wid",
+        "timestamp_seconds(id * 200) AS w_start",
+        "timestamp_seconds(id * 200 + 300) AS w_end",
+    )
+    plan = physical_plan(interval_join(p, iv, "ts", "w_start", "w_end", 300))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
