@@ -1,0 +1,102 @@
+"""Text relevance ranking: TF-IDF / BM25 top-k over a document corpus.
+
+The retrieval primitive of a training-data pipeline (query-targeted
+corpus slicing, dedup-cluster canonical selection, eval-set mining).
+Extends the reference's text surface (tokenization-based prep in
+``docs/tutorial/ranking/taobao/data/``) with the classic sparse ranking
+function, shaped for 100 TB:
+
+- postings are filtered to the query's terms BEFORE any shuffle, so all
+  aggregations run on ``|docs matching any term| x |query terms|`` rows,
+  never the corpus;
+- corpus statistics (N, avgdl) are a single-row broadcast; per-term
+  document frequencies are a ``|query terms|``-row broadcast;
+- the final top-k orders by the 6-dp-rounded score with a document-id
+  tie-break, so the selected set is reproducible across engines and
+  partitionings (TakeOrderedAndProject, no global sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank documents against a bag-of-terms query with BM25.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (always positive)
+    score  = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Returns (id, score, n_hits) for the top ``k`` documents ordered by
+    (rounded score desc, id) — ``score`` rounded to 6 dp, ``n_hits`` the
+    number of distinct query terms present.
+    """
+    terms = [t.lower() for t in query_terms]
+    toked = docs.select(
+        F.col(id_col).alias("_id"), tokens(text_col).alias("_toks")
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(F.size("_toks")).alias("_sum_dl"),
+    )
+    # single pass: carry the doc length alongside each posting so no
+    # corpus-wide join is ever needed (the shuffle holds only rows whose
+    # term matches the query)
+    postings = (
+        toked.select(
+            "_id",
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_term"),
+        )
+        .filter(F.col("_term").isin(*terms))
+        .groupBy("_id", "_term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl"))
+    )
+    df_per_term = postings.groupBy("_term").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    scored = (
+        postings.join(F.broadcast(df_per_term), "_term")
+        .join(F.broadcast(stats))
+        .withColumn("_avgdl", F.col("_sum_dl") / F.col("_n_docs"))
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy("_id")
+        .agg(
+            F.round(F.sum("_s"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), "_id")
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "score", "n_hits")
+    )

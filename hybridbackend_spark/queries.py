@@ -2497,3 +2497,76 @@ def stratified_topn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topn(docs, "source", "doc_id", n=5).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "bm25_rank_docs",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM toked),
+    post AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toked
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM post WHERE term IN ('hash', 'join', 'spark', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    sc AS (
+      SELECT t.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl
+                                / (s.sum_dl::DOUBLE / s.n_docs)))
+             ), 6) AS score,
+             count(*) AS n_hits
+      FROM tf t JOIN dfreq d USING (term), stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, n_hits FROM sc ORDER BY score DESC, doc_id LIMIT 15
+    """,
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a 4-term query over the documents corpus. The
+    postings are filtered to the query terms before any shuffle; corpus
+    stats and per-term document frequencies broadcast. The oracle
+    replicates the identical score arithmetic (same association order),
+    so the ranking itself is hash-checked."""
+    from .operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["hash", "join", "spark", "vector"], k=15
+    )
+
+
+@register(
+    "stream_running_counter",
+    """
+    SELECT user_id, count(*) AS n_events,
+           sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) / 100.0
+             AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-
+    user running (count, sum) with explicit state, replayed availableNow.
+    The accumulator keeps exact integer cents, so the final emission per
+    key is bit-equal to the batch aggregate no matter how the stream was
+    micro-batched — hash-checked against the batch SQL oracle."""
+    from .streaming.ops import read_event_stream, run_available_now
+    from .streaming.stateful import running_counter
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_available_now(running_counter(stream))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -22,7 +22,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = ["running_counter", "RUNNING_COUNTER_SCHEMA"]
 
 RUNNING_COUNTER_SCHEMA = "user_id long, n_events long, sum_value double"
-_STATE_SCHEMA = "n long, s double"
+_STATE_SCHEMA = "n long, c long"
 
 
 def _update_running_counter(
@@ -31,17 +31,26 @@ def _update_running_counter(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-key accumulator: counts events and sums ``value`` across
-    micro-batches, emitting the running totals on every batch."""
+    micro-batches (value accumulated as exact integer cents), emitting
+    the running totals on every batch."""
     if state.hasTimedOut:
         state.remove()
         return
-    n, s = state.get if state.exists else (0, 0.0)
+    n, c = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].fillna(0.0).sum())
-    state.update((n, s))
+        v = pdf["value"].fillna(0.0)
+        # exact integer cents, rounded half-away-from-zero (matches SQL
+        # round()): the running sum is order- and batching-independent,
+        # so the final emission is bit-reproducible against a batch
+        # engine regardless of micro-batch splits
+        import numpy as np
+
+        cents = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+        c += int(cents.astype("int64").sum())
+    state.update((n, c))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [c / 100.0]}
     )
 
 

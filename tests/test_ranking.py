@@ -1,0 +1,62 @@
+"""BM25 ranking: differential against a plain-Python reference."""
+
+import math
+
+from hybridbackend_spark.operators.ranking import bm25_topk
+
+
+def _py_bm25(corpus, terms, k1=1.2, b=0.75):
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    tf = {}
+    for i, ws in toks.items():
+        for w in ws:
+            if w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w), _c in tf.items():
+        df[w] = df.get(w, 0) + 1
+    scores = {}
+    for (i, w), f in tf.items():
+        idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+        s = idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        scores[i] = scores.get(i, 0.0) + s
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    corpus = {
+        0: "spark shuffle join hash join",
+        1: "hash table scan",
+        2: "window sort merge join spark spark",
+        3: "totally unrelated words here",
+        4: "join join join join hash",
+    }
+    terms = ["spark", "join", "hash"]
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["score"], r["n_hits"])
+        for r in bm25_topk(df, "doc_id", "text", terms, k=10).collect()
+    }
+    want = _py_bm25(corpus, set(terms))
+    assert set(got) == set(want)  # doc 3 absent
+    for i, expected in want.items():
+        assert abs(got[i][0] - expected) < 1e-6
+    # more query-term occurrences with same length profile -> higher score
+    assert got[4][0] > got[1][0]
+    # n_hits counts distinct matched terms
+    assert got[0][1] == 3 and got[1][1] == 1
+
+
+def test_bm25_topk_cutoff_deterministic(spark):
+    rows = [(i, "join " * (i % 5 + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = [r["doc_id"] for r in bm25_topk(df, "doc_id", "text", ["join"], k=7).collect()]
+    b = [
+        r["doc_id"]
+        for r in bm25_topk(
+            df.repartition(13), "doc_id", "text", ["join"], k=7
+        ).collect()
+    ]
+    assert a == b and len(a) == 7
