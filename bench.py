@@ -58,6 +58,20 @@ EXTRA = [
     "stream_session_user",
     "stream_dedup_keys",
     "simhash_docs",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q16_supplier_counts",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "interval_join_shipwindows",
+    "stratified_sample_docs",
+    "stratified_topn_docs",
+    "bm25_rank_docs",
+    "ivf_train_centroids",
+    "stream_running_counter",
+    "funnel_events",
+    "heavy_hitter_tokens",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -15,6 +15,7 @@ __all__ = [
     "sliding_time_window",
     "run_length_ids",
     "sessionize",
+    "funnel_min_times",
 ]
 
 
@@ -100,3 +101,42 @@ def sessionize(
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("long"),
     )
+
+
+def funnel_min_times(
+    events,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages,
+    within_expr: str = "INTERVAL 1 HOUR",
+):
+    """First-match funnel: per user, the earliest time of stage k that
+    falls strictly after their stage k-1 time and within ``within_expr``
+    of it. Returns one DataFrame per stage (user, t) — callers count or
+    join them.
+
+    Each step is a filtered min-aggregation joined on the user key: all
+    shuffles are on ``user_col`` (so with co-partitioned input the steps
+    pipeline without re-exchange), and the per-stage state is one row
+    per surviving user, monotonically shrinking down the funnel.
+    """
+    out = []
+    prev = None
+    for stage in stages:
+        ev = events.filter(F.col(type_col) == stage)
+        if prev is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            cur = (
+                ev.join(prev.withColumnRenamed("_t", "_pt"), user_col)
+                .filter(
+                    (F.col(ts_col) > F.col("_pt"))
+                    & (F.col(ts_col) <= F.expr(f"_pt + {within_expr}"))
+                )
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        out.append(cur)
+        prev = cur
+    return out

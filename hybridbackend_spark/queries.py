@@ -2570,3 +2570,83 @@ def stream_running_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "funnel_events",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT v.user_id, min(e.ts) AS t2
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 HOUR
+      GROUP BY v.user_id
+    ),
+    p AS (
+      SELECT c.user_id, min(e.ts) AS t3
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 HOUR
+      GROUP BY c.user_id
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM p)
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match conversion funnel view -> click -> purchase with a
+    1-hour step window: per stage, how many users converted. Every step
+    is a user-key min-aggregation + equi-join (all shuffles on user_id);
+    per-stage state is one row per surviving user."""
+    from .functions.windows import funnel_min_times
+
+    ev = _t(spark, sf_dir, "events")
+    stages = ["view", "click", "purchase"]
+    dfs = funnel_min_times(ev, "user_id", "ts", "event_type", stages)
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+        for i, (stage, df) in enumerate(zip(stages, dfs))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH t AS (
+      SELECT unnest({_TOKS_SQL}) AS term FROM documents
+    )
+    SELECT term, count(*) AS n
+    FROM t GROUP BY term
+    ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-20 tokens by frequency
+    (deterministic tie-break on the token). Explode -> partial-agg
+    count: shuffle volume is the distinct vocabulary, not the corpus;
+    the top-k is a TakeOrderedAndProject, not a global sort."""
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(20)
+    )

@@ -110,3 +110,33 @@ def test_dataspec_json_roundtrip_and_flags(spark, tmp_path):
     # override_embedding_size rebuckets every categorical
     small = DataSpec(spec_json, override_embedding_size=2)
     assert small.embedding_sizes["cat"] == 2
+
+
+def test_funnel_min_times_semantics(spark):
+    """Hand-built funnel: converting user, out-of-window user, wrong-order
+    user, and a repeat-stage user whose FIRST qualifying event counts."""
+    from hybridbackend_spark.functions.windows import funnel_min_times
+
+    rows = [
+        # u1 converts: view@0, click@10m, purchase@30m
+        (1, 0, "view"), (1, 600, "click"), (1, 1800, "purchase"),
+        # u2 clicks too late (>1h after view)
+        (2, 0, "view"), (2, 4000, "click"),
+        # u3 wrong order: click before view, no click after
+        (3, 500, "click"), (3, 600, "view"),
+        # u4 two clicks; the FIRST (t=100) anchors the purchase window,
+        # and t=3700 == 100+3600 sits exactly ON the inclusive boundary
+        (4, 0, "view"), (4, 100, "click"), (4, 3000, "click"),
+        (4, 3700, "purchase"),
+        # u5 same shape but purchase 1s past the boundary -> out
+        (5, 0, "view"), (5, 100, "click"), (5, 3701, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "s", "event_type"]).selectExpr(
+        "user_id", "timestamp_seconds(s) AS ts", "event_type"
+    )
+    v, c, p = funnel_min_times(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+    assert {r["user_id"] for r in v.collect()} == {1, 2, 3, 4, 5}
+    assert {r["user_id"] for r in c.collect()} == {1, 4, 5}
+    assert {r["user_id"] for r in p.collect()} == {1, 4}
