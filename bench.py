@@ -72,6 +72,8 @@ EXTRA = [
     "stream_running_counter",
     "funnel_events",
     "heavy_hitter_tokens",
+    "decontaminate_docs",
+    "quantize_embeddings_int8",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

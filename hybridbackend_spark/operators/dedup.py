@@ -37,6 +37,7 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard_pairs",
     "cosine_near_dup_pairs",
+    "contamination_check",
 ]
 
 # Mersenne prime 2^31-1: small enough that (h * a + b) stays inside a
@@ -486,3 +487,38 @@ def cosine_near_dup_pairs(
             )
         )
     return scored.filter(F.col("cos") >= threshold)
+
+
+def contamination_check(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_common: int = 10,
+) -> DataFrame:
+    """Train/eval decontamination: corpus documents sharing at least
+    ``min_common`` distinct word n-grams with any eval document.
+
+    The eval side is small by definition (a benchmark set), so its
+    exploded shingles BROADCAST; the corpus explodes map-side into a
+    broadcast hash join — no corpus shuffle until after the match filter,
+    and the only aggregation runs on (corpus_doc, eval_doc) pairs that
+    actually share a shingle. At 100 TB this is one pass over the corpus.
+
+    Returns (corpus_id, eval_id, n_common) for flagged pairs.
+    """
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_g"),
+    )
+    cp = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("_g"),
+    )
+    return (
+        cp.join(F.broadcast(ev), "_g")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "cosine_topk_lsh",
     "ivf_assign",
     "kmeans_train",
+    "quantize_int8",
     "cosine_topk_ivf",
 ]
 
@@ -366,3 +367,21 @@ def kmeans_train(
             for c in range(k)
         ]
     return centroids
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str, out_q: str = "q", out_scale: str = "scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max(|x|)``,
+    ``q_i = round(x_i / scale * 127)`` — the standard 4x compression for
+    embedding storage/ANN at scale, as pure array expressions (zero
+    shuffle, zero Python). Zero vectors quantize to all-zero with scale 0.
+    Dequantization is ``q_i * scale / 127``; the roundtrip error is
+    bounded by ``scale / 254`` per element.
+    """
+    v = _as_double_vec(vec_col)
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(s == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / s * 127).cast("int"))
+    )
+    return df.withColumn(out_scale, s).withColumn(out_q, q)

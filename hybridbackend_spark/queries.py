@@ -2650,3 +2650,69 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(20)
     )
+
+
+_SHINGLES3_SQL = (
+    f"list_distinct(list_transform(generate_series(1, len({_TOKS_SQL}) - 2),"
+    f" i -> array_to_string(({_TOKS_SQL})[i:i+2], ' ')))"
+)
+
+
+@register(
+    "decontaminate_docs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES3_SQL} AS s FROM documents
+    ),
+    ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+    cp AS (SELECT doc_id AS corpus_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0)
+    SELECT corpus_id, eval_id, count(*) AS n_common
+    FROM cp JOIN ev USING (g)
+    GROUP BY corpus_id, eval_id
+    HAVING count(*) >= 5
+    """,
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing >= 5
+    distinct word 3-grams with any eval document (here: every 10th doc
+    plays the eval set). Eval shingles broadcast; the corpus is one
+    map-side pass into a broadcast join — no corpus shuffle before the
+    match filter."""
+    from .operators.dedup import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    cp = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_check(cp, ev, "text", "doc_id", 3, 5)
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id, round(scale, 6) AS scale6,
+           CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+                ELSE list_transform(e, x -> CAST(round(x / scale * 127) AS INT))
+           END AS q
+    FROM s
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (4x storage reduction for ANN at scale) as pure array expressions —
+    the quantized codes themselves are hash-checked against the oracle's
+    identical arithmetic."""
+    from .operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding").select(
+        "vec_id", F.round("scale", 6).alias("scale6"), "q"
+    )

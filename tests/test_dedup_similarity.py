@@ -253,3 +253,57 @@ def test_kmeans_train_empty_cell_keeps_previous(spark):
         df, "vec", k=2, iters=2, init=[[0.5, 0.5], far]
     )
     assert cents[1] == far
+
+
+def test_contamination_check_planted(spark):
+    from hybridbackend_spark.operators.dedup import contamination_check
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = [
+        (1, "prefix words " + eval_text + " suffix words"),  # contains eval -> many shared
+        (2, "alpha beta gamma nothing else in common here at all"),  # 1 shared 3-gram
+        (3, "completely disjoint vocabulary sentence with other words"),
+    ]
+    ev = spark.createDataFrame([(100, eval_text)], ["doc_id", "text"])
+    cp = spark.createDataFrame(corpus, ["doc_id", "text"])
+    out = contamination_check(cp, ev, "text", "doc_id", shingle_n=3, min_common=5)
+    rows = out.collect()
+    assert {(r["corpus_id"], r["eval_id"]) for r in rows} == {(1, 100)}
+    # doc 1 embeds all 8 eval 3-grams
+    assert rows[0]["n_common"] == 8
+    # loosening the threshold surfaces doc 2's single shared shingle
+    loose = contamination_check(cp, ev, "text", "doc_id", 3, 1)
+    got = {r["corpus_id"]: r["n_common"] for r in loose.collect()}
+    assert got == {1: 8, 2: 1}
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.5, -1.0, 0.25, 0.0]),
+            (1, [3.0, 2.0, -3.0, 1.5]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        ["vid", "vec"],
+    )
+    out = quantize_int8(df, "vec").collect()
+    by = {r["vid"]: r for r in out}
+    assert by[0]["scale"] == 1.0 and by[0]["q"] == [64, -127, 32, 0]
+    assert by[1]["scale"] == 3.0 and by[1]["q"][0] == 127 and by[1]["q"][2] == -127
+    assert by[2]["scale"] == 0.0 and by[2]["q"] == [0, 0, 0, 0]
+    # dequant error bounded by scale/254
+    deq = quantize_int8(df, "vec").select(
+        "vid",
+        F.expr(
+            "array_max(zip_with(vec, q, (v, qq) ->"
+            " abs(v - qq * scale / 127.0)))"
+        ).alias("err"),
+        "scale",
+    ).collect()
+    for r in deq:
+        if r["scale"] > 0:
+            assert r["err"] <= r["scale"] / 254 + 1e-12
