@@ -74,6 +74,9 @@ EXTRA = [
     "heavy_hitter_tokens",
     "decontaminate_docs",
     "quantize_embeddings_int8",
+    "cube_sales",
+    "order_date_gaps",
+    "retention_cohorts",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -2716,3 +2716,95 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "embedding").select(
         "vec_id", F.round("scale", 6).alias("scale6"), "q"
     )
+
+
+@register(
+    "cube_sales",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: full CUBE aggregation (all grouping-set combinations) —
+    native Catalyst expand + single shuffle."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "order_date_gaps",
+    """
+    WITH bounds AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx
+                    FROM orders),
+    spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d
+              FROM bounds),
+    od AS (SELECT DISTINCT o_orderdate AS d FROM orders)
+    SELECT s.d AS missing_day
+    FROM spine s LEFT JOIN od ON s.d = od.d
+    WHERE od.d IS NULL
+    """,
+)
+def order_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection: generate the full day spine between
+    the first and last order date (sequence + explode — rows from
+    expressions, no data read) and anti-join the observed dates. The
+    spine is bounded by the date range, never by table size."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("missing_day")
+    )
+    observed = o.select(F.col("o_orderdate").alias("d")).distinct()
+    return spine.join(
+        observed, spine.missing_day == observed.d, "left_anti"
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS w0
+      FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+    SELECT f.w0 AS cohort_week,
+           CAST(epoch(a.w) - epoch(f.w0) AS BIGINT) // 604800 AS week_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted at each later active week offset. Two user-key aggregations
+    + one user-key join — all shuffles on user_id — then a small
+    (cohort, offset) rollup."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("w0"))
+    active = ev.select("user_id", wk.alias("w")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            # DuckDB's date_trunc('week') yields DATE; align the output type
+            F.col("w0").cast("date").alias("cohort_week"),
+            F.expr("(unix_seconds(w) - unix_seconds(w0)) div 604800").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
