@@ -77,6 +77,8 @@ EXTRA = [
     "cube_sales",
     "order_date_gaps",
     "retention_cohorts",
+    "stream_click_purchase_join",
+    "latest_state_per_key",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -34,6 +34,7 @@ __all__ = [
     "unbatch",
     "validate_fixed_shape",
     "assert_fixed_shape",
+    "changelog_compact",
 ]
 
 _ZERO_BY_DTYPE = {
@@ -318,3 +319,27 @@ def block_dedup_decode(
     )
     arrays = list(dedup_cols) + list(value_cols)
     return unbatch(restored.drop("batch_id"), arrays)
+
+
+def changelog_compact(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """CDC/changelog compaction: keep the LATEST row per key, ordered by
+    ``order_by`` (descending, left-to-right tie-break — make the last
+    column a unique id for full determinism).
+
+    One hash shuffle on the key columns + a per-key top-1 window; state
+    per key is a single row, so the output is the materialized
+    "current state" of an upsert stream at any scale. The batch analog
+    of streaming ``dropDuplicates`` compaction.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by]
+    )
+    return (
+        df.withColumn("_cc_rn", F.row_number().over(w))
+        .filter(F.col("_cc_rn") == 1)
+        .drop("_cc_rn")
+    )

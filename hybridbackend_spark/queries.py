@@ -2808,3 +2808,84 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "stream_click_purchase_join",
+    """
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join: each click paired with same-user
+    purchases in the following 30 minutes. Both sides are independent
+    file streams; watermarks + the event-time bound let Spark evict join
+    state, so per-key state is window-bounded. Replayed availableNow and
+    hash-checked against the batch non-equi join."""
+    from .streaming.ops import (
+        read_event_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    clicks = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+    )
+    purchases = (
+        read_event_stream(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), "value")
+    )
+    out = run_available_now(
+        stream_stream_join(
+            clicks, purchases, "user_id", "ts", "p_ts",
+            "INTERVAL 30 MINUTES",
+        )
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+@register(
+    "latest_state_per_key",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/changelog compaction: the current state of every
+    (user, event_type) after replaying the event log — latest row per
+    key with a unique-id tie-break. One key shuffle + top-1 window."""
+    from .operators.structural import changelog_compact
+
+    ev = _t(spark, sf_dir, "events")
+    return changelog_compact(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )

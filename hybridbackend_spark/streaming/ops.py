@@ -28,6 +28,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "stream_dedup",
+    "stream_stream_join",
     "run_available_now",
 ]
 
@@ -179,3 +180,32 @@ def _output_mode(df: DataFrame) -> str:
     if "FlatMapGroupsInPandasWithState" in plan:
         return "update"  # custom stateful ops declare their own output mode
     return "complete" if "Aggregate" in plan else "append"
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within_expr: str = "INTERVAL 30 MINUTES",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events of the same key whose time falls in
+    ``(left_ts, left_ts + within]``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    relative to the other stream, so Spark can EVICT join state once the
+    watermark passes — per-key state is bounded by the window, not the
+    stream length. This is the streaming form of
+    :func:`~hybridbackend_spark.operators.joins.interval_join`.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    return l.join(
+        r,
+        (l[key] == r[key])
+        & (r[right_ts] > l[left_ts])
+        & (r[right_ts] <= F.expr(f"{left_ts} + {within_expr}")),
+    ).drop(r[key])

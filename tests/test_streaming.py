@@ -146,3 +146,73 @@ def test_session_state_merges_across_microbatches(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, multi.select(cols).collect())) == sorted(
         map(tuple, single.select(cols).collect())
     )
+
+
+def test_stream_stream_join_across_microbatches(spark, sf_dir, tmp_path):
+    """Click/purchase pairs whose two sides arrive in DIFFERENT
+    microbatches must still join (buffered join state): one file per
+    trigger over a 4-file split must equal both the single-batch run and
+    the batch non-equi join."""
+    from hybridbackend_spark.queries import _t
+    from hybridbackend_spark.streaming.ops import stream_stream_join
+
+    events = _t(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_ssj")
+    events.repartition(4).write.parquet(src)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def run(max_files):
+        clicks = (
+            read_event_stream(
+                spark, src, schema=schema, max_files_per_trigger=max_files
+            )
+            .filter(F.col("event_type") == "click")
+            .select("user_id", "ts")
+        )
+        purchases = (
+            read_event_stream(
+                spark, src, schema=schema, max_files_per_trigger=max_files
+            )
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("p_ts"))
+        )
+        out = run_available_now(
+            stream_stream_join(
+                clicks, purchases, "user_id", "ts", "p_ts",
+                "INTERVAL 30 MINUTES", watermark="720 hours",
+            )
+        )
+        return {
+            (r["user_id"], r["ts"], r["p_ts"]) for r in out.collect()
+        }
+
+    multi = run(1)
+    single = run(None)
+    batch = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    bp = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("p_ts")
+    )
+    want = {
+        (r["user_id"], r["ts"], r["p_ts"])
+        for r in batch.join(
+            bp,
+            (batch.user_id == bp.u2)
+            & (bp.p_ts > batch.ts)
+            & (bp.p_ts <= F.expr("ts + INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert multi == single == want and len(want) > 0

@@ -162,3 +162,33 @@ def test_arrow_training_feed_exact_batches(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+
+
+def test_changelog_compact_latest_wins(spark):
+    from hybridbackend_spark.operators.structural import changelog_compact
+
+    rows = [
+        # key (1,'a'): three versions, latest ts=30
+        (1, "a", 10, 100, 1.0), (1, "a", 30, 101, 3.0), (1, "a", 20, 102, 2.0),
+        # key (1,'b'): ts tie -> higher event_id wins
+        (1, "b", 10, 200, 5.0), (1, "b", 10, 201, 6.0),
+        (2, "a", 5, 300, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "ts", "event_id", "value"]
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in changelog_compact(
+            df, ["user_id", "event_type"], ["ts", "event_id"]
+        ).collect()
+    }
+    assert got == {(1, "a"): (101, 3.0), (1, "b"): (201, 6.0), (2, "a"): (300, 9.0)}
+    # layout-independent
+    got2 = {
+        (r["user_id"], r["event_type"]): (r["event_id"], r["value"])
+        for r in changelog_compact(
+            df.repartition(7), ["user_id", "event_type"], ["ts", "event_id"]
+        ).collect()
+    }
+    assert got2 == got
