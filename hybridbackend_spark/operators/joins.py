@@ -271,7 +271,12 @@ def interval_join(
         return f"unix_micros(cast(`{col}` as timestamp))"
 
     p = points.withColumn("_ij_bucket", F.expr(f"{_us(point_ts)} div {w_us}"))
-    iv = intervals.withColumn(
+    # drop empty/inverted intervals BEFORE the explode: F.sequence would
+    # otherwise generate a DESCENDING bucket list for them (wasted fan-out;
+    # the residual filter already makes them matchless)
+    iv = intervals.filter(
+        F.col(end_col) > F.col(start_col)
+    ).withColumn(
         "_ij_bucket",
         F.explode(
             F.sequence(

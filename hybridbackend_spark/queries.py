@@ -2889,3 +2889,35 @@ def latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM w
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregates back to long
+    (flag, metric, value) via ``stack`` — the inverse of
+    `pivot_returns`, zero extra shuffle beyond the aggregation."""
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, val)",
+    )

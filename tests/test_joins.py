@@ -116,6 +116,8 @@ def test_interval_join_matches_naive_nonequi(spark):
     # force exact boundary hits
     ivs.append((60, pts[0][1], pts[0][1] + 50))      # ts == start -> match
     ivs.append((61, pts[1][1] - 50, pts[1][1]))      # ts == end   -> no match
+    ivs.append((62, pts[2][1], pts[2][1]))           # empty interval -> no match
+    ivs.append((63, pts[3][1] + 10, pts[3][1] - 10)) # inverted -> no match
     p = spark.createDataFrame(pts, ["pid", "ts_s"]).selectExpr(
         "pid", "timestamp_seconds(ts_s) AS ts"
     )
