@@ -5,11 +5,16 @@ frame-sample operators.
 Design: media is carried as ``binary`` columns beside a typed metadata
 struct (mime, width/height, duration, sample_rate). All Spark-side
 plumbing — schemas, partition sizing, UDF signatures, Arrow batch shapes —
-is real and tested. The actual codec calls are STUBBED: the container has
-no image/audio libraries, so each decoder either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-derived from the payload bytes (test mode), keeping pipelines runnable
-end-to-end.
+is real and tested.
+
+Codecs: formats decodable with container-available tooling are decoded
+FOR REAL — PPM (P6) images via numpy, PCM16 WAV audio via the stdlib
+``wave`` module, and a concatenated-PPM frame stream for video. Formats
+that genuinely require absent codec libraries (JPEG/PNG/MP3/MP4) fall
+back per row to a deterministic hash fake when ``fake=True`` (keeps
+pipelines runnable end-to-end) or raise ``NotImplementedError`` in
+strict mode. Payload sniffing is by magic bytes, so one column can mix
+formats.
 
 Scale notes: decode is the canonical Python-boundary operator — Arrow
 batches amortize serde; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -21,6 +26,8 @@ back as ``array<float>`` ready for the similarity operators.
 from __future__ import annotations
 
 import hashlib
+import io
+import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -35,6 +42,7 @@ __all__ = [
     "resize_images",
     "sample_video_frames",
     "extract_audio_features",
+    "encode_ppm",
 ]
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -62,8 +70,9 @@ VIDEO_META_SCHEMA = T.StructType(
 )
 
 _STRICT_MSG = (
-    "real {kind} decoding requires a codec library not present in this "
-    "environment; run with fake=True for the deterministic stub"
+    "payload is not a format decodable in this environment (PPM/WAV); "
+    "real {kind} decoding of compressed formats requires a codec library "
+    "not present here; run with fake=True for the deterministic stub"
 )
 
 
@@ -77,9 +86,94 @@ def with_media_meta(
     return df.withColumn(out_col, F.struct(*parts))
 
 
+# ---------------------------------------------------------------------------
+# Real codecs for container-decodable formats
+# ---------------------------------------------------------------------------
+
+_PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _parse_ppm(payload: bytes):
+    """Decode a binary PPM (P6) image to an (h, w, 3) uint8 array, or
+    None if the payload is not PPM. Pure numpy — no codec library."""
+    import numpy as np
+
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        return None
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        return None
+    off = m.end()
+    need = w * h * 3
+    body = payload[off : off + need]
+    if len(body) < need:
+        return None
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
+
+
+def _split_ppm_stream(payload: bytes) -> list[bytes]:
+    """Split a concatenated-P6 stream (the toy video container) into the
+    individual frame payloads; [] if the payload doesn't start with P6."""
+    frames, off = [], 0
+    while True:
+        m = _PPM_HEADER.match(payload[off:])
+        if not m:
+            break
+        w, h, _ = (int(g) for g in m.groups())
+        end = off + m.end() + w * h * 3
+        if end > len(payload):
+            break
+        frames.append(payload[off:end])
+        off = end
+    return frames
+
+
+def _grid_features(img, grid: int = 4) -> list[float]:
+    """Per-cell channel means over a grid x grid partition of the image,
+    flattened (grid*grid*3 values in [0, 1]) — real pixel statistics in
+    the shape a small visual encoder would emit."""
+    import numpy as np
+
+    feats = []
+    for rows in np.array_split(img, grid, axis=0):
+        for cell in np.array_split(rows, grid, axis=1):
+            feats.extend(float(x) / 255.0 for x in cell.reshape(-1, 3).mean(axis=0))
+    return feats
+
+
+def _parse_wav(payload: bytes):
+    """Decode PCM16 WAV to (mono float array in [-1, 1], sample_rate), or
+    None if not parseable. Stdlib ``wave`` + numpy — no codec library."""
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                return None
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+            x = np.frombuffer(raw, dtype="<i2").astype("float64")
+            ch = wf.getnchannels()
+            if ch > 1:
+                x = x.reshape(-1, ch).mean(axis=1)
+            return x / 32768.0, rate
+    except Exception:
+        return None
+
+
 def _fake_vector(payload: bytes, dim: int) -> list[float]:
     """Deterministic pseudo-feature vector from payload bytes (sha256
-    expansion) — stands in for a real encoder; stable across runs."""
+    expansion) — the fallback for compressed formats; stable across runs."""
     out = []
     counter = 0
     while len(out) < dim:
@@ -87,6 +181,18 @@ def _fake_vector(payload: bytes, dim: int) -> list[float]:
         out.extend(b / 255.0 for b in h)
         counter += 1
     return [float(x) for x in out[:dim]]
+
+
+def _fit_dim(feats: list[float], dim: int) -> list[float]:
+    """Cycle/truncate a feature list to exactly ``dim`` values."""
+    if not feats:
+        return [0.0] * dim
+    return [float(feats[i % len(feats)]) for i in range(dim)]
+
+
+# ---------------------------------------------------------------------------
+# Operators
+# ---------------------------------------------------------------------------
 
 
 def decode_image_features(
@@ -100,9 +206,9 @@ def decode_image_features(
     (Arrow batches; the only sanctioned Python boundary). Output schema:
     (id_col long, features array<float>).
 
-    ``fake=False`` raises NotImplementedError inside the executor —
-    replace ``_decode_batch`` with a real codec (PIL/torchvision) when
-    available."""
+    PPM payloads are decoded for real (4x4 grid of per-cell channel
+    means -> ``dim``). Other formats: deterministic hash fake when
+    ``fake=True``, else NotImplementedError."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -110,17 +216,24 @@ def decode_image_features(
         ]
     )
 
+    def _one(p) -> list[float] | None:
+        if p is None:
+            return None
+        raw = bytes(p)
+        img = _parse_ppm(raw)
+        if img is not None:
+            return _fit_dim(_grid_features(img), dim)
+        if not fake:
+            raise NotImplementedError(_STRICT_MSG.format(kind="image"))
+        return _fake_vector(raw, dim)
+
     def _decode_batch(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(_STRICT_MSG.format(kind="image"))
-            feats = [
-                _fake_vector(bytes(p), dim) if p is not None else None
-                for p in pdf[payload_col]
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "features": [_one(p) for p in pdf[payload_col]]}
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_decode_batch, out_schema)
 
@@ -134,8 +247,9 @@ def resize_images(
     fake: bool = True,
 ) -> DataFrame:
     """Resize images to (width, height); returns (id, payload binary,
-    width, height). Stub: fake mode re-hashes the payload to a
-    deterministic pseudo-resized blob of bounded size."""
+    width, height). PPM payloads get a REAL nearest-neighbor resize
+    (numpy index gather) re-encoded as PPM; other formats fall back to a
+    deterministic pseudo-blob (or raise in strict mode)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -145,22 +259,30 @@ def resize_images(
         ]
     )
 
+    def _one(p):
+        import numpy as np
+
+        if p is None:
+            return None
+        raw = bytes(p)
+        img = _parse_ppm(raw)
+        if img is not None:
+            h, w = img.shape[:2]
+            rows = (np.arange(height) * h) // height
+            cols = (np.arange(width) * w) // width
+            return encode_ppm(img[rows][:, cols])
+        if not fake:
+            raise NotImplementedError(_STRICT_MSG.format(kind="image"))
+        return hashlib.sha256(raw + f"{width}x{height}".encode()).digest()
+
     def _resize_batch(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(_STRICT_MSG.format(kind="image"))
-            blobs = [
-                hashlib.sha256(bytes(p) + f"{width}x{height}".encode()).digest()
-                if p is not None
-                else None
-                for p in pdf[payload_col]
-            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "payload": blobs,
+                    "payload": [_one(p) for p in pdf[payload_col]],
                     "width": width,
                     "height": height,
                 }
@@ -177,8 +299,11 @@ def sample_video_frames(
     fake: bool = True,
 ) -> DataFrame:
     """Sample ``n_frames`` evenly-spaced frames per video; one output ROW
-    per frame (explode shape): (id, frame_idx, frame binary). Stub: fake
-    frames are per-index hashes of the payload."""
+    per frame (explode shape): (id, frame_idx, frame binary).
+
+    Concatenated-PPM streams are split and sampled for real (each
+    emitted frame is itself a decodable PPM); other containers fall back
+    to per-index payload hashes (or raise in strict mode)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -191,17 +316,27 @@ def sample_video_frames(
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(_STRICT_MSG.format(kind="video"))
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
                     continue
+                raw = bytes(p)
+                real = _split_ppm_stream(raw)
+                if real:
+                    # evenly spaced positions over the decoded frame list
+                    k = min(n_frames, len(real))
+                    for i in range(k):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(real[(i * len(real)) // k])
+                    continue
+                if not fake:
+                    raise NotImplementedError(_STRICT_MSG.format(kind="video"))
                 for i in range(n_frames):
                     ids.append(mid)
                     idxs.append(i)
                     frames.append(
-                        hashlib.sha256(bytes(p) + i.to_bytes(4, "little")).digest()
+                        hashlib.sha256(raw + i.to_bytes(4, "little")).digest()
                     )
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
@@ -213,18 +348,19 @@ def extract_audio_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     dim: int = 32,
+    frame_ms: int = 25,
     frame_bytes: int = 1024,
     fake: bool = True,
 ) -> DataFrame:
-    """Audio feature extraction (MFCC-shaped stub): frame the byte stream
-    into ``frame_bytes`` windows, compute a per-frame pseudo-energy, then
-    pool frame energies into a ``dim``-length feature vector (mean/delta
-    banding — the pooling shape a real MFCC pipeline produces). Output:
-    (id, n_frames, features array<float>).
+    """Audio feature extraction: frame the signal, compute per-frame RMS
+    energy, pool frame energies into a ``dim``-length vector (mean +
+    delta banding — the pooling shape a real MFCC pipeline produces).
+    Output: (id, n_frames, features array<float>).
 
-    Unlike :func:`decode_image_features` (one hash expansion of the whole
-    payload), this follows the audio-native frame->feature->pool structure,
-    so swapping in a real codec only replaces ``_frame_energy``."""
+    PCM16 WAV payloads are decoded for real (stdlib ``wave``): frames
+    are ``frame_ms`` windows of the mono signal. Other formats frame the
+    raw bytes into ``frame_bytes`` windows with hashed pseudo-energies
+    (or raise in strict mode)."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -233,16 +369,33 @@ def extract_audio_features(
         ]
     )
 
-    def _frame_energy(chunk: bytes, i: int) -> float:
+    def _fake_energy(chunk: bytes, i: int) -> float:
         h = hashlib.sha256(chunk + i.to_bytes(4, "little")).digest()
         return sum(h[:8]) / (8 * 255.0)
+
+    def _energies(raw: bytes) -> list[float]:
+        import numpy as np
+
+        wav = _parse_wav(raw)
+        if wav is not None:
+            x, rate = wav
+            flen = max(1, (rate * frame_ms) // 1000)
+            return [
+                float(np.sqrt(np.mean(x[o : o + flen] ** 2)))
+                for o in range(0, max(len(x), 1), flen)
+            ]
+        if not fake:
+            raise NotImplementedError(_STRICT_MSG.format(kind="audio"))
+        chunks = [
+            raw[o : o + frame_bytes]
+            for o in range(0, max(len(raw), 1), frame_bytes)
+        ]
+        return [_fake_energy(c, i) for i, c in enumerate(chunks)]
 
     def _extract_batch(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(_STRICT_MSG.format(kind="audio"))
             ids, counts, feats = [], [], []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:
@@ -250,12 +403,7 @@ def extract_audio_features(
                     counts.append(0)
                     feats.append(None)
                     continue
-                raw = bytes(p)
-                chunks = [
-                    raw[o : o + frame_bytes]
-                    for o in range(0, max(len(raw), 1), frame_bytes)
-                ]
-                energies = [_frame_energy(c, i) for i, c in enumerate(chunks)]
+                energies = _energies(bytes(p))
                 # pool per-frame energies into dim bands: band mean +
                 # first difference (delta), cycled to fill dim
                 vec = []
@@ -264,7 +412,7 @@ def extract_audio_features(
                     prev = energies[(k - 1) % len(energies)]
                     vec.append(float(e if k % 2 == 0 else e - prev))
                 ids.append(mid)
-                counts.append(len(chunks))
+                counts.append(len(energies))
                 feats.append(vec)
             yield pd.DataFrame(
                 {id_col: ids, "n_frames": counts, "features": feats}

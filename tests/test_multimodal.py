@@ -68,3 +68,106 @@ def test_extract_audio_features(spark):
     again = {r["media_id"]: r for r in extract_audio_features(media, dim=8).collect()}
     assert out[1]["features"] == again[1]["features"]
     assert out[1]["features"] != out[2]["features"]
+
+
+def _ppm(w, h, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    from hybridbackend_spark.operators.multimodal import encode_ppm
+
+    return img, encode_ppm(img)
+
+
+def test_ppm_decode_real_grid_features(spark):
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import decode_image_features
+
+    img, blob = _ppm(16, 16, 3)
+    df = spark.createDataFrame([(1, bytearray(blob))], ["media_id", "payload"])
+    out = decode_image_features(df, dim=48, fake=False).collect()
+    assert len(out) == 1
+    feats = out[0]["features"]
+    assert len(feats) == 48
+    # first cell = mean of the top-left 4x4 block, channel 0
+    expect = img[:4, :4].reshape(-1, 3).mean(axis=0) / 255.0
+    assert abs(feats[0] - expect[0]) < 1e-6
+    assert abs(feats[1] - expect[1]) < 1e-6
+
+
+def test_ppm_resize_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import (
+        _parse_ppm,
+        resize_images,
+    )
+
+    img, blob = _ppm(8, 6, 4)
+    df = spark.createDataFrame([(1, bytearray(blob))], ["media_id", "payload"])
+    out = resize_images(df, width=4, height=3, fake=False).collect()[0]
+    resized = _parse_ppm(bytes(out["payload"]))
+    assert resized.shape == (3, 4, 3)
+    rows = (np.arange(3) * 6) // 3
+    cols = (np.arange(4) * 8) // 4
+    assert (resized == img[rows][:, cols]).all()
+
+
+def test_ppm_video_stream_real_frames(spark):
+    from hybridbackend_spark.operators.multimodal import (
+        _parse_ppm,
+        sample_video_frames,
+    )
+
+    frames = [_ppm(4, 4, s) for s in range(6)]
+    stream = b"".join(b for _, b in frames)
+    df = spark.createDataFrame([(9, bytearray(stream))], ["media_id", "payload"])
+    out = sample_video_frames(df, n_frames=3, fake=False).collect()
+    assert len(out) == 3
+    # frames 0, 2, 4 of 6 (evenly spaced), each a decodable PPM
+    picked = [_parse_ppm(bytes(r["frame"])) for r in sorted(out, key=lambda r: r["frame_idx"])]
+    for got, (want, _) in zip(picked, [frames[0], frames[2], frames[4]]):
+        assert (got == want).all()
+
+
+def test_wav_decode_real_rms(spark):
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import extract_audio_features
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 second
+    sig = (0.5 * np.sin(2 * math.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(sig.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], ["media_id", "payload"]
+    )
+    out = extract_audio_features(df, dim=8, frame_ms=25, fake=False).collect()[0]
+    # 1s / 25ms = 40 frames; sine RMS = amplitude / sqrt(2) ~= 0.3536
+    assert out["n_frames"] == 40
+    assert abs(out["features"][0] - 0.5 / math.sqrt(2)) < 0.01
+    # delta bands hover near zero for a stationary signal
+    assert abs(out["features"][1]) < 0.01
+
+
+def test_strict_mode_still_raises_for_compressed(spark):
+    import pytest
+
+    from hybridbackend_spark.operators.multimodal import decode_image_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"))], ["media_id", "payload"]
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec|decodable"):
+        decode_image_features(df, fake=False).collect()

@@ -247,3 +247,37 @@ def test_q22_anti_join_streams_keys_only(spark, sf_dir):
         set(re.findall(r"o_\w+", ln)) <= {"o_custkey", "o_orderdate"}
         for ln in o_scans
     )
+
+
+def test_stratified_sample_zero_shuffle(spark, sf_dir):
+    # rate-mode sampling is a pure filter: NO exchange anywhere
+    from hybridbackend_spark.queries import stratified_sample_docs
+
+    assert count_exchanges(stratified_sample_docs(spark, sf_dir)) == 0
+
+
+def test_quantize_int8_zero_shuffle(spark, sf_dir):
+    from hybridbackend_spark.queries import quantize_embeddings_int8
+
+    assert count_exchanges(quantize_embeddings_int8(spark, sf_dir)) == 0
+
+
+def test_heavy_hitters_partial_agg_and_topk(spark, sf_dir):
+    # vocabulary count must combine map-side and top-k must not global-sort
+    from hybridbackend_spark.queries import heavy_hitter_tokens
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(heavy_hitter_tokens(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_bounded_shuffles_and_topk(spark, sf_dir):
+    # postings agg + doc agg are the only real exchanges (plus tiny
+    # broadcasts); the final ranking is TakeOrdered, not a global sort
+    from hybridbackend_spark.queries import bm25_rank_docs
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(bm25_rank_docs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
