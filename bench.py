@@ -79,6 +79,14 @@ EXTRA = [
     "retention_cohorts",
     "stream_click_purchase_join",
     "latest_state_per_key",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_bracket_predicates",
+    "q21_sole_late_supplier",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -2921,3 +2921,412 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, val)",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch (Q6/Q8/Q9/Q13/Q14/Q15/Q19/Q21 shapes) — the
+# remaining canonical relational patterns: ultra-selective scan-agg,
+# case-ratio market share, profit rollup, outer-join distribution,
+# scalar-ratio, argmax-by-scalar-subquery, disjunctive brackets, and
+# double-correlated EXISTS. (Q2/Q11/Q20 need a partsupp table the test
+# schema does not have; their subquery shapes are covered by Q15/Q16/Q22.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT sum(CAST(round((l_extendedprice * l_discount) * 100) AS BIGINT)) / 100.0
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: ultra-selective scan + global agg, no joins, no
+    groupBy — the pure pushdown benchmark. The discount band compares
+    exact integer percents (round(d*100)), so the boundary rows cannot
+    ulp-flip between engines; all three filters push to the parquet scan
+    and the single-row aggregate needs one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100).cast("long").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+           round(
+             sum(CASE WHEN n1.n_name = 'NATION_5'
+                      THEN CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+                      ELSE 0 END)
+             * 1.0 /
+             sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)),
+             6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n2.n_regionkey
+    WHERE p.p_type = 'PROMO'
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-way star join where
+    the measure is a conditional-sum ratio. Every dim broadcasts; the
+    supplier-nation name rides along as a flag so the share is one pass.
+    Both engines divide the same two exact cent BIGINTs, so round(.,6)
+    is bit-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    asia_nations = n.join(
+        F.broadcast(r.select("r_regionkey")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("asia_nk"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("asia_nk")
+    ).select("c_custkey")
+    cents = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(o.select("o_orderkey", "o_orderdate", "o_custkey")),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", cents).otherwise(
+                        F.lit(0)
+                    )
+                )
+                * 1.0
+                / F.sum(cents),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, EXTRACT(year FROM l.l_shipdate) AS o_year,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+             / 100.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (partsupp-free): profit per supplier-nation per
+    year over parts matching a name pattern. The LIKE filter reduces
+    part BEFORE it broadcasts; lineitem is the only table that moves,
+    and only into its aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-per-order-count histogram. The outer
+    join keeps zero-order customers (count(o_orderkey) counts non-null
+    matches only — the LEFT JOIN's null row contributes 0); the second
+    aggregate is over one row per customer, so the big shuffle happens
+    exactly once, on the join key."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT round(
+             100.0 *
+             sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)
+                      ELSE 0 END)
+             / sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)),
+             6) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue percentage for one ship month —
+    broadcast part join + conditional-sum ratio collapsed to one row.
+    Exact-cents numerator/denominator; identical division order in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+                / F.sum(cents),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+               AS rc
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rc / 100.0 AS total_revenue
+    FROM rev
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rc = (SELECT max(rc) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax via scalar subquery — quarterly revenue
+    per supplier, keep the max. The max is taken over exact integer
+    cents, so ties and the cutoff are deterministic; the single-row max
+    broadcasts back against the per-supplier aggregate (no second pass
+    over lineitem)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast(
+                "long"
+            )
+        ).alias("rc")
+    )
+    best = rev.agg(F.max("rc").alias("best_rc"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best), rev.rc == F.col("best_rc"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", (F.col("rc") / 100.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "q19_bracket_predicates",
+    """
+    SELECT sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+             / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates spanning both join
+    sides. The part side pre-filters to the union of the three brand/size
+    brackets (a superset pushdown that keeps the broadcast tiny); the OR
+    across (brand, size, quantity) brackets is evaluated as the join
+    residual, exactly as written."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 35))
+    ).select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 35)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return joined.filter(bracket).agg(
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receiptdate-free): suppliers who were the ONLY
+    late shipper (>60 days after order date) in a multi-supplier order —
+    EXISTS + NOT EXISTS, decorrelated into a left-semi and a left-anti
+    join on the order key with a supplier-inequality residual. Both probe
+    sides carry two columns; the anti side is the already-filtered late
+    set, so neither correlated scan rereads lineitem payloads."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -281,3 +281,46 @@ def test_bm25_bounded_shuffles_and_topk(spark, sf_dir):
     plan = physical_plan(bm25_rank_docs(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q6_all_filters_pushed_single_shuffle(spark, sf_dir):
+    # the pure-pushdown benchmark: shipdate + quantity reach the scan and
+    # the only exchange is the single-row final aggregate
+    from hybridbackend_spark.queries import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert_filter_pushed(df, "l_shipdate")
+    assert_filter_pushed(df, "l_quantity")
+    assert_max_shuffles(df, 1)
+
+
+def test_q8_star_join_all_dims_broadcast(spark, sf_dir):
+    # 8-way star: only the final year-groupBy may shuffle the fact side
+    from hybridbackend_spark.queries import q8_market_share
+
+    df = q8_market_share(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_max_shuffles(df, 1)
+
+
+def test_q21_semi_anti_two_column_probes(spark, sf_dir):
+    # EXISTS/NOT EXISTS decorrelate into one semi + one anti join, and the
+    # correlated lineitem scans stream only (orderkey, suppkey[, shipdate])
+    import re
+
+    from hybridbackend_spark.plans.inspect import physical_plan
+    from hybridbackend_spark.queries import q21_sole_late_supplier
+
+    plan = physical_plan(q21_sole_late_supplier(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    li_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "parquet" in ln and "lineitem" in ln and "ReadSchema" in ln
+    ]
+    assert li_scans and all(
+        set(re.findall(r"l_\w+", ln))
+        <= {"l_orderkey", "l_suppkey", "l_shipdate"}
+        for ln in li_scans
+    )
