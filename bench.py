@@ -87,6 +87,10 @@ EXTRA = [
     "q15_top_supplier",
     "q19_bracket_predicates",
     "q21_sole_late_supplier",
+    "redact_pii_docs",
+    "source_mix_report",
+    "user_value_decay",
+    "negative_samples_orders",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

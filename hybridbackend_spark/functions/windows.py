@@ -16,6 +16,7 @@ __all__ = [
     "run_length_ids",
     "sessionize",
     "funnel_min_times",
+    "time_decayed_sum",
 ]
 
 
@@ -140,3 +141,45 @@ def funnel_min_times(
         out.append(cur)
         prev = cur
     return out
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    horizon_days: int = 30,
+    alias: str = "decayed_value",
+) -> DataFrame:
+    """Per-key exponentially time-decayed value sum (half-life = 1 day),
+    anchored at each key's LAST event: sum(value * 2^-days_ago) over the
+    trailing ``horizon_days`` window — the standard recency-weighted
+    feature for recommendation models (recent activity dominates, old
+    activity fades).
+
+    Engine-exact by construction: the weight 2^(horizon - days_ago) is an
+    integer BIGINT shift, the value is quantized to integer cents, and
+    the normalization divides once at the end — no float pow(), so the
+    result is bit-identical on any engine / partitioning (IEEE-defined
+    ops on identical integer inputs). ONE shuffle on ``key``: the anchor
+    comes from a window max over the same partitioning the final
+    aggregate reuses.
+    """
+    scale = float((1 << horizon_days) * 100)
+    d = F.datediff(F.to_date("_t_last"), F.to_date(ts))
+    # the PySpark shiftleft wrapper takes only literal bit counts; the SQL
+    # function accepts a column expression
+    d_sql = f"datediff(to_date(_t_last), to_date({ts}))"
+    w = F.when(
+        d <= horizon_days,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {horizon_days} - {d_sql})"),
+    ).otherwise(F.lit(0).cast("long"))
+    cents = F.round(F.col(value) * 100).cast("long")
+    return (
+        df.withColumn("_t_last", F.max(ts).over(Window.partitionBy(key)))
+        .groupBy(key)
+        .agg(
+            F.round(F.sum(cents * w) / F.lit(scale), 6).alias(alias),
+            F.max("_t_last").alias("last_ts"),
+        )
+    )

@@ -37,6 +37,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "stratified_topn",
+    "negative_samples",
 ]
 
 
@@ -332,4 +333,55 @@ def stratified_topn(
         df.withColumn("_ss_rn", F.row_number().over(w))
         .filter(F.col("_ss_rn") <= n)
         .drop("_ss_rn")
+    )
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for each (user, positive item) pair, draw ``k`` pseudo-random
+    candidate items from [0, n_items) by md5 hash of (user, item, slot,
+    seed), then drop candidates the user actually interacted with
+    (a left-anti join against the full positive set — rejection, not
+    wrap-around, so the surviving negatives are uniform over the user's
+    non-items).
+
+    Scale shape: the explode is k small integer columns per positive (no
+    payload duplication); the anti join is an equi-join on (user,
+    candidate) against the deduplicated positive set — both sides shuffle
+    once on the user key. Deterministic across runs/partitionings (md5
+    arithmetic, reproducible in any engine) — re-running training data
+    generation yields byte-identical negatives, unlike ``rand()``.
+    """
+    pos = positives.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+    ).distinct()
+    cands = pos.select(
+        "_u",
+        "_i",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("slot"),
+    ).withColumn(
+        "neg_item",
+        hash_bucket(
+            F.concat_ws("|", F.col("_u"), F.col("_i"), F.col("slot")),
+            n_buckets=n_items,
+            seed=seed,
+        ),
+    )
+    survivors = cands.join(
+        pos.select(F.col("_u").alias("_pu"), F.col("_i").alias("_pi")),
+        (F.col("_u") == F.col("_pu")) & (F.col("neg_item") == F.col("_pi")),
+        "left_anti",
+    )
+    return survivors.select(
+        F.col("_u").alias(user_col),
+        F.col("_i").alias(item_col),
+        "slot",
+        "neg_item",
     )

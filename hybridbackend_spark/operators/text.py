@@ -22,6 +22,8 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "fingerprint",
+    "redact_pii",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -205,3 +207,37 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# PII patterns written in the regex subset Java (Spark) and RE2 (DuckDB,
+# Go, Rust engines) evaluate identically: character classes, bounded
+# repetition, non-capturing groups, \b word boundaries — no lookaround,
+# no backreferences. Order matters: emails are redacted before phones so
+# the digits in a mailbox name can't be double-matched.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}", "<PHONE>"),
+    ("ssn_like", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+)
+
+
+def redact_pii(col: Column | str) -> dict[str, Column]:
+    """Redact common PII shapes (emails, IPv4s, intl phone numbers,
+    SSN-style ids) from text, counting each redaction type.
+
+    Returns ``{"redacted": Column, "n_<type>": Column, ...}`` — all pure
+    JVM regexp expressions (one fused codegen stage per row; zero
+    Python). Patterns apply in a fixed order so overlapping shapes
+    (an email containing digits, an IP inside a phone-like run) resolve
+    identically everywhere; counts are taken BEFORE any replacement so
+    each type counts matches in the original text.
+    """
+    src = _c(col)
+    out: dict[str, Column] = {}
+    red = src
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(src, F.lit(pat))
+        red = F.regexp_replace(red, pat, token)
+    out["redacted"] = red
+    return out

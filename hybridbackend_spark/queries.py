@@ -3330,3 +3330,205 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation batch 3: PII redaction, corpus source mix, recency-decayed user
+# features, deterministic negative sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "redact_pii_docs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com from 10.'
+                  || (doc_id % 200) || '.0.' || (doc_id % 250)
+                  || ' or +1 555-' || (1000 + doc_id % 9000) || '-'
+                  || (100 + doc_id % 900)
+                  || ' ssn 123-45-' || (1000 + doc_id % 9000) AS pii_text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(pii_text,
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+           len(regexp_extract_all(pii_text,
+               '\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}')) AS n_phone,
+           len(regexp_extract_all(pii_text,
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_ssn_like,
+           md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}', '<PHONE>', 'g'),
+               '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g')) AS redacted_md5
+    FROM p
+    """,
+)
+def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: deterministic synthetic PII (email,
+    IP, phone, SSN-style id derived from doc_id) is appended to each
+    document, then scrubbed by `text.redact_pii` — pure JVM regexp
+    expressions, counts taken on the pre-redaction text, output verified
+    by md5 of the redacted string. Zero shuffles: a map-only pipeline."""
+    from .operators.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" or +1 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit(" ssn 123-45-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    r = redact_pii(pii_text)
+    return docs.select(
+        "doc_id",
+        r["n_email"].cast("long").alias("n_email"),
+        r["n_ipv4"].cast("long").alias("n_ipv4"),
+        r["n_phone"].cast("long").alias("n_phone"),
+        r["n_ssn_like"].cast("long").alias("n_ssn_like"),
+        F.md5(r["redacted"]).alias("redacted_md5"),
+    )
+
+
+@register(
+    "source_mix_report",
+    f"""
+    WITH t AS (
+      SELECT source, lang, len({_TOKS_SQL}) AS n_toks, n_chars FROM documents
+    ),
+    agg AS (
+      SELECT source, lang, count(*) AS n_docs,
+             sum(CAST(n_toks AS BIGINT)) AS total_tokens,
+             sum(n_chars) AS total_chars
+      FROM t GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(total_tokens) AS grand FROM agg)
+    SELECT source, lang, n_docs, total_tokens, total_chars,
+           round(total_tokens * 1.0 / tot.grand, 6) AS token_share
+    FROM agg, tot
+    """,
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix report: per (source, lang) document/token/char totals
+    and each cell's share of all tokens — the table a data-mixture
+    curator reads before setting sampling weights. One shuffle for the
+    group-by; the grand total is a single-row broadcast back onto the
+    (tiny) aggregate, not a second corpus pass."""
+    from .operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = (
+        docs.select(
+            "source", "lang", token_count(F.col("text")).alias("n_toks"), "n_chars"
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("long")).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    tot = agg.agg(F.sum("total_tokens").alias("grand"))
+    return agg.join(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(F.col("total_tokens") * 1.0 / F.col("grand"), 6).alias("token_share"),
+    )
+
+
+@register(
+    "user_value_decay",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(max(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS DATE)
+               AS d_last,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ts
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(cents * (CASE WHEN date_diff('day', d, d_last) <= 30
+                  THEN (1::BIGINT << (30 - date_diff('day', d, d_last)))
+                  ELSE 0 END)) / (1073741824 * 100.0), 6) AS decayed_value,
+           epoch_us(max(ts)) AS last_ts_us
+    FROM e
+    GROUP BY user_id
+    """,
+)
+def user_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user feature: exponentially time-decayed value sum
+    (half-life 1 day, 30-day horizon) anchored at each user's last event.
+    The decay weight is an integer power-of-two shift and the value is
+    quantized to cents, so the aggregate is exact integer arithmetic with
+    ONE final division — bit-identical across engines and partition
+    orders, with a single shuffle on user_id."""
+    from .functions.windows import time_decayed_sum
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_decayed_sum(
+        ev, key="user_id", ts="ts", value="value", horizon_days=30
+    )
+    return out.select(
+        "user_id",
+        "decayed_value",
+        F.unix_micros("last_ts").alias("last_ts_us"),
+    )
+
+
+@register(
+    "negative_samples_orders",
+    """
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < 300
+    ),
+    cand AS (
+      SELECT user_id, item_id, slot,
+             CAST(('0x' || substr(md5(
+               user_id || '|' || item_id || '|' || slot || ':0'
+             ), 1, 8)) AS BIGINT) % 2000 AS neg_item
+      FROM pos, (SELECT unnest([0, 1]) AS slot)
+    )
+    SELECT c.user_id, c.item_id, c.slot, c.neg_item
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pos p
+      WHERE p.user_id = c.user_id AND p.item_id = c.neg_item
+    )
+    """,
+)
+def negative_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling over purchase history: for each
+    (customer, purchased part) pair, two md5-derived candidate parts,
+    minus any the customer actually bought (anti join on the positive
+    set). The negatives are reproducible across engines — the oracle
+    recomputes the identical hash arithmetic, so the sampled SET (not
+    just its size) is hash-checked."""
+    from .operators.corpus import negative_samples
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    return negative_samples(
+        pos, user_col="user_id", item_col="item_id", n_items=2000, k=2, seed=0
+    )

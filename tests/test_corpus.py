@@ -203,3 +203,32 @@ def test_stratified_topn_exact_quota(spark):
     a = sorted(r["id"] for r in out.collect())
     b = sorted(r["id"] for r in stratified_topn(df.repartition(9), "grp", "id", n=12).collect())
     assert a == b
+
+
+def test_negative_samples_deterministic_and_disjoint(spark):
+    from hybridbackend_spark.operators.corpus import negative_samples
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(5) for i in range(u, u + 4)], ["user_id", "item_id"]
+    )
+    out = negative_samples(pos, "user_id", "item_id", n_items=10, k=3, seed=1)
+    rows = out.collect()
+    # no sampled negative is a positive of the same user
+    positives = {(u, i) for u, i in pos.collect()}
+    assert all((r["user_id"], r["neg_item"]) not in positives for r in rows)
+    assert all(0 <= r["neg_item"] < 10 for r in rows)
+    # at most k candidates per positive pair survive
+    from collections import Counter
+
+    per_pair = Counter((r["user_id"], r["item_id"]) for r in rows)
+    assert all(v <= 3 for v in per_pair.values())
+    # deterministic: identical output for a different input layout
+    again = negative_samples(
+        pos.repartition(7), "user_id", "item_id", n_items=10, k=3, seed=1
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different seed draws a different candidate set
+    other = negative_samples(
+        pos, "user_id", "item_id", n_items=10, k=3, seed=2
+    ).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))

@@ -324,3 +324,17 @@ def test_q21_semi_anti_two_column_probes(spark, sf_dir):
         <= {"l_orderkey", "l_suppkey", "l_shipdate"}
         for ln in li_scans
     )
+
+
+def test_redact_pii_zero_shuffle(spark, sf_dir):
+    # redaction is a map-only expression pipeline
+    from hybridbackend_spark.queries import redact_pii_docs
+
+    assert count_exchanges(redact_pii_docs(spark, sf_dir)) == 0
+
+
+def test_time_decay_single_shuffle(spark, sf_dir):
+    # window anchor + final agg share one hash partitioning on user_id
+    from hybridbackend_spark.queries import user_value_decay
+
+    assert_max_shuffles(user_value_decay(spark, sf_dir), 1)

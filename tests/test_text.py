@@ -72,3 +72,50 @@ def test_fingerprint_order_sensitive(spark):
     assert a == _one(spark, "ab", fingerprint("text"))
     # fp('ab') = 1*97 + 2*98 = 293
     assert a == 293
+
+
+def test_redact_pii_each_type(spark):
+    from hybridbackend_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo.org or x@y.io, ip 192.168.0.1, "
+                "call +44 123-4567-890, id 123-45-6789 end"),
+            (2, "clean text with no pii at all"),
+        ],
+        ["id", "t"],
+    )
+    r = redact_pii("t")
+    out = {
+        row["id"]: row
+        for row in df.select(
+            "id", r["redacted"].alias("red"), *[
+                r[f"n_{k}"].alias(f"n_{k}")
+                for k in ("email", "ipv4", "phone", "ssn_like")
+            ]
+        ).collect()
+    }
+    assert out[1]["n_email"] == 2
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_phone"] == 1
+    assert out[1]["n_ssn_like"] == 1
+    red = out[1]["red"]
+    assert "<EMAIL>" in red and "<IP>" in red and "<PHONE>" in red and "<ID>" in red
+    assert "@" not in red and "192.168" not in red and "6789" not in red
+    assert out[2]["red"] == "clean text with no pii at all"
+    assert out[2]["n_email"] == 0
+
+
+def test_redact_pii_email_swallows_phone_digits_consistently(spark):
+    # an address whose mailbox is all digits must redact as EMAIL (counted
+    # once), never partially as a phone
+    from hybridbackend_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "x 555-123-4567-999@spam.net y")], ["id", "t"])
+    r = redact_pii("t")
+    row = df.select(
+        r["redacted"].alias("red"), r["n_email"].alias("ne"), r["n_phone"].alias("np")
+    ).collect()[0]
+    assert row["ne"] == 1
+    assert "<EMAIL>" in row["red"]
+    assert "spam.net" not in row["red"]

@@ -140,3 +140,50 @@ def test_funnel_min_times_semantics(spark):
     assert {r["user_id"] for r in v.collect()} == {1, 2, 3, 4, 5}
     assert {r["user_id"] for r in c.collect()} == {1, 4, 5}
     assert {r["user_id"] for r in p.collect()} == {1, 4}
+
+
+def test_time_decayed_sum_exact_halflife(spark):
+    import datetime
+
+    from hybridbackend_spark.functions.windows import time_decayed_sum
+
+    base = datetime.datetime(2001, 5, 10, 12, 0, 0)
+    rows = [
+        # user 1: 10.0 today, 10.0 one day ago, 10.0 two days ago
+        (1, base, 10.0),
+        (1, base - datetime.timedelta(days=1), 10.0),
+        (1, base - datetime.timedelta(days=2), 10.0),
+        # user 2: a single event 40 days before its anchor is outside the
+        # 30-day horizon -> weight 0 (anchor is its own last event: 5.0)
+        (2, base, 5.0),
+        (2, base - datetime.timedelta(days=40), 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        r["user_id"]: r["decayed_value"]
+        for r in time_decayed_sum(df, "user_id", "ts", "value").collect()
+    }
+    # 10*1 + 10*0.5 + 10*0.25 = 17.5
+    assert out[1] == 17.5
+    assert out[2] == 5.0
+
+
+def test_time_decayed_sum_partition_invariant(spark):
+    import datetime
+
+    from hybridbackend_spark.functions.windows import time_decayed_sum
+
+    base = datetime.datetime(2001, 5, 10)
+    rows = [
+        (u, base - datetime.timedelta(days=d, seconds=u), float(u * d % 37) / 7)
+        for u in range(1, 20)
+        for d in range(0, 45, 3)
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    a = sorted(time_decayed_sum(df, "user_id", "ts", "value").collect())
+    b = sorted(
+        time_decayed_sum(
+            df.repartition(13, "value"), "user_id", "ts", "value"
+        ).collect()
+    )
+    assert a == b
