@@ -91,6 +91,11 @@ EXTRA = [
     "source_mix_report",
     "user_value_decay",
     "negative_samples_orders",
+    "line_dedup_docs",
+    "url_domains_docs",
+    "unigram_surprisal_docs",
+    "temperature_mixture_docs",
+    "vocab_encode_docs",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -38,6 +38,10 @@ __all__ = [
     "stratified_sample",
     "stratified_topn",
     "negative_samples",
+    "line_dedup",
+    "unigram_surprisal",
+    "temperature_sample",
+    "vocab_encode",
 ]
 
 
@@ -333,6 +337,208 @@ def stratified_topn(
         df.withColumn("_ss_rn", F.row_number().over(w))
         .filter(F.col("_ss_rn") <= n)
         .drop("_ss_rn")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 3,
+) -> DataFrame:
+    """C4-style global line-level exact deduplication: cut every document
+    into consecutive ``line_tokens``-token lines, keep only the FIRST
+    occurrence of each distinct line corpus-wide (first = smallest
+    (doc id, line position)), and reconstruct each document from its
+    surviving lines in order. Documents whose every line was seen earlier
+    vanish entirely — the same semantics C4 applies at the
+    newline-delimited-line level.
+
+    Two shuffles, both with map-side partial aggregation: (1) group by
+    line text with a ``min(struct(id, pos))`` winner — shuffled bytes are
+    one struct per DISTINCT line per map partition, not the corpus; (2)
+    group by doc id to reassemble. No windows, no driver data.
+    """
+    toks = tokens(_c(text_col))
+    bound = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(line_tokens))
+    n_lines = F.expr(f"(size(_toks) + {line_tokens - 1}) div {line_tokens}")
+    lines = bound.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("_n_lines"),
+        F.explode(starts).alias("_start"),
+        "_toks",
+    ).select(
+        id_col,
+        "_n_lines",
+        F.expr(f"_start div {line_tokens}").alias("_pos"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, line_tokens), " "
+        ).alias("_line"),
+    )
+    winners = lines.groupBy("_line").agg(
+        F.min(F.struct(id_col, "_pos", "_n_lines")).alias("_w")
+    )
+    kept = winners.select(
+        F.col(f"_w.{id_col}").alias(id_col),
+        F.col("_w._pos").alias("_pos"),
+        F.col("_w._n_lines").alias("_n_lines"),
+        "_line",
+    )
+    return kept.groupBy(id_col).agg(
+        F.max("_n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int | None = None,
+) -> DataFrame:
+    """Quality scoring by a corpus-trained unigram language model: each
+    token's surprisal is measured in whole bits as
+    ``floor(log2(total_tokens)) - floor(log2(token_count))`` — EXACT
+    integer arithmetic (binary digit counts), so per-doc averages are
+    bit-identical on any engine / partition order, unlike float
+    ``ln(p)`` sums. High average surprisal = rare-token-heavy documents
+    (often noise); low = boilerplate. The standard cheap stand-in for a
+    KenLM-style perplexity filter.
+
+    One corpus pass builds the vocabulary (count per token, map-side
+    combine); the vocab (optionally capped to ``top_v`` by frequency) is
+    broadcast back onto the exploded token stream; one doc-key
+    aggregation scores. Out-of-vocabulary tokens (possible only when
+    capped) cost ``floor(log2(total)) + 1`` bits.
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(_c(text_col))).alias("_tok"))
+    vocab = words.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    if top_v is not None:
+        vocab = vocab.orderBy(F.desc("_c"), "_tok").limit(top_v)
+    total = vocab.agg(F.sum("_c").alias("_total"))
+    # floor(log2(x)) == length(bin(x)) - 1 for x >= 1: exact in integers
+    bits_total = F.length(F.bin(F.col("_total"))) - 1
+    bits_tok = F.length(F.bin(F.col("_c"))) - 1
+    scored = (
+        words.join(F.broadcast(vocab), "_tok", "left")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce(bits_total - bits_tok, bits_total + 1).alias("_bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.round(F.sum("_bits") / F.count(F.lit(1)), 6).alias("avg_surprisal_bits"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: Column | str,
+    target_frac: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (T=0.5): resample the corpus
+    so each stratum's share moves from ``n_s/N`` toward
+    ``sqrt(n_s/N)/Z`` — the standard multiplicity-flattening used for
+    multilingual / multi-source training mixes (dominant sources
+    downweighted, tails upweighted), at an overall ``target_frac`` of the
+    corpus. Per-stratum keep rate:
+    ``min(1, (w_s/sum(w)) * target_frac*N / n_s)`` with
+    ``w_s = floor(sqrt(n_s * 1e12 / N))``.
+
+    Engine-exact determinism: sqrt is IEEE-correctly-rounded, the weight
+    is floor-quantized to an integer before the cross-stratum sum (float
+    summation order can never flip it), and membership is a pure md5
+    filter on ``key`` (same scheme as :func:`stratified_sample` — no RNG,
+    reproducible row-by-row). One tiny stratum aggregate broadcast back;
+    the corpus itself is never shuffled.
+    """
+    denom = 1 << 20
+    n = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    tot = n.agg(F.sum("_n").alias("_total"))
+    w = (
+        n.join(F.broadcast(tot))
+        .withColumn(
+            "_wq",
+            F.floor(F.sqrt(F.col("_n") * 1e12 / F.col("_total"))).cast("long"),
+        )
+    )
+    wsum = w.agg(F.sum("_wq").alias("_wsum"))
+    rate = (
+        w.join(F.broadcast(wsum))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                (F.col("_wq") / F.col("_wsum") * (target_frac * F.col("_total")))
+                / F.col("_n"),
+            ),
+        )
+        .select(strata_col, "_rate")
+    )
+    bucket = hash_bucket(key, denom, seed)
+    return (
+        df.join(F.broadcast(rate), strata_col)
+        .filter(bucket < F.floor(F.col("_rate") * denom).cast("long"))
+        .drop("_rate")
+    )
+
+
+def vocab_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Build a frequency-ranked vocabulary (ids 1..``top_v`` by count
+    desc, token asc — a deterministic total order) and encode each
+    document as its array of token ids, 0 for out-of-vocabulary. The
+    tokenizer-training + corpus-encoding step of a pretraining pipeline,
+    minus the BPE merges.
+
+    The vocabulary ranking sorts only the AGGREGATED vocab (≤``top_v``
+    rows after the count + top-k, never the corpus); ids join back
+    broadcast, so the corpus sees one explode + one doc-key rebuild
+    aggregation — shuffle bytes are token ids, not text.
+    """
+    words = df.select(
+        F.col(id_col), F.posexplode(tokens(_c(text_col))).alias("_pos", "_tok")
+    )
+    vocab = (
+        words.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), "_tok")
+        .limit(top_v)
+    )
+    ids = vocab.select(
+        "_tok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_c"), "_tok"))
+        .cast("long")
+        .alias("_id"),
+    )
+    return (
+        words.join(F.broadcast(ids), "_tok", "left")
+        .select(id_col, "_pos", F.coalesce("_id", F.lit(0)).alias("_id"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_id"))),
+                lambda s: s["_id"],
+            ).alias("token_ids"),
+        )
     )
 
 

@@ -24,6 +24,10 @@ __all__ = [
     "fingerprint",
     "redact_pii",
     "PII_PATTERNS",
+    "extract_urls",
+    "url_host",
+    "registrable_domain",
+    "URL_PATTERN",
     "STOPWORDS",
 ]
 
@@ -206,6 +210,32 @@ def fingerprint(col: Column | str) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+# URL shape in the Java/RE2-common regex subset (no lookaround): scheme,
+# host of dot-separated labels, optional path of unreserved characters.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?"
+
+
+def extract_urls(col: Column | str) -> Column:
+    """All http(s) URLs in the text, in order of appearance (array)."""
+    return F.regexp_extract_all(_c(col), F.lit(URL_PATTERN), 0)
+
+
+def url_host(col: Column | str) -> Column:
+    """Hostname of a URL string ('' if the pattern doesn't match)."""
+    return F.regexp_extract(_c(col), r"https?://([A-Za-z0-9.-]+)", 1)
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable domain = last two dot-labels of the hostname (the
+    eTLD+1 approximation used for domain-level corpus filtering and
+    per-domain quality stats; a public-suffix list would refine
+    multi-label TLDs). Single-label hosts pass through unchanged."""
+    parts = F.split(_c(host), r"\.")
+    return F.when(F.size(parts) <= 2, _c(host)).otherwise(
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     )
 
 

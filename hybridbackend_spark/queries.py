@@ -3532,3 +3532,205 @@ def negative_samples_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(
         pos, user_col="user_id", item_col="item_id", n_items=2000, k=2, seed=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation batch 4: line-level dedup, URL/domain analytics, unigram-LM
+# quality scoring, temperature mixture sampling, vocabulary encoding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "line_dedup_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    l AS (
+      SELECT doc_id,
+             ((len(w) + 2) // 3)::BIGINT AS n_lines,
+             (u.s // 3)::BIGINT AS pos,
+             array_to_string(list_slice(w, u.s + 1, u.s + 3), ' ') AS line
+      FROM t, unnest(range(0, len(w), 3)) u(s)
+      WHERE len(w) > 0
+    ),
+    k AS (
+      SELECT doc_id, n_lines, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      FROM l
+    )
+    SELECT doc_id, max(n_lines) AS n_lines, count(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY pos) AS dedup_text
+    FROM k WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level exact dedup: 3-token lines, global first-
+    occurrence-wins, documents rebuilt from surviving lines. Two
+    partial-agg shuffles (line text, then doc id); no windows over data,
+    no driver collect."""
+    from .operators.corpus import line_dedup
+
+    return line_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", line_tokens=3
+    )
+
+
+@register(
+    "url_domains_docs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || ' see https://w' || (doc_id % 5) || '.site'
+                  || (doc_id % 17) || '.com/p/' || doc_id
+                  || ' and http://ads.tracker' || (doc_id % 11)
+                  || '.net/x' AS t
+      FROM documents
+    ),
+    u AS (
+      SELECT doc_id, unnest(regexp_extract_all(t,
+               'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._/%-]*)?')) AS url
+      FROM p
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                  ELSE string_split(host, '.')[-2] || '.'
+                       || string_split(host, '.')[-1]
+             END AS domain
+      FROM (SELECT doc_id,
+                   regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS host
+            FROM u)
+    )
+    SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+           (domain LIKE 'tracker%') AS blocked
+    FROM g GROUP BY domain
+    """,
+)
+def url_domains_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL analytics with blocklist flagging: deterministic
+    synthetic URLs appended per doc, extracted by the cross-engine regex,
+    reduced to registrable domains (eTLD+1 approximation), aggregated.
+    One shuffle on the (low-cardinality) domain key."""
+    from .operators.text import extract_urls, registrable_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" see https://w"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" and http://ads.tracker"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit(".net/x"),
+    )
+    urls = docs.select(
+        "doc_id", F.explode(extract_urls(pii_text)).alias("url")
+    )
+    doms = urls.select(
+        "doc_id", registrable_domain(url_host(F.col("url"))).alias("domain")
+    )
+    return doms.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.max(F.col("domain").startswith("tracker")).alias("blocked"),
+    )
+
+
+@register(
+    "unigram_surprisal_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    v AS (SELECT tok, count(*)::BIGINT AS c FROM w GROUP BY tok),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM v),
+    b AS (
+      SELECT w.doc_id,
+             (length(bin(tot.n)) - length(bin(v.c)))::BIGINT AS bits
+      FROM w JOIN v USING (tok), tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_toks,
+           round(sum(bits) * 1.0 / count(*), 6) AS avg_surprisal_bits
+    FROM b GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: per-token surprisal in whole bits from
+    exact integer log2 (binary digit count) of corpus frequencies — the
+    cheap perplexity-filter stand-in, bit-identical across engines. Vocab
+    built in one partial-agg pass and broadcast back; one doc-key
+    aggregation scores."""
+    from .operators.corpus import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "temperature_mixture_docs",
+    """
+    WITH s AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+    t AS (SELECT sum(n)::BIGINT AS total FROM s),
+    w AS (
+      SELECT source, n,
+             CAST(floor(sqrt(n * 1000000000000.0 / total)) AS BIGINT) AS wq
+      FROM s, t
+    ),
+    ws AS (SELECT sum(wq)::BIGINT AS wsum FROM w),
+    r AS (
+      SELECT source,
+             least(1.0, ((wq / wsum) * (0.5 * total)) / n) AS rate
+      FROM w, ws, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substr(md5(d.doc_id || ':0'), 1, 8)) AS BIGINT) % 1048576
+          < CAST(floor(rate * 1048576) AS BIGINT)
+    """,
+)
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source rebalancing at 50% overall volume: per-
+    source keep rates from integer-quantized sqrt weights (deterministic
+    across engines), membership by pure md5 filter. The corpus is never
+    shuffled — one tiny source aggregate joins back broadcast. The
+    sampled SET itself is hash-checked, not just its size."""
+    from .operators.corpus import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "source", F.col("doc_id"), target_frac=0.5, seed=0
+    ).select("doc_id", "source")
+
+
+@register(
+    "vocab_encode_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t,
+           unnest(range(1, len(toks) + 1)) u(i)
+    ),
+    v AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+    ids AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS id
+      FROM (SELECT * FROM v ORDER BY c DESC, tok LIMIT 1000)
+    )
+    SELECT w.doc_id, count(*)::BIGINT AS n_toks,
+           list(coalesce(ids.id, 0) ORDER BY pos) AS token_ids
+    FROM w LEFT JOIN ids USING (tok)
+    GROUP BY w.doc_id
+    """,
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary (count desc, token asc; ids from 1)
+    and per-document token-id encoding, OOV=0 — tokenizer-training plus
+    corpus-encoding minus the BPE merges. Ranking sorts only the
+    aggregated vocab (bounded by top_v); ids broadcast back; one doc-key
+    rebuild aggregation."""
+    from .operators.corpus import vocab_encode
+
+    return vocab_encode(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", top_v=1000
+    )

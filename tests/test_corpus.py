@@ -232,3 +232,93 @@ def test_negative_samples_deterministic_and_disjoint(spark):
         pos, "user_id", "item_id", n_items=10, k=3, seed=2
     ).collect()
     assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from hybridbackend_spark.operators.corpus import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # lines: "a b c", "d e f"
+            (2, "a b c x y z"),          # "a b c" dup of doc1 -> only "x y z"
+            (3, "d e f a b c"),          # both lines seen -> doc vanishes
+            (4, "g h"),                  # short doc, one partial line
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, line_tokens=3).collect()}
+    assert out[1]["dedup_text"] == "a b c d e f"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["dedup_text"] == "x y z"
+    assert out[2]["n_kept"] == 1
+    assert 3 not in out  # fully duplicated doc removed
+    assert out[4]["dedup_text"] == "g h"
+
+
+def test_line_dedup_layout_invariant(spark):
+    from hybridbackend_spark.operators.corpus import line_dedup
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(10))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, line_dedup(df).collect()))
+    b = sorted(map(tuple, line_dedup(df.repartition(11, "text")).collect()))
+    assert a == b
+
+
+def test_unigram_surprisal_exact_bits(spark):
+    from hybridbackend_spark.operators.corpus import unigram_surprisal
+
+    # corpus counts: a=4, b=2, c=1, d=1 -> total=8 (bits_total=3)
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b b c"), (3, "d")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    # a: 3-2=1 bit; b: 3-1=2; c: 3-0=3; d: 3-0=3
+    assert out[1]["avg_surprisal_bits"] == 1.0
+    assert out[2]["avg_surprisal_bits"] == round((2 + 2 + 3) / 3, 6)
+    assert out[3]["avg_surprisal_bits"] == 3.0
+    assert out[1]["n_toks"] == 4
+
+
+def test_unigram_surprisal_top_v_oov(spark):
+    from hybridbackend_spark.operators.corpus import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "z")], ["doc_id", "text"]
+    )
+    # top_v=1 keeps only 'a' (count 3): total=3 -> bits_total=1,
+    # a costs 1-1=0 bits, OOV ('b','z') cost bits_total+1=2
+    out = {r["doc_id"]: r for r in unigram_surprisal(df, top_v=1).collect()}
+    assert out[1]["avg_surprisal_bits"] == round((0 + 0 + 0 + 2) / 4, 6)
+    assert out[2]["avg_surprisal_bits"] == 2.0
+
+
+def test_temperature_sample_flattens_mix(spark):
+    from hybridbackend_spark.operators.corpus import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = temperature_sample(df, "src", F.col("id"), target_frac=0.5, seed=0)
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # T=0.5 target shares ~ sqrt(0.9):sqrt(0.1) = 0.75:0.25 of 500 kept
+    assert 300 < counts["big"] < 450
+    assert counts["small"] > 60  # upweighted vs its 50-doc proportional share
+    # deterministic
+    again = temperature_sample(df.repartition(13), "src", F.col("id"), 0.5, 0)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_vocab_encode_rank_and_oov(spark):
+    from hybridbackend_spark.operators.corpus import vocab_encode
+
+    df = spark.createDataFrame(
+        [(1, "b a b c b a"), (2, "a q")], ["doc_id", "text"]
+    )
+    # counts: b=3, a=3, c=1, q=1 -> ids: a=2? No: order (count desc, tok asc)
+    # -> a(3)=1, b(3)=2, c(1)=3, q(1)=4
+    out = {r["doc_id"]: r for r in vocab_encode(df, top_v=3).collect()}
+    assert out[1]["token_ids"] == [2, 1, 2, 3, 2, 1]
+    assert out[2]["token_ids"] == [1, 0]  # q beyond top_v -> OOV 0
+    assert out[2]["n_toks"] == 2

@@ -338,3 +338,28 @@ def test_time_decay_single_shuffle(spark, sf_dir):
     from hybridbackend_spark.queries import user_value_decay
 
     assert_max_shuffles(user_value_decay(spark, sf_dir), 1)
+
+
+def test_line_dedup_two_partial_agg_shuffles(spark, sf_dir):
+    # groupBy(line) + groupBy(doc_id), nothing else
+    from hybridbackend_spark.queries import line_dedup_docs
+
+    assert_max_shuffles(line_dedup_docs(spark, sf_dir), 2)
+
+
+def test_temperature_mixture_corpus_never_shuffled(spark, sf_dir):
+    # rates join back broadcast; every exchange is on the tiny aggregates
+    from hybridbackend_spark.plans.inspect import physical_plan
+    from hybridbackend_spark.queries import temperature_mixture_docs
+
+    df = temperature_mixture_docs(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in physical_plan(df)
+
+
+def test_vocab_encode_broadcast_ids(spark, sf_dir):
+    from hybridbackend_spark.queries import vocab_encode_docs
+
+    df = vocab_encode_docs(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_max_shuffles(df, 3)

@@ -119,3 +119,24 @@ def test_redact_pii_email_swallows_phone_digits_consistently(spark):
     assert row["ne"] == 1
     assert "<EMAIL>" in row["red"]
     assert "spam.net" not in row["red"]
+
+
+def test_extract_urls_and_domains(spark):
+    from hybridbackend_spark.operators.text import (
+        extract_urls,
+        registrable_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "go to https://a.b.example.com/x/y.html and http://plain.org, done")],
+        ["id", "t"],
+    )
+    row = df.select(
+        extract_urls("t").alias("urls"),
+        registrable_domain(url_host(F.lit("https://a.b.example.com/x"))).alias("d1"),
+        registrable_domain(F.lit("localhost")).alias("d2"),
+    ).collect()[0]
+    assert row["urls"] == ["https://a.b.example.com/x/y.html", "http://plain.org"]
+    assert row["d1"] == "example.com"
+    assert row["d2"] == "localhost"
