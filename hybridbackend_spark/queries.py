@@ -53,15 +53,20 @@ def register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a test table. ``events.ts`` is written as Parquet TIMESTAMP(NANOS),
-    which Spark 4 has no timestamp type for — read nanos as long (runtime
-    conf) and truncate to microsecond timestamps (exact integer division;
-    matches DuckDB's nanosecond value truncated to Spark's precision)."""
+    """Load a test table. ``events.ts`` is written as Parquet TIMESTAMP(NANOS).
+    Depending on the Spark build that arrives as either a long of nanos
+    (legacy ``nanosAsLong``) or a ``timestamp_ntz`` truncated to micros;
+    normalize both to a session-zone TIMESTAMP (session TZ is pinned to
+    UTC, so the NTZ wall clock maps 1:1 and values match DuckDB's naive
+    timestamps truncated to Spark's microsecond precision)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

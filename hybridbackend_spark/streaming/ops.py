@@ -32,12 +32,14 @@ __all__ = [
     "run_available_now",
 ]
 
-# events.parquet carries TIMESTAMP(NANOS); streaming reads use an explicit
-# long schema + micros truncation, mirroring the batch-side loader.
+# events.parquet carries TIMESTAMP(NANOS); Spark reads that as a
+# timestamp_ntz truncated to micros, which the loader normalizes to a
+# session-zone TIMESTAMP (session TZ pinned UTC), mirroring the batch
+# loader in queries.py::_t.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -70,6 +72,8 @@ def read_event_stream(
     df = reader.load(path)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
