@@ -96,6 +96,12 @@ EXTRA = [
     "unigram_surprisal_docs",
     "temperature_mixture_docs",
     "vocab_encode_docs",
+    "pagerank_customer_supplier",
+    "scd2_user_state",
+    "rolling_active_users",
+    "weighted_sample_docs",
+    "profile_lineitem",
+    "semantic_dedup_docs",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

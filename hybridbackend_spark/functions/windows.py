@@ -17,6 +17,7 @@ __all__ = [
     "sessionize",
     "funnel_min_times",
     "time_decayed_sum",
+    "rolling_distinct_count",
 ]
 
 
@@ -182,4 +183,44 @@ def time_decayed_sum(
             F.round(F.sum(cents * w) / F.lit(scale), 6).alias(alias),
             F.max("_t_last").alias("last_ts"),
         )
+    )
+
+
+def rolling_distinct_count(
+    df,
+    ts: str,
+    id_col: str,
+    window_days: int = 7,
+    day_col: str = "day",
+    out_col: str = "active_ids",
+):
+    """Per observed day, the number of DISTINCT ids active in the
+    trailing ``window_days``-day window ending that day — the rolling
+    DAU/WAU/MAU family. Distinct counts do not decompose over a sliding
+    window, so instead of a per-day window scan each distinct (id, day)
+    pair is exploded into the <= ``window_days`` future days it keeps the
+    id "active" for, and a plain count-distinct per day finishes the job.
+
+    Scale shape: dedup to distinct (id, day) first (one partial-agg
+    shuffle whose volume is the distinct pairs, not the raw events), then
+    the explode multiplies rows by ``window_days`` BEFORE the final
+    per-day count-distinct — shuffled bytes are |distinct id-days| x
+    window, independent of raw event volume. Days with no activity at
+    all are absent from the output (join a calendar spine for gap rows).
+    """
+    ud = (
+        df.select(F.to_date(ts).alias("_d"), F.col(id_col).alias("_id"))
+        .distinct()
+    )
+    days = ud.select(F.col("_d").alias(day_col)).distinct()
+    contrib = ud.select(
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias(day_col),
+        "_id",
+    )
+    return (
+        contrib.join(days, day_col)
+        .groupBy(day_col)
+        .agg(F.count_distinct("_id").alias(out_col))
     )

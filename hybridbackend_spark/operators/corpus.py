@@ -37,6 +37,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "stratified_topn",
+    "weighted_sample",
     "negative_samples",
     "line_dedup",
     "unigram_surprisal",
@@ -337,6 +338,41 @@ def stratified_topn(
         df.withColumn("_ss_rn", F.row_number().over(w))
         .filter(F.col("_ss_rn") <= n)
         .drop("_ss_rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Column | str,
+    weight: str,
+    k: int,
+    seed: int = 0,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: an
+    integer-exact variant of the Efraimidis-Spirakis A-ES scheme. Each
+    row gets priority ``(u * 100000) div weight`` where ``u`` is a
+    40-bit uniform integer derived from md5 of (key, seed); the k rows
+    with the SMALLEST priorities are the sample, so a row with twice the
+    weight is (stochastically) twice as likely to make the cut. Ties
+    break on the key.
+
+    Priorities are pure integer arithmetic on an md5-derived value —
+    re-derivable in any engine (the DuckDB oracle recomputes the exact
+    selection), stable across runs and partition layouts. The top-k is a
+    TakeOrdered (per-partition heap + driver merge of k), never a global
+    sort. ``weight`` must be a positive integral column.
+    """
+    h = F.md5(F.concat_ws(":", _c(key).cast("string"), F.lit(str(seed))))
+    u = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
+    return (
+        df.withColumn("_ws_u", u)
+        .withColumn(
+            priority_col, F.expr(f"(_ws_u * 100000) div {weight}")
+        )
+        .drop("_ws_u")
+        .orderBy(F.col(priority_col), _c(key))
+        .limit(k)
     )
 
 

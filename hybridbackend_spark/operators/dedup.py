@@ -37,6 +37,7 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard_pairs",
     "cosine_near_dup_pairs",
+    "semantic_dedup",
     "contamination_check",
 ]
 
@@ -521,4 +522,57 @@ def contamination_check(
         .groupBy("corpus_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign each embedding to its nearest centroid (the
+    IVF coarse quantizer — train with :func:`~.similarity.kmeans_train`),
+    compare cosines ONLY within a cell (equi-join on the cell id, never
+    the quadratic all-pairs), take TRUE connected components of the
+    >= ``threshold`` pairs, and keep the smallest id of each near-dup
+    group. Returns ``(id_col, cell)`` survivors.
+
+    Cross-cell near-duplicates are uncompared by design — that is the
+    SemDeDup trade-off that bounds the join fan-out to the largest cell
+    instead of the corpus; raise fidelity with more/better centroids.
+    Reference analog: per-block unique() dedup
+    (docs/tutorial/ranking/taobao/data/deduplicate.py:42-80) — the
+    "block" here is a semantic cluster instead of a row range.
+    """
+    from .graph import connected_components
+    from .similarity import cosine, ivf_assign
+
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cells = ivf_assign(v, "_v", centroids, "_cell").localCheckpoint(eager=True)
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._cell") == F.col("b._cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return cells.select(id_col, F.col("_cell").alias("cell")).join(
+        dropped, id_col, "left_anti"
     )

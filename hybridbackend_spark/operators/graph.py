@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -87,3 +87,63 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, computed in
+    EXACT integer arithmetic so the result is bit-identical on any engine
+    (no float summation-order drift): ranks are BIGINTs at ``scale``,
+    each node's contribution is ``rank div out_degree`` (truncating
+    integer division), and the damped update is
+    ``((100-d)*scale) div 100 + (d * sum_contrib) div 100``.
+
+    Per iteration: one equi-join of edges against ranks on the source id
+    and one partial-agg groupBy on the destination id — both shuffles on
+    the node key, combined map-side, so shuffled bytes scale with
+    |edges| not iterations x corpus. Lineage is cut per round with an
+    eager localCheckpoint so the plan stays flat.
+
+    Dangling nodes (no out-edges) leak their mass, the usual simplified
+    formulation; symmetrize the edge list for the strongly-connected
+    variant. Distributed analog of the reference's iterative collective
+    loops (``distribute/tests/allreduce_test.py``).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "_s").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = ed.join(
+            ranks.select(F.col("node").alias("_s"), "rank"), "_s"
+        ).select(
+            F.col("_d").alias("node"), F.expr("rank div _deg").alias("_c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

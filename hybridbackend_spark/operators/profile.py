@@ -1,0 +1,77 @@
+"""Single-pass data profiling: per-column row/null/distinct counts and
+value ranges in long format — the schema-validation companion to the
+reference's cross-file consistency CLI (``data/validate.py:40-75``
+checks names/dtypes/shapes across files; this checks the VALUES).
+
+One job over the table computes every column's statistics together
+(Catalyst plans a single scan with all aggregates fused), then the
+single result row is unpivoted driver-free into (column, stat...) rows.
+At 100 TB this is exactly as expensive as one full-table aggregate —
+the count-distincts expand to one extra shuffle each under
+``spark.sql.execution.removeRedundantAggregates``; swap to
+``approx_count_distinct`` via ``exact_distinct=False`` when cardinality
+precision is not worth that cost.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["profile_columns"]
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+    mean_dp: int = 4,
+) -> DataFrame:
+    """Profile ``cols`` (default: all non-complex columns) into one row
+    per column: ``column_name, n_rows, n_null, n_distinct, min_value,
+    max_value, mean_value``. Min/max are rendered as strings so mixed
+    column types share one schema; mean is NULL for non-numerics and
+    rounded to ``mean_dp`` for engine-stable hashing.
+    """
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [
+            c
+            for c, t in df.dtypes
+            if not (t.startswith("array") or t.startswith("struct") or t.startswith("map"))
+        ]
+    distinct_fn = (
+        F.count_distinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{c}"))
+        aggs.append(distinct_fn(F.col(c)).alias(f"_dist_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+        if base in _NUMERIC:
+            aggs.append(
+                F.round(F.avg(F.col(c)), mean_dp).cast("double").alias(f"_mean_{c}")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"_mean_{c}"))
+    row = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_dist_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_value"),
+            F.col(f"_max_{c}").alias("max_value"),
+            F.col(f"_mean_{c}").alias("mean_value"),
+        )
+        for c in cols
+    ]
+    return row.select(
+        F.explode(F.array(*per_col)).alias("_p")
+    ).select("_p.*")

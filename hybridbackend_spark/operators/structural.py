@@ -29,6 +29,7 @@ __all__ = [
     "dedup_restore",
     "gather",
     "seeded_shuffle",
+    "scd2_intervals",
     "with_batch_id",
     "arrow_training_feed",
     "unbatch",
@@ -342,4 +343,48 @@ def changelog_compact(
         df.withColumn("_cc_rn", F.row_number().over(w))
         .filter(F.col("_cc_rn") == 1)
         .drop("_cc_rn")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    state_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 construction from a changelog:
+    collapse consecutive rows whose ``state_cols`` are unchanged (null-safe
+    comparison) and emit one versioned interval row per state change with
+    ``valid_from`` (first ``order_by[0]`` of the run), ``valid_to`` (start
+    of the next run, NULL while current), ``version`` (1-based per key)
+    and ``is_current``.
+
+    The inverse of :func:`changelog_compact`: compaction keeps only the
+    latest state, SCD2 keeps the full history as non-overlapping
+    intervals — the standard warehouse dimension-history encoding.
+
+    One hash shuffle on the key columns; both windows (change detection
+    and lead/version numbering) share the same partitioning, so Catalyst
+    plans a single exchange. Make ``order_by`` unique per key (append a
+    tie-break id) for deterministic versioning under equal timestamps.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    chg = F.lit(False)
+    for c in state_cols:
+        chg = chg | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    starts = (
+        df.withColumn("_is_start", (F.row_number().over(w) == 1) | chg)
+        .filter(F.col("_is_start"))
+        .drop("_is_start")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        starts.select(
+            *keys,
+            *state_cols,
+            F.col(order_by[0]).alias("valid_from"),
+            F.lead(order_by[0]).over(w2).alias("valid_to"),
+            F.row_number().over(w2).alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

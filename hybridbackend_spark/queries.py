@@ -3739,3 +3739,241 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_encode(
         _t(spark, sf_dir, "documents"), "doc_id", "text", top_v=1000
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 continuation: graph analytics, dimension history, rolling
+# distincts, weighted sampling, profiling, semantic dedup
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 3
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled integer-exact PageRank iterations (identical arithmetic to
+    operators/graph.py::pagerank: rank div degree, 85/100 damping in
+    integer div, scale 1e9)."""
+    ctes = [
+        """
+        edges AS (SELECT DISTINCT o_custkey * 10 AS a, l_suppkey * 10 + 1 AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT a AS s, count(*) AS d FROM sym GROUP BY a),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)
+        """
+    ]
+    for i in range(1, _PR_ITER + 1):
+        ctes.append(
+            f"""
+        s{i} AS (SELECT e.b AS node, CAST(sum(r.r // d.d) AS BIGINT) AS m
+                 FROM sym e JOIN r{i - 1} r ON r.node = e.a
+                            JOIN deg d ON d.s = e.a
+                 GROUP BY e.b),
+        r{i} AS (SELECT n.node,
+                        CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s{i} s ON s.node = n.node)
+            """
+        )
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, r AS rank FROM r{_PR_ITER}"
+    )
+
+
+@register("pagerank_customer_supplier", _pagerank_oracle())
+def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer-supplier trade graph (edge =
+    some order by the customer includes a lineitem from the supplier),
+    symmetrized so every node has out-degree. 3 iterations of exact
+    integer arithmetic (ranks at 1e9 scale), so both engines agree
+    bit-for-bit — the oracle unrolls the identical iterations in SQL."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 10).alias("a"),
+            (F.col("l_suppkey") * 10 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return pagerank(sym, "a", "b", iterations=_PR_ITER)
+
+
+@register(
+    "scd2_user_state",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    st AS (SELECT user_id, event_type, ts, event_id FROM s WHERE chg = 1)
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           row_number() OVER w AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM st
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the events changelog: one
+    versioned validity interval per run of equal event_type per user —
+    the inverse of changelog compaction (latest_state_per_key)."""
+    from .operators.structural import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev, keys=["user_id"], order_by=["ts", "event_id"],
+        state_cols=["event_type"],
+    )
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d AS day FROM ud),
+    contrib AS (
+      SELECT u.user_id, dd.day
+      FROM ud u JOIN days dd ON dd.day BETWEEN u.d AND u.d + 6
+    )
+    SELECT day, count(DISTINCT user_id) AS active_ids
+    FROM contrib GROUP BY day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day (the WAU
+    curve). Distinct counts don't decompose over sliding windows, so each
+    distinct (user, day) is exploded into the days it keeps the user
+    active for — shuffle volume |user-days| x 7, not raw events."""
+    from .functions.windows import rolling_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct_count(
+        ev, ts="ts", id_col="user_id", window_days=7,
+        day_col="day", out_col="active_ids",
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR || ':5'), 1, 10))::BIGINT
+              * 100000) // n_chars AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, priority
+    FROM p ORDER BY priority, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (integer-exact
+    A-ES): 100 documents drawn with probability proportional to length.
+    Selection is md5-derived integer arithmetic — the oracle recomputes
+    the exact sample, so membership itself is hash-checked."""
+    from .operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, key="doc_id", weight="n_chars", k=100, seed=5)
+
+
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+_PROFILE_NUMERIC = {"l_orderkey", "l_quantity", "l_extendedprice"}
+
+
+def _profile_oracle() -> str:
+    blocks = []
+    for c in _PROFILE_COLS:
+        mean = (
+            f"round(avg({c}), 4)::DOUBLE" if c in _PROFILE_NUMERIC
+            else "NULL::DOUBLE"
+        )
+        blocks.append(
+            f"""
+        SELECT '{c}' AS column_name,
+               count(*) AS n_rows,
+               count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c})::VARCHAR AS min_value,
+               max({c})::VARCHAR AS max_value,
+               {mean} AS mean_value
+        FROM lineitem
+            """
+        )
+    return " UNION ALL ".join(blocks)
+
+
+@register("profile_lineitem", _profile_oracle())
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiling of lineitem (counts, nulls, exact
+    distincts, min/max, means) in long format — value-level validation
+    companion to the reference's schema validate CLI
+    (data/validate.py:40-75)."""
+    from .operators.profile import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_columns(li, cols=_PROFILE_COLS)
+
+
+def _semantic_dedup_oracle() -> str:
+    cos = """
+      list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(x.v, q -> q * q)))
+         * sqrt(list_sum(list_transform(y.v, q -> q * q))))
+    """
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, v, (list_sort({_ivf_dist_structs()}))[1].i AS cell
+      FROM e
+    ),
+    p AS (
+      SELECT x.vec_id AS ia, y.vec_id AS ib
+      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE round({cos}, 6) >= 0.35
+    ),
+    ed AS (SELECT ia AS ea, ib AS eb FROM p UNION ALL SELECT ib, ia FROM p),
+    reach(src, dst) AS (
+      SELECT ea, ea FROM (SELECT DISTINCT ea FROM ed)
+      UNION
+      SELECT r.src, e2.eb FROM reach r JOIN ed e2 ON r.dst = e2.ea
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+    SELECT vec_id, cell FROM a
+    WHERE vec_id NOT IN (SELECT id FROM comp WHERE component < id)
+    """
+
+
+@register("semantic_dedup_docs", _semantic_dedup_oracle())
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embeddings clustered to the 8 fixed
+    IVF centroids, cosine>=0.35 pairs found ONLY within a cell, true
+    connected components, smallest id survives. The oracle replicates
+    assignment (identical centroid constants), in-cell pair scoring, and
+    the closure as a recursive CTE — survivors are hash-checked."""
+    from .operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "embedding", "vec_id", centroids=_ivf_centroids(), threshold=0.35
+    )

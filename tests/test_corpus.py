@@ -322,3 +322,36 @@ def test_vocab_encode_rank_and_oov(spark):
     assert out[1]["token_ids"] == [2, 1, 2, 3, 2, 1]
     assert out[2]["token_ids"] == [1, 0]  # q beyond top_v -> OOV 0
     assert out[2]["n_toks"] == 2
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.corpus import weighted_sample
+
+    # 500 light rows (weight 10) + 500 heavy rows (weight 1000)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 500, F.lit(10)).otherwise(F.lit(1000)).alias("w"),
+    )
+    out = weighted_sample(df, key="k", weight="w", k=100, seed=3)
+    rows = out.collect()
+    assert len(rows) == 100
+    heavy = sum(1 for r in rows if r["k"] >= 500)
+    # heavy rows are 100x likelier; expect the sample dominated by them
+    assert heavy > 85
+    # identical selection regardless of partition layout
+    ids1 = {r["k"] for r in rows}
+    ids2 = {
+        r["k"]
+        for r in weighted_sample(
+            df.repartition(13), key="k", weight="w", k=100, seed=3
+        ).collect()
+    }
+    assert ids1 == ids2
+    # different seed -> different sample (with overwhelming probability)
+    ids3 = {
+        r["k"]
+        for r in weighted_sample(df, key="k", weight="w", k=100, seed=4).collect()
+    }
+    assert ids1 != ids3

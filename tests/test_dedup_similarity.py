@@ -307,3 +307,38 @@ def test_quantize_int8_roundtrip_bounds(spark):
     for r in deq:
         if r["scale"] > 0:
             assert r["err"] <= r["scale"] / 254 + 1e-12
+
+
+def test_semantic_dedup_within_cell_only(spark):
+    from hybridbackend_spark.operators.dedup import semantic_dedup
+
+    # centroids on two axes of a 4-dim space
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = [
+        # cell 0: 1~2~3 a near-dup chain (cos ~1), 4 distinct
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.021, 0.0, 0.0]),
+        (3, [1.0, 0.022, 0.0, 0.0]),
+        (4, [1.0, 0.9, 0.0, 0.0]),
+        # cell 1: 5 is near-identical to 1 in ANGLE to its own cellmates?
+        # no — 5/6 are near-dups of each other inside cell 1
+        (5, [0.0, 0.0, 1.0, 0.01]),
+        (6, [0.0, 0.0, 1.0, 0.011]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "embedding", "vec_id", cents, threshold=0.999)
+    got = {r["vec_id"]: r["cell"] for r in out.collect()}
+    # chain 1~2~3 collapses transitively to 1; 5~6 collapses to 5
+    assert set(got) == {1, 4, 5}
+    assert got[1] == 0 and got[4] == 0 and got[5] == 1
+
+
+def test_semantic_dedup_misses_cross_cell_pairs_by_design(spark):
+    from hybridbackend_spark.operators.dedup import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    # two identical vectors placed in DIFFERENT cells can't be compared
+    rows = [(1, [1.0, 0.99]), (2, [0.99, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "embedding", "vec_id", cents, threshold=0.9)
+    assert {r["vec_id"] for r in out.collect()} == {1, 2}

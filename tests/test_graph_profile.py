@@ -1,0 +1,78 @@
+"""PageRank (integer-exact, fixed iterations) and single-pass column
+profiling."""
+
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.operators.graph import pagerank
+from hybridbackend_spark.operators.profile import profile_columns
+
+
+def _expected_pagerank(edges, iterations=3, damping_pct=85, scale=10**9):
+    """Plain-Python replica of the integer-exact update."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    nodes = set()
+    for s, t in edges:
+        out[s].append(t)
+        nodes.add(s)
+        nodes.add(t)
+    rank = {n: scale for n in nodes}
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iterations):
+        sums = defaultdict(int)
+        for s, ts in out.items():
+            c = rank[s] // len(ts)
+            for t in ts:
+                sums[t] += c
+        rank = {n: base + (damping_pct * sums.get(n, 0)) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_exact_reference(spark):
+    # star with a hub plus a chain; directed, includes a dangling sink (5)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    assert got == _expected_pagerank(edges)
+    # hub collects more mass than leaves
+    assert got[1] > got[2] > got[5] or got[1] > got[2]
+
+
+def test_pagerank_layout_invariant(spark):
+    edges = [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.repartition(11), iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_profile_columns_stats(spark):
+    rows = [
+        (1, 2.0, "x"),
+        (2, None, "y"),
+        (3, 4.0, None),
+        (3, 6.0, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "s"])
+    prof = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"k", "v", "s"}
+    k = prof["k"]
+    assert (k["n_rows"], k["n_null"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_value"], k["max_value"]) == ("1", "3")
+    assert k["mean_value"] == 2.25
+    v = prof["v"]
+    assert (v["n_null"], v["n_distinct"]) == (1, 3)
+    assert v["mean_value"] == 4.0  # avg of 2,4,6
+    s = prof["s"]
+    assert s["mean_value"] is None  # non-numeric: no mean
+    assert (s["n_null"], s["n_distinct"]) == (1, 2)
+
+
+def test_profile_columns_skips_complex_types_by_default(spark):
+    df = spark.createDataFrame([(1, [1, 2])], ["k", "arr"])
+    cols = [r["column_name"] for r in profile_columns(df).collect()]
+    assert cols == ["k"]

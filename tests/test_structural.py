@@ -192,3 +192,40 @@ def test_changelog_compact_latest_wins(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_scd2_intervals_versions_and_currency(spark):
+    from hybridbackend_spark.operators.structural import scd2_intervals
+
+    rows = [
+        # user 1: A,A,B,A -> 3 intervals
+        (1, "A", 10, 1), (1, "A", 20, 2), (1, "B", 30, 3), (1, "A", 40, 4),
+        # user 2: single state -> one current interval
+        (2, "C", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "state", "ts", "event_id"])
+    out = scd2_intervals(df, ["user_id"], ["ts", "event_id"], ["state"])
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 1): ("A", 10, 30, False),
+        (1, 2): ("B", 30, 40, False),
+        (1, 3): ("A", 40, None, True),
+        (2, 1): ("C", 5, None, True),
+    }
+    # intervals tile the timeline: next valid_from == previous valid_to
+    assert got[(1, 1)][2] == got[(1, 2)][1]
+
+
+def test_scd2_intervals_null_state_runs(spark):
+    from hybridbackend_spark.operators.structural import scd2_intervals
+
+    rows = [(1, None, 10, 1), (1, None, 20, 2), (1, "X", 30, 3)]
+    df = spark.createDataFrame(rows, ["user_id", "state", "ts", "event_id"])
+    out = scd2_intervals(df, ["user_id"], ["ts", "event_id"], ["state"]).collect()
+    # null==null is NOT a change (eqNullSafe): two intervals, not three
+    assert len(out) == 2

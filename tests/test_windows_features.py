@@ -187,3 +187,25 @@ def test_time_decayed_sum_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_rolling_distinct_count_window_semantics(spark):
+    import datetime
+
+    from hybridbackend_spark.functions.windows import rolling_distinct_count
+
+    d = lambda day: datetime.datetime(2024, 1, day, 12, 0, 0)
+    rows = [
+        (1, d(1)), (1, d(1)),       # u1 active day 1 (dup event)
+        (1, d(5)),                  # u1 again day 5
+        (2, d(1)),                  # u2 only day 1
+        (3, d(20)),                 # u3 in a far window
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        str(r["day"]): r["active_ids"]
+        for r in rolling_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    # day 1: u1+u2; day 5: u1 (from day1 AND day5, counted once) + u2 (day1
+    # still inside the trailing 7 days); day 20: only u3
+    assert got == {"2024-01-01": 2, "2024-01-05": 2, "2024-01-20": 1}
