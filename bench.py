@@ -102,6 +102,9 @@ EXTRA = [
     "weighted_sample_docs",
     "profile_lineitem",
     "semantic_dedup_docs",
+    "incremental_sales_state",
+    "triangle_count_parts",
+    "source_token_drift",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -43,6 +43,7 @@ __all__ = [
     "unigram_surprisal",
     "temperature_sample",
     "vocab_encode",
+    "distribution_drift",
 ]
 
 
@@ -626,4 +627,56 @@ def negative_samples(
         F.col("_i").alias(item_col),
         "slot",
         "neg_item",
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    out_col: str = "drift_bits",
+) -> DataFrame:
+    """Per-group token-distribution drift vs the whole corpus, in whole
+    bits: the average over token OCCURRENCES in the group of
+    ``corpus_surprisal - group_surprisal``, where surprisal is the exact
+    integer ``floor(log2)`` form used by :func:`unigram_surprisal`
+    (binary digit counts — no float log, so the statistic is
+    bit-identical across engines). A discrete KL(group || corpus)-style
+    drift score: ~0 when the group looks like the corpus, positive when
+    it concentrates on tokens the corpus finds rare — the standard
+    monitor for source mix shifts in a training-data pipeline.
+
+    Plan shape: explode -> (group, token) partial-agg -> token partial-agg
+    for the corpus counts -> joins keyed on the token (vocab-sized, not
+    corpus-sized) -> one final group aggregation. Shuffled bytes scale
+    with |groups x vocab|, independent of document bytes.
+    """
+    w = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("_tok"))
+    # (group, token) counts feed FOUR consumers (corpus counts, group
+    # totals, grand total, and the scoring join) — materialize once so
+    # the corpus explode doesn't re-run per branch.
+    gt = (
+        w.groupBy(group_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_cg"))
+        .localCheckpoint(eager=True)
+    )
+    corpus = gt.groupBy("_tok").agg(F.sum("_cg").alias("_cc"))
+    totals = gt.groupBy(group_col).agg(F.sum("_cg").alias("_tg"))
+    grand = corpus.agg(F.sum("_cc").alias("_t"))
+    # corpus is vocab-sized (can be huge) -> shuffle join on the token;
+    # totals is |groups| and grand is 1 row -> broadcast.
+    j = (
+        gt.join(corpus, "_tok")
+        .join(F.broadcast(totals), group_col)
+        .crossJoin(F.broadcast(grand))
+    )
+    bits_g = F.length(F.bin(F.col("_tg"))) - F.length(F.bin(F.col("_cg")))
+    bits_c = F.length(F.bin(F.col("_t"))) - F.length(F.bin(F.col("_cc")))
+    return (
+        j.withColumn("_d", F.col("_cg") * (bits_c - bits_g).cast("long"))
+        .groupBy(group_col)
+        .agg(
+            F.max("_tg").alias("n_tokens"),
+            F.round(F.sum("_d") / F.max("_tg"), 6).alias(out_col),
+        )
     )

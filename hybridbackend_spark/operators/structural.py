@@ -36,6 +36,7 @@ __all__ = [
     "validate_fixed_shape",
     "assert_fixed_shape",
     "changelog_compact",
+    "merge_partial_aggregates",
 ]
 
 _ZERO_BY_DTYPE = {
@@ -387,4 +388,41 @@ def scd2_intervals(
             F.row_number().over(w2).alias("version"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+def merge_partial_aggregates(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    counters: Sequence[str],
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a new
+    batch's partial aggregates into an existing aggregate state table.
+    Both inputs carry the same ``keys`` + ``counters`` schema; the result
+    is one row per key with each counter null-safely ADDED — the merge
+    step of any decomposable aggregate kept in partial form (counts,
+    sums; keep avg as sum+count and divide on read).
+
+    This is Spark's own partial/final aggregation split lifted to table
+    granularity: maintaining a 100 TB rollup means aggregating only the
+    delta and merging, never rescanning the base. One shuffle on the
+    keys (the full-outer join); both sides are already aggregate-sized.
+    The incremental result is bit-equal to a full recompute for integer
+    counters (the oracle query proves exactly that equivalence).
+    """
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"_delta_{c}") for c in counters]
+    )
+    merged = state.join(d, on=list(keys), how="full_outer")
+    zero = F.lit(0)
+    return merged.select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(c), zero)
+                + F.coalesce(F.col(f"_delta_{c}"), zero)
+            ).alias(c)
+            for c in counters
+        ],
     )

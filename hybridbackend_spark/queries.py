@@ -3977,3 +3977,112 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "embedding", "vec_id", centroids=_ivf_centroids(), threshold=0.35
     )
+
+
+@register(
+    "incremental_sales_state",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_sales_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the pre-1997 base
+    is aggregated once, the 1997+ delta separately, and the two partial
+    states merged key-wise (full-outer join + null-safe add). The oracle
+    recomputes the aggregate over ALL orders from scratch — hash equality
+    proves incremental == batch, the property that lets a 100 TB rollup
+    be maintained by aggregating only the new partition."""
+    from .operators.structural import merge_partial_aggregates
+
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+
+    def _agg(d: DataFrame) -> DataFrame:
+        return d.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+
+    base = _agg(orders.filter(F.col("o_orderdate") < cut))
+    delta = _agg(orders.filter(F.col("o_orderdate") >= cut))
+    return merge_partial_aggregates(
+        base, delta, keys=["o_orderpriority"], counters=["n_orders", "total_cents"]
+    )
+
+
+@register(
+    "triangle_count_parts",
+    """
+    WITH pp AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2)
+    SELECT count(*) AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+              JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (edge = two parts
+    co-occurring in >= 2 orders): ordered wedge join, each triangle
+    counted once — the classic join-only distributed graph metric
+    (clustering-coefficient numerator)."""
+    from .operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("pa", "pb")
+    )
+    return triangle_count(pairs, "pa", "pb")
+
+
+@register(
+    "source_token_drift",
+    f"""
+    WITH w AS (SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+    gt AS (SELECT source, tok, count(*)::BIGINT AS cg
+           FROM w GROUP BY source, tok),
+    corpus AS (SELECT tok, CAST(sum(cg) AS BIGINT) AS cc FROM gt GROUP BY tok),
+    totals AS (SELECT source, CAST(sum(cg) AS BIGINT) AS tg
+               FROM gt GROUP BY source),
+    grand AS (SELECT CAST(sum(cc) AS BIGINT) AS t FROM corpus),
+    j AS (
+      SELECT gt.source, gt.cg, totals.tg,
+             ((length(bin(grand.t)) - length(bin(corpus.cc)))
+              - (length(bin(totals.tg)) - length(bin(gt.cg)))) AS db
+      FROM gt JOIN corpus USING (tok) JOIN totals USING (source), grand
+    )
+    SELECT source, max(tg) AS n_tokens,
+           round(sum(cg * db) * 1.0 / max(tg), 6) AS drift_bits
+    FROM j GROUP BY source
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift of each source vs the whole corpus, in
+    exact integer floor(log2) bits (no float log — engine-identical): the
+    data-drift monitor for source mix shifts. Shuffles scale with
+    |sources x vocab|, not corpus bytes."""
+    from .operators.corpus import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return distribution_drift(docs, "source", "text")

@@ -355,3 +355,25 @@ def test_weighted_sample_deterministic_and_weighted(spark):
         for r in weighted_sample(df, key="k", weight="w", k=100, seed=4).collect()
     }
     assert ids1 != ids3
+
+
+def test_distribution_drift_zero_for_identical_groups(spark):
+    from hybridbackend_spark.operators.corpus import distribution_drift
+
+    # two groups with the SAME token distribution -> same bit costs in
+    # group and corpus models up to the total-size bit difference; a
+    # skewed third group must drift more than the uniform ones
+    rows = (
+        [("g1", "alpha beta gamma delta")] * 4
+        + [("g2", "alpha beta gamma delta")] * 4
+        + [("g3", "zeta zeta zeta zeta")] * 2
+    )
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {r["source"]: r for r in
+           distribution_drift(df, "source", "text").collect()}
+    assert set(got) == {"g1", "g2", "g3"}
+    # identical groups get identical drift
+    assert got["g1"]["drift_bits"] == got["g2"]["drift_bits"]
+    # the group concentrated on a corpus-rare token drifts strictly more
+    assert got["g3"]["drift_bits"] > got["g1"]["drift_bits"]
+    assert got["g1"]["n_tokens"] == 16

@@ -76,3 +76,25 @@ def test_profile_columns_skips_complex_types_by_default(spark):
     df = spark.createDataFrame([(1, [1, 2])], ["k", "arr"])
     cols = [r["column_name"] for r in profile_columns(df).collect()]
     assert cols == ["k"]
+
+
+def test_triangle_count_known_graph(spark):
+    from hybridbackend_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; plus a pendant edge and a duplicate/reversed
+    # edge that canonicalization must absorb; plus a self loop
+    edges = (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 4), (1, 0), (2, 2)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_triangle_free(spark):
+    from hybridbackend_spark.operators.graph import triangle_count
+
+    # bipartite graphs have no triangles
+    edges = [(a, 100 + b) for a in range(5) for b in range(5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert triangle_count(df).collect()[0]["n_triangles"] == 0

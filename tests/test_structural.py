@@ -229,3 +229,29 @@ def test_scd2_intervals_null_state_runs(spark):
     out = scd2_intervals(df, ["user_id"], ["ts", "event_id"], ["state"]).collect()
     # null==null is NOT a change (eqNullSafe): two intervals, not three
     assert len(out) == 2
+
+
+def test_merge_partial_aggregates_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.structural import merge_partial_aggregates
+
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(5)] + [
+        ("c", 100)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    # split so some keys exist on only one side
+    base = agg(df.filter(F.col("v") < 3))      # a:3, b:3 (c absent)
+    delta = agg(df.filter(F.col("v") >= 3))    # a:7, b:2, c:1
+    merged = {
+        r["k"]: (r["n"], r["s"])
+        for r in merge_partial_aggregates(base, delta, ["k"], ["n", "s"]).collect()
+    }
+    full = {r["k"]: (r["n"], r["s"]) for r in agg(df).collect()}
+    assert merged == full
