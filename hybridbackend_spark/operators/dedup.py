@@ -531,41 +531,76 @@ def semantic_dedup(
     id_col: str,
     centroids: list[list[float]],
     threshold: float = 0.95,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign each embedding to its nearest centroid (the
     IVF coarse quantizer — train with :func:`~.similarity.kmeans_train`),
-    compare cosines ONLY within a cell (equi-join on the cell id, never
-    the quadratic all-pairs), take TRUE connected components of the
-    >= ``threshold`` pairs, and keep the smallest id of each near-dup
-    group. Returns ``(id_col, cell)`` survivors.
+    compare cosines ONLY within a cell (never the quadratic all-pairs),
+    take TRUE connected components of the >= ``threshold`` pairs, and
+    keep the smallest id of each near-dup group. Returns ``(id_col,
+    cell)`` survivors.
 
-    Cross-cell near-duplicates are uncompared by design — that is the
-    SemDeDup trade-off that bounds the join fan-out to the largest cell
-    instead of the corpus; raise fidelity with more/better centroids.
-    Reference analog: per-block unique() dedup
-    (docs/tutorial/ranking/taobao/data/deduplicate.py:42-80) — the
-    "block" here is a semantic cluster instead of a row range.
+    The in-cell self-join does NOT join on the bare cell id — with K
+    cells that key has K distinct values, so one reducer would own an
+    entire cell's quadratic work. Each row also gets a hash sub-block in
+    [0, B); the join key is (cell, block_lo, block_hi), with each row
+    exploded into the B-or-fewer block pairs it participates in. That
+    multiplies shuffled vector bytes by ~B/2 but raises the key count
+    from K to K*B*(B+1)/2, so the quadratic work of a cell spreads over
+    B^2/2 reducers — the standard blocked self-join rewrite for skewed
+    all-pairs-within-group. Pairs across different blocks are ordered by
+    block, same-block pairs by id, so every unordered pair is produced
+    exactly once.
+
+    Cross-cell near-duplicates are uncompared by design — the SemDeDup
+    trade-off that bounds join fan-out to the largest cell; raise
+    fidelity with more/better centroids. Reference analog: per-block
+    unique() dedup (docs/tutorial/ranking/taobao/data/deduplicate.py:
+    42-80) — the "block" here is a semantic cluster, not a row range.
     """
     from .graph import connected_components
-    from .similarity import cosine, ivf_assign
+    from .similarity import dot, ivf_assign, l2_norm
 
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    cells = ivf_assign(v, "_v", centroids, "_cell").localCheckpoint(eager=True)
-    a, b = cells.alias("a"), cells.alias("b")
+    cells = (
+        ivf_assign(v, "_v", centroids, "_cell")
+        .withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+        # norm precomputed ONCE per vector (identical double to the
+        # inline form, so scores are unchanged); the pair join would
+        # otherwise recompute it per candidate pair
+        .withColumn("_nrm", l2_norm(F.col("_v")))
+        .localCheckpoint(eager=True)
+    )
+    lo = cells.withColumn(
+        "_hi", F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1)))
+    ).alias("a")
+    hi = cells.withColumn(
+        "_lo", F.explode(F.sequence(F.lit(0), F.col("_blk")))
+    ).alias("b")
+    same_blk = F.col("a._blk") == F.col("b._blk")
     pairs = (
-        a.join(
-            b,
+        lo.join(
+            hi,
             (F.col("a._cell") == F.col("b._cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a._blk") == F.col("b._lo"))
+            & (F.col("a._hi") == F.col("b._blk"))
+            & (
+                (F.col("a._blk") < F.col("b._blk"))
+                | (same_blk & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            ),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._nrm") * F.col("b._nrm")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

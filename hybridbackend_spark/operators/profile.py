@@ -29,12 +29,20 @@ def profile_columns(
     cols: Sequence[str] | None = None,
     exact_distinct: bool = True,
     mean_dp: int = 4,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """Profile ``cols`` (default: all non-complex columns) into one row
     per column: ``column_name, n_rows, n_null, n_distinct, min_value,
     max_value, mean_value``. Min/max are rendered as strings so mixed
     column types share one schema; mean is NULL for non-numerics and
     rounded to ``mean_dp`` for engine-stable hashing.
+
+    ``repartition_to`` raises parallelism when the input has few splits
+    (a small file on a big machine): the profiled columns are projected
+    FIRST, so the exchange moves only those columns. With healthy scan
+    parallelism (any real cluster at scale) leave it None — the fused
+    aggregate is then one pass over the (column-pruned) scan with
+    map-side partials.
     """
     dtypes = dict(df.dtypes)
     if cols is None:
@@ -46,6 +54,9 @@ def profile_columns(
     distinct_fn = (
         F.count_distinct if exact_distinct else F.approx_count_distinct
     )
+    df = df.select(*cols)
+    if repartition_to:
+        df = df.repartition(repartition_to)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         base = dtypes[c].split("(")[0]

@@ -3929,7 +3929,10 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profile import profile_columns
 
     li = _t(spark, sf_dir, "lineitem")
-    return profile_columns(li, cols=_PROFILE_COLS)
+    # the sf-scale files arrive as ~3 splits on a 32-core box; project +
+    # repartition restores parallelism (see profile_columns docstring)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return profile_columns(li, cols=_PROFILE_COLS, repartition_to=parts)
 
 
 def _semantic_dedup_oracle() -> str:

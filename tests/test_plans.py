@@ -363,3 +363,86 @@ def test_vocab_encode_broadcast_ids(spark, sf_dir):
     df = vocab_encode_docs(spark, sf_dir)
     assert has_broadcast_join(df)
     assert_max_shuffles(df, 3)
+
+
+def test_semantic_dedup_pairs_no_cartesian_and_blocked_key(spark, sf_dir):
+    # the in-cell self-join must be an equi-join on (cell, block-pair)
+    # keys, never a cartesian/broadcast-nested-loop over the corpus
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.plans.inspect import physical_plan
+    from hybridbackend_spark.queries import _ivf_centroids
+    from hybridbackend_spark.operators.similarity import dot, ivf_assign, l2_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    )
+    cells = (
+        ivf_assign(v, "_v", _ivf_centroids(), "_cell")
+        .withColumn("_blk", F.pmod(F.xxhash64("vec_id"), F.lit(8)))
+        .withColumn("_nrm", l2_norm(F.col("_v")))
+    )
+    lo = cells.withColumn("_hi", F.explode(F.sequence(F.col("_blk"), F.lit(7)))).alias("a")
+    hi = cells.withColumn("_lo", F.explode(F.sequence(F.lit(0), F.col("_blk")))).alias("b")
+    pairs = lo.join(
+        hi,
+        (F.col("a._cell") == F.col("b._cell"))
+        & (F.col("a._blk") == F.col("b._lo"))
+        & (F.col("a._hi") == F.col("b._blk"))
+        & (
+            (F.col("a._blk") < F.col("b._blk"))
+            | ((F.col("a._blk") == F.col("b._blk")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        ),
+    ).select(
+        F.round(dot(F.col("a._v"), F.col("b._v")) / (F.col("a._nrm") * F.col("b._nrm")), 6).alias("cos")
+    )
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    from hybridbackend_spark.plans.inspect import physical_plan
+    from hybridbackend_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(10) for b in range(10) if a < b], ["src", "dst"]
+    )
+    plan = physical_plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_round_is_two_shuffles(spark):
+    # one iteration = join on source id + partial-agg groupBy on dest id;
+    # localCheckpoint keeps the lineage flat so rounds don't stack
+    from hybridbackend_spark.plans.inspect import count_exchanges
+    from hybridbackend_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], ["src", "dst"]
+    )
+    ranks = pagerank(edges, iterations=1)
+    # checkpointed inputs: the remaining plan is the final round only
+    assert count_exchanges(ranks) <= 3
+
+
+def test_profile_single_scan(spark, sf_dir):
+    # the fused profile aggregates every column in ONE scan of the input
+    from hybridbackend_spark.plans.inspect import physical_plan
+    from hybridbackend_spark.operators.profile import profile_columns
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = physical_plan(profile_columns(li, ["l_orderkey", "l_quantity"]))
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rolling_distinct_two_agg_shuffles(spark, sf_dir):
+    from hybridbackend_spark.functions.windows import rolling_distinct_count
+    from hybridbackend_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    df = rolling_distinct_count(ev, "ts", "user_id", 7)
+    # dedup agg, day-join of observed days, final count-distinct agg
+    assert_max_shuffles(df, 4)
