@@ -30,6 +30,7 @@ __all__ = [
     "stream_dedup",
     "stream_stream_join",
     "run_available_now",
+    "foreach_batch_epoch_sink",
 ]
 
 # events.parquet carries TIMESTAMP(NANOS); Spark reads that as a
@@ -213,3 +214,39 @@ def stream_stream_join(
         & (r[right_ts] > l[left_ts])
         & (r[right_ts] <= F.expr(f"{left_ts} + {within_expr}")),
     ).drop(r[key])
+
+
+def foreach_batch_epoch_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once file sink via the foreachBatch idempotence contract:
+    each micro-batch is written to its own ``epoch=N`` partition
+    directory with overwrite mode. On failure/restart Structured
+    Streaming re-delivers the SAME epoch id for an unacknowledged batch,
+    and the overwrite replaces rather than appends — the replay is
+    idempotent, which upgrades the sink's at-least-once delivery to
+    effectively-once output (the pattern Delta/Iceberg MERGE implements
+    transactionally; plain parquet gets it from epoch-directory
+    overwrite + the checkpoint's epoch tracking).
+
+    Read the result with ``spark.read.parquet(path)`` (epoch becomes a
+    partition column); compact per-key state from it with
+    :func:`~..operators.structural.changelog_compact`.
+    """
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{path}/epoch={epoch_id}"
+            )
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

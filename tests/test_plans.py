@@ -446,3 +446,44 @@ def test_rolling_distinct_two_agg_shuffles(spark, sf_dir):
     df = rolling_distinct_count(ev, "ts", "user_id", 7)
     # dedup agg, day-join of observed days, final count-distinct agg
     assert_max_shuffles(df, 4)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    # a selective filter on the build side should inject a runtime bloom
+    # filter into the probe-side scan of a shuffle join — Spark's runtime
+    # analog of the reference's lookup-before-shuffle pruning
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = physical_plan(joined)
+        assert "might_contain" in plan or "bloom_filter" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
