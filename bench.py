@@ -105,6 +105,9 @@ EXTRA = [
     "incremental_sales_state",
     "triangle_count_parts",
     "source_token_drift",
+    "asof_next_purchase",
+    "value_deciles_by_priority",
+    "order_value_histogram",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

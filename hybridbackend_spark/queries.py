@@ -4089,3 +4089,133 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return distribution_drift(docs, "source", "text")
+
+
+@register(
+    "asof_next_purchase",
+    """
+    SELECT c.event_id, min(p.ts) AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    GROUP BY c.event_id
+    """,
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 forward direction: for each click, the EARLIEST purchase
+    at-or-after it by the same user — the same union + window
+    implementation as the backward as-of (one shuffle on the key, no
+    range cross-join), scanned in descending time."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts",
+        right_ts="purchase_ts", direction="forward",
+    )
+    return out.select(
+        "event_id", F.col("purchase_ts").alias("next_purchase_ts")
+    )
+
+
+@register(
+    "value_deciles_by_priority",
+    """
+    WITH d AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, decile, count(*) AS n,
+           CAST(round(min(o_totalprice) * 100) AS BIGINT) AS min_cents,
+           CAST(round(max(o_totalprice) * 100) AS BIGINT) AS max_cents
+    FROM d GROUP BY o_orderpriority, decile
+    """,
+)
+def value_deciles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (ntile deciles) of order value WITHIN each
+    priority class — the windows partition on the group key, so no
+    global single-partition sort; ties broken by o_orderkey for
+    engine-identical bucket edges."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice") * 100).cast("long").alias("min_cents"),
+            F.round(F.max("o_totalprice") * 100).cast("long").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "order_value_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 25
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY bucket
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound value histogram (width_bucket): a pure map expression
+    + one partial-agg shuffle of at most 26 bucket rows — the profiling
+    histogram that costs one scan at any scale. Integer bounds with a
+    clean bucket width keep edge assignment engine-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(24)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stream_segment_counts",
+    """
+    SELECT (floor(epoch(e.ts) / 86400) * 86400)::BIGINT AS window_start_sec,
+           c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch
+    against a broadcast static dimension (customer segment), then a
+    watermarked daily tumbling aggregation. The static side is loaded
+    once and broadcast — no stream-side state beyond the window
+    aggregation. Bounded replay must equal the batch join+aggregate."""
+    from .streaming.ops import read_event_stream, run_available_now, tumbling_agg
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = tumbling_agg(enriched, "ts", "1 day", keys=["segment"])
+    out = run_available_now(agg)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"),
+        "segment",
+        "n_events",
+        "sum_value",
+    )

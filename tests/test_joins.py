@@ -153,3 +153,30 @@ def test_interval_join_no_cartesian_plan(spark):
     plan = physical_plan(interval_join(p, iv, "ts", "w_start", "w_end", 300))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_forward_inclusive_and_tolerance(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.joins import asof_join
+
+    t = lambda sec: datetime.datetime(2024, 1, 1, 0, 0, sec)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(30), "b"), (2, t(5), "c")],
+        ["k", "lts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(25), 200), (1, t(50), 300)],
+        ["k", "rts", "val"],
+    )
+    out = {
+        r["tag"]: r["val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            direction="forward",
+        ).collect()
+    }
+    # inclusive at equality (a@10 -> right@10); earliest-after otherwise
+    assert out == {"a": 100, "b": 300, "c": None}

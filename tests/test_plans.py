@@ -487,3 +487,27 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # hive-style partitionBy write + a filter on the partition column must
+    # prune at planning time: the pruned read touches fewer files
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_parted")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    full = spark.read.parquet(out)
+    pruned = full.filter(F.col("o_orderpriority") == "1-URGENT")
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(pruned)
+    # the equality predicate must appear as a PARTITION filter (planning-
+    # time file pruning), not a post-scan data filter
+    assert "PartitionFilters: [" in plan
+    assert "1-URGENT" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the pruned scan returns exactly the one partition's rows
+    assert pruned.count() == full.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
