@@ -150,20 +150,26 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient_by_degree: bool = False,
 ) -> DataFrame:
     """Exact triangle count of an undirected simple graph, as a 1-row
-    DataFrame ``(n_triangles)``. Edges are canonicalized to ``a < b``
-    (self-loops dropped, duplicates deduped), so each triangle
-    ``a < b < c`` is counted exactly once by the ordered wedge join:
-    ``(a,b) ⋈ (b,c)`` builds wedges, ``⋈ (a,c)`` closes them.
+    DataFrame ``(n_triangles)``. Edges are canonicalized (self-loops
+    dropped, duplicates/reversals deduped) and ORIENTED by a total order
+    on nodes; each triangle is counted exactly once by the ordered wedge
+    join over the oriented adjacency: ``(x,y) ⋈ (y,z)`` builds wedges,
+    ``⋈ (x,z)`` closes them.
 
     Scale shape: two equi-joins on single node keys + one count — all
     partial-agg/AQE-friendly, no cross join. The wedge fan-out is
-    Σ deg⁺(b)² over the id-ordered adjacency; for power-law graphs
-    orient edges from low to high DEGREE first (standard arboricity
-    bound) by relabeling ids in degree order — id order is kept here so
-    results are reproducible without a degree pass.
+    Σ outdeg(y)² under the chosen orientation. ``orient_by_degree=True``
+    orients each edge from the lower-(degree, id) endpoint to the higher
+    — the classic compact-forward algorithm whose out-degrees are
+    bounded by O(sqrt(|E|)) (graph arboricity), taming the hub blow-up
+    of power-law graphs at the cost of one extra degree pass + join.
+    The default id order skips that pass (fine for near-uniform degree).
     """
     a, b = F.col(src), F.col(dst)
     e = (
@@ -174,6 +180,24 @@ def triangle_count(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if orient_by_degree:
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .union(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ed = (
+            e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("_da")), "a")
+            .join(deg.select(F.col("n").alias("b"), F.col("d").alias("_db")), "b")
+        )
+        fwd = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        e = ed.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("b"),
+        ).localCheckpoint(eager=True)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b")).select(
         F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")

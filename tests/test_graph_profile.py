@@ -98,3 +98,19 @@ def test_triangle_count_triangle_free(spark):
     edges = [(a, 100 + b) for a in range(5) for b in range(5)]
     df = spark.createDataFrame(edges, ["src", "dst"])
     assert triangle_count(df).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_degree_orientation_same_count(spark):
+    import random
+
+    from hybridbackend_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    # random graph + a hub node touching everything (degree skew)
+    edges = {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    edges |= {(99, i) for i in range(30)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    n_id = triangle_count(df).collect()[0]["n_triangles"]
+    n_deg = triangle_count(df, orient_by_degree=True).collect()[0]["n_triangles"]
+    assert n_id == n_deg > 0
