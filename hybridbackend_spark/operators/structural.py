@@ -37,6 +37,8 @@ __all__ = [
     "assert_fixed_shape",
     "changelog_compact",
     "merge_partial_aggregates",
+    "distinct_sketch_state",
+    "merge_distinct_sketches",
 ]
 
 _ZERO_BY_DTYPE = {
@@ -426,3 +428,53 @@ def merge_partial_aggregates(
             for c in counters
         ],
     )
+
+
+def distinct_sketch_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    sketch_cols: Mapping[str, str],
+) -> DataFrame:
+    """Mergeable distinct-count state: one Datasketches HLL sketch per
+    key per tracked column (``out_name -> source_col``). The sketch
+    column is a binary value that :func:`merge_distinct_sketches` can
+    combine associatively — the approximate counterpart of
+    :func:`merge_partial_aggregates` for COUNT(DISTINCT), which has no
+    exact decomposable form. Maintain a 100 TB distinct-users rollup by
+    sketching only each new partition and merging (error ~1.6% at the
+    default lgConfigK=12).
+    """
+    return df.groupBy(*keys).agg(
+        *[
+            F.hll_sketch_agg(src).alias(out)
+            for out, src in sketch_cols.items()
+        ]
+    )
+
+
+def merge_distinct_sketches(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sketch_cols: Sequence[str],
+    estimate: bool = False,
+) -> DataFrame:
+    """Merge two HLL-sketch state tables (full-outer on ``keys``, union
+    of each sketch pair; a key missing on one side keeps the other's
+    sketch). ``estimate=True`` finalizes each sketch to its distinct
+    estimate instead of returning the mergeable binary."""
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"_delta_{c}") for c in sketch_cols]
+    )
+    merged = state.join(d, on=list(keys), how="full_outer")
+    out_cols = []
+    for c in sketch_cols:
+        both = F.hll_union(F.col(c), F.col(f"_delta_{c}"))
+        one = F.coalesce(F.col(c), F.col(f"_delta_{c}"))
+        sk = F.when(
+            F.col(c).isNotNull() & F.col(f"_delta_{c}").isNotNull(), both
+        ).otherwise(one)
+        out_cols.append(
+            F.hll_sketch_estimate(sk).alias(c) if estimate else sk.alias(c)
+        )
+    return merged.select(*keys, *out_cols)

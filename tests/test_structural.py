@@ -255,3 +255,40 @@ def test_merge_partial_aggregates_equals_full_recompute(spark):
     }
     full = {r["k"]: (r["n"], r["s"]) for r in agg(df).collect()}
     assert merged == full
+
+
+def test_distinct_sketch_merge_approximates_exact(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.structural import (
+        distinct_sketch_state,
+        merge_distinct_sketches,
+    )
+
+    df = spark.range(60000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 7000).alias("u"),
+        F.col("id").alias("half_key"),
+    )
+    base = df.filter(F.col("half_key") < 30000)
+    delta = df.filter(F.col("half_key") >= 30000)
+    s1 = distinct_sketch_state(base, ["g"], {"users": "u"})
+    s2 = distinct_sketch_state(delta, ["g"], {"users": "u"})
+    merged = {
+        r["g"]: r["users"]
+        for r in merge_distinct_sketches(
+            s1, s2, ["g"], ["users"], estimate=True
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.count_distinct("u").alias("n")).collect()
+    }
+    for g, est in merged.items():
+        assert abs(est - exact[g]) / exact[g] < 0.05
+    # a key present on only one side survives the merge
+    s3 = distinct_sketch_state(
+        base.withColumn("g", F.col("g") + 10), ["g"], {"users": "u"}
+    )
+    only = merge_distinct_sketches(s1, s3, ["g"], ["users"], estimate=True)
+    assert only.count() == 6
