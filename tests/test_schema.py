@@ -60,3 +60,20 @@ def test_validate_files(sf_dir):
     assert validate_files(same) == []
     diff = [f"{sf_dir}/lineitem.parquet", f"{sf_dir}/orders.parquet"]
     assert len(validate_files(diff)) > 0
+
+
+def test_validate_cli_main(sf_dir, capsys):
+    from hybridbackend_spark.sources.validate import main
+
+    a = f"{sf_dir}/lineitem.parquet"
+    b = f"{sf_dir}/orders.parquet"
+    # consistent single file -> exit 0
+    assert main([a, a]) == 0
+    assert "OK" in capsys.readouterr().out
+    # mismatched schemas -> nonzero + report lines
+    assert main([a, b]) == 1
+    assert capsys.readouterr().out.strip()
+    # --print-schema renders the resolved field list
+    assert main([a, "--print-schema"]) == 0
+    out = capsys.readouterr().out
+    assert "l_orderkey" in out and "ragged_rank=0" in out
