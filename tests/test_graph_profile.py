@@ -114,3 +114,22 @@ def test_triangle_count_degree_orientation_same_count(spark):
     n_id = triangle_count(df).collect()[0]["n_triangles"]
     n_deg = triangle_count(df, orient_by_degree=True).collect()[0]["n_triangles"]
     assert n_id == n_deg > 0
+
+
+def test_pagerank_random_graphs_match_reference(spark):
+    import random
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        edges = list(
+            {(rng.randrange(25), rng.randrange(25)) for _ in range(60)}
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, iterations=4, damping_pct=80).collect()
+        }
+        assert got == _expected_pagerank(
+            edges, iterations=4, damping_pct=80
+        ), f"seed {seed}"

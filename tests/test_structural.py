@@ -292,3 +292,81 @@ def test_distinct_sketch_merge_approximates_exact(spark):
     )
     only = merge_distinct_sketches(s1, s3, ["g"], ["users"], estimate=True)
     assert only.count() == 6
+
+
+def test_scd2_random_changelogs_tile_and_match_compaction(spark):
+    import random
+
+    from hybridbackend_spark.operators.structural import (
+        changelog_compact,
+        scd2_intervals,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for key in range(6):
+        for ts in sorted(rng.sample(range(100), rng.randrange(1, 12))):
+            rows.append((key, rng.choice("ABC"), ts, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, ["k", "state", "ts", "event_id"])
+    out = scd2_intervals(df, ["k"], ["ts", "event_id"], ["state"]).collect()
+
+    # python reference: run-length compress each key's ordered states
+    expected = {}
+    by_key = {}
+    for k, state, ts, e in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        by_key.setdefault(k, []).append((state, ts))
+    for k, seq in by_key.items():
+        runs = []
+        for state, ts in seq:
+            if not runs or runs[-1][0] != state:
+                runs.append((state, ts))
+        expected[k] = runs
+
+    for k, runs in expected.items():
+        mine = sorted(
+            [r for r in out if r["k"] == k], key=lambda r: r["version"]
+        )
+        assert [(r["state"], r["valid_from"]) for r in mine] == runs
+        # intervals tile: each valid_to equals the next valid_from
+        for a, b in zip(mine, mine[1:]):
+            assert a["valid_to"] == b["valid_from"] and not a["is_current"]
+        assert mine[-1]["is_current"] and mine[-1]["valid_to"] is None
+
+    # the current SCD2 row agrees with changelog compaction's latest state
+    latest = {
+        r["k"]: r["state"]
+        for r in changelog_compact(df, ["k"], ["ts", "event_id"]).collect()
+    }
+    current = {r["k"]: r["state"] for r in out if r["is_current"]}
+    assert current == latest
+
+
+def test_merge_partial_aggregates_random_splits(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.structural import merge_partial_aggregates
+
+    rng = random.Random(5)
+    rows = [(rng.randrange(8), rng.randrange(1000)) for _ in range(400)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    full = {r["k"]: (r["n"], r["s"]) for r in agg(df).collect()}
+    for cut in (0, 137, 999):
+        base = agg(df.filter(F.col("v") < cut))
+        delta = agg(df.filter(F.col("v") >= cut))
+        merged = {
+            r["k"]: (r["n"], r["s"])
+            for r in merge_partial_aggregates(
+                base, delta, ["k"], ["n", "s"]
+            ).collect()
+        }
+        assert merged == full, f"cut {cut}"
