@@ -107,6 +107,37 @@ EXTRA = [
     "asof_next_purchase",
     "value_deciles_by_priority",
     "order_value_histogram",
+    "stream_segment_counts",
+    # remaining oracled queries, so the bench times the complete surface
+    "block_dedup_roundtrip",
+    "cosine_near_dup_pairs",
+    "cosine_near_dup_bucketed",
+    "cosine_topk_lsh_docs",
+    "cosine_topk_ivf_docs",
+    "dataspec_transform",
+    "date_functions",
+    "distinct_counts",
+    "exact_dedup_docs",
+    "feature_transform",
+    "fingerprint_docs",
+    "json_functions",
+    "lang_id_distribution",
+    "metric_auc_pr",
+    "metric_mean_accuracy",
+    "nested_ragged_scan",
+    "orc_scan_suppliers",
+    "pad_to_dense_embeddings",
+    "percentiles_orders",
+    "pivot_returns",
+    "q17_small_quantity",
+    "rollup_sales",
+    "run_length_events",
+    "semi_anti_join",
+    "sessionize_30m",
+    "set_ops_orders",
+    "string_functions",
+    "unpivot_lineitem_metrics",
+    "window_rank_lag",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -438,12 +438,14 @@ def cosine_near_dup_pairs(
     vectors are re-joined afterwards for the surviving candidates, so
     shuffle volume is |ids| x T keys, not T copies of the embeddings.
     """
-    from .similarity import cosine, random_hyperplane_key
+    from .similarity import dot, l2_norm, random_hyperplane_key
 
+    # norm precomputed once per vector (bit-identical to the inline form,
+    # which would recompute it per candidate pair)
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
+    ).withColumn("_nrm", l2_norm(F.col("_v")))
     if bucket_bits > 0:
         keys = [
             random_hyperplane_key("_v", bucket_bits, seed + t, dim)
@@ -467,14 +469,26 @@ def cosine_near_dup_pairs(
             .distinct()
         )
         joined = pairs.join(
-            v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")), "id_a"
+            v.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_v").alias("_va"),
+                F.col("_nrm").alias("_na"),
+            ),
+            "id_a",
         ).join(
-            v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+            v.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_v").alias("_vb"),
+                F.col("_nrm").alias("_nb"),
+            ),
+            "id_b",
         )
         scored = joined.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos"),
         )
     else:
         a, b = v.alias("a"), v.alias("b")
@@ -484,7 +498,11 @@ def cosine_near_dup_pairs(
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
-                F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+                F.round(
+                    dot(F.col("a._v"), F.col("b._v"))
+                    / (F.col("a._nrm") * F.col("b._nrm")),
+                    6,
+                ).alias("cos"),
             )
         )
     return scored.filter(F.col("cos") >= threshold)
