@@ -113,16 +113,20 @@ def cosine_topk(
     (it is broadcast); the corpus is never shuffled, and the window
     partitions by query id (shuffle = scored pairs, bounded by
     |queries| x |corpus| rows of 3 columns, prune with LSH/IVF beyond)."""
+    # norms precomputed once per vector (bit-identical to the inline
+    # form, which would recompute the corpus norm once per query)
     q = queries.select(
         F.col(query_id).alias("_qid"), _as_double_vec(query_vec).alias("_qv")
-    )
+    ).withColumn("_qn", l2_norm(F.col("_qv")))
     c = corpus.select(
         F.col(corpus_id).alias("_cid"), _as_double_vec(corpus_vec).alias("_cv")
-    )
+    ).withColumn("_cn", l2_norm(F.col("_cv")))
     scored = c.crossJoin(F.broadcast(q)).select(
         "_qid",
         "_cid",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+        F.round(
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+        ).alias("cos"),
     )
     if exclude_self:
         scored = scored.filter(F.col("_qid") != F.col("_cid"))
