@@ -198,7 +198,7 @@ def rolling_distinct_count(
     trailing ``window_days``-day window ending that day — the rolling
     DAU/WAU/MAU family. Distinct counts do not decompose over a sliding
     window, so instead of a per-day window scan each distinct (id, day)
-    pair is exploded into the <= ``window_days`` future days it keeps the
+    pair is exploded into the <= ``window_days`` future days it keeps a
     id "active" for, and a plain count-distinct per day finishes the job.
 
     Scale shape: dedup to distinct (id, day) first (one partial-agg
@@ -208,6 +208,10 @@ def rolling_distinct_count(
     window, independent of raw event volume. Days with no activity at
     all are absent from the output (join a calendar spine for gap rows).
     """
+    if window_days < 1:
+        # F.sequence would silently auto-reverse into a bogus backward
+        # window for 0/negative values
+        raise ValueError("window_days must be >= 1")
     ud = (
         df.select(F.to_date(ts).alias("_d"), F.col(id_col).alias("_id"))
         .distinct()

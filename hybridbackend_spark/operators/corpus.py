@@ -362,12 +362,16 @@ def weighted_sample(
     re-derivable in any engine (the DuckDB oracle recomputes the exact
     selection), stable across runs and partition layouts. The top-k is a
     TakeOrdered (per-partition heap + driver merge of k), never a global
-    sort. ``weight`` must be a positive integral column.
+    sort. ``weight`` must be a positive integral column; rows with
+    NULL/zero/negative weight are EXCLUDED (a zero weight would either
+    raise under ANSI division or produce a NULL priority whose sort
+    position differs between engines).
     """
     h = F.md5(F.concat_ws(":", _c(key).cast("string"), F.lit(str(seed))))
     u = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
     return (
-        df.withColumn("_ws_u", u)
+        df.filter(F.col(weight) > 0)
+        .withColumn("_ws_u", u)
         .withColumn(
             priority_col, F.expr(f"(_ws_u * 100000) div {weight}")
         )

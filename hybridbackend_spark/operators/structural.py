@@ -380,14 +380,13 @@ def scd2_intervals(
         .filter(F.col("_is_start"))
         .drop("_is_start")
     )
-    w2 = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         starts.select(
             *keys,
             *state_cols,
             F.col(order_by[0]).alias("valid_from"),
-            F.lead(order_by[0]).over(w2).alias("valid_to"),
-            F.row_number().over(w2).alias("version"),
+            F.lead(order_by[0]).over(w).alias("valid_to"),
+            F.row_number().over(w).alias("version"),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )

@@ -3809,9 +3809,12 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN lag(event_type) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id)
-                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+             CASE WHEN row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) = 1
+                       OR lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
       FROM events
     ),
     st AS (SELECT user_id, event_type, ts, event_id FROM s WHERE chg = 1)
@@ -4024,11 +4027,12 @@ def incremental_sales_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "triangle_count_parts",
     """
     WITH pp AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     ),
-    e AS (SELECT pa, pb FROM pp GROUP BY pa, pb HAVING count(*) >= 2)
+    e AS (SELECT pa, pb FROM pp GROUP BY pa, pb
+          HAVING count(DISTINCT ok) >= 2)
     SELECT count(*) AS n_triangles
     FROM e e1 JOIN e e2 ON e2.pa = e1.pb
               JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
@@ -4052,7 +4056,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("pa", "pb")
     )

@@ -180,3 +180,19 @@ def test_asof_forward_inclusive_and_tolerance(spark):
     }
     # inclusive at equality (a@10 -> right@10); earliest-after otherwise
     assert out == {"a": 100, "b": 300, "c": None}
+    # forward tolerance (numeric ts, same units contract): b@30 ->
+    # right@50 is 20 ahead, outside a 15 tolerance; a@10 matches at gap 0
+    nl = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 5, "c")], ["k", "lts", "tag"]
+    )
+    nr = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 200), (1, 50, 300)], ["k", "rts", "val"]
+    )
+    tol = {
+        r["tag"]: r["val"]
+        for r in asof_join(
+            nl, nr, on="k", left_ts="lts", right_ts="rts",
+            direction="forward", tolerance=15,
+        ).collect()
+    }
+    assert tol == {"a": 100, "b": None, "c": None}
