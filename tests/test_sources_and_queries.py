@@ -180,3 +180,22 @@ def test_multi_file_interleave(spark, sf_dir):
     )
     assert double.count() == 2 * single.count()
     assert double.columns == single.columns
+
+
+def test_merge_schema_across_heterogeneous_files(spark, tmp_path):
+    # files written at different pipeline stages gain columns over time;
+    # mergeSchema unions the schemas and older files read NULL for the
+    # new columns (the scan-level analog of populate_defaults)
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(f"{d}/old")
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("v2").alias("tag")
+    ).write.parquet(f"{d}/new")
+    df = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(d)
+    assert set(df.columns) == {"k", "tag"}
+    rows = {r["k"]: r["tag"] for r in df.collect()}
+    assert rows[0] is None and rows[7] == "v2" and len(rows) == 8
