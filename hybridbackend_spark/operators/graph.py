@@ -58,11 +58,10 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    def _propagate(lbl: DataFrame) -> DataFrame:
         nbr_min = (
             sym.join(
-                labels.select(
+                lbl.select(
                     F.col("id").alias("_m"), F.col("component").alias("_mc")
                 ),
                 "_m",
@@ -70,16 +69,20 @@ def connected_components(
             .groupBy(F.col("_n").alias("id"))
             .agg(F.min("_mc").alias("_nbr"))
         )
-        labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_nbr"), F.col("component"))
+            ).alias("component"),
         )
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iter):
+        # two propagation steps per materialization/convergence check:
+        # the checkpoint + sum-collect are the fixed per-round cost
+        # (each is a full job), and labels are monotone decreasing, so
+        # checking every other step can at most do one redundant round
+        labels = _propagate(_propagate(labels)).localCheckpoint(eager=True)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             return labels
