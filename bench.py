@@ -138,6 +138,7 @@ EXTRA = [
     "string_functions",
     "unpivot_lineitem_metrics",
     "window_rank_lag",
+    "grouping_sets_lineitem",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

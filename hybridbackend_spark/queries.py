@@ -4223,3 +4223,33 @@ def stream_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: explicit non-hierarchical GROUPING SETS (neither a rollup
+    prefix chain nor a full cube) with grouping() markers disambiguating
+    aggregation NULLs from data NULLs — one pass, Catalyst expands to a
+    single Expand + hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
