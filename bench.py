@@ -139,6 +139,7 @@ EXTRA = [
     "unpivot_lineitem_metrics",
     "window_rank_lag",
     "grouping_sets_lineitem",
+    "latest_state_with_tombstones",
 ]
 
 # scan-throughput shapes mirroring the reference benchmark generator

@@ -329,10 +329,15 @@ def changelog_compact(
     df: DataFrame,
     keys: Sequence[str],
     order_by: Sequence[str],
+    tombstone: Column | None = None,
 ) -> DataFrame:
     """CDC/changelog compaction: keep the LATEST row per key, ordered by
     ``order_by`` (descending, left-to-right tie-break — make the last
-    column a unique id for full determinism).
+    column a unique id for full determinism). ``tombstone`` is an
+    optional boolean expression marking delete records: a key whose
+    LATEST row is a tombstone disappears from the output entirely (the
+    upsert-with-deletes semantics of a Debezium/Kafka compacted topic);
+    earlier tombstones are superseded by later upserts like any state.
 
     One hash shuffle on the key columns + a per-key top-1 window; state
     per key is a single row, so the output is the materialized
@@ -342,11 +347,14 @@ def changelog_compact(
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in order_by]
     )
-    return (
+    out = (
         df.withColumn("_cc_rn", F.row_number().over(w))
         .filter(F.col("_cc_rn") == 1)
         .drop("_cc_rn")
     )
+    if tombstone is not None:
+        out = out.filter(~tombstone)
+    return out
 
 
 def scd2_intervals(

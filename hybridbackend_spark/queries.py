@@ -4253,3 +4253,34 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "latest_state_with_tombstones",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts, round(value, 2) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def latest_state_with_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction with delete semantics: the latest row per user
+    wins, but a user whose latest record is a tombstone ('error' here)
+    is dropped from the materialized state — the compacted-topic /
+    upsert-with-deletes contract."""
+    from .operators.structural import changelog_compact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", F.round("value", 2).alias("value")
+    )
+    return changelog_compact(
+        ev,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        tombstone=F.col("event_type") == "error",
+    )

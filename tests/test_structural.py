@@ -370,3 +370,26 @@ def test_merge_partial_aggregates_random_splits(spark):
             ).collect()
         }
         assert merged == full, f"cut {cut}"
+
+
+def test_changelog_compact_tombstones(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.structural import changelog_compact
+
+    rows = [
+        # key 1: upsert then delete -> gone
+        (1, "U", 10, 1, 1.0), (1, "D", 20, 2, 0.0),
+        # key 2: delete then upsert -> latest upsert wins
+        (2, "D", 10, 3, 0.0), (2, "U", 20, 4, 5.0),
+        # key 3: plain upserts -> latest
+        (3, "U", 10, 5, 7.0), (3, "U", 30, 6, 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "op", "ts", "eid", "v"])
+    got = {
+        r["k"]: r["v"]
+        for r in changelog_compact(
+            df, ["k"], ["ts", "eid"], tombstone=F.col("op") == "D"
+        ).collect()
+    }
+    assert got == {2: 5.0, 3: 9.0}
