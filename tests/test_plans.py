@@ -511,3 +511,54 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert pruned.count() == full.filter(
         F.col("o_orderpriority") == "1-URGENT"
     ).count()
+
+
+def test_aqe_splits_skewed_join(spark):
+    # a hot key owning 90% of the fact side must be split by AQE's skew
+    # join optimization (one reducer would otherwise own the whole key)
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {k: conf.get(k, None) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # shrink the thresholds so test-sized data qualifies as skewed
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # incompressible payload: skew detection uses compressed shuffle
+        # sizes, so repetitive fillers hide the skew
+        payload = F.concat(
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(str(i))))
+                for i in range(4)
+            ]
+        )
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            payload.alias("payload"),
+        )
+        right = spark.range(3000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("attr")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 180300
+        # inspect the SAME QueryExecution that ran (AQE finalizes in place)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

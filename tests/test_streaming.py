@@ -246,3 +246,77 @@ def test_foreach_batch_epoch_sink_idempotent(spark, sf_dir, tmp_path):
     epoch0 = spark.read.parquet(f"{out}/epoch=0").localCheckpoint(eager=True)
     epoch0.write.mode("overwrite").parquet(f"{out}/epoch=0")
     assert spark.read.parquet(out).count() == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    # two files delivered as separate micro-batches: the second replays
+    # events far older than the watermark horizon behind batch 1's max
+    # event time — the streaming aggregate must DROP them, so it differs
+    # from the batch aggregate by exactly the late rows
+    import datetime
+
+    from pyspark.sql import functions as F, types as T
+
+    from hybridbackend_spark.streaming.ops import run_available_now, tumbling_agg
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+    src = str(tmp_path / "src")
+    import time
+
+    # three micro-batches: batch 0 advances event time, batch 1 commits
+    # the watermark, batch 2 delivers a 9h-late row. The late filter uses
+    # the watermark with one completed batch of lag (observed Spark 4.1
+    # availableNow behavior), so the late row must arrive two batches
+    # after the data that made it late.
+    spark.createDataFrame(
+        [(d(10), 1.0), (d(11), 1.0), (d(12), 1.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    time.sleep(1.1)  # file-source batch order follows modification time
+    spark.createDataFrame([(d(12, 10), 1.0)], schema).coalesce(1).write.parquet(
+        f"{src}/f2"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(d(1), 1.0), (d(12, 30), 1.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/f3")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = tumbling_agg(
+        stream, "ts", "1 hour", watermark="30 minutes",
+        aggs={"n": F.count(F.lit(1))},
+    )
+    # APPEND mode: only this mode (and update) applies watermark-based
+    # late-data dropping — complete mode must keep all state by contract.
+    # A window is emitted once the watermark passes its end.
+    import tempfile
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_drop")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start"]: r["n"]
+        for r in spark.table("wm_drop").collect()
+    }
+    # the 01:00 row is hours behind the committed watermark (11:40) and
+    # must be DROPPED (its window would otherwise appear once the final
+    # watermark, 12:00, finalizes everything that ends <= 12:00)
+    assert d(1) not in got
+    # windows fully below the final watermark (12:00) are finalized;
+    # the still-open 12:00 window is not emitted in append mode
+    assert got == {d(10): 1, d(11): 1}
