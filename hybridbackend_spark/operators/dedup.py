@@ -160,6 +160,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     seed: int = 42,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash
     signatures: rows whose signature agrees on ALL rows of any band land in
@@ -168,8 +169,22 @@ def minhash_lsh_candidates(
     Plan shape: signatures (see :func:`minhash_signatures`) -> ``bands``
     bucket keys per row -> posexplode -> self-join on (band, bucket).
     Collisions within a band bucket are the only pairs ever compared —
-    never the quadratic all-pairs. Bucket skew (a degenerate band over
-    boilerplate) is handled by AQE skew-join splitting.
+    never the quadratic all-pairs.
+
+    Degenerate buckets: empty documents (sentinel signature) are excluded
+    from banding unconditionally — they can never verify (Jaccard over
+    empty shingle sets is null), so exclusion is semantics-preserving for
+    dedup while removing the worst all-collide bucket. ``max_bucket``
+    additionally DROPS any (band, bucket) whose member count exceeds the
+    cap before the self-join — a hard quadratic-fan-out bound that AQE
+    skew-splitting alone cannot provide (it splits a hot key's work, but
+    the pair count inside one bucket is still n^2). Documented
+    approximation: pairs that agree ONLY on capped bands are missed; with
+    boilerplate-heavy corpora those buckets are near-identical slabs whose
+    members still collide on their other bands, so measured recall on
+    normal near-dup pairs is unchanged (tests/test_dedup_similarity.py).
+    Mirrors the ``max_df`` heavy-tail guard of
+    :func:`ngram_jaccard_pairs`.
 
     The self-join references the signature subtree twice, so signatures
     are persisted for the duration of ONE eager computation of the
@@ -192,9 +207,22 @@ def minhash_lsh_candidates(
             )
             for b in range(bands)
         ]
-        with_bands = sig.select(
+        # A non-empty doc's minhash is always < _MERSENNE_P (it is a value
+        # mod P); only the empty-doc sentinel equals P. One comparison
+        # removes every sentinel row from banding.
+        with_bands = sig.filter(F.col("mh0") != _MERSENNE_P).select(
             F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bucket")
         )
+        if max_bucket is not None:
+            ok = (
+                with_bands.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .select("band", "bucket")
+            )
+            # same (band, bucket) key as the self-join below — the extra
+            # aggregate co-partitions with it, no new shuffle of the pairs
+            with_bands = with_bands.join(ok, ["band", "bucket"])
         a = with_bands.alias("a")
         b = with_bands.alias("b")
         pairs = (
@@ -224,6 +252,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     seed: int = 42,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates -> exact Jaccard verify at
     ``threshold`` -> keep the smallest id of each CONNECTED COMPONENT of
@@ -237,7 +266,8 @@ def minhash_lsh_dedup(
     from .graph import connected_components
 
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_n, seed, portable
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed, portable,
+        max_bucket,
     )
     verified = _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold)
     comp = connected_components(verified, "id_a", "id_b")
@@ -319,12 +349,21 @@ def simhash_candidates(
     num_bits: int = 48,
     bands: int = 4,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates via SimHash banding: split the sketch into
     ``bands`` contiguous bit blocks; docs sharing any block are candidates
-    (guaranteed to catch pairs within Hamming distance < bands)."""
+    (guaranteed to catch pairs within Hamming distance < bands).
+
+    Empty documents are excluded before sketching — they all vote to the
+    same degenerate sketch and would form an all-collide bucket in every
+    band. ``max_bucket`` drops any (band, block) bucket larger than the
+    cap before the self-join, bounding the quadratic fan-out a boilerplate
+    block would otherwise produce (same guard and recall caveat as
+    :func:`minhash_lsh_candidates`)."""
     r = num_bits // bands
-    sk = simhash_sketches(df, text_col, id_col, num_bits, portable)
+    nonempty = df.filter(F.size(tokens(F.col(text_col))) > 0)
+    sk = simhash_sketches(nonempty, text_col, id_col, num_bits, portable)
     mask = (1 << r) - 1
     with_bands = sk.select(
         F.col(id_col),
@@ -337,6 +376,14 @@ def simhash_candidates(
             )
         ).alias("band", "block"),
     )
+    if max_bucket is not None:
+        ok = (
+            with_bands.groupBy("band", "block")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "block")
+        )
+        with_bands = with_bands.join(ok, ["band", "block"])
     a, b = with_bands.alias("a"), with_bands.alias("b")
     return (
         a.join(

@@ -129,9 +129,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: broadcast dim join + agg + top-k. The customer and
-    orders sides are small relative to lineitem — Catalyst/AQE broadcasts
-    them, so lineitem never shuffles before the aggregate."""
+    """TPC-H Q3 shape: size-aware star join + agg + top-k. Only the
+    selectively-filtered customer side carries an explicit broadcast hint;
+    orders is fact-proportional (billions of rows at 100 TB) so its join
+    strategy is left to Catalyst's size estimate / AQE — broadcast at small
+    SF, sort-merge at scale — rather than forced with a hint that would OOM
+    executors. Plan-gated in tests/test_plan_scale.py."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
@@ -140,7 +143,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -169,16 +172,20 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way star join; all dims broadcast, a single pass
-    over the fact table with zero fact-side shuffle before the agg."""
+    """TPC-H Q5 shape: 5-way star join. Only the constant-size dims
+    (nation: 25 rows, region: 5 rows) carry explicit broadcast hints;
+    orders and customer scale with the fact table, so their join strategy
+    is left to Catalyst/AQE — they broadcast at small SF and degrade to
+    sort-merge joins at 100 TB instead of OOMing a hinted broadcast.
+    Plan-gated in tests/test_plan_scale.py."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -1350,12 +1357,16 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (correlated aggregate subquery, decorrelated to a
-    broadcast self-join on the per-part average)."""
+    self-join on the per-part average). The per-part aggregate has one row
+    per part key — partkey-proportional, billions of rows at 100 TB — so
+    it carries NO broadcast hint: both sides hash-partition on l_partkey
+    (one co-located shuffle), and AQE broadcasts only when the aggregate
+    actually fits."""
     li = _t(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy("l_partkey").agg(
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
-    joined = li.join(F.broadcast(avg_qty), "l_partkey").filter(
+    joined = li.join(avg_qty, "l_partkey").filter(
         F.col("l_quantity") < F.col("half_avg_qty")
     )
     return joined.agg(
@@ -2181,9 +2192,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 6-way join with a cross-dimension OR predicate.
-    Both nation legs broadcast; the nation filter semi-reduces supplier
-    and customer BEFORE they meet lineitem, so the fact table joins
-    against two already-tiny broadcast dims."""
+    Both nation legs broadcast, and the nation-reduced supplier side is
+    hinted (supplier is the reference's sharded dimension — small enough
+    after the 2-of-25-nation semi-reduction). Orders and the nation-reduced
+    customer remain fact-proportional, so they carry NO hint: Catalyst/AQE
+    broadcasts them at small SF and falls back to sort-merge at 100 TB.
+    Plan-gated in tests/test_plan_scale.py."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
@@ -2204,8 +2218,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
         .filter(
             ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
@@ -2247,14 +2261,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue, top 20 customers. The
     top-k cutoff orders by EXACT integer cents (then custkey), so the
     selected set is identical across engines and partition orders; Spark
-    runs it as a TakeOrderedAndProject (no global sort materialized)."""
+    runs it as a TakeOrderedAndProject (no global sort materialized).
+    Only nation (25 rows) is hint-broadcast; orders and customer are
+    fact-proportional, so Catalyst/AQE picks their strategy — broadcast
+    at small SF, sort-merge at 100 TB. Plan-gated in
+    tests/test_plan_scale.py."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "c_custkey", "c_name", "n_name", F.round("c_acctbal", 2).alias("c_acctbal")
@@ -2337,7 +2355,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-qualified IN subquery as a pre-aggregated
     join. The quantity sum runs as exact BIGINTs (quantities are
     integral), so the >250 cutoff cannot ulp-flip; the survivors (~1% of
-    orders) then join orders/customer, both join inputs already reduced."""
+    orders) then join orders/customer. Customer is fact-proportional, so
+    it carries no broadcast hint — AQE sees the tiny post-HAVING survivor
+    set at runtime and broadcasts THAT side instead, which stays correct
+    at 100 TB."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -2348,7 +2369,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -3001,10 +3022,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — an 8-way star join where
-    the measure is a conditional-sum ratio. Every dim broadcasts; the
+    the measure is a conditional-sum ratio. The true dims broadcast
+    (filtered part keys, nation-tagged supplier, nation, region); the
     supplier-nation name rides along as a flag so the share is one pass.
-    Both engines divide the same two exact cent BIGINTs, so round(.,6)
-    is bit-stable."""
+    Orders and the region-reduced customer are fact-proportional and carry
+    NO hint — Catalyst/AQE broadcasts them at small SF and degrades to
+    sort-merge at 100 TB. Both engines divide the same two exact cent
+    BIGINTs, so round(.,6) is bit-stable. Plan-gated in
+    tests/test_plan_scale.py."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     o = _t(spark, sf_dir, "orders").filter(
@@ -3031,9 +3056,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(o.select("o_orderkey", "o_orderdate", "o_custkey")),
+        .join(o.select("o_orderkey", "o_orderdate", "o_custkey"),
               li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
@@ -3143,7 +3168,10 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo revenue percentage for one ship month —
-    broadcast part join + conditional-sum ratio collapsed to one row.
+    part join + conditional-sum ratio collapsed to one row. The part
+    table is partkey-proportional (not a constant-size dim), so it carries
+    no broadcast hint — the one-month lineitem filter makes the fact side
+    small and Catalyst/AQE picks broadcast vs shuffle from actual sizes.
     Exact-cents numerator/denominator; identical division order in both
     engines."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -3155,7 +3183,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -3298,12 +3326,15 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS + NOT EXISTS, decorrelated into a left-semi and a left-anti
     join on the order key with a supplier-inequality residual. Both probe
     sides carry two columns; the anti side is the already-filtered late
-    set, so neither correlated scan rereads lineitem payloads."""
+    set, so neither correlated scan rereads lineitem payloads. The
+    orders⋈lineitem pair carries no broadcast hint (orders is
+    fact-proportional); only the supplier dim is hinted. Plan-gated in
+    tests/test_plan_scale.py."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     late = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )

@@ -342,3 +342,44 @@ def test_semantic_dedup_misses_cross_cell_pairs_by_design(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = semantic_dedup(df, "embedding", "vec_id", cents, threshold=0.9)
     assert {r["vec_id"] for r in out.collect()} == {1, 2}
+
+
+def _degenerate_corpus(spark):
+    """Normal near-dup pairs + a planted degenerate bucket: 40 copies of
+    one boilerplate slab (identical signatures, so every band collides)
+    and 20 empty documents (sentinel signatures)."""
+    rows = list(DOCS)
+    slab = "terms of service apply to all users of this website always"
+    rows += [(100 + i, slab) for i in range(40)]
+    rows += [(500 + i, "") for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_minhash_bucket_cap_bounds_pairs_keeps_recall(spark):
+    docs = _degenerate_corpus(spark)
+    uncapped = minhash_lsh_candidates(docs, "text", "doc_id")
+    capped = minhash_lsh_candidates(docs, "text", "doc_id", max_bucket=10)
+    pairs_un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    pairs_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # empty docs never pair even uncapped (sentinel exclusion)
+    assert not any(a >= 500 or b >= 500 for a, b in pairs_un)
+    # the 40-doc slab contributes C(40,2)=780 pairs uncapped; the cap
+    # removes them wholesale
+    assert len(pairs_un) >= 780
+    assert len(pairs_cap) < 50
+    assert not any(a >= 100 for a, b in pairs_cap)
+    # recall on normal near-dup pairs is unchanged by the cap
+    assert (0, 3) in pairs_cap and (0, 1) in pairs_cap
+
+
+def test_simhash_bucket_cap_and_empty_exclusion(spark):
+    docs = _degenerate_corpus(spark)
+    uncapped = simhash_candidates(docs, "text", "doc_id")
+    capped = simhash_candidates(docs, "text", "doc_id", max_bucket=10)
+    pairs_un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    pairs_cap = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # empty docs excluded before sketching in both modes
+    assert not any(a >= 500 or b >= 500 for a, b in pairs_un | pairs_cap)
+    assert len(pairs_un) >= 780
+    assert len(pairs_cap) < 50
+    assert (0, 3) in pairs_cap

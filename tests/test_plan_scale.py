@@ -1,0 +1,111 @@
+"""Scale plan gates for the TPC-H-shaped queries: fact-proportional tables
+(orders, customer, part, per-partkey aggregates) must NOT carry explicit
+broadcast hints — an explicit hint overrides Catalyst's size check and OOMs
+executors at 100 TB — while true dims (nation, region, nation-reduced
+supplier, selectively-filtered customer) keep theirs.
+
+The gate simulates "nothing fits in memory" by setting
+autoBroadcastJoinThreshold=-1, under which ONLY explicitly-hinted relations
+broadcast. Each query must then plan its fact⋈fact joins as SortMergeJoin
+(the graceful 100-TB strategy) with exactly the expected dim broadcasts.
+At normal thresholds, AQE/Catalyst still auto-broadcasts these sides at
+small SF — correctness and local speed are unchanged (oracle gate covers
+that); this test pins WHICH relations we force.
+
+Reference anchor: hybridbackend/tensorflow/embedding/sharding.py:168-205 —
+the whole premise of the sharded lookup is that a fact-proportional
+dimension does NOT fit on one node.
+"""
+
+import re
+from contextlib import contextmanager
+
+import pytest
+
+from hybridbackend_spark.plans.inspect import physical_plan
+from hybridbackend_spark.queries import (
+    q3_top_orders,
+    q5_nation_revenue,
+    q7_volume_shipping,
+    q8_market_share,
+    q10_returned_items,
+    q14_promo_revenue,
+    q17_small_quantity,
+    q18_large_orders,
+    q21_sole_late_supplier,
+)
+
+
+@contextmanager
+def _no_auto_broadcast(spark):
+    """Force size-based broadcasts off so only explicit hints survive."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _broadcast_exchange_count(plan: str) -> int:
+    return len(re.findall(r"BroadcastExchange ", plan))
+
+
+CASES = [
+    # (builder, n_explicit_dim_broadcasts, description of hinted dims)
+    (q3_top_orders, 1, "segment-filtered customer"),
+    (q5_nation_revenue, 2, "nation, region"),
+    (q7_volume_shipping, 3, "nation x2, nation-reduced supplier"),
+    (q8_market_share, 5, "part keys, nation-tagged supplier, nation, region, asia nations"),
+    (q10_returned_items, 1, "nation"),
+    (q14_promo_revenue, 0, "none - part is partkey-proportional"),
+    (q17_small_quantity, 0, "none - per-part aggregate is partkey-proportional"),
+    (q18_large_orders, 0, "none - AQE broadcasts the post-HAVING survivors"),
+    (q21_sole_late_supplier, 1, "supplier"),
+]
+
+
+@pytest.mark.parametrize(
+    "builder,n_dims,desc", CASES, ids=[c[0].__name__ for c in CASES]
+)
+def test_fact_joins_degrade_to_smj_without_auto_broadcast(
+    spark, sf_dir, builder, n_dims, desc
+):
+    with _no_auto_broadcast(spark):
+        df = builder(spark, sf_dir)
+        plan = physical_plan(df)
+    # the fact-proportional joins (orders-lineitem etc.) must fall back to
+    # sort-merge, not be pinned as broadcasts by an explicit hint
+    assert "SortMergeJoin" in plan, (
+        f"{builder.__name__}: expected orders/fact joins to degrade to "
+        f"SortMergeJoin when nothing auto-broadcasts; plan:\n{plan[:3000]}"
+    )
+    got = _broadcast_exchange_count(plan)
+    assert got == n_dims, (
+        f"{builder.__name__}: expected exactly {n_dims} explicit dim "
+        f"broadcasts ({desc}), found {got}; plan:\n{plan[:3000]}"
+    )
+
+
+@pytest.mark.parametrize(
+    "builder", [q3_top_orders, q5_nation_revenue, q10_returned_items],
+    ids=lambda b: b.__name__,
+)
+def test_small_sf_still_auto_broadcasts(spark, sf_dir, builder):
+    # sanity: at normal thresholds the tiny local tables still broadcast,
+    # so removing the hints cost nothing at small SF
+    df = builder(spark, sf_dir)
+    assert "BroadcastHashJoin" in physical_plan(df)

@@ -295,12 +295,26 @@ def test_q6_all_filters_pushed_single_shuffle(spark, sf_dir):
 
 
 def test_q8_star_join_all_dims_broadcast(spark, sf_dir):
-    # 8-way star: only the final year-groupBy may shuffle the fact side
+    # 8-way star: the true dims (part keys, nation-tagged supplier, nation,
+    # region) broadcast statically. Orders and the region-reduced customer
+    # are fact-proportional and carry no hint, so the initial plan may
+    # shuffle them; at runtime AQE measures the actual (tiny at this SF)
+    # sizes and converts those joins to broadcasts — assert on the final
+    # adaptive plan after execution. Scale behavior (hints survive
+    # threshold=-1, facts degrade to SMJ) is pinned in test_plan_scale.py.
+    from hybridbackend_spark.plans.inspect import physical_plan
     from hybridbackend_spark.queries import q8_market_share
 
     df = q8_market_share(spark, sf_dir)
     assert_broadcast_join(df)
-    assert_max_shuffles(df, 1)
+    df.collect()
+    plan = physical_plan(df)
+    assert "isFinalPlan=true" in plan
+    # AQE converted the unhinted fact-side joins: no sort-merge survives
+    # at this SF (the plan string appends the pre-AQE "Initial Plan" —
+    # assert on the final section only)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
 
 
 def test_q21_semi_anti_two_column_probes(spark, sf_dir):
