@@ -139,6 +139,9 @@ EXTRA = [
     "window_rank_lag",
     "grouping_sets_lineitem",
     "latest_state_with_tombstones",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

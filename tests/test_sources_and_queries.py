@@ -199,3 +199,21 @@ def test_merge_schema_across_heterogeneous_files(spark, tmp_path):
     assert set(df.columns) == {"k", "tag"}
     rows = {r["k"]: r["tag"] for r in df.collect()}
     assert rows[0] is None and rows[7] == "v2" and len(rows) == 8
+
+
+def test_driver_window_priority_names_all_registered():
+    from hybridbackend_spark.queries import (
+        _DRIVER_WINDOW_FIRST,
+        QUERIES,
+        ORACLES,
+        get_oracles,
+        get_queries,
+    )
+
+    missing = [n for n in _DRIVER_WINDOW_FIRST if n not in QUERIES]
+    assert not missing, f"priority names not registered: {missing}"
+    assert len(_DRIVER_WINDOW_FIRST) == len(set(_DRIVER_WINDOW_FIRST))
+    q = get_queries()
+    assert list(q)[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
+    assert set(q) == set(QUERIES)  # reorder only, nothing lost
+    assert set(get_oracles()) == set(ORACLES)
