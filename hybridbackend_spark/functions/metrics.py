@@ -210,6 +210,8 @@ def gauc(
     score: str,
     weight: str = "count",
     alias: str = "gauc",
+    tie_mode: str = "half",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Grouped AUC (reference ``metrics/gauc.cc:39-80``, ``gauc.py:32-71``):
     exact AUC per group, then weighted mean over groups that contain both
@@ -219,15 +221,67 @@ def gauc(
     Single shuffle on (group, score); the per-group sweep is a window
     within the group — no applyInPandas, no per-group collect.
 
-    Parity with the reference kernel (``metrics/gauc.cc:39-66``): the
-    reference marks single-class groups with -0.5 and drops them from the
-    weighted mean (``GaucCalcOp``: only ``auc >= 0`` kept; weights are
-    group row counts) — identical to this implementation. Its sweep
-    ``auc += (fp2-fp1)*(tp2+tp1)`` processes tied predictions in sort
-    order (order-dependent for ties); this implementation gives ties the
-    standard half credit, so results differ only when predictions tie
-    within a group.
+    Tie handling (``tie_mode``):
+
+    - ``"half"`` (default): tied predictions get the standard half
+      credit — the textbook Mann-Whitney estimator, order-independent.
+    - ``"reference"``: bit-exact replica of the reference kernel's sweep
+      (``metrics/gauc.cc:40-55``): rows are processed one at a time in
+      ascending prediction order and ``auc += (fp2-fp1)*(tp2+tp1)`` is
+      accumulated per ROW, so tied predictions contribute in sweep
+      order. The C++ kernel's ``std::sort`` leaves tied order
+      unspecified; ``order_col`` pins it (ascending) to make the
+      replica deterministic — required for this mode. Works with
+      fractional labels exactly as the kernel does (labels accumulate
+      into tp/fp as probabilities). Single-class groups are dropped in
+      both modes, mirroring the kernel's ``-0.5`` marker / caller-side
+      ``auc >= 0`` filter (``gauc.cc:56-60, gauc.py:57-63``).
     """
+    if tie_mode == "reference":
+        if order_col is None:
+            raise ValueError(
+                "tie_mode='reference' needs order_col to pin the sweep "
+                "order of tied predictions (the C++ kernel's sort leaves "
+                "it unspecified)"
+            )
+        lab = F.col(label).cast("double")
+        row_w = (
+            Window.partitionBy(F.col(group))
+            .orderBy(F.col(score).asc(), F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        swept = df.select(
+            F.col(group).alias("_g"),
+            lab.alias("_l"),
+            F.sum(lab).over(row_w).alias("_tp2"),
+            F.sum(F.lit(1.0) - lab).over(row_w).alias("_fp2"),
+        )
+        # per-row trapezoid: (fp2-fp1)*(tp2+tp1) with fp1/tp1 the
+        # previous row's totals == current minus this row's contribution
+        term = (F.lit(1.0) - F.col("_l")) * (
+            F.col("_tp2") + F.col("_tp2") - F.col("_l")
+        )
+        per_group = swept.groupBy("_g").agg(
+            F.sum(term).alias("_raw"),
+            F.max("_tp2").alias("_pos"),
+            F.max("_fp2").alias("_neg"),
+            F.count(F.lit(1)).alias("_cnt"),
+        )
+        valid = per_group.filter(
+            # kernel: tp2 > n-1e-3 or fp2 > n-1e-3 -> -0.5 (dropped);
+            # tp2*fp2 == 0 -> no value. Both reduce to: keep both-class.
+            (F.col("_pos") > 0)
+            & (F.col("_neg") > 0)
+            & (F.col("_pos") <= F.col("_cnt") - 1e-3)
+            & (F.col("_neg") <= F.col("_cnt") - 1e-3)
+        ).withColumn(
+            "_auc",
+            F.lit(1.0) - F.col("_raw") / (2.0 * F.col("_pos") * F.col("_neg")),
+        )
+        w_expr = F.col("_cnt") if weight == "count" else F.lit(1.0)
+        return valid.agg(
+            (F.sum(F.col("_auc") * w_expr) / F.sum(w_expr)).alias(alias)
+        )
     hist = df.groupBy(F.col(group).alias("_g"), F.col(score).alias("_s")).agg(
         F.sum(F.col(label).cast("double")).alias("_p"),
         F.sum(F.lit(1.0) - F.col(label).cast("double")).alias("_n"),

@@ -43,6 +43,8 @@ __all__ = [
     "sample_video_frames",
     "extract_audio_features",
     "encode_ppm",
+    "register_codec",
+    "unregister_codec",
 ]
 
 IMAGE_META_SCHEMA = T.StructType(
@@ -70,10 +72,65 @@ VIDEO_META_SCHEMA = T.StructType(
 )
 
 _STRICT_MSG = (
-    "payload is not a format decodable in this environment (PPM/WAV); "
-    "real {kind} decoding of compressed formats requires a codec library "
-    "not present here; run with fake=True for the deterministic stub"
+    "payload is not a format decodable in this environment (PPM/WAV or a "
+    "registered codec); real {kind} decoding of compressed formats "
+    "requires a codec library not present here; register one with "
+    "register_codec() or run with fake=True for the deterministic stub"
 )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable codec registry: where real codec libraries exist, they slot in
+# without code change. A codec is (name, magic-byte prefix, decode fn);
+# payloads are sniffed by prefix, first match wins. Decoder contracts:
+#   image: decode(payload: bytes) -> (h, w, 3) uint8 ndarray, or None
+#   audio: decode(payload: bytes) -> (mono float ndarray in [-1,1], rate),
+#          or None
+#   video: decode(payload: bytes) -> list of (h, w, 3) uint8 frames, or None
+# Returning None means "not mine after all" — the sniff falls through to
+# the next codec, then to the fake/strict fallback. Decoders are captured
+# into the mapInPandas closure at operator-call time (a snapshot, so later
+# registry edits don't mutate running plans) and must survive cloudpickle
+# to the executors: functions from worker-importable modules (pickled by
+# reference) or nested/dynamic functions (shipped by value) — never
+# methods holding open resources.
+# Built-in PPM/WAV/PPM-stream decoding always runs first.
+# ---------------------------------------------------------------------------
+
+_CODECS: dict[str, list[tuple[str, bytes, object]]] = {
+    "image": [],
+    "audio": [],
+    "video": [],
+}
+
+
+def register_codec(kind: str, name: str, magic: bytes, decode) -> None:
+    """Register a real decoder for compressed payloads (e.g. JPEG via an
+    imaging library, MP3 via an audio library, where installed). ``kind``
+    is 'image' | 'audio' | 'video'; ``magic`` is the payload prefix that
+    selects this codec (e.g. ``b"\\xff\\xd8\\xff"`` for JPEG). Re-using a
+    name replaces the old entry."""
+    if kind not in _CODECS:
+        raise ValueError(f"unknown codec kind {kind!r}")
+    _CODECS[kind] = [c for c in _CODECS[kind] if c[0] != name]
+    _CODECS[kind].append((name, bytes(magic), decode))
+
+
+def unregister_codec(kind: str, name: str) -> None:
+    _CODECS[kind] = [c for c in _CODECS.get(kind, []) if c[0] != name]
+
+
+def _codec_snapshot(kind: str) -> list[tuple[str, bytes, object]]:
+    return list(_CODECS[kind])
+
+
+def _try_codecs(codecs: list, payload: bytes):
+    for _name, magic, decode in codecs:
+        if payload.startswith(magic):
+            out = decode(payload)
+            if out is not None:
+                return out
+    return None
 
 
 def with_media_meta(
@@ -207,20 +264,25 @@ def decode_image_features(
     (id_col long, features array<float>).
 
     PPM payloads are decoded for real (4x4 grid of per-cell channel
-    means -> ``dim``). Other formats: deterministic hash fake when
-    ``fake=True``, else NotImplementedError."""
+    means -> ``dim``); registered image codecs (see
+    :func:`register_codec`) handle compressed formats. Remaining
+    formats: deterministic hash fake when ``fake=True``, else
+    NotImplementedError."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
     )
+    codecs = _codec_snapshot("image")
 
     def _one(p) -> list[float] | None:
         if p is None:
             return None
         raw = bytes(p)
         img = _parse_ppm(raw)
+        if img is None:
+            img = _try_codecs(codecs, raw)
         if img is not None:
             return _fit_dim(_grid_features(img), dim)
         if not fake:
@@ -259,6 +321,8 @@ def resize_images(
         ]
     )
 
+    codecs = _codec_snapshot("image")
+
     def _one(p):
         import numpy as np
 
@@ -266,7 +330,11 @@ def resize_images(
             return None
         raw = bytes(p)
         img = _parse_ppm(raw)
+        if img is None:
+            img = _try_codecs(codecs, raw)
         if img is not None:
+            # custom-decoded images are re-encoded as PPM (the engine's
+            # uncompressed interchange format)
             h, w = img.shape[:2]
             rows = (np.arange(height) * h) // height
             cols = (np.arange(width) * w) // width
@@ -312,6 +380,8 @@ def sample_video_frames(
         ]
     )
 
+    codecs = _codec_snapshot("video")
+
     def _sample_batch(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -322,6 +392,11 @@ def sample_video_frames(
                     continue
                 raw = bytes(p)
                 real = _split_ppm_stream(raw)
+                if not real:
+                    decoded = _try_codecs(codecs, raw)
+                    if decoded:
+                        # custom frames re-encode as PPM for the output
+                        real = [encode_ppm(fr) for fr in decoded]
                 if real:
                     # evenly spaced positions over the decoded frame list
                     k = min(n_frames, len(real))
@@ -373,10 +448,14 @@ def extract_audio_features(
         h = hashlib.sha256(chunk + i.to_bytes(4, "little")).digest()
         return sum(h[:8]) / (8 * 255.0)
 
+    codecs = _codec_snapshot("audio")
+
     def _energies(raw: bytes) -> list[float]:
         import numpy as np
 
         wav = _parse_wav(raw)
+        if wav is None:
+            wav = _try_codecs(codecs, raw)
         if wav is not None:
             x, rate = wav
             flen = max(1, (rate * frame_ms) // 1000)

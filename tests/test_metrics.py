@@ -123,3 +123,97 @@ def test_auc_histogram_pr_interpolated(spark):
 
     with pytest.raises(NotImplementedError):
         auc_histogram(df, "y", "s", curve="XYZ")
+
+
+def _reference_gauc_replica(rows, weight="count"):
+    """Straight Python port of the reference kernel's semantics
+    (metrics/gauc.cc:40-66 ComputeGauc + GaucCalcOp caller): per group,
+    sort by (prediction, order), sweep auc += (fp2-fp1)*(tp2+tp1) per
+    row, 1 - auc/(2*tp2*fp2); drop single-class groups; weighted mean
+    by group size. ``rows`` = [(group, label, score, order)]."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, l, s, o in rows:
+        groups[g].append((s, o, float(l)))
+    aucs, weights = [], []
+    for g, items in groups.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        fp1 = tp1 = fp2 = tp2 = auc = 0.0
+        for s, o, lab in items:
+            fp2 += 1.0 - lab
+            tp2 += lab
+            auc += (fp2 - fp1) * (tp2 + tp1)
+            fp1, tp1 = fp2, tp2
+        n = len(items)
+        threshold = n - 1e-3
+        if tp2 > threshold or fp2 > threshold:
+            continue  # kernel returns -0.5, caller drops auc < 0
+        if tp2 * fp2 > 0:
+            aucs.append(1.0 - auc / (2.0 * tp2 * fp2))
+            weights.append(n if weight == "count" else 1.0)
+    return sum(a * w for a, w in zip(aucs, weights)) / sum(weights)
+
+
+def test_gauc_reference_tie_mode_matches_cpp_replica(spark):
+    # heavy ties: scores drawn from 3 distinct values per group
+    rng = random.Random(7)
+    rows = []
+    order = 0
+    for g in range(12):
+        for _ in range(rng.randint(5, 30)):
+            rows.append(
+                (g, rng.randint(0, 1), rng.choice([0.1, 0.5, 0.9]), order)
+            )
+            order += 1
+    # ensure at least one single-class group is present and dropped
+    rows += [(97, 1, 0.3, order + 1), (97, 1, 0.7, order + 2)]
+    expected = _reference_gauc_replica(rows)
+    df = spark.createDataFrame(
+        rows, "g: long, label: int, score: double, ord: long"
+    )
+    got = gauc(
+        df, "g", "label", "score", tie_mode="reference", order_col="ord"
+    ).collect()[0]["gauc"]
+    assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_gauc_reference_tie_mode_fractional_labels(spark):
+    # the kernel accumulates fractional labels directly into tp/fp
+    rng = random.Random(11)
+    rows = [
+        (g, round(rng.random(), 3), rng.choice([0.2, 0.8]), i)
+        for i, (g, _) in enumerate((gg, 0) for gg in range(4) for _ in range(25))
+    ]
+    expected = _reference_gauc_replica(rows)
+    df = spark.createDataFrame(
+        rows, "g: long, label: double, score: double, ord: long"
+    )
+    got = gauc(
+        df, "g", "label", "score", tie_mode="reference", order_col="ord"
+    ).collect()[0]["gauc"]
+    assert got == pytest.approx(expected, abs=1e-12)
+
+
+def test_gauc_reference_mode_equals_half_mode_without_ties(spark):
+    rng = random.Random(3)
+    rows = []
+    scores = rng.sample(range(100000), 200)  # all distinct
+    for i, s in enumerate(scores):
+        rows.append((i % 5, rng.randint(0, 1), s / 100000.0, i))
+    df = spark.createDataFrame(
+        rows, "g: long, label: int, score: double, ord: long"
+    )
+    half = gauc(df, "g", "label", "score").collect()[0]["gauc"]
+    ref = gauc(
+        df, "g", "label", "score", tie_mode="reference", order_col="ord"
+    ).collect()[0]["gauc"]
+    assert ref == pytest.approx(half, abs=1e-9)
+
+
+def test_gauc_reference_mode_requires_order_col(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0.5, 0)], "g: long, label: int, score: double, ord: long"
+    )
+    with pytest.raises(ValueError, match="order_col"):
+        gauc(df, "g", "label", "score", tie_mode="reference")

@@ -171,3 +171,89 @@ def test_strict_mode_still_raises_for_compressed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec|decodable"):
         decode_image_features(df, fake=False).collect()
+
+
+# --- pluggable codec registry -------------------------------------------
+
+
+def _stub_blob(w, h, seed):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return img, b"STUBJPG" + bytes([w, h]) + img.tobytes()
+
+
+def test_registered_image_codec_end_to_end(spark):
+    from hybridbackend_spark.operators.multimodal import (
+        decode_image_features,
+        register_codec,
+        resize_images,
+        unregister_codec,
+    )
+
+    # nested def: cloudpickle ships it by value to the executors (a
+    # module-level function in a test file is pickled by reference and
+    # the workers cannot import the test module)
+    def stubjpg_decode(payload):
+        """Pretend-JPEG codec: magic b'STUBJPG' + w + h + raw RGB."""
+        import numpy as np
+
+        w, h = payload[7], payload[8]
+        body = payload[9 : 9 + w * h * 3]
+        if len(body) < w * h * 3:
+            return None
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+
+    img, blob = _stub_blob(8, 8, 5)
+    df = spark.createDataFrame([(1, bytearray(blob))], ["media_id", "payload"])
+    register_codec("image", "stubjpg", b"STUBJPG", stubjpg_decode)
+    try:
+        # strict mode now decodes instead of raising
+        feats = decode_image_features(df, dim=12, fake=False).collect()[0][
+            "features"
+        ]
+        expect = img[:2, :2].reshape(-1, 3).mean(axis=0) / 255.0
+        assert abs(feats[0] - expect[0]) < 1e-6
+        # resize round-trips through the codec into real PPM output
+        out = resize_images(df, width=4, height=4, fake=False).collect()[0]
+        assert out["payload"].startswith(b"P6")
+        assert out["width"] == 4
+    finally:
+        unregister_codec("image", "stubjpg")
+    # after unregistering, strict mode raises again (new plan, new snapshot)
+    with pytest.raises(Exception) as ei:
+        decode_image_features(df, dim=12, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_registered_audio_codec_end_to_end(spark):
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import (
+        extract_audio_features,
+        register_codec,
+        unregister_codec,
+    )
+
+    def stubmp3_decode(payload):
+        """Pretend-MP3 codec: magic b'STUBMP3' then PCM16 at 8 kHz."""
+        import numpy as np
+
+        x = np.frombuffer(payload[7:], dtype="<i2").astype("float64") / 32768.0
+        return x, 8000
+
+    x = (np.sin(np.arange(1600) / 10.0) * 16384).astype("<i2")
+    blob = b"STUBMP3" + x.tobytes()
+    df = spark.createDataFrame([(1, bytearray(blob))], ["media_id", "payload"])
+    register_codec("audio", "stubmp3", b"STUBMP3", stubmp3_decode)
+    try:
+        out = extract_audio_features(df, dim=8, fake=False).collect()[0]
+        # 1600 samples at 8kHz with 25ms frames (200 samples) = 8 frames
+        assert out["n_frames"] == 8
+        # real RMS of a sine wave ~ amplitude/sqrt(2)
+        assert abs(out["features"][0] - 0.5 / np.sqrt(2)) < 0.05
+    finally:
+        unregister_codec("audio", "stubmp3")
