@@ -142,6 +142,7 @@ EXTRA = [
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_excess_stock_suppliers",
+    "rolling_active_users_sketch",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

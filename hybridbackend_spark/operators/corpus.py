@@ -350,17 +350,25 @@ def weighted_sample(
     seed: int = 0,
     priority_col: str = "priority",
 ) -> DataFrame:
-    """Deterministic weighted sampling WITHOUT replacement: an
-    integer-exact variant of the Efraimidis-Spirakis A-ES scheme. Each
+    """Deterministic weight-BIASED sampling without replacement: each
     row gets priority ``(u * 100000) div weight`` where ``u`` is a
-    40-bit uniform integer derived from md5 of (key, seed); the k rows
-    with the SMALLEST priorities are the sample, so a row with twice the
-    weight is (stochastically) twice as likely to make the cut. Ties
-    break on the key.
+    40-bit uniform integer derived from md5 of (key, seed), and the k
+    rows with the SMALLEST priorities are the sample. Ties break on the
+    key.
+
+    Bias semantics (honest): heavier rows are monotonically more likely
+    to be picked, but inclusion probabilities are NOT exactly
+    proportional to weight — min-of-(u/w) selects between two rows with
+    a 2:1 weight ratio at p=3/4, not 2/3. The exactly-proportional
+    Efraimidis-Spirakis scheme keys on ``u^(1/w)``, which requires
+    transcendental math with no engine-portable integer form; this
+    operator trades that exactness for a selection that any SQL engine
+    re-derives bit-identically (the DuckDB oracle recomputes the exact
+    sample). When mixture ratios must be accurate, use
+    :func:`temperature_mixture` / :func:`stratified_sample` instead.
 
     Priorities are pure integer arithmetic on an md5-derived value —
-    re-derivable in any engine (the DuckDB oracle recomputes the exact
-    selection), stable across runs and partition layouts. The top-k is a
+    stable across runs and partition layouts. The top-k is a
     TakeOrdered (per-partition heap + driver merge of k), never a global
     sort. ``weight`` must be a positive integral column; rows with
     NULL/zero/negative weight are EXCLUDED (a zero weight would either
@@ -372,10 +380,12 @@ def weighted_sample(
     return (
         df.filter(F.col(weight) > 0)
         .withColumn("_ws_u", u)
-        .withColumn(
-            priority_col, F.expr(f"(_ws_u * 100000) div {weight}")
-        )
-        .drop("_ws_u")
+        # the weight column enters via the Column API (any name works);
+        # only the two internal aliases appear in the div expression
+        # (integer div — u*100000 exceeds 2^53, double floor would drift)
+        .withColumn("_ws_w", F.col(weight).cast("long"))
+        .withColumn(priority_col, F.expr("(_ws_u * 100000) div _ws_w"))
+        .drop("_ws_u", "_ws_w")
         .orderBy(F.col(priority_col), _c(key))
         .limit(k)
     )
@@ -654,6 +664,12 @@ def distribution_drift(
     for the corpus counts -> joins keyed on the token (vocab-sized, not
     corpus-sized) -> one final group aggregation. Shuffled bytes scale
     with |groups x vocab|, independent of document bytes.
+
+    Eager materialization: building this DataFrame RUNS a Spark job —
+    the (group, token) counts feed four consumers and are
+    localCheckpoint(eager=True)-ed at build time; the checkpointed
+    blocks hold executor storage until the returned DataFrame is
+    garbage-collected.
     """
     w = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("_tok"))
     # (group, token) counts feed FOUR consumers (corpus counts, group

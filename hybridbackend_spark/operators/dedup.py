@@ -618,6 +618,14 @@ def semantic_dedup(
     block, same-block pairs by id, so every unordered pair is produced
     exactly once.
 
+    Eager materialization: building this DataFrame RUNS Spark jobs
+    (verified pairs are localCheckpoint(eager=True)-ed before the
+    connected-components loop, which is itself iterative and eager), so
+    plan construction is not lazy here and the checkpointed blocks hold
+    executor storage until the returned DataFrame is garbage-collected.
+    Callers that separate plan-build from execution pay the compute at
+    build time.
+
     Cross-cell near-duplicates are uncompared by design — the SemDeDup
     trade-off that bounds join fan-out to the largest cell; raise
     fidelity with more/better centroids. Reference analog: per-block

@@ -3965,6 +3965,23 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rolling_active_users_sketch")  # approximate: no SQL oracle
+def rolling_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based rolling 90-day distinct active users — the scale
+    path for long windows: one HLL sketch per day (shuffle independent
+    of id cardinality), then trailing-window sketch union. Approximate
+    (~1.6% HLL error), so it carries no hash oracle; the accuracy bound
+    versus the exact operator is pinned in
+    tests/test_windows_features.py."""
+    from .functions.windows import rolling_distinct_count_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct_count_sketch(
+        ev, ts="ts", id_col="user_id", window_days=90,
+        day_col="day", out_col="active_ids",
+    )
+
+
 @register(
     "weighted_sample_docs",
     """
@@ -3979,10 +3996,11 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement (integer-exact
-    A-ES): 100 documents drawn with probability proportional to length.
-    Selection is md5-derived integer arithmetic — the oracle recomputes
-    the exact sample, so membership itself is hash-checked."""
+    """Deterministic weight-biased sampling without replacement: 100
+    documents drawn favoring longer ones (monotone in length, not exactly
+    proportional — see operators/corpus.py:weighted_sample for the bias
+    semantics). Selection is md5-derived integer arithmetic — the oracle
+    recomputes the exact sample, so membership itself is hash-checked."""
     from .operators.corpus import weighted_sample
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")

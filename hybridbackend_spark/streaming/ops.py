@@ -33,10 +33,14 @@ __all__ = [
     "foreach_batch_epoch_sink",
 ]
 
-# events.parquet carries TIMESTAMP(NANOS); Spark reads that as a
-# timestamp_ntz truncated to micros, which the loader normalizes to a
-# session-zone TIMESTAMP (session TZ pinned UTC), mirroring the batch
-# loader in queries.py::_t.
+# events.parquet carries TIMESTAMP(NANOS). Depending on the Spark build
+# that surfaces as either int64 nanos (builds honoring the legacy
+# ``nanosAsLong`` conf) or a timestamp_ntz truncated to micros (builds
+# that ignore it) — so the ``ts`` field type cannot be hard-declared.
+# EVENTS_SCHEMA carries the NTZ variant for reference/back-compat;
+# read_event_stream probes a batch read of the same directory (exactly
+# what the batch loader queries.py::_t observes) and declares whatever
+# type THIS build produces, then normalizes to a session-zone TIMESTAMP.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -49,17 +53,37 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _probed_events_schema(spark: SparkSession, path: str) -> T.StructType:
+    """EVENTS_SCHEMA with the ``ts`` field typed as a batch read of
+    ``path`` actually surfaces it on this Spark build (int64 nanos vs
+    timestamp_ntz) — file-source streams require a declared schema, and
+    declaring the wrong variant makes every batch unreadable."""
+    probed = dict(spark.read.parquet(path).dtypes).get("ts")
+    ts_type = T.LongType() if probed == "bigint" else T.TimestampNTZType()
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
-    schema: T.StructType = EVENTS_SCHEMA,
+    schema: T.StructType | None = None,
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events table (nanos ts -> micros
-    timestamp). ``max_files_per_trigger`` throttles ingest for
-    backpressure control."""
+    timestamp). ``schema=None`` (default) probes the directory with a
+    batch read and declares the ts type this build actually produces;
+    pass an explicit schema to skip the probe.
+    ``max_files_per_trigger`` throttles ingest for backpressure
+    control."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        schema = _probed_events_schema(spark, path)
     reader = spark.readStream.format(fmt).schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -133,3 +133,47 @@ def test_pagerank_random_graphs_match_reference(spark):
         assert got == _expected_pagerank(
             edges, iterations=4, damping_pct=80
         ), f"seed {seed}"
+
+
+def test_star_contraction_matches_propagation_labels(spark):
+    import random
+
+    from hybridbackend_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(29)
+    # mixed shapes: a 60-node chain (deep), a clique, random clusters,
+    # and an isolated pair
+    edges = [(i, i + 1) for i in range(100, 160)]          # deep path
+    edges += [(a, b) for a in range(200, 206) for b in range(a + 1, 206)]
+    for base in (300, 400, 500):
+        ids = rng.sample(range(base, base + 40), 12)
+        edges += [(rng.choice(ids), rng.choice(ids)) for _ in range(20)]
+    edges += [(900, 901)]
+    # random orientation / duplicates
+    edges = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+
+    prop = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=60).collect()
+    }
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert star == prop
+    # the deep chain collapses to its minimum in O(log d) rounds
+    assert star[159] == 100 and star[160] == 100
+
+
+def test_star_contraction_deep_chain_beyond_propagation_budget(spark):
+    from hybridbackend_spark.operators.graph import connected_components_star
+
+    chain = [(i, i + 1) for i in range(500)]  # diameter 500
+    df = spark.createDataFrame(chain, "id_a: long, id_b: long")
+    out = connected_components_star(df, max_iter=20).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 501

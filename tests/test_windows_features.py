@@ -1,5 +1,6 @@
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from hybridbackend_spark.functions.feature import (
@@ -209,3 +210,51 @@ def test_rolling_distinct_count_window_semantics(spark):
     # day 1: u1+u2; day 5: u1 (from day1 AND day5, counted once) + u2 (day1
     # still inside the trailing 7 days); day 20: only u3
     assert got == {"2024-01-01": 2, "2024-01-05": 2, "2024-01-20": 1}
+
+
+def test_rolling_distinct_sketch_within_error_of_exact(spark):
+    import random
+
+    from hybridbackend_spark.functions.windows import (
+        rolling_distinct_count,
+        rolling_distinct_count_sketch,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    base = "2024-01-"
+    for day in range(1, 29):
+        for _ in range(rng.randint(50, 400)):
+            rows.append(
+                (f"2024-01-{day:02d} 12:00:00", rng.randint(0, 3000))
+            )
+    df = spark.createDataFrame(rows, "ts: string, user_id: long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    exact = {
+        r["day"]: r["active_ids"]
+        for r in rolling_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    approx = {
+        r["day"]: r["active_ids"]
+        for r in rolling_distinct_count_sketch(
+            df, "ts", "user_id", 7
+        ).collect()
+    }
+    assert set(exact) == set(approx)  # same observed-day spine
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(5, 0.05 * n), (
+            f"{day}: exact {n} vs sketch {approx[day]}"
+        )
+
+
+def test_rolling_distinct_sketch_window_guard(spark):
+    from hybridbackend_spark.functions.windows import (
+        rolling_distinct_count_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1)], "ts: string, user_id: long"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    with pytest.raises(ValueError):
+        rolling_distinct_count_sketch(df, "ts", "user_id", 0)
