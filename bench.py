@@ -143,6 +143,7 @@ EXTRA = [
     "q11_important_stock",
     "q20_excess_stock_suppliers",
     "rolling_active_users_sketch",
+    "cc_star_event_chains",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

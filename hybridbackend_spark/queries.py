@@ -735,6 +735,7 @@ _DRIVER_WINDOW_FIRST = [
     "semantic_dedup_docs",
     "pagerank_customer_supplier",
     "triangle_count_parts",
+    "cc_star_event_chains",
     "ivf_train_centroids",
     "q2_min_cost_supplier",
     "q11_important_stock",
@@ -4638,3 +4639,49 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "cc_star_event_chains",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ),
+    e0 AS (SELECT prev AS a, event_id AS b FROM e WHERE prev IS NOT NULL),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, g.b FROM reach r JOIN edges g ON r.dst = g.a
+    )
+    SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+    """,
+)
+def cc_star_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction connected components on a DEEP graph: each
+    user's events, ordered by time, form a chain (up to ~90 hops in the
+    test data) — the shape where O(diameter) label propagation is at its
+    worst and the large-star/small-star alternation
+    (:func:`~hybridbackend_spark.operators.graph.
+    connected_components_star`, O(log d) rounds) earns its keep. The
+    oracle recomputes true transitive closure with a recursive CTE.
+    Components are chain-order independent (any per-user ordering
+    connects the same node set), so nanos-vs-micros timestamp tie-breaks
+    cannot flip the result."""
+    from .operators.graph import connected_components_star
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_id").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .select("prev", "event_id")
+    )
+    return connected_components_star(edges, "prev", "event_id")

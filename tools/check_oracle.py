@@ -64,6 +64,7 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,9 +76,13 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"spark: {e}"[:500]}
             continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle)  [{time.time()-t0:.1f}s]")
+            report[name] = {"rows_only": True, "spark_rows": len(srows),
+                            "err": None}
             continue
         try:
             res = con.sql(oracles[name])
@@ -86,11 +91,18 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": f"duckdb: {e}"[:500]}
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_count = len(srows) == len(orows)
         sh, oh = table_hash(srows, scols), table_hash(orows, ocols)
         ok_hash = sh == oh
+        report[name] = {
+            "rows_match": ok_count, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         status = "OK  " if (ok_cols and ok_count and ok_hash) else "FAIL"
         print(
             f"{status}  {name}: rows {len(srows)}/{len(orows)} "
@@ -107,6 +119,14 @@ def main():
                 diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
                 for a, b in diffs:
                     print(f"        spark: {a}\n        duck : {b}")
+    # Full (unfiltered) runs leave a committable snapshot so the claim
+    # "the whole registry is green" is evidenced by an artifact, not notes.
+    if not only:
+        import json
+
+        with open(f"{REPO}/CORRECTNESS_local.json", "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote CORRECTNESS_local.json ({len(report)} entries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
 
