@@ -4685,3 +4685,116 @@ def cc_star_event_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev", "event_id")
     )
     return connected_components_star(edges, "prev", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 over DERIVED shipping columns: the testdata lineitem carries
+# only l_shipdate, so shipmode / commit / receipt dates are synthesized
+# deterministically with engine-portable BIGINT arithmetic (same idiom as
+# the derived partsupp above); the identical CTE runs in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_SHIPPING_SQL = """
+    shipping AS (
+      SELECT l_orderkey,
+             CASE (CAST(l_orderkey AS BIGINT) * 7 + l_linenumber) % 7
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+               WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'RAIL' WHEN 5 THEN 'FOB'
+               ELSE 'REG AIR' END AS l_shipmode,
+             l_shipdate
+               + (((CAST(l_orderkey AS BIGINT) * 5 + l_linenumber * 3) % 60 - 29)
+                  * INTERVAL 1 DAY) AS l_commitdate,
+             l_shipdate
+               + ((((CAST(l_orderkey AS BIGINT) * 5 + l_linenumber * 3) % 60 - 29)
+                   + (CAST(l_orderkey AS BIGINT) * 11 + l_linenumber) % 30 - 9)
+                  * INTERVAL 1 DAY) AS l_receiptdate,
+             l_shipdate
+      FROM lineitem
+    )
+"""
+
+
+def _shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived shipping columns mirroring ``_SHIPPING_SQL`` exactly:
+    pure BIGINT arithmetic for the mode index and day offsets, applied
+    with make_interval. Zero shuffle — a projection on the lineitem
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    okey = F.col("l_orderkey").cast("long")
+    lnum = F.col("l_linenumber").cast("long")
+    mode_idx = (okey * 7 + lnum) % 7
+    commit_off = (okey * 5 + lnum * 3) % 60 - 29
+    receipt_off = commit_off + (okey * 11 + lnum) % 30 - 9
+    modes = ["MAIL", "SHIP", "AIR", "TRUCK", "RAIL", "FOB", "REG AIR"]
+    mode = F.lit(modes[6])
+    expr = None
+    for i, m in enumerate(modes[:6]):
+        cond = (mode_idx == i, F.lit(m))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    mode = expr.otherwise(mode)
+    return li.select(
+        "l_orderkey",
+        mode.alias("l_shipmode"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, "
+            "cast((cast(l_orderkey as bigint) * 5 + l_linenumber * 3) % 60 - 29 as int))"
+        ).alias("l_commitdate"),
+        F.expr(
+            "l_shipdate + make_interval(0, 0, 0, "
+            "cast(((cast(l_orderkey as bigint) * 5 + l_linenumber * 3) % 60 - 29)"
+            " + (cast(l_orderkey as bigint) * 11 + l_linenumber) % 30 - 9 as int))"
+        ).alias("l_receiptdate"),
+        "l_shipdate",
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    f"""
+    WITH {_SHIPPING_SQL}
+    SELECT s.l_shipmode,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM shipping s
+    JOIN orders o ON o.o_orderkey = s.l_orderkey
+    WHERE s.l_shipmode IN ('MAIL', 'SHIP')
+      AND s.l_commitdate < s.l_receiptdate
+      AND s.l_shipdate < s.l_commitdate
+      AND s.l_receiptdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND s.l_receiptdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY s.l_shipmode
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode / order-priority correlation) —
+    completes the 22-query TPC-H decorrelation sweep. Reference anchor:
+    multi-predicate scan filtering + fact-fact join, the hot pattern of
+    hybridbackend/tensorflow/data's filtered batch readers. Scale plan:
+    all four shipping predicates are pure projections of the lineitem
+    scan, so they filter BEFORE the join (~1/7th of rows per mode, then
+    the date window); the surviving probe carries only (l_orderkey,
+    l_shipmode) and joins orders on the natural o_orderkey key — a
+    shuffle join on both facts' shared key, never a broadcast of a
+    fact-proportional side. Conditional aggregation avoids a second
+    pass."""
+    s = _shipping(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        s.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipmode")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
