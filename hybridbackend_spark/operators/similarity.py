@@ -24,6 +24,11 @@ __all__ = [
     "kmeans_train",
     "quantize_int8",
     "cosine_topk_ivf",
+    "pq_random_codebooks",
+    "pq_train",
+    "pq_encode",
+    "pq_decode",
+    "pq_topk",
 ]
 
 
@@ -389,3 +394,184 @@ def quantize_int8(
         F.transform(v, lambda x: F.round(x / s * 127).cast("int"))
     )
     return df.withColumn(out_scale, s).withColumn(out_q, q)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): m subspace codebooks, codes of m small ints per
+# vector, asymmetric-distance (ADC) top-k. The memory story at 100 TB:
+# a 64-dim float corpus (256 B/vector) compresses to m=4 bytes + the
+# codebooks (k_sub x dim floats, broadcast literals) — the corpus side of
+# an ANN probe shrinks ~64x, and the per-pair score is m table lookups
+# instead of a dim-length dot product. Reference anchor: the reference
+# shards/quantizes embedding tables for exactly this reason
+# (tensorflow/embedding/sharding.py) — the full-precision table never
+# moves to the probe.
+# ---------------------------------------------------------------------------
+
+
+def pq_random_codebooks(
+    dim: int, m: int, ksub: int, seed: int = 7, sigma: float = 0.15
+) -> list[list[list[float]]]:
+    """Deterministic seeded codebooks (no training): codebooks[j][c] is a
+    (dim/m)-length centroid for subspace j. Useful as a fixed quantizer
+    and for engine-differential tests; for data-adapted codebooks use
+    :func:`pq_train`."""
+    import random
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = random.Random(seed)
+    dsub = dim // m
+    return [
+        [[rng.gauss(0.0, sigma) for _ in range(dsub)] for _ in range(ksub)]
+        for _ in range(m)
+    ]
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    id_col: str | None = None,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: slice each vector into ``m`` contiguous
+    subvectors and run the distributed Lloyd trainer
+    (:func:`kmeans_train`) independently per subspace. m x iters bounded
+    Spark rounds; all heavy work stays distributed, the driver only ever
+    holds k_sub x dim floats."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = df.select(
+            *([F.col(id_col)] if id_col else []),
+            F.slice(_as_double_vec(vec_col), j * dsub + 1, dsub).alias("_sub"),
+        )
+        books.append(
+            kmeans_train(sub, "_sub", k=ksub, iters=iters, id_col=id_col)
+        )
+    return books
+
+
+def _subspace_sqdist(v_sub: Column, cent: list[float]) -> Column:
+    """Sequential-fold squared L2 between a sliced subvector and a literal
+    centroid — the same reduction tree as DuckDB's
+    list_sum(list_transform(list_zip(...))), so distances are bit-equal
+    across engines."""
+    return F.aggregate(
+        F.zip_with(
+            v_sub,
+            F.array(*[F.lit(x) for x in cent]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, argmin over the codebook
+    (ties break to the lowest code). Pure projection — zero shuffle, zero
+    Python; the codebooks fold into the plan as literals."""
+    v = _as_double_vec(vec_col)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        pairs = F.array(
+            *[
+                F.struct(
+                    _subspace_sqdist(sub, cent).alias("d"), F.lit(c).alias("i")
+                )
+                for c, cent in enumerate(book)
+            ]
+        )
+        codes.append(F.array_min(pairs)["i"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_decode(code_col: Column | str, codebooks: list[list[list[float]]]) -> Column:
+    """Reconstruct the quantized vector (concatenation of the selected
+    codebook centroids) — the dequantizer, used by tests to bound
+    reconstruction error."""
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    books = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in book])
+            for book in codebooks
+        ]
+    )
+    return F.flatten(
+        F.zip_with(c, books, lambda cd, bk: F.element_at(bk, cd + 1))
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_code",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: each query precomputes a LUT of
+    squared distances to every codebook centroid (m x k_sub doubles, once
+    per query); each (query, corpus) pair then costs m array lookups —
+    never touching full-precision corpus vectors. The query side
+    (with LUTs) is broadcast; the corpus side carries only (id, code).
+    Returns (query_id, neighbor_id, adist, rnk), adist rounded to 6dp.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = _as_double_vec(query_vec)
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    _subspace_sqdist(F.slice(qv, j * dsub + 1, dsub), cent)
+                    for cent in book
+                ]
+            )
+            for j, book in enumerate(codebooks)
+        ]
+    )
+    q = queries.select(F.col(query_id).alias("_qid"), lut.alias("_lut"))
+    c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(code_col).alias("_code"))
+    # adist folds subspaces j = 0..m-1 in order — same tree as the
+    # oracle's ordered list_sum
+    adist = F.aggregate(
+        F.zip_with(
+            F.col("_code"), F.col("_lut"), lambda cd, l: F.element_at(l, cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "_qid", "_cid", F.round(adist, 6).alias("adist")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("_qid") != F.col("_cid"))
+    w = Window.partitionBy("_qid").orderBy(F.col("adist").asc(), F.col("_cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_cid").alias("neighbor_id"),
+            "adist",
+            "rnk",
+        )
+    )

@@ -4798,3 +4798,82 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (similarity.py PQ family): encode the corpus to
+# m=4 codes from seeded codebooks, score queries by asymmetric distance
+# (per-query LUT + m lookups per pair). The oracle embeds the identical
+# codebook literals and replays encode + LUT + ordered subspace sum, so
+# codes, distances, and ranks are bit-checked across engines.
+# ---------------------------------------------------------------------------
+
+from .operators.similarity import pq_random_codebooks as _pq_books_fn
+
+_PQ_BOOKS = _pq_books_fn(dim=64, m=4, ksub=8, seed=11)
+
+
+def _pq_oracle(k: int = 5, n_queries: int = 4) -> str:
+    m, ksub, dsub = 4, 8, 16
+    rows = []
+    for j, book in enumerate(_PQ_BOOKS):
+        for c, cent in enumerate(book):
+            lit = "[" + ", ".join(repr(x) for x in cent) + "]::DOUBLE[]"
+            rows.append(f"({j}, {c}, {lit})")
+    values = ",\n      ".join(rows)
+    sq = (
+        "list_sum(list_transform("
+        "list_zip(list_slice(e.v, cb.j * 16 + 1, (cb.j + 1) * 16), cb.cent), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    cb(j, c, cent) AS (VALUES
+      {values}
+    ),
+    codes AS (
+      SELECT e.vec_id, cb.j,
+             (min(struct_pack(d := {sq}, i := cb.c))).i AS code
+      FROM e, cb GROUP BY e.vec_id, cb.j
+    ),
+    lut AS (
+      SELECT e.vec_id AS qid, cb.j, cb.c, {sq} AS d
+      FROM e, cb WHERE e.vec_id < {n_queries}
+    ),
+    pairs AS (
+      SELECT l.qid, codes.vec_id AS cid, l.j, l.d
+      FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.code
+      WHERE codes.vec_id <> l.qid
+    ),
+    scored AS (
+      SELECT qid, cid, round(list_sum(list(d ORDER BY j)), 6) AS adist
+      FROM pairs GROUP BY qid, cid
+    )
+    SELECT qid AS vec_id, cid AS neighbor_id, adist,
+           row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+    FROM scored
+    QUALIFY rnk <= {k}
+    """
+
+
+@register("pq_topk_docs", _pq_oracle())
+def pq_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings table: corpus encoded
+    to 4 codes (a 64x memory cut at full scale — the probe side never
+    sees float vectors), queries score by ADC LUT. Scale plan: encoding
+    is a zero-shuffle projection; the query side (ids + 4x8 LUT doubles)
+    broadcasts; per-pair cost is 4 array lookups. Reference anchor:
+    embedding-table sharding/compression (tensorflow/embedding/
+    sharding.py) — full-precision parameters stay put, only compact
+    representations move."""
+    from .operators.similarity import pq_encode, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, "embedding", _PQ_BOOKS)
+    q = emb.filter(F.col("vec_id") < 4)
+    return pq_topk(
+        q, enc, "vec_id", "vec_id", "embedding", _PQ_BOOKS, k=5
+    )

@@ -383,3 +383,116 @@ def test_simhash_bucket_cap_and_empty_exclusion(spark):
     assert len(pairs_un) >= 780
     assert len(pairs_cap) < 50
     assert (0, 3) in pairs_cap
+
+
+def test_pq_encode_decode_roundtrip_bound(spark):
+    """Decoded vectors must be the concatenated nearest centroids; the
+    quantization error per subspace is bounded by the distance to the
+    chosen centroid (by argmin definition, <= distance to any other)."""
+    from hybridbackend_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        pq_random_codebooks,
+    )
+
+    books = pq_random_codebooks(dim=8, m=2, ksub=4, seed=3)
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.gauss(0.0, 0.15) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    enc = pq_encode(df, "vec", books)
+    out = enc.withColumn("dec", pq_decode("pq_code", books)).collect()
+    for r in out:
+        assert len(r["pq_code"]) == 2 and all(0 <= c < 4 for c in r["pq_code"])
+        # decoded == concat of selected centroids
+        expect = books[0][r["pq_code"][0]] + books[1][r["pq_code"][1]]
+        assert r["dec"] == expect
+        # argmin optimality per subspace: chosen centroid beats the others
+        for j in range(2):
+            sub = r["vec"][j * 4 : (j + 1) * 4]
+            dists = [
+                sum((a - b) ** 2 for a, b in zip(sub, cent))
+                for cent in books[j]
+            ]
+            assert dists[r["pq_code"][j]] == min(dists)
+
+
+def test_pq_train_tightens_codebooks(spark):
+    """Trained codebooks must reconstruct planted clustered data better
+    than the random init they started from."""
+    from hybridbackend_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        pq_random_codebooks,
+        pq_train,
+    )
+
+    import random
+
+    rng = random.Random(17)
+    anchors = [[2.0, 2.0, -2.0, -2.0], [-2.0, 2.0, 2.0, -2.0]]
+    rows = []
+    for i in range(60):
+        a = anchors[i % 2]
+        rows.append(
+            (i, [x + rng.uniform(-0.2, 0.2) for x in a] * 2)  # dim 8
+        )
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+
+    def mse(books):
+        enc = pq_encode(df, "vec", books)
+        err = enc.select(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec").cast("array<double>"),
+                    pq_decode("pq_code", books),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("e")
+        ).agg(F.avg("e")).collect()[0][0]
+        return err
+
+    rand_books = pq_random_codebooks(dim=8, m=2, ksub=2, seed=3, sigma=1.0)
+    trained = pq_train(df, "vec", m=2, ksub=2, iters=3, id_col="vid", dim=8)
+    assert mse(trained) < mse(rand_books)
+    # irreducible noise floor: 8 dims of uniform(+-0.2) noise has
+    # E[sum (x-mean)^2] = 8 * 0.4^2/12 ~ 0.107; trained books must sit at it
+    assert mse(trained) < 0.15
+
+
+def test_pq_topk_matches_bruteforce_on_decoded(spark):
+    """ADC top-1 must agree with exact nearest-neighbor computed on the
+    DECODED (quantized) corpus — PQ's approximation lives entirely in the
+    quantizer, not in the distance machinery."""
+    from hybridbackend_spark.operators.similarity import (
+        pq_decode,
+        pq_encode,
+        pq_random_codebooks,
+        pq_topk,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    books = pq_random_codebooks(dim=8, m=2, ksub=4, seed=5)
+    rows = [(i, [rng.gauss(0.0, 0.2) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    enc = pq_encode(df, "vec", books)
+    q = df.filter(F.col("vid") < 3)
+    top = pq_topk(q, enc, "vid", "vid", "vec", books, code_col="pq_code", k=1)
+    got = {r["vid"]: (r["neighbor_id"], r["adist"]) for r in top.collect()}
+
+    dec = {r["vid"]: r["d"] for r in enc.select("vid", pq_decode("pq_code", books).alias("d")).collect()}
+    for qid, qvec in [(r[0], r[1]) for r in rows[:3]]:
+        best = min(
+            (
+                (sum((a - b) ** 2 for a, b in zip(qvec, dec[cid])), cid)
+                for cid, _ in [(r[0], None) for r in rows]
+                if cid != qid
+            ),
+        )
+        assert got[qid][0] == best[1]
+        assert abs(got[qid][1] - round(best[0], 6)) < 1e-6
