@@ -40,6 +40,7 @@ __all__ = [
     "weighted_sample",
     "negative_samples",
     "line_dedup",
+    "boilerplate_prune",
     "unigram_surprisal",
     "temperature_sample",
     "vocab_encode",
@@ -698,5 +699,82 @@ def distribution_drift(
         .agg(
             F.max("_tg").alias("n_tokens"),
             F.round(F.sum("_d") / F.max("_tg"), 6).alias(out_col),
+        )
+    )
+
+
+def boilerplate_prune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 3,
+    max_df: int = 2,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: cut documents into
+    consecutive ``line_tokens``-token lines, count each distinct line's
+    document frequency corpus-wide, and drop every occurrence of lines
+    appearing in MORE than ``max_df`` documents (headers, footers, nav
+    chrome, cookie banners). The complement of :func:`line_dedup` —
+    that keeps the first copy of a duplicated line; this removes common
+    lines everywhere, preserving rare (informative) text.
+
+    Scale shape: explode -> groupBy(line) counting DISTINCT docs via a
+    (line, doc) pre-dedup (both aggregations combine map-side; shuffled
+    bytes scale with distinct lines, not corpus bytes) -> broadcast-free
+    equi-join back on the line key -> reassemble by doc. Returns
+    (id, n_lines, n_kept, pruned_text); documents made of nothing but
+    boilerplate survive with empty text, so downstream length filters
+    see them.
+    """
+    toks = tokens(_c(text_col))
+    bound = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(line_tokens))
+    n_lines = F.expr(f"(size(_toks) + {line_tokens - 1}) div {line_tokens}")
+    lines = bound.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("_n_lines"),
+        F.explode(starts).alias("_start"),
+        "_toks",
+    ).select(
+        id_col,
+        "_n_lines",
+        F.expr(f"_start div {line_tokens}").alias("_pos"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("_start") + 1, line_tokens), " "
+        ).alias("_line"),
+    )
+    # document frequency per line (distinct docs, two partial-agg rounds)
+    df_counts = (
+        lines.select(id_col, "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    kept = (
+        lines.join(df_counts, "_line")
+        .filter(F.col("_df") <= max_df)
+        .select(id_col, "_n_lines", "_pos", "_line")
+    )
+    return (
+        bound.select(id_col, n_lines.cast("long").alias("_n_lines"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                        lambda s: s["_line"],
+                    ),
+                    " ",
+                ).alias("pruned_text"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.col("_n_lines").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
         )
     )

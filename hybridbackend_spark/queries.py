@@ -4877,3 +4877,49 @@ def pq_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         q, enc, "vec_id", "vec_id", "embedding", _PQ_BOOKS, k=5
     )
+
+
+@register(
+    "boilerplate_prune_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    l AS (
+      SELECT doc_id,
+             ((len(w) + 2) // 3)::BIGINT AS n_lines,
+             (u.s // 3)::BIGINT AS pos,
+             array_to_string(list_slice(w, u.s + 1, u.s + 3), ' ') AS line
+      FROM t, unnest(range(0, len(w), 3)) u(s)
+      WHERE len(w) > 0
+    ),
+    dfc AS (
+      SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+    ),
+    k AS (
+      SELECT l.doc_id, l.n_lines, l.pos, l.line
+      FROM l JOIN dfc ON dfc.line = l.line
+      WHERE dfc.df <= 2
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY pos) AS pruned_text
+      FROM k GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_lines,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           coalesce(agg.pruned_text, '') AS pruned_text
+    FROM (SELECT DISTINCT doc_id, n_lines FROM l) b
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def boilerplate_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by document frequency (CCNet/RefinedWeb
+    recipe): 3-token lines occurring in more than 2 documents are
+    dropped from EVERY document, rare text survives in order. Shuffle
+    bytes scale with distinct lines (partial-agg both rounds), never
+    corpus bytes; the join back is an equi-join on the line key."""
+    from .operators.corpus import boilerplate_prune
+
+    return boilerplate_prune(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        line_tokens=3, max_df=2,
+    )

@@ -377,3 +377,35 @@ def test_distribution_drift_zero_for_identical_groups(spark):
     # the group concentrated on a corpus-rare token drifts strictly more
     assert got["g3"]["drift_bits"] > got["g1"]["drift_bits"]
     assert got["g1"]["n_tokens"] == 16
+
+
+def test_boilerplate_prune_drops_common_lines(spark):
+    from hybridbackend_spark.operators.corpus import boilerplate_prune
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner text unique alpha one"),   # banner + unique
+            (2, "cookie banner text unique beta two"),    # banner + unique
+            (3, "cookie banner text unique gamma three"), # banner + unique
+            (4, "only rare content here zz yy"),
+        ],
+        ["doc_id", "text"],
+    )
+    # "cookie banner text" appears in 3 docs > max_df=2 -> dropped from all
+    out = {r["doc_id"]: r for r in boilerplate_prune(df, max_df=2).collect()}
+    assert out[1]["pruned_text"] == "unique alpha one"
+    assert out[2]["pruned_text"] == "unique beta two"
+    assert out[3]["pruned_text"] == "unique gamma three"
+    assert out[4]["pruned_text"] == "only rare content here zz yy"
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1
+
+
+def test_boilerplate_prune_all_boilerplate_survives_empty(spark):
+    from hybridbackend_spark.operators.corpus import boilerplate_prune
+
+    df = spark.createDataFrame(
+        [(i, "same old footer") for i in range(5)], ["doc_id", "text"]
+    )
+    out = boilerplate_prune(df, max_df=2).collect()
+    assert len(out) == 5  # docs survive (empty), visible to length filters
+    assert all(r["pruned_text"] == "" and r["n_kept"] == 0 for r in out)
