@@ -33,6 +33,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
+    "minhash_lsh_join",
     "simhash_sketches",
     "simhash_candidates",
     "ngram_jaccard_pairs",
@@ -683,4 +684,93 @@ def semantic_dedup(
     )
     return cells.select(id_col, F.col("_cell").alias("cell")).join(
         dropped, id_col, "left_anti"
+    )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Cross-corpus near-duplicate LINKAGE: find (left, right) pairs with
+    shingle Jaccard >= ``threshold`` between two tables — eval-vs-train
+    contamination sweeps, incremental-crawl-vs-corpus dedup, record
+    linkage — without ever broadcasting either side or forming the
+    |left| x |right| cross product.
+
+    Plan shape: each side computes MinHash signatures independently
+    (partial-agg mins — shuffle = ids x num_hashes longs per side), bands
+    explode to (band, bucket) keys, and the only join is the equi-join of
+    the two banded sides on (band, bucket). Unlike
+    :func:`minhash_lsh_candidates` this is a genuine two-table join, so
+    both sides stream through the shuffle — neither corpus needs to fit
+    anywhere. Candidates verify with exact Jaccard. ``max_bucket`` caps
+    the fan-out of a degenerate bucket by its COMBINED (left + right)
+    member count, bounding per-bucket pair work at max_bucket^2/4.
+
+    Returns (id_left, id_right, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_n, seed, portable
+        )
+        band_keys = [
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)]),
+            )
+            for b in range(bands)
+        ]
+        return sig.filter(F.col("mh0") != _MERSENNE_P).select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*band_keys)).alias("band", "bucket"),
+        )
+
+    lb = banded(left, "id_left")
+    rb = banded(right, "id_right")
+    if max_bucket is not None:
+        combined = (
+            lb.select("band", "bucket")
+            .unionAll(rb.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        lb = lb.join(combined, ["band", "bucket"])
+        rb = rb.join(combined, ["band", "bucket"])
+    cands = lb.join(rb, ["band", "bucket"]).select("id_left", "id_right").distinct()
+
+    sh_l = left.select(
+        F.col(id_col).alias("id_left"),
+        word_shingles(text_col, shingle_n).alias("_sha"),
+    )
+    sh_r = right.select(
+        F.col(id_col).alias("id_right"),
+        word_shingles(text_col, shingle_n).alias("_shb"),
+    )
+    j = (
+        cands.join(sh_l, "id_left")
+        .join(sh_r, "id_right")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.size("_sha") + F.size("_shb") - F.col("_inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_left", "id_right", F.round("jaccard", 6).alias("jaccard")
     )

@@ -4923,3 +4923,76 @@ def boilerplate_prune_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         line_tokens=3, max_df=2,
     )
+
+
+def _lsh_linkage_oracle() -> str:
+    """SQL replica of the cross-corpus MinHash LSH linkage: portable
+    signatures for both sides, band-tuple equality join, exact Jaccard
+    verify — the full two-table pipeline is hash-checked."""
+    from .operators.dedup import _MERSENNE_P, _affine_coeffs
+
+    coeffs = _affine_coeffs(64, 42)
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE_P}) AS mh{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    bands = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh{b * 4 + j} = b.mh{b * 4 + j}" for j in range(4))
+        + ")"
+        for b in range(16)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))) AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(u.g), 1, 8))::BIGINT % {_MERSENNE_P}) AS h
+      FROM t, unnest(s) u(g) WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM h GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_left, b.doc_id AS id_right
+      FROM sig a JOIN sig b ON b.doc_id % 7 = 0 AND ({bands})
+    ),
+    ver AS (
+      SELECT id_left, id_right,
+             round(len(list_intersect(ta.s, tb.s))::DOUBLE
+                   / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))),
+                   6) AS jaccard
+      FROM cand
+      JOIN t ta ON ta.doc_id = id_left
+      JOIN t tb ON tb.doc_id = id_right
+      WHERE (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) > 0
+        AND len(list_intersect(ta.s, tb.s))::DOUBLE
+            / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) >= 0.8
+    )
+    SELECT id_left, id_right, jaccard FROM ver
+    """
+
+
+@register("lsh_linkage_docs", _lsh_linkage_oracle())
+def lsh_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash LSH linkage: the full documents table joined
+    against a second corpus (every 7th document — an incremental crawl
+    stand-in) at Jaccard >= 0.8. A genuine two-table banded join — both
+    sides stream through the (band, bucket) shuffle, nothing broadcasts,
+    no all-pairs — the shape that links a new crawl or an eval set
+    against a 100 TB corpus. Portable hashes, so signatures, bands, and
+    verified Jaccard are all hash-checked by the oracle."""
+    from .operators.dedup import minhash_lsh_join
+
+    docs = _t(spark, sf_dir, "documents")
+    right = docs.filter(F.col("doc_id") % 7 == 0)
+    return minhash_lsh_join(
+        docs, right, "text", "doc_id", threshold=0.8, portable=True
+    )

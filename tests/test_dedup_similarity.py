@@ -496,3 +496,58 @@ def test_pq_topk_matches_bruteforce_on_decoded(spark):
         )
         assert got[qid][0] == best[1]
         assert abs(got[qid][1] - round(best[0], 6)) < 1e-6
+
+
+def test_minhash_lsh_join_links_cross_corpus(spark):
+    from hybridbackend_spark.operators.dedup import minhash_lsh_join
+
+    left = _docs(spark)
+    right = spark.createDataFrame(
+        [
+            # near-dup of left doc 0 (one token differs)
+            (100, "the quick brown fox jumps over the lazy dog again and again yesterday"),
+            # verbatim copy of left doc 2
+            (101, "completely different text about spark query engines and columnar scans"),
+            # matches nothing on the left
+            (102, "entirely novel content with no counterpart whatsoever anywhere"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = minhash_lsh_join(
+        left, right, "text", "doc_id", threshold=0.5, shingle_n=3
+    )
+    links = {(r["id_left"], r["id_right"]): r["jaccard"] for r in out.collect()}
+    assert (2, 101) in links and links[(2, 101)] == 1.0  # verbatim
+    assert any(l == 0 and r == 100 for (l, r) in links)  # near-dup found
+    assert not any(r == 102 for (_, r) in links)  # novel doc unlinked
+
+
+def test_minhash_lsh_join_max_bucket_caps_fanout(spark):
+    from hybridbackend_spark.operators.dedup import minhash_lsh_join
+
+    # 30 identical left docs + 1 identical right doc: every band bucket
+    # would fan out 30 pairs; a cap of 10 combined members kills them,
+    # while a distinct near-dup pair on an uncrowded bucket survives
+    boiler = [(i, "repeated slab of boilerplate text exactly the same") for i in range(30)]
+    left = spark.createDataFrame(
+        boiler + [(40, "rare unique document about columnar engines today")],
+        "doc_id: long, text: string",
+    )
+    right = spark.createDataFrame(
+        [
+            (200, "repeated slab of boilerplate text exactly the same"),
+            (201, "rare unique document about columnar engines today"),
+        ],
+        "doc_id: long, text: string",
+    )
+    capped = minhash_lsh_join(
+        left, right, "text", "doc_id", threshold=0.8, max_bucket=10
+    )
+    rows = {(r["id_left"], r["id_right"]) for r in capped.collect()}
+    assert (40, 201) in rows           # normal pair unaffected by the cap
+    assert not any(r == 200 for (_, r) in rows)  # degenerate bucket dropped
+
+    uncapped = minhash_lsh_join(
+        left, right, "text", "doc_id", threshold=0.8
+    )
+    assert any(r["id_right"] == 200 for r in uncapped.collect())
