@@ -25,6 +25,7 @@ __all__ = [
     "clip_history",
     "asof_join",
     "interval_join",
+    "fuzzy_join",
 ]
 
 
@@ -293,3 +294,84 @@ def interval_join(
     if extra_on is not None:
         cond = cond & extra_on
     return p.join(iv, cond).drop("_ij_bucket")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_distance: int = 1,
+    left_id: str | None = None,
+    right_id: str | None = None,
+) -> DataFrame:
+    """Entity-resolution fuzzy join: (left, right) pairs whose string
+    keys are within ``max_distance`` Levenshtein edits, without the
+    |left| x |right| cross product.
+
+    Blocking is the symmetric-delete (SymSpell) scheme: every string
+    generates its deletion neighborhood up to depth ``max_distance``
+    (all variants obtained by deleting <= d characters, ~len^d variants
+    per row); two strings within edit distance d ALWAYS share a common
+    variant, so recall is exact — blocking only prunes, verification is
+    the built-in JVM ``levenshtein``. Scale shape: each side explodes to
+    (variant-hash, id) keys — shuffle volume ~ rows x (len+1)^d small
+    pairs, both sides stream through an equi-join on the variant hash,
+    nothing broadcasts, and the final verify touches candidate pairs
+    only. For d=1 a 20-char key makes 21 variants; d=2 makes ~210 —
+    keep d <= 2 and keys short (names, SKUs, emails), which is what
+    entity resolution runs on.
+
+    Returns distinct (left columns kept via ``left_id``, ``right_id``)
+    + ``distance``. If id columns are omitted the key columns are
+    returned.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2")
+    lid = left_id or left_key
+    rid = right_id or right_key
+
+    def delete_variants(col: Column) -> Column:
+        # depth-1 deletion neighborhood incl. the string itself
+        one = F.concat(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col)),
+                ),
+            ),
+        )
+        return F.array_distinct(one)
+
+    def blocked(df: DataFrame, key: str, id_: str, out: str) -> DataFrame:
+        v = delete_variants(F.col(key))
+        if max_distance == 2:
+            v = F.array_distinct(
+                F.flatten(F.transform(v, lambda s: delete_variants(s)))
+            )
+        return df.select(
+            F.col(id_).alias(f"_{out}_id"),
+            F.col(key).alias(f"_{out}_key"),
+            F.explode(v).alias("_var"),
+        ).withColumn("_var", F.xxhash64("_var")).distinct()
+
+    lb = blocked(left, left_key, lid, "l")
+    rb = blocked(right, right_key, rid, "r")
+    cands = (
+        lb.join(rb, "_var")
+        .select("_l_id", "_l_key", "_r_id", "_r_key")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "distance", F.levenshtein(F.col("_l_key"), F.col("_r_key"))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("_l_id").alias(lid if lid != rid else f"{lid}_left"),
+            F.col("_r_id").alias(rid if lid != rid else f"{rid}_right"),
+            "distance",
+        )
+    )

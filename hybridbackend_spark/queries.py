@@ -4996,3 +4996,43 @@ def lsh_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_join(
         docs, right, "text", "doc_id", threshold=0.8, portable=True
     )
+
+
+@register(
+    "fuzzy_join_customers",
+    """
+    WITH corr AS (
+      SELECT c_custkey AS corrupt_key,
+             substr(c_name, 1, (c_custkey % length(c_name))::INT)
+               || substr(c_name, (c_custkey % length(c_name))::INT + 2)
+               AS cname
+      FROM customer
+    )
+    SELECT c.c_custkey, corr.corrupt_key,
+           levenshtein(c.c_name, corr.cname) AS distance
+    FROM customer c, corr
+    WHERE levenshtein(c.c_name, corr.cname) <= 1
+    """,
+)
+def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer names matched against a
+    deterministically corrupted copy (one char deleted at a key-derived
+    position) within Levenshtein distance 1. The engine runs symmetric-
+    delete blocking — exact-recall candidate generation on a variant-hash
+    equi-join, ~len+1 keys per row, both sides streaming, no broadcast,
+    no cross product; the oracle brute-forces the full |L|x|R| distance
+    matrix, so the hash check PROVES the blocking loses nothing."""
+    from .operators.joins import fuzzy_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    corrupted = c.select(
+        F.col("c_custkey").alias("corrupt_key"),
+        F.expr(
+            "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),"
+            " substring(c_name, cast(c_custkey % length(c_name) as int) + 2))"
+        ).alias("cname"),
+    )
+    return fuzzy_join(
+        c, corrupted, "c_name", "cname",
+        max_distance=1, left_id="c_custkey", right_id="corrupt_key",
+    )

@@ -196,3 +196,78 @@ def test_asof_forward_inclusive_and_tolerance(spark):
         ).collect()
     }
     assert tol == {"a": 100, "b": None, "c": None}
+
+
+def test_fuzzy_join_exact_recall_d1(spark):
+    from hybridbackend_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "flamingo"), (3, "spark")],
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(10, "mitten"),    # kitten: 1 sub
+         (11, "kitten"),    # exact
+         (12, "kittens"),   # 1 insert
+         (13, "sitting"),   # kitten: 3 edits -> no match
+         (14, "spank")],    # spark: 1 substitution
+        ["rid", "name"],
+    )
+    out = fuzzy_join(
+        left, right, "name", "name",
+        max_distance=1, left_id="lid", right_id="rid",
+    )
+    got = {(r["lid_left" if "lid_left" in r else "lid"], r["rid"]): r["distance"]
+           for r in out.collect()}
+    assert got == {(1, 10): 1, (1, 11): 0, (1, 12): 1, (3, 14): 1}
+
+
+def test_fuzzy_join_d2_substitutions(spark):
+    from hybridbackend_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "spark")], ["lid", "name"])
+    right = spark.createDataFrame(
+        [(20, "spank"), (21, "shark"), (22, "sparkling")],
+        ["rid", "name"],
+    )
+    out = fuzzy_join(
+        left, right, "name", "name",
+        max_distance=2, left_id="lid", right_id="rid",
+    )
+    got = {r["rid"]: r["distance"] for r in out.collect()}
+    # spank (2 edits? s-p-a-r-k vs s-p-a-n-k = 1 sub), shark 1 sub,
+    # sparkling = 4 inserts -> excluded
+    assert got == {20: 1, 21: 1}
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Blocking recall check: symmetric-delete join == naive cross join
+    + levenshtein filter on a random-ish corpus."""
+    from hybridbackend_spark.operators.joins import fuzzy_join
+
+    words = ["alpha", "alpka", "beta", "betta", "gamma", "gamm",
+             "delta", "dalta", "epsilon", "epsilom"]
+    left = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["lid", "name"]
+    )
+    right = spark.createDataFrame(
+        [(100 + i, w) for i, w in enumerate(words)], ["rid", "name"]
+    )
+    out = fuzzy_join(left, right, "name", "name",
+                     max_distance=1, left_id="lid", right_id="rid")
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    expect = set()
+    def lev(a, b):
+        import functools
+        @functools.lru_cache(None)
+        def d(i, j):
+            if i == 0: return j
+            if j == 0: return i
+            return min(d(i-1, j) + 1, d(i, j-1) + 1,
+                       d(i-1, j-1) + (a[i-1] != b[j-1]))
+        return d(len(a), len(b))
+    for i, wa in enumerate(words):
+        for j, wb in enumerate(words):
+            if lev(wa, wb) <= 1:
+                expect.add((i, 100 + j))
+    assert got == expect
