@@ -752,6 +752,11 @@ _DRIVER_WINDOW_FIRST = [
     "cosine_topk_lsh_docs",
     "cosine_near_dup_bucketed",
     "decontaminate_docs",
+    "pq_topk_docs",
+    "lsh_linkage_docs",
+    "fuzzy_join_customers",
+    "boilerplate_prune_docs",
+    "q12_shipmode_priority",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
