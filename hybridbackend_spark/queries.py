@@ -5041,3 +5041,48 @@ def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, corrupted, "c_name", "cname",
         max_distance=1, left_id="c_custkey", right_id="corrupt_key",
     )
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """SQL replica of the Morton key: identical normalize-clamp-interleave
+    integer arithmetic, so the layout key is hash-checked bit for bit."""
+    cols = [("l_partkey", 0.0, 20000.0), ("l_suppkey", 0.0, 1000.0)]
+    n = len(cols)
+    top = (1 << bits) - 1
+    scaled = {
+        c: (
+            f"least(greatest(CAST(floor(({c}::DOUBLE - {lo!r}) / {hi - lo!r}"
+            f" * {top}) AS BIGINT), 0), {top})"
+        )
+        for (c, lo, hi) in cols
+    }
+    terms = []
+    for i, (c, _, _) in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"((({scaled[c]} >> {b}) & 1) << {b * n + i})")
+    key = " + ".join(terms)
+    return f"""
+    SELECT l_orderkey, l_linenumber, ({key})::BIGINT AS zkey
+    FROM lineitem
+    """
+
+
+@register("zorder_key_lineitem", _zorder_oracle())
+def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    engine-side half of lakehouse OPTIMIZE ZORDER BY. The key is pure
+    integer arithmetic (zero shuffle) and feeds
+    ``cluster_by_zorder``'s range repartition + in-partition sort so
+    written row groups stay narrow on BOTH columns — multi-dimensional
+    min/max pruning, measured in tests/test_layout.py. The oracle
+    replays the identical normalize/clamp/interleave arithmetic."""
+    from .operators.layout import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(
+            ["l_partkey", "l_suppkey"], [(0.0, 20000.0), (0.0, 1000.0)], bits=8
+        ).alias("zkey"),
+    )
