@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schema import Field, infer_fields, merge_fields
 
-__all__ = ["read_tabular", "read_parquet", "read_orc", "read_csv"]
+__all__ = ["read_tabular", "read_parquet", "read_orc", "read_csv", "read_jsonl"]
 
 
 def _first_path(paths: str | Sequence[str]) -> str:
@@ -133,3 +133,44 @@ def read_orc(spark: SparkSession, paths, **kw) -> DataFrame:
 
 def read_csv(spark: SparkSession, paths, header: bool = True, **kw) -> DataFrame:
     return read_tabular(spark, paths, fmt="csv", header=str(header).lower(), **kw)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths,
+    schema: str | None = None,
+    corrupt_column: str | None = None,
+    **kw,
+) -> DataFrame:
+    """Newline-delimited JSON — the lingua franca of LLM corpus interchange
+    (one document object per line).
+
+    - ``schema``: DDL string (e.g. ``"doc_id long, text string"``).
+      ALWAYS pass one in production: schemaless JSON reads trigger a full
+      inference pre-pass over the data — at 100 TB that is a second scan
+      before the first byte of real work.
+    - ``corrupt_column``: malformed lines land in this column with every
+      declared field null (PERMISSIVE mode) instead of failing the job —
+      the JSON analog of ``skip_corrupted_data``. Filter
+      ``col(corrupt_column).isNull()`` for the clean subset and route the
+      rest to a quarantine sink. Without it, malformed lines become
+      all-null rows. Spark refuses queries whose ONLY referenced column
+      is the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+      RECORD_COLUMN) — reference a data column alongside it, or persist
+      the parsed frame first.
+    """
+    if corrupt_column:
+        if schema is None:
+            raise ValueError("corrupt_column requires an explicit schema")
+        schema = f"{schema}, {corrupt_column} string"
+        kw.setdefault("mode", "PERMISSIVE")
+        kw["columnNameOfCorruptRecord"] = corrupt_column
+    if schema is not None:
+        kw["schema_ddl"] = schema
+    reader = spark.read.format("json")
+    ddl = kw.pop("schema_ddl", None)
+    if ddl is not None:
+        reader = reader.schema(ddl)
+    for k, v in kw.items():
+        reader = reader.option(k, v)
+    return reader.load([paths] if isinstance(paths, str) else list(paths))

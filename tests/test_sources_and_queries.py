@@ -217,3 +217,43 @@ def test_driver_window_priority_names_all_registered():
     assert list(q)[: len(_DRIVER_WINDOW_FIRST)] == _DRIVER_WINDOW_FIRST
     assert set(q) == set(QUERIES)  # reorder only, nothing lost
     assert set(get_oracles()) == set(ORACLES)
+
+
+def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
+    from hybridbackend_spark.sources.tabular import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        'this line is not json at all\n'
+        '{"doc_id": 4, "text": "after the bad line"}\n'
+    )
+    # persist: Spark disallows plans referencing ONLY the corrupt column
+    # against raw JSON (see read_jsonl docstring)
+    df = read_jsonl(
+        spark, str(p), schema="doc_id long, text string",
+        corrupt_column="_corrupt",
+    ).persist()
+    clean = df.filter("_corrupt is null")
+    bad = df.filter("_corrupt is not null")
+    assert clean.count() == 3 and bad.count() == 1
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2, 4}
+    assert "not json" in bad.collect()[0]["_corrupt"]
+    df.unpersist()
+    # declared schema -> no inference pass; dtypes honored
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+
+
+def test_read_jsonl_roundtrip_write(spark, tmp_path):
+    from hybridbackend_spark.sources.tabular import read_jsonl
+
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id: long, text: string"
+    )
+    out = str(tmp_path / "out")
+    src.coalesce(1).write.mode("overwrite").json(out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string")
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
