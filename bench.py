@@ -144,6 +144,13 @@ EXTRA = [
     "q20_excess_stock_suppliers",
     "rolling_active_users_sketch",
     "cc_star_event_chains",
+    # round 3 additions
+    "q12_shipmode_priority",
+    "pq_topk_docs",
+    "lsh_linkage_docs",
+    "boilerplate_prune_docs",
+    "fuzzy_join_customers",
+    "zorder_key_lineitem",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

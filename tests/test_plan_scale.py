@@ -120,3 +120,26 @@ def test_small_sf_still_auto_broadcasts(spark, sf_dir, builder):
     # so removing the hints cost nothing at small SF
     df = builder(spark, sf_dir)
     assert "BroadcastHashJoin" in physical_plan(df)
+
+
+def test_q12_no_broadcast_hint_on_facts(spark, sf_dir):
+    """Q12 joins two fact-proportional sides (filtered shipping lineitem,
+    orders): with auto-broadcast off it must degrade to SortMergeJoin —
+    no explicit hint pins either fact in memory."""
+    from hybridbackend_spark.queries import q12_shipmode_priority
+
+    with _no_auto_broadcast(spark):
+        plan = physical_plan(q12_shipmode_priority(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert _broadcast_exchange_count(plan) == 0
+
+
+def test_fuzzy_join_streams_both_sides(spark, sf_dir):
+    """The fuzzy join's variant-hash equi-join must shuffle both sides
+    (stream-stream), never pin a corpus-proportional side as broadcast."""
+    from hybridbackend_spark.queries import fuzzy_join_customers
+
+    with _no_auto_broadcast(spark):
+        plan = physical_plan(fuzzy_join_customers(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert _broadcast_exchange_count(plan) == 0
