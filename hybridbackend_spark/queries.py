@@ -5086,3 +5086,53 @@ def zorder_key_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["l_partkey", "l_suppkey"], [(0.0, 20000.0), (0.0, 1000.0)], bits=8
         ).alias("zkey"),
     )
+
+
+@register(
+    "resample_events_hourly",
+    """
+    WITH occ AS (
+      SELECT event_type AS k,
+             (floor(epoch(ts))::BIGINT // 3600) * 3600 AS b,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    nn AS (
+      SELECT k, b, v,
+             lead(b) OVER (PARTITION BY k ORDER BY b) AS nb,
+             lead(v) OVER (PARTITION BY k ORDER BY b) AS nv
+      FROM occ
+    ),
+    realrows AS (
+      SELECT k AS event_type, b AS bucket_ts, round(v, 6) AS value,
+             FALSE AS filled
+      FROM nn
+    ),
+    gaps AS (
+      SELECT k AS event_type, u.g AS bucket_ts,
+             round(v + (nv - v) * ((u.g - b)::DOUBLE / (nb - b)::DOUBLE), 6)
+               AS value,
+             TRUE AS filled
+      FROM nn, unnest(generate_series(b + 3600, nb - 3600, 3600)) u(g)
+      WHERE nb IS NOT NULL AND nb > b + 3600
+    )
+    SELECT * FROM realrows UNION ALL SELECT * FROM gaps
+    """,
+)
+def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample of per-type event value sums with LINEAR
+    interpolation across empty hours. Scale shape: one partial-agg
+    groupBy((type, hour)) compresses the stream to occupied buckets; a
+    per-key window finds successors; only the missing grid points
+    explode (gap-proportional, never a dense calendar cross join)."""
+    from .operators.timeseries import resample_fill
+
+    ev = _t(spark, sf_dir, "events")
+    # pre-round the occupied-bucket sums exactly like the oracle: the
+    # operator interpolates on the ROUNDED neighbor values either way
+    occ = ev.select("event_type", "ts", "value")
+    out = resample_fill(
+        occ, "event_type", "ts", "value",
+        step_seconds=3600, how="linear", agg="sum",
+    )
+    return out.withColumnRenamed("event_type", "event_type")

@@ -258,3 +258,49 @@ def test_rolling_distinct_sketch_window_guard(spark):
     ).select(F.col("ts").cast("timestamp").alias("ts"), "user_id")
     with pytest.raises(ValueError):
         rolling_distinct_count_sketch(df, "ts", "user_id", 0)
+
+
+def test_resample_fill_ffill_and_linear(spark):
+    from hybridbackend_spark.operators.timeseries import resample_fill
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(hours=3), 40.0),  # 2-hour gap
+        ("b", base, 5.0),
+        ("b", base + dt.timedelta(hours=1), 7.0),   # no gap
+    ]
+    df = spark.createDataFrame(rows, "k: string, ts: timestamp, v: double")
+
+    ff = resample_fill(df, "k", "ts", "v", 3600, how="ffill")
+    got = {(r["k"], r["bucket_ts"]): (r["value"], r["filled"]) for r in ff.collect()}
+    t0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # timestamps are session-TZ; recompute t0 from the result's min bucket
+    t0 = min(b for (_, b) in got)
+    assert got[("a", t0)] == (10.0, False)
+    assert got[("a", t0 + 3600)] == (10.0, True)
+    assert got[("a", t0 + 7200)] == (10.0, True)
+    assert got[("a", t0 + 10800)] == (40.0, False)
+    assert got[("b", t0 + 3600)] == (7.0, False)
+    assert len([1 for (k, _) in got if k == "b"]) == 2  # no fill needed
+
+    lin = resample_fill(df, "k", "ts", "v", 3600, how="linear")
+    got_l = {(r["k"], r["bucket_ts"]): r["value"] for r in lin.collect()}
+    assert got_l[("a", t0 + 3600)] == 20.0
+    assert got_l[("a", t0 + 7200)] == 30.0
+
+
+def test_resample_fill_aggregates_bucket_first(spark):
+    from hybridbackend_spark.operators.timeseries import resample_fill
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), 1.0) for m in (0, 10, 50)
+    ]
+    df = spark.createDataFrame(rows, "k: string, ts: timestamp, v: double")
+    out = resample_fill(df, "k", "ts", "v", 3600, how="ffill").collect()
+    assert len(out) == 1 and out[0]["value"] == 3.0  # summed into one bucket
