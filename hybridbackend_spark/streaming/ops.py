@@ -219,9 +219,10 @@ def stream_stream_join(
     right_ts: str,
     within_expr: str = "INTERVAL 30 MINUTES",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pair each left event with
-    right events of the same key whose time falls in
+    """Watermarked stream-stream join: pair each left event with right
+    events of the same key whose time falls in
     ``(left_ts, left_ts + within]``.
 
     Both sides carry watermarks and the join condition bounds event time
@@ -229,15 +230,32 @@ def stream_stream_join(
     watermark passes — per-key state is bounded by the window, not the
     stream length. This is the streaming form of
     :func:`~hybridbackend_spark.operators.joins.interval_join`.
+
+    ``how="left_outer"`` additionally emits unmatched left rows
+    null-padded — but only ONCE THE WATERMARK PASSES their join window
+    (that is the moment "no match" becomes provable; until then the row
+    sits in state awaiting a possible right match). Trailing rows whose
+    window the watermark never crosses stay unemitted — size the
+    watermark to the staleness you can afford. ``right_outer`` is the
+    mirror image.
     """
+    joins = {"inner": "inner", "left_outer": "leftOuter",
+             "leftOuter": "leftOuter", "right_outer": "rightOuter",
+             "rightOuter": "rightOuter"}
+    if how not in joins:
+        raise ValueError(f"how must be one of {sorted(joins)}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
-    return l.join(
+    joined = l.join(
         r,
         (l[key] == r[key])
         & (r[right_ts] > l[left_ts])
         & (r[right_ts] <= F.expr(f"{left_ts} + {within_expr}")),
-    ).drop(r[key])
+        joins[how],
+    )
+    # under an outer join the null-padded side's key column is null;
+    # keep the non-null one
+    return joined.drop(r[key] if joins[how] != "rightOuter" else l[key])
 
 
 def foreach_batch_epoch_sink(

@@ -320,3 +320,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # windows fully below the final watermark (12:00) are finalized;
     # the still-open 12:00 window is not emitted in append mode
     assert got == {d(10): 1, d(11): 1}
+
+
+def test_stream_stream_left_outer_emits_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched click must surface
+    null-padded once the watermark provably passes its join window; a
+    matched click pairs normally; a trailing click (window not yet
+    closed) must NOT emit."""
+    import datetime as dt
+
+    from hybridbackend_spark.streaming.ops import (
+        run_available_now,
+        stream_stream_join,
+    )
+    from pyspark.sql import types as T
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    clicks_rows = [
+        (1, t0),                                # matched by purchase +10m
+        (2, t0),                                # never matched -> null pad
+        (3, t0 + dt.timedelta(hours=30)),       # trailing: window open
+    ]
+    purch_rows = [
+        (1, t0 + dt.timedelta(minutes=10)),
+        # watermark driver: advances right-side event time far past the
+        # early clicks' windows
+        (99, t0 + dt.timedelta(hours=30)),
+    ]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks_rows, "user_id: long, ts: timestamp")\
+        .coalesce(1).write.parquet(cdir)
+    spark.createDataFrame(purch_rows, "user_id: long, p_ts: timestamp")\
+        .coalesce(1).write.parquet(pdir)
+
+    cschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    pschema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("p_ts", T.TimestampType()),
+    ])
+    clicks = spark.readStream.schema(cschema).parquet(cdir)
+    purchases = spark.readStream.schema(pschema).parquet(pdir)
+    out = run_available_now(
+        stream_stream_join(
+            clicks, purchases, "user_id", "ts", "p_ts",
+            "INTERVAL 30 MINUTES", watermark="1 hour", how="left_outer",
+        )
+    )
+    rows = {(r["user_id"], r["p_ts"] is not None) for r in out.collect()}
+    assert (1, True) in rows     # matched pair
+    assert (2, False) in rows    # unmatched, window closed -> null pad
+    assert not any(u == 3 for (u, _) in rows)  # window still open
