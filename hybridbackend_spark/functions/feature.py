@@ -19,6 +19,7 @@ __all__ = [
     "mod_bucket",
     "hash_bucket",
     "concat_features",
+    "standard_scale",
 ]
 
 
@@ -60,3 +61,46 @@ def concat_features(*cols: Column | str) -> Column:
     """Dense-feature concat into one array (reference keras layer,
     ``keras/layers/__init__.py:29-46``)."""
     return F.array(*[_c(c).cast("double") for c in cols])
+
+
+def standard_scale(df, cols, dp: int = 6, scale: int = 100):
+    """Fitted z-score scaling ``(x - mean) / std`` with ENGINE-EXACT
+    statistics: each value quantizes to integer units (``round(x *
+    scale)`` as long), and sum / sum-of-squares accumulate as exact
+    integers (DECIMAL(38,0) for the squares — a 100 TB fact sum of
+    squared cents overflows a long), so the fitted mean/std are
+    bit-identical across partitionings and engines; only the final
+    division/sqrt touch floats, in a fixed expression order.
+
+    Plan shape: ONE fused aggregation job for all columns' stats (tiny
+    1-row result), broadcast cross-joined back — the standard fit/apply
+    split without a driver round trip inside the plan. Appends
+    ``<col>_z`` columns rounded to ``dp``.
+
+    Population std (divide by n), matching the reference's feature
+    normalization convention. Columns with zero variance yield null z
+    (0/0) rather than exploding.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        q = F.round(F.col(c).cast("double") * scale).cast("long")
+        aggs.append(F.sum(q).alias(f"_s_{c}"))
+        aggs.append(F.sum((q * q).cast("decimal(38,0)")).alias(f"_ss_{c}"))
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    fscale = float(scale)
+    for c in cols:
+        n = F.col("_n").cast("double")
+        mean = (F.col(f"_s_{c}") / fscale) / n
+        ex2 = (F.col(f"_ss_{c}").cast("double") / (fscale * fscale)) / n
+        var = ex2 - mean * mean
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(
+                var > 0,
+                F.round((F.col(c).cast("double") - mean) / F.sqrt(var), dp),
+            ),  # zero variance -> null (ANSI mode forbids the 0/0)
+        )
+    return out.drop("_n", *[f"_s_{c}" for c in cols], *[f"_ss_{c}" for c in cols])

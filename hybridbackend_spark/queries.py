@@ -5136,3 +5136,47 @@ def resample_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_seconds=3600, how="linear", agg="sum",
     )
     return out.withColumnRenamed("event_type", "event_type")
+
+
+@register(
+    "standard_scale_lineitem",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s_q,
+             sum(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+                      * CAST(round(l_quantity * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS ss_q,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s_p,
+             sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)
+                      AS DECIMAL(38,0))) AS ss_p
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((l_quantity::DOUBLE - (s_q / 100.0) / n)
+                 / sqrt((ss_q::DOUBLE / 10000.0) / n
+                        - ((s_q / 100.0) / n) * ((s_q / 100.0) / n)), 6)
+             AS l_quantity_z,
+           round((l_extendedprice::DOUBLE - (s_p / 100.0) / n)
+                 / sqrt((ss_p::DOUBLE / 10000.0) / n
+                        - ((s_p / 100.0) / n) * ((s_p / 100.0) / n)), 6)
+             AS l_extendedprice_z
+    FROM lineitem, s
+    """,
+)
+def standard_scale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fitted z-score scaling with engine-exact statistics: integer-cents
+    sums, DECIMAL(38,0) sums of squares (overflow-proof at fact scale),
+    one fused stats job broadcast back. The oracle recomputes the same
+    quantized arithmetic, so fitted means/stds — and every scaled value —
+    hash-match bit for bit."""
+    from .functions.feature import standard_scale
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    out = standard_scale(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_quantity_z", "l_extendedprice_z"
+    )

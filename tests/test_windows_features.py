@@ -304,3 +304,39 @@ def test_resample_fill_aggregates_bucket_first(spark):
     df = spark.createDataFrame(rows, "k: string, ts: timestamp, v: double")
     out = resample_fill(df, "k", "ts", "v", 3600, how="ffill").collect()
     assert len(out) == 1 and out[0]["value"] == 3.0  # summed into one bucket
+
+
+def test_standard_scale_matches_numpy(spark):
+    import math
+
+    from hybridbackend_spark.functions.feature import standard_scale
+
+    vals = [1.25, 2.5, 3.75, 10.0, -4.5, 0.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "x"])
+    out = {r["i"]: r["x_z"] for r in standard_scale(df, ["x"]).collect()}
+    n = len(vals)
+    mean = sum(vals) / n
+    std = math.sqrt(sum((v - mean) ** 2 for v in vals) / n)
+    for i, v in enumerate(vals):
+        assert abs(out[i] - (v - mean) / std) < 1e-6
+
+
+def test_standard_scale_zero_variance_yields_null(spark):
+    from hybridbackend_spark.functions.feature import standard_scale
+
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["i", "x"])
+    out = standard_scale(df, ["x"]).collect()
+    assert all(r["x_z"] is None for r in out)
+
+
+def test_standard_scale_partitioning_invariant(spark):
+    from hybridbackend_spark.functions.feature import standard_scale
+
+    rows = [(i, (i * 37 % 101) / 7.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["i", "x"])
+    a = sorted((r["i"], r["x_z"]) for r in standard_scale(df, ["x"]).collect())
+    b = sorted(
+        (r["i"], r["x_z"])
+        for r in standard_scale(df.repartition(13, "x"), ["x"]).collect()
+    )
+    assert a == b  # exact integer stats -> bit-stable across layouts
