@@ -19,7 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "mad_outliers"]
 
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
 
@@ -86,3 +86,45 @@ def profile_columns(
     return row.select(
         F.explode(F.array(*per_col)).alias("_p")
     ).select("_p.*")
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    stat_dp: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier flagging via median absolute deviation:
+    a row is an outlier when ``|x - median| > k * MAD``. Unlike
+    mean/std screens, one extreme value cannot drag the threshold (the
+    breakdown point is 50%) — the right screen for monitoring corpus
+    quality metrics or metric streams with heavy tails.
+
+    Plan shape: two grouped ordered-statistic aggregations on the SAME
+    group key (median, then median of absolute deviations) with a join
+    back after each — the group-stats side is group-cardinality-sized,
+    so Catalyst/AQE broadcasts it; the fact side is never re-shuffled
+    beyond the group key. Exact interpolated percentiles; at extreme
+    group sizes swap to approx_percentile and keep the same shape.
+
+    Returns the input plus (median, mad, is_outlier); stats rounded to
+    ``stat_dp``.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.join(med, group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    out = with_med.join(mad, group_col)
+    return (
+        out.withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col) - F.col("_med")) > F.lit(k) * F.col("_mad"),
+        )
+        .withColumn("median", F.round("_med", stat_dp))
+        .withColumn("mad", F.round("_mad", stat_dp))
+        .drop("_med", "_mad")
+    )

@@ -5180,3 +5180,39 @@ def standard_scale_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey", "l_linenumber", "l_quantity_z", "l_extendedprice_z"
     )
+
+
+@register(
+    "mad_outliers_events",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med
+      FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 2) AS value,
+           (abs(d.value - d.med) > 3.0 * md.mad) AS is_outlier,
+           round(d.med, 4) AS median, round(md.mad, 4) AS mad
+    FROM d JOIN md USING (event_type)
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen on event values per type —
+    exact interpolated order statistics (engine-identical), group-stats
+    sides broadcast by size, fact side shuffled once on the group key."""
+    from .operators.profile import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = mad_outliers(ev, "event_type", "value", k=3.0)
+    return out.select(
+        "event_id", "event_type",
+        F.round("value", 2).alias("value"),
+        "is_outlier", "median", "mad",
+    )

@@ -177,3 +177,23 @@ def test_star_contraction_deep_chain_beyond_propagation_budget(spark):
     out = connected_components_star(df, max_iter=20).collect()
     assert {r["component"] for r in out} == {0}
     assert len(out) == 501
+
+
+def test_mad_outliers_robust_to_extremes(spark):
+    from hybridbackend_spark.operators.profile import mad_outliers
+
+    # group a: tight cluster around 10 plus one wild point; the wild
+    # point must flag, the cluster must not — and the threshold must not
+    # be dragged by the outlier itself (robustness)
+    rows = [("a", float(v)) for v in (9, 10, 10, 10, 11, 1000)] + [
+        ("b", float(v)) for v in (0, 100, 200, 300, 400)  # spread-out: none flag
+    ]
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], ["id", "g", "v"]
+    )
+    out = {(r["g"], r["v"]): r["is_outlier"] for r in
+           mad_outliers(df, "g", "v", k=3.0).collect()}
+    assert out[("a", 1000.0)] is True
+    assert all(not flag for (g, v), flag in out.items()
+               if g == "a" and v != 1000.0)
+    assert all(not flag for (g, v), flag in out.items() if g == "b")
