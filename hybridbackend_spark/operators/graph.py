@@ -20,13 +20,14 @@ plan does not grow with iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "connected_components",
     "connected_components_star",
     "pagerank",
     "triangle_count",
+    "label_propagation",
 ]
 
 
@@ -325,3 +326,50 @@ def triangle_count(
         e3, (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z"))
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA): every
+    node starts in its own community; each round, every node adopts the
+    most frequent label among its neighbors (ties break to the SMALLEST
+    label, making every round — and therefore the result — fully
+    deterministic, unlike textbook randomized LPA). Fixed ``iters``
+    rounds: communities stabilize quickly on clustered graphs, and a
+    fixed count keeps the result engine-reproducible (the oracle unrolls
+    the same rounds).
+
+    Per round: one partial-agg groupBy((node, label)) + one per-node
+    top-1 window — shuffle volume is edge-count rows of 3 small
+    columns, the same shape per round regardless of community sizes.
+    Lineage is cut per round (localCheckpoint) so ``iters`` stays a
+    cost, not a plan-depth explosion.
+
+    Returns (id, community).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = sym.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym.a == labels.v)
+            .select(F.col("b").alias("v"), "lab")
+            .groupBy("v", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("v", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("v").alias("id"), F.col("lab").alias("community"))

@@ -5216,3 +5216,68 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         "is_outlier", "median", "mad",
     )
+
+
+def _lpa_oracle(iters: int = 2) -> str:
+    """Unrolled synchronous LPA rounds in SQL: per round, each node takes
+    its neighbors' plurality label, ties to the smallest — the identical
+    deterministic rule the operator applies, so full membership is
+    hash-checked."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(
+            f""",
+    l{i + 1} AS (
+      SELECT v, lab FROM (
+        SELECT e.b AS v, l.lab, count(*) AS c,
+               row_number() OVER (PARTITION BY e.b
+                                  ORDER BY count(*) DESC, l.lab) AS rn
+        FROM edges e JOIN l{i} l ON l.v = e.a
+        GROUP BY e.b, l.lab
+      ) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH pp AS (
+      SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e0 AS (SELECT pa, pb FROM pp GROUP BY pa, pb
+           HAVING count(DISTINCT ok) >= 2),
+    edges AS (SELECT pa AS a, pb AS b FROM e0
+              UNION ALL SELECT pb, pa FROM e0),
+    l0 AS (SELECT v, v AS lab FROM (SELECT DISTINCT a AS v FROM edges))
+    {"".join(rounds)}
+    SELECT v AS id, lab AS community FROM l{iters}
+    """
+
+
+@register("lpa_communities_parts", _lpa_oracle())
+def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the part co-purchase graph
+    (edges = part pairs sharing >= 2 orders — the same graph the
+    triangle counter uses). Deterministic plurality-vote rounds; the
+    oracle unrolls identical rounds, so the full membership table is
+    hash-checked, not spot-checked."""
+    from .operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("ok"),
+        F.col("a.l_partkey").alias("pa"),
+        F.col("b.l_partkey").alias("pb"),
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count_distinct("ok").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("pa", "pb")
+    )
+    return label_propagation(edges, "pa", "pb", iters=2)

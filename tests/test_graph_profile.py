@@ -197,3 +197,32 @@ def test_mad_outliers_robust_to_extremes(spark):
     assert all(not flag for (g, v), flag in out.items()
                if g == "a" and v != 1000.0)
     assert all(not flag for (g, v), flag in out.items() if g == "b")
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    from hybridbackend_spark.operators.graph import label_propagation
+
+    # two dense cliques bridged by one weak edge
+    c1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = spark.createDataFrame(
+        c1 + c2 + [(4, 10)], "id_a: long, id_b: long"
+    )
+    out = {r["id"]: r["community"] for r in
+           label_propagation(edges, iters=3).collect()}
+    # each clique converges to one label; the two cliques differ
+    labs1 = {out[v] for v in range(5)}
+    labs2 = {out[v] for v in range(10, 15)}
+    assert len(labs1) == 1 and len(labs2) == 1
+    assert labs1 != labs2
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from hybridbackend_spark.operators.graph import label_propagation
+
+    rows = [(i, (i * 7 + 3) % 40) for i in range(120) if i != (i * 7 + 3) % 40]
+    edges = spark.createDataFrame(rows, "id_a: long, id_b: long")
+    a = sorted(map(tuple, label_propagation(edges, iters=2).collect()))
+    b = sorted(map(tuple, label_propagation(
+        edges.repartition(17, "id_b"), iters=2).collect()))
+    assert a == b
