@@ -151,6 +151,10 @@ EXTRA = [
     "boilerplate_prune_docs",
     "fuzzy_join_customers",
     "zorder_key_lineitem",
+    "resample_events_hourly",
+    "standard_scale_lineitem",
+    "mad_outliers_events",
+    "lpa_communities_parts",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

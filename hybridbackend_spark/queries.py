@@ -757,6 +757,11 @@ _DRIVER_WINDOW_FIRST = [
     "fuzzy_join_customers",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
+    "lpa_communities_parts",
+    "resample_events_hourly",
+    "standard_scale_lineitem",
+    "mad_outliers_events",
+    "zorder_key_lineitem",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
