@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill"]
+__all__ = ["resample_fill", "transition_matrix"]
 
 
 def resample_fill(
@@ -119,3 +119,54 @@ def resample_fill(
         F.lit(True).alias("filled"),
     )
     return real.unionAll(filled)
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition estimates from per-key event
+    sequences: orders each key's events by (ts, tiebreak), pairs each
+    state with its successor, and estimates ``P(next | state) =
+    n(state, next) / n(state, *)``. The backbone of funnel/next-action
+    analytics and a cheap sequence-model baseline.
+
+    Scale shape: ONE per-key ordered window (shuffle on the key — the
+    same partitioning any per-entity sequence op needs), then two
+    partial-agg group-bys on (state, next) / (state) — both tiny
+    (|states|^2 rows). Nothing is collected; probabilities are exact
+    integer ratios rounded to ``dp``.
+
+    Returns (state, next_state, n_transitions, p).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("state"),
+            F.lead(state_col).over(w).alias("next_state"),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .groupBy("state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("state").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        pairs.join(totals, "state")
+        .select(
+            "state",
+            "next_state",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double") / F.col("_tot"), dp
+            ).alias("p"),
+        )
+    )

@@ -5286,3 +5286,35 @@ def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return label_propagation(edges, "pa", "pb", iters=2)
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type AS state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_state
+      FROM events
+    ),
+    c AS (
+      SELECT state, next_state, count(*) AS n_transitions
+      FROM s WHERE next_state IS NOT NULL GROUP BY state, next_state
+    ),
+    t AS (SELECT state, sum(n_transitions) AS tot FROM c GROUP BY state)
+    SELECT c.state, c.next_state, c.n_transitions,
+           round(c.n_transitions::DOUBLE / t.tot, 6) AS p
+    FROM c JOIN t USING (state)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | event type) as exact integer ratios.
+    One ordered window on the user key, then state-pair partial
+    aggregation; the matrix is |types|^2 tiny."""
+    from .operators.timeseries import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )

@@ -340,3 +340,29 @@ def test_standard_scale_partitioning_invariant(spark):
         for r in standard_scale(df.repartition(13, "x"), ["x"]).collect()
     )
     assert a == b  # exact integer stats -> bit-stable across layouts
+
+
+def test_transition_matrix_exact_probabilities(spark):
+    import datetime as dt
+
+    from hybridbackend_spark.operators.timeseries import transition_matrix
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq = ["view", "view", "cart", "view", "cart", "buy"]
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, s) for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_id: long, et: string")
+    out = {(r["state"], r["next_state"]): (r["n_transitions"], r["p"])
+           for r in transition_matrix(df, "user_id", "ts", "et", "event_id").collect()}
+    # transitions: view->view, view->cart (x2), cart->view, cart->buy
+    assert out[("view", "cart")] == (2, round(2 / 3, 6))
+    assert out[("view", "view")] == (1, round(1 / 3, 6))
+    assert out[("cart", "view")] == (1, 0.5)
+    assert out[("cart", "buy")] == (1, 0.5)
+    # no cross-user transition leakage
+    df2 = df.unionAll(spark.createDataFrame(
+        [(2, t0, 99, "buy")], "user_id: long, ts: timestamp, event_id: long, et: string"
+    ))
+    out2 = transition_matrix(df2, "user_id", "ts", "et", "event_id")
+    assert sum(r["n_transitions"] for r in out2.collect()) == 5
