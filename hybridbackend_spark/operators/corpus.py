@@ -42,6 +42,7 @@ __all__ = [
     "line_dedup",
     "boilerplate_prune",
     "unigram_surprisal",
+    "bigram_surprisal",
     "temperature_sample",
     "vocab_encode",
     "distribution_drift",
@@ -777,4 +778,57 @@ def boilerplate_prune(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("pruned_text", F.lit("")).alias("pruned_text"),
         )
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality scoring by a corpus-trained BIGRAM language model: each
+    token-pair's conditional surprisal is
+    ``floor(log2(n(w1))) - floor(log2(n(w1, w2)))`` whole bits — the
+    integer-exact analog of ``-log2 P(w2|w1)`` (same binary-digit-count
+    trick as :func:`unigram_surprisal`, so per-doc averages are
+    bit-identical across engines and partitionings). Low average = the
+    corpus keeps predicting the document (templates, boilerplate); high
+    = unusual token sequences. One step closer to a KenLM-style
+    perplexity filter than the unigram score, still with zero floats in
+    the aggregation.
+
+    Two corpus passes (unigram counts, bigram counts), both partial-agg
+    shuffles keyed on the gram; scoring joins the exploded pair stream
+    against both tables on their natural keys. Shuffle volume scales
+    with distinct grams, never corpus bytes.
+
+    Returns (id, n_pairs, avg_bits).
+    """
+    toks = tokens(_c(text_col))
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p"),
+    ).select(id_col, F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+    uni = (
+        df.select(F.explode(toks).alias("_w1"))
+        .groupBy("_w1")
+        .agg(F.count(F.lit(1)).alias("_n1"))
+    )
+    bi = pairs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_n12"))
+    bits1 = F.length(F.bin(F.col("_n1"))) - 1
+    bits12 = F.length(F.bin(F.col("_n12"))) - 1
+    scored = (
+        pairs.join(bi, ["_w1", "_w2"])
+        .join(uni, "_w1")
+        .select(id_col, (bits1 - bits12).alias("_bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.sum("_bits") / F.count(F.lit(1)), 6).alias("avg_bits"),
     )

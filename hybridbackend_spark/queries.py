@@ -5318,3 +5318,32 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(
         ev, "user_id", "ts", "event_type", tiebreak_col="event_id"
     )
+
+
+@register(
+    "bigram_surprisal_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    p AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(w) - 1)) u(i)
+    ),
+    uni AS (
+      SELECT u.t AS w1, count(*) AS n1
+      FROM t, unnest(w) u(t) GROUP BY u.t
+    ),
+    bi AS (SELECT w1, w2, count(*) AS n12 FROM p GROUP BY w1, w2)
+    SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+           round(sum((length(bin(uni.n1)) - 1) - (length(bin(bi.n12)) - 1))::DOUBLE
+                 / count(*), 6) AS avg_bits
+    FROM p JOIN bi USING (w1, w2) JOIN uni USING (w1)
+    GROUP BY p.doc_id
+    """,
+)
+def bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-conditional surprisal per document in exact integer bits —
+    the 2-gram LM quality score. Gram-keyed partial-agg shuffles only;
+    the oracle recomputes identical binary-digit-count arithmetic."""
+    from .operators.corpus import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))

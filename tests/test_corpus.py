@@ -409,3 +409,31 @@ def test_boilerplate_prune_all_boilerplate_survives_empty(spark):
     out = boilerplate_prune(df, max_df=2).collect()
     assert len(out) == 5  # docs survive (empty), visible to length filters
     assert all(r["pruned_text"] == "" and r["n_kept"] == 0 for r in out)
+
+
+def test_bigram_surprisal_template_vs_novel(spark):
+    from hybridbackend_spark.operators.corpus import bigram_surprisal
+
+    # 5 identical template docs + one doc REUSING the template's words in
+    # a novel order: common unigrams, unseen pairs -> high conditional
+    # bits, while the template's own pairs are fully predicted (~0 bits)
+    rows = [(i, "the same template sentence repeats here") for i in range(5)]
+    rows.append((9, "same the here sentence template repeats"))
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r["avg_bits"] for r in bigram_surprisal(df).collect()}
+    assert out[0] < out[9]
+    assert out[9] > 0
+
+
+def test_bigram_surprisal_exact_bits(spark):
+    from hybridbackend_spark.operators.corpus import bigram_surprisal
+
+    # corpus: "a b" x3 and "a c" x1 -> n(a)=4, n(a,b)=3, n(a,c)=1
+    rows = [(0, "a b"), (1, "a b"), (2, "a b"), (3, "a c")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: (r["n_pairs"], r["avg_bits"]) for r in
+           bigram_surprisal(df).collect()}
+    # bits(a)=floor(log2 4)=2; bits(a,b)=floor(log2 3)=1 -> 1 bit
+    assert out[0] == (1, 1.0)
+    # bits(a,c)=floor(log2 1)=0 -> 2 bits
+    assert out[3] == (1, 2.0)
