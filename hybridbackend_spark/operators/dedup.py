@@ -254,16 +254,27 @@ def minhash_lsh_dedup(
     seed: int = 42,
     portable: bool = False,
     max_bucket: int | None = None,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Near-dup dedup: LSH candidates -> exact Jaccard verify at
-    ``threshold`` -> keep the smallest id of each CONNECTED COMPONENT of
+    ``threshold`` -> keep ONE representative per CONNECTED COMPONENT of
     verified pairs (true transitive closure via iterative min-label
     propagation, :func:`~hybridbackend_spark.operators.graph.
-    connected_components` — a chain A~B~C keeps only A even when A and C
-    are not directly similar).
+    connected_components` — a chain A~B~C keeps only one doc even when
+    A and C are not directly similar).
+
+    ``keep`` selects the canonical representative:
+    - ``"min_id"``: the smallest id (cheapest — the component label IS
+      the winner, no extra pass);
+    - ``"longest"``: the longest document (``length(trim(text))``, ties
+      to the smaller id) — what curation pipelines actually keep, since
+      near-dup clusters usually contain truncated variants of one
+      source. One extra tiny aggregate over the clustered ids only.
 
     Returns surviving ids.
     """
+    if keep not in ("min_id", "longest"):
+        raise ValueError("keep must be 'min_id' or 'longest'")
     from .graph import connected_components
 
     cands = minhash_lsh_candidates(
@@ -272,9 +283,26 @@ def minhash_lsh_dedup(
     )
     verified = _verify_jaccard(df, cands, text_col, id_col, shingle_n, threshold)
     comp = connected_components(verified, "id_a", "id_b")
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias(id_col)
-    )
+    if keep == "min_id":
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        quality = df.select(
+            F.col(id_col).alias("_qid"),
+            F.length(F.trim(F.col(text_col))).alias("_q"),
+        )
+        ranked = comp.join(quality, comp.id == F.col("_qid")).select(
+            "id", "component", "_q"
+        )
+        winners = (
+            ranked.groupBy("component")
+            .agg(F.min(F.struct((-F.col("_q")).alias("nq"), F.col("id").alias("i"))).alias("_w"))
+            .select(F.col("_w.i").alias("_win"))
+        )
+        losers = comp.select("id").join(
+            winners, comp.id == F.col("_win"), "left_anti"
+        ).select(F.col("id").alias(id_col))
     return df.select(id_col).distinct().join(losers, id_col, "left_anti")
 
 

@@ -955,7 +955,7 @@ def ngram_jaccard_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.3)
 
 
-def _minhash_dedup_oracle() -> str:
+def _minhash_dedup_oracle(keep: str = "min_id") -> str:
     """Full SQL replica of the MinHash+LSH dedup pipeline: portable md5
     base hash -> 64 affine mins -> 16-band tuple equality -> exact
     Jaccard verify -> transitive closure via recursive CTE -> survivors.
@@ -1011,9 +1011,30 @@ def _minhash_dedup_oracle() -> str:
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
     ),
     comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+    """ + (_MINHASH_FINAL_LONGEST if keep == "longest" else _MINHASH_FINAL_MIN_ID)
+
+
+_MINHASH_FINAL_MIN_ID = """
     SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents)
     WHERE doc_id NOT IN (SELECT id FROM comp WHERE component < id)
-    """
+"""
+
+# keep-longest canonicalization: per component keep the longest document
+# (ties to the smaller id); docs in no component survive untouched
+_MINHASH_FINAL_LONGEST = """
+    , win AS (
+      SELECT id FROM (
+        SELECT c.id,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY length(trim(d.text)) DESC, c.id)
+                 AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+      ) WHERE rn = 1
+    )
+    SELECT doc_id FROM (SELECT DISTINCT doc_id FROM documents)
+    WHERE doc_id NOT IN (SELECT id FROM comp)
+       OR doc_id IN (SELECT id FROM win)
+"""
 
 
 @register("minhash_lsh_dedup_docs", _minhash_dedup_oracle())
@@ -5347,3 +5368,18 @@ def bigram_surprisal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import bigram_surprisal
 
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register("minhash_dedup_keep_longest_docs", _minhash_dedup_oracle("longest"))
+def minhash_dedup_keep_longest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup dedup with keep-LONGEST canonicalization:
+    each transitive cluster keeps its longest document (curation
+    pipelines keep the most complete variant, not the smallest id).
+    Same portable signatures/bands/verify as ``minhash_lsh_dedup_docs``;
+    the oracle adds the identical per-component argmax."""
+    from .operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.8, portable=True, keep="longest"
+    )

@@ -551,3 +551,33 @@ def test_minhash_lsh_join_max_bucket_caps_fanout(spark):
         left, right, "text", "doc_id", threshold=0.8
     )
     assert any(r["id_right"] == 200 for r in uncapped.collect())
+
+
+def test_minhash_dedup_keep_longest(spark):
+    from hybridbackend_spark.operators.dedup import minhash_lsh_dedup
+
+    # docs 0/1/3 cluster; doc 1 is the longest variant -> it wins under
+    # keep="longest" while keep="min_id" keeps doc 0
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again with extra trailing context"),
+            (3, "the quick brown fox jumps over the lazy dog again and again"),
+            (7, "completely unrelated content about columnar execution"),
+        ],
+        "doc_id: long, text: string",
+    )
+    longest = {
+        r["doc_id"]
+        for r in minhash_lsh_dedup(
+            docs, "text", "doc_id", threshold=0.6, keep="longest"
+        ).collect()
+    }
+    min_id = {
+        r["doc_id"]
+        for r in minhash_lsh_dedup(
+            docs, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    assert longest == {1, 7}
+    assert min_id == {0, 7}
