@@ -39,6 +39,7 @@ __all__ = [
     "merge_partial_aggregates",
     "distinct_sketch_state",
     "merge_distinct_sketches",
+    "table_diff",
 ]
 
 _ZERO_BY_DTYPE = {
@@ -485,3 +486,51 @@ def merge_distinct_sketches(
             F.hll_sketch_estimate(sk).alias(c) if estimate else sk.alias(c)
         )
     return merged.select(*keys, *out_cols)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff between two versions of a table: one row per key
+    that was ``added``, ``removed``, or ``changed`` (unchanged keys are
+    dropped). The engine-side primitive behind data regression checks,
+    CDC backfills, and reconciliation reports.
+
+    Scale shape: one full-outer shuffle join on the key (both snapshots
+    stream; nothing broadcasts), with change detection on a single
+    xxhash64 fingerprint of the compared columns — the shuffled payload
+    beyond the key is one long per side no matter how wide the table.
+    Casting to string before hashing makes the fingerprint
+    type-stable; null columns fingerprint distinctly from empty strings
+    via a per-column null marker.
+
+    Returns key columns + change_type.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols
+    ]
+
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols, F.xxhash64(*cols).alias(out)
+        )
+
+    o = fp(old, "_old_fp")
+    n = fp(new, "_new_fp")
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())

@@ -5383,3 +5383,52 @@ def minhash_dedup_keep_longest_docs(spark: SparkSession, sf_dir: str) -> DataFra
     return minhash_lsh_dedup(
         docs, "text", "doc_id", threshold=0.8, portable=True, keep="longest"
     )
+
+
+@register(
+    "table_diff_orders",
+    """
+    WITH newt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 113 = 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice <> n.o_totalprice THEN 'changed'
+           END AS change_type
+    FROM orders o FULL OUTER JOIN newt n ON n.o_orderkey = o.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice <> n.o_totalprice)
+    """,
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff of orders against a deterministically mutated
+    version (1/97 removed, 1/31 repriced, 1/113 re-keyed as additions).
+    Full-outer key join with per-side column fingerprints — the shuffled
+    payload is key + one long regardless of table width; the oracle
+    diffs columns directly, so fingerprint change detection is proven
+    equivalent."""
+    from .operators.structural import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    changed = F.when(
+        F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1
+    ).otherwise(F.col("o_totalprice"))
+    newt = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn("o_totalprice", changed)
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 113 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10000000
+            )
+        )
+    )
+    return table_diff(o, newt, ["o_orderkey"])

@@ -393,3 +393,31 @@ def test_changelog_compact_tombstones(spark):
         ).collect()
     }
     assert got == {2: 5.0, 3: 9.0}
+
+
+def test_table_diff_detects_all_change_types(spark):
+    from hybridbackend_spark.operators.structural import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k: long, s: string, v: double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> dropped
+         (2, "b", 21.0),        # changed value
+         (4, "", 40.0),         # null -> empty string must count as change
+         (5, "e", 50.0)],       # added
+        "k: long, s: string, v: double",
+    )
+    out = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_table_diff_compare_subset(spark):
+    from hybridbackend_spark.operators.structural import table_diff
+
+    old = spark.createDataFrame([(1, 10.0, "x")], "k: long, v: double, meta: string")
+    new = spark.createDataFrame([(1, 10.0, "y")], "k: long, v: double, meta: string")
+    # restricted comparison ignores the meta column -> no diff rows
+    assert table_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+    assert table_diff(old, new, ["k"]).count() == 1
