@@ -155,6 +155,10 @@ EXTRA = [
     "standard_scale_lineitem",
     "mad_outliers_events",
     "lpa_communities_parts",
+    "event_transition_matrix",
+    "bigram_surprisal_docs",
+    "minhash_dedup_keep_longest_docs",
+    "table_diff_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

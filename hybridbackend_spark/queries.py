@@ -762,6 +762,10 @@ _DRIVER_WINDOW_FIRST = [
     "standard_scale_lineitem",
     "mad_outliers_events",
     "zorder_key_lineitem",
+    "event_transition_matrix",
+    "bigram_surprisal_docs",
+    "minhash_dedup_keep_longest_docs",
+    "table_diff_orders",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
