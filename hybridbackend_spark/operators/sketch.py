@@ -1,0 +1,111 @@
+"""Mergeable frequency sketches: count-min (CMS) build / query / merge.
+
+Why at 100 TB: exact per-key counts of an unbounded key space (tokens,
+URLs, user agents) shuffle one row per distinct key; a CMS compresses the
+whole distribution into a fixed (depth x width) integer matrix that
+merges associatively across partitions, days, or datasets — the
+frequency analog of the HLL distinct sketches in
+``operators/structural.py``. Estimates are upper bounds: overestimate
+only (by collision mass ~ N/width per row, min over depth rows).
+
+Everything is exact integer arithmetic over portable md5 bucket hashes
+(``operators/corpus.hash_bucket``), so sketch contents — not just
+behavior — are reproducible in any engine; the DuckDB oracle rebuilds
+the identical matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .corpus import hash_bucket
+
+__all__ = ["cms_build", "cms_query", "cms_merge"]
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the CMS counts matrix (row, bucket, cnt) from a key stream.
+
+    One explode (depth small structs per input row) + one partial-agg
+    groupBy((row, bucket)) — shuffle volume is bounded by depth x width
+    rows after map-side combine, REGARDLESS of input size or key
+    cardinality. ``weight_col`` accumulates weighted counts (defaults
+    to 1 per row).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                hash_bucket(F.col(key_col), width, seed=seed * 1000 + d).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"), w.alias("_w"))
+        .select("_c.row", "_c.bucket", "_w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_query(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-query the sketch for each key: estimate = min over depth
+    rows of the key's bucket counts (absent cells are 0). The sketch is
+    depth x width tiny, so it broadcasts; the probe never shuffles.
+    Returns the keys plus ``cms_estimate`` (an upper bound on the true
+    count)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        hash_bucket(
+                            F.col(key_col), width, seed=seed * 1000 + d
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(key_col, "_c.row", "_c.bucket")
+    joined = probes.join(F.broadcast(cms), ["row", "bucket"], "left").select(
+        key_col, F.coalesce("cnt", F.lit(0)).alias("_cell")
+    )
+    return joined.groupBy(key_col).agg(
+        F.min("_cell").alias("cms_estimate")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (width, depth, seed):
+    cell-wise addition — associative and commutative, so partial
+    sketches from any partitioning of the data combine exactly."""
+    return (
+        a.unionAll(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -5436,3 +5436,68 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, newt, ["o_orderkey"])
+
+
+def _cms_bucket_sql(expr: str, width: int, seed: int) -> str:
+    return (
+        f"(('0x' || substr(md5({expr} || ':{seed}'), 1, 8))::BIGINT % {width})"
+    )
+
+
+def _cms_oracle(width: int = 256, depth: int = 3) -> str:
+    """Replica of the count-min build + point query: identical md5
+    bucket arithmetic per depth row, cell-wise counts, min over rows —
+    the sketch MATRIX and every estimate are hash-checked."""
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS row, {_cms_bucket_sql('u.t', width, d)} AS bucket "
+        "FROM toks u"
+        for d in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT t, {d} AS row, {_cms_bucket_sql('t', width, d)} AS bucket "
+        "FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    toks AS (SELECT u.t FROM t, unnest(w) u(t)),
+    cms AS (
+      SELECT row, bucket, count(*) AS cnt
+      FROM ({cells}) GROUP BY row, bucket
+    ),
+    keys AS (SELECT DISTINCT t FROM toks),
+    probes AS ({probes}),
+    est AS (
+      SELECT p.t, min(coalesce(cms.cnt, 0)) AS cms_estimate
+      FROM probes p LEFT JOIN cms USING (row, bucket)
+      GROUP BY p.t
+    ),
+    exact AS (SELECT t, count(*) AS n FROM toks GROUP BY t)
+    SELECT e.t AS token, x.n AS exact_count, e.cms_estimate
+    FROM est e JOIN exact x USING (t)
+    """
+
+
+@register("cms_token_counts", _cms_oracle())
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the document token stream (width 256,
+    depth 3 — deliberately tight so collisions are visible), point-
+    queried for every distinct token alongside its exact count. The
+    oracle rebuilds the identical matrix from the same md5 bucket
+    hashes, so this checks the SKETCH CONTENT, not just behavior; the
+    test suite separately asserts the estimate >= exact upper-bound
+    property. Shuffle volume after map-side combine is depth x width
+    cells regardless of corpus size."""
+    from .operators.sketch import cms_build, cms_query
+
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.text import tokens as _tok
+
+    toks = docs.select(F.explode(_tok(F.col("text"))).alias("token"))
+    cms = cms_build(toks, "token", width=256, depth=3, seed=0)
+    keys = toks.distinct()
+    est = cms_query(cms, keys, "token", width=256, depth=3, seed=0)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "token").select(
+        "token", "exact_count", "cms_estimate"
+    )
