@@ -28,6 +28,7 @@ __all__ = [
     "pagerank",
     "triangle_count",
     "label_propagation",
+    "transitive_closure",
 ]
 
 
@@ -373,3 +374,66 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("v").alias("id"), F.col("lab").alias("community"))
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "parent",
+    dst: str = "child",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Reachability closure of a DAG — (ancestor, descendant, depth) for
+    every ancestor chain — by ITERATIVE DOUBLING: each round joins the
+    known path set with itself, so path length doubles per round and a
+    depth-d hierarchy closes in ceil(log2 d) rounds, not d. This is the
+    engine's substitute for SQL recursive CTEs (Spark has none):
+    bill-of-materials explosion, org charts, category trees.
+
+    Per round: one self-join of the path set on the meeting node + a
+    min-depth dedup groupBy — both shuffle on path endpoints. Path-set
+    size is the FINAL closure size (|V| x avg depth for trees), never
+    more; lineage is cut per round. Rounds stop at the fixed point
+    (count stops growing — counts are cheap on the checkpointed set).
+
+    Cycles are handled: the min-depth dedup makes the path set finite
+    (every (a, b) keeps its shortest distance, including (a, a) loops),
+    so the fixed point exists for any graph. Raises only if the closure
+    hasn't converged in ``max_rounds`` — i.e. diameter > 2^max_rounds.
+    """
+    paths = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.lit(1).alias("d")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = paths.count()
+    for _ in range(max_rounds):
+        l = paths.select(
+            F.col("a"), F.col("b").alias("_m"), F.col("d").alias("_dl")
+        )
+        r = paths.select(
+            F.col("a").alias("_m"), F.col("b"), F.col("d").alias("_dr")
+        )
+        doubled = l.join(r, "_m").select(
+            "a", "b", (F.col("_dl") + F.col("_dr")).alias("d")
+        )
+        paths = (
+            paths.unionAll(doubled)
+            .groupBy("a", "b")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        m = paths.count()
+        if m == n:
+            return paths.select(
+                F.col("a").alias("ancestor"),
+                F.col("b").alias("descendant"),
+                F.col("d").alias("depth"),
+            )
+        n = m
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_rounds} doubling "
+        "rounds — cyclic input or pathological depth"
+    )

@@ -5501,3 +5501,35 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "token").select(
         "token", "exact_count", "cms_estimate"
     )
+
+
+@register(
+    "customer_hierarchy_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT (c_custkey - 1) // 7 AS parent, c_custkey AS child
+      FROM customer WHERE c_custkey >= 1
+    ),
+    reach(a, b, d) AS (
+      SELECT parent, child, 1 FROM e
+      UNION
+      SELECT r.a, e.child, r.d + 1 FROM reach r JOIN e ON e.parent = r.b
+    )
+    SELECT a AS ancestor, b AS descendant, min(d) AS depth
+    FROM reach GROUP BY a, b
+    """,
+)
+def customer_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy expansion over a synthetic 7-ary customer tree
+    (parent = (custkey-1) div 7): full (ancestor, descendant, depth)
+    closure via iterative doubling — ceil(log2 depth) Spark rounds where
+    a recursive CTE needs depth rounds. The oracle recomputes with a
+    true recursive CTE, so the complete closure is hash-checked."""
+    from .operators.graph import transitive_closure
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 1)
+    edges = c.select(
+        ((F.col("c_custkey") - 1) / F.lit(7)).cast("long").alias("parent"),
+        F.col("c_custkey").alias("child"),
+    )
+    return transitive_closure(edges, "parent", "child")

@@ -226,3 +226,39 @@ def test_label_propagation_deterministic_across_partitionings(spark):
     b = sorted(map(tuple, label_propagation(
         edges.repartition(17, "id_b"), iters=2).collect()))
     assert a == b
+
+
+def test_transitive_closure_chain_and_tree(spark):
+    from hybridbackend_spark.operators.graph import transitive_closure
+
+    # chain 0->1->...->20: closure has n*(n+1)/2 pairs, depth = distance
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "parent: long, child: long"
+    )
+    out = {(r["ancestor"], r["descendant"]): r["depth"]
+           for r in transitive_closure(chain).collect()}
+    assert len(out) == 20 * 21 // 2
+    assert out[(0, 20)] == 20 and out[(5, 6)] == 1
+
+    # small tree: every ancestor sees every descendant exactly once
+    tree = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)], "parent: long, child: long"
+    )
+    t = {(r["ancestor"], r["descendant"]): r["depth"]
+         for r in transitive_closure(tree).collect()}
+    assert t == {(0, 1): 1, (0, 2): 1, (1, 3): 1, (1, 4): 1, (2, 5): 1,
+                 (0, 3): 2, (0, 4): 2, (0, 5): 2}
+
+
+def test_transitive_closure_cycle_min_distances(spark):
+    from hybridbackend_spark.operators.graph import transitive_closure
+
+    # 3-cycle: min-depth dedup keeps the closure finite — all 9 pairs
+    # at their shortest distances, including the (a, a) loop at 3
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "parent: long, child: long"
+    )
+    out = {(r["ancestor"], r["descendant"]): r["depth"]
+           for r in transitive_closure(cyc).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 2 and out[(1, 1)] == 3
+    assert len(out) == 9
