@@ -16,11 +16,18 @@ the identical matrix.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .corpus import hash_bucket
 
-__all__ = ["cms_build", "cms_query", "cms_merge"]
+__all__ = [
+    "cms_build",
+    "cms_query",
+    "cms_merge",
+    "quantile_sketch_build",
+    "quantile_sketch_merge",
+    "quantile_sketch_estimate",
+]
 
 
 def cms_build(
@@ -108,4 +115,82 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionAll(b)
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantile_sketch_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Mergeable quantile sketch: per group, exact counts in power-of-two
+    buckets of the scaled value (``bucket = floor(log2(round(v *
+    scale)))`` via the binary-digit-count trick — pure integer
+    arithmetic, engine-portable). At most ~64 buckets per group
+    regardless of data volume, so the sketch shuffles a fixed few rows
+    per group and merges by cell-wise addition, like the CMS/HLL
+    states. Estimation error is bounded by the bucket width (a factor-2
+    relative band, interpolated inside). Non-negative values only
+    (quantile screens on money/duration/size columns)."""
+    c = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    bucket = F.length(F.bin(c)) - 1
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cell-wise addition — associative, so partial sketches from any
+    split of the data combine exactly."""
+    return (
+        a.unionAll(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    q: float,
+    scale: int = 100,
+    dp: int = 4,
+) -> DataFrame:
+    """Estimate the q-quantile per group from the sketch: find the
+    bucket containing rank ``ceil(q * n)`` on the cumulative counts and
+    interpolate linearly inside its [2^b, 2^(b+1)) range. All rank
+    arithmetic is integer-exact; only the final interpolation divides —
+    in a fixed expression order, so estimates are engine-identical."""
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    wall = Window.partitionBy(*group_cols)
+    cum = sketch.select(
+        *group_cols,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(wall).alias("_n"),
+    )
+    rank = F.greatest(
+        F.ceil(F.lit(q) * F.col("_n")).cast("long"), F.lit(1)
+    )
+    hit = cum.filter(F.col("_cum") >= rank).withColumn(
+        "_rn",
+        F.row_number().over(w),
+    ).filter(F.col("_rn") == 1)
+    # shiftleft with a COLUMN bit count only exists in SQL form
+    lo = F.expr(
+        "cast(if(bucket >= 1, shiftleft(cast(1 as bigint), bucket), 0) as double)"
+    ) / scale
+    hi = F.expr(
+        "cast(shiftleft(cast(1 as bigint), bucket + 1) as double)"
+    ) / scale
+    prev = F.col("_cum") - F.col("cnt")
+    frac = (rank - prev).cast("double") / F.col("cnt").cast("double")
+    return hit.select(
+        *group_cols,
+        F.round(lo + (hi - lo) * frac, dp).alias(f"q{int(q * 100)}_est"),
+        F.col("_n").alias("n"),
     )

@@ -5533,3 +5533,54 @@ def customer_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("child"),
     )
     return transitive_closure(edges, "parent", "child")
+
+
+@register(
+    "quantile_sketch_orders",
+    """
+    WITH sk AS (
+      SELECT o_orderpriority,
+             length(bin(CAST(round(o_totalprice * 100) AS BIGINT))) - 1
+               AS bucket,
+             count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY bucket) AS c,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM sk
+    ),
+    hit AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY bucket) AS rn
+      FROM cum
+      WHERE c >= greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+    )
+    SELECT o_orderpriority,
+           round(
+             (CASE WHEN bucket >= 1 THEN (1::BIGINT << bucket)
+                   ELSE 0 END)::DOUBLE / 100
+             + ((1::BIGINT << (bucket + 1))::DOUBLE / 100
+                - (CASE WHEN bucket >= 1 THEN (1::BIGINT << bucket)
+                        ELSE 0 END)::DOUBLE / 100)
+               * ((greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                   - (c - cnt))::DOUBLE / cnt::DOUBLE),
+             4) AS q90_est,
+           n
+    FROM hit WHERE rn = 1
+    """,
+)
+def quantile_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P90 order value per priority from the MERGEABLE log-bucket
+    quantile sketch (<= ~64 exact integer cells per group — the
+    incremental/mergeable path where exact percentile needs the full
+    value multiset). The oracle replays identical bucket / rank /
+    interpolation arithmetic, so estimates are bit-checked; accuracy vs
+    exact percentiles is asserted in tests."""
+    from .operators.sketch import quantile_sketch_build, quantile_sketch_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    sk = quantile_sketch_build(o, ["o_orderpriority"], "o_totalprice")
+    return quantile_sketch_estimate(sk, ["o_orderpriority"], 0.9)

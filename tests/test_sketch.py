@@ -45,3 +45,51 @@ def test_cms_weighted_counts(spark):
     est = {r["k"]: r["cms_estimate"] for r in
            cms_query(cms, df.select("k").distinct(), "k", width=16, depth=2).collect()}
     assert est["a"] >= 12 and est["b"] >= 1
+
+
+def test_quantile_sketch_accuracy_and_merge(spark):
+    import random
+
+    from hybridbackend_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+
+    rng = random.Random(3)
+    rows = [("g", rng.uniform(1.0, 1000.0)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    sk = quantile_sketch_build(df, ["g"], "v")
+    est = quantile_sketch_estimate(sk, ["g"], 0.9).collect()[0]
+    exact = sorted(v for _, v in rows)[int(0.9 * 2000) - 1]
+    # log-bucket sketch: factor-2 relative band around the true quantile
+    assert exact / 2 <= est["q90_est"] <= exact * 2
+    assert est["n"] == 2000
+
+    # merge of halves == full build (exact integer cells)
+    a = spark.createDataFrame(rows[:1000], "g: string, v: double")
+    b = spark.createDataFrame(rows[1000:], "g: string, v: double")
+    merged = quantile_sketch_merge(
+        quantile_sketch_build(a, ["g"], "v"),
+        quantile_sketch_build(b, ["g"], "v"),
+        ["g"],
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+
+
+def test_quantile_sketch_within_bucket_interpolation(spark):
+    from hybridbackend_spark.operators.sketch import (
+        quantile_sketch_build,
+        quantile_sketch_estimate,
+    )
+
+    # all values in one bucket [1.28, 2.56): estimate interpolates inside
+    df = spark.createDataFrame(
+        [("g", 1.30 + 0.01 * i) for i in range(100)], "g: string, v: double"
+    )
+    sk = quantile_sketch_build(df, ["g"], "v")
+    assert sk.count() == 1
+    est = quantile_sketch_estimate(sk, ["g"], 0.5).collect()[0]["q50_est"]
+    assert 1.28 <= est <= 2.56
