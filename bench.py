@@ -159,6 +159,9 @@ EXTRA = [
     "bigram_surprisal_docs",
     "minhash_dedup_keep_longest_docs",
     "table_diff_orders",
+    "cms_token_counts",
+    "customer_hierarchy_closure",
+    "quantile_sketch_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -766,6 +766,9 @@ _DRIVER_WINDOW_FIRST = [
     "bigram_surprisal_docs",
     "minhash_dedup_keep_longest_docs",
     "table_diff_orders",
+    "cms_token_counts",
+    "customer_hierarchy_closure",
+    "quantile_sketch_orders",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
