@@ -576,3 +576,47 @@ def test_aqe_splits_skewed_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_pq_encode_zero_shuffle(spark, sf_dir):
+    """PQ encoding is a pure projection: codebook literals fold into the
+    plan, no Exchange anywhere."""
+    from hybridbackend_spark.operators.similarity import (
+        pq_encode,
+        pq_random_codebooks,
+    )
+    from hybridbackend_spark.plans.inspect import count_exchanges
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_random_codebooks(dim=64, m=4, ksub=8, seed=11)
+    assert count_exchanges(pq_encode(emb, "embedding", books)) == 0
+
+
+def test_zorder_key_zero_shuffle_and_range_partition_on_write_path(spark, sf_dir):
+    from hybridbackend_spark.operators.layout import cluster_by_zorder, zorder_key
+    from hybridbackend_spark.plans.inspect import count_exchanges, physical_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.select(
+        zorder_key(["l_partkey", "l_suppkey"], [(0, 20000), (0, 1000)]).alias("z")
+    )
+    assert count_exchanges(keyed) == 0
+    clustered = cluster_by_zorder(
+        li, ["l_partkey", "l_suppkey"], num_partitions=8
+    )
+    assert "rangepartitioning" in physical_plan(clustered).lower()
+
+
+def test_standard_scale_single_stats_broadcast(spark, sf_dir):
+    """The fitted scaler computes stats once and broadcasts them — the
+    fact side never shuffles."""
+    from hybridbackend_spark.functions.feature import standard_scale
+    from hybridbackend_spark.plans.inspect import physical_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = physical_plan(standard_scale(li, ["l_quantity"]))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash shuffle of the fact table itself
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
