@@ -43,6 +43,8 @@ __all__ = [
     "sample_video_frames",
     "extract_audio_features",
     "encode_ppm",
+    "image_ahash",
+    "image_near_dup_pairs",
     "register_codec",
     "unregister_codec",
 ]
@@ -498,3 +500,130 @@ def extract_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_extract_batch, out_schema)
+
+
+def _ahash64(img) -> int:
+    """64-bit average hash: 8x8 nearest-neighbor luminance grid, bit i =
+    cell_i > grid mean. Near-identical images differ in a few bits;
+    unrelated images differ in ~32."""
+    h, w, _ = img.shape
+    lum = img.mean(axis=2)
+    cells = []
+    for gy in range(8):
+        for gx in range(8):
+            y = min(int((gy + 0.5) * h / 8), h - 1)
+            x = min(int((gx + 0.5) * w / 8), w - 1)
+            cells.append(float(lum[y, x]))
+    mean = sum(cells) / 64.0
+    bits = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            bits |= 1 << i
+    # interpret as signed 64-bit for Spark LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = True,
+) -> DataFrame:
+    """Perceptual average-hash per image: (id, ahash long). Real for
+    PPM / registered codecs; deterministic fake fallback (strict mode
+    raises) — same codec policy as :func:`decode_image_features`.
+    One Arrow-batched pass, zero shuffle."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    codecs = _codec_snapshot("image")
+
+    def _one(p):
+        if p is None:
+            return None
+        raw = bytes(p)
+        img = _parse_ppm(raw)
+        if img is None:
+            img = _try_codecs(codecs, raw)
+        if img is not None:
+            return _ahash64(img)
+        if not fake:
+            raise NotImplementedError(_STRICT_MSG.format(kind="image"))
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(raw).digest()[:8], "big")
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def _hash_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash": pd.array(
+                        [_one(p) for p in pdf[payload_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_hash_batch, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    bands: int = 4,
+    fake: bool = True,
+) -> DataFrame:
+    """Near-duplicate image pairs: average-hash each image, band the 64
+    bits into ``bands`` chunks, self-join only rows agreeing on at least
+    one whole band (a hash pair within ``max_hamming < bands`` bits MUST
+    agree on some band — pigeonhole, so recall is exact for small
+    distances), then verify exact Hamming via ``bit_count(xor)``. The
+    image-side mirror of :func:`~hybridbackend_spark.operators.dedup.
+    simhash_candidates`; candidate volume is bounded by band-bucket
+    collisions, never all pairs.
+
+    Returns (id_a, id_b, hamming).
+    """
+    width = 64 // bands
+    hashed = image_ahash(df, payload_col, id_col, fake)
+    band_cols = [
+        F.expr(
+            f"cast((ahash >> {b * width}) & {(1 << width) - 1} as bigint)"
+        ).alias("bucket")
+        for b in range(bands)
+    ]
+    banded = hashed.select(
+        F.col(id_col),
+        F.col("ahash"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.ahash").alias("_ha"),
+            F.col("b.ahash").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("_ha ^ _hb"))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -257,3 +257,46 @@ def test_registered_audio_codec_end_to_end(spark):
         assert abs(out["features"][0] - 0.5 / np.sqrt(2)) < 0.05
     finally:
         unregister_codec("audio", "stubmp3")
+
+
+def test_image_ahash_stable_under_small_noise(spark):
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import encode_ppm, image_ahash
+
+    img, raw = _ppm(32, 32, seed=5)
+    # near-dup: flip a couple of pixels slightly
+    noisy = img.copy()
+    noisy[0, 0] = (noisy[0, 0].astype(int) + 3).clip(0, 255).astype(np.uint8)
+    other, raw_other = _ppm(32, 32, seed=99)
+    df = spark.createDataFrame(
+        [(1, bytearray(raw)), (2, bytearray(encode_ppm(noisy))),
+         (3, bytearray(raw_other))],
+        "media_id: long, payload: binary",
+    )
+    h = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    near = bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+    far = bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1")
+    assert near <= 4
+    assert far > 10
+
+
+def test_image_near_dup_pairs_banded(spark):
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import (
+        encode_ppm,
+        image_near_dup_pairs,
+    )
+
+    img, raw = _ppm(24, 24, seed=11)
+    noisy = img.copy()
+    noisy[3, 3] = (noisy[3, 3].astype(int) + 2).clip(0, 255).astype(np.uint8)
+    rows = [(1, bytearray(raw)), (2, bytearray(encode_ppm(noisy)))]
+    for i in range(3, 9):  # unrelated images
+        rows.append((i, bytearray(_ppm(24, 24, seed=100 + i)[1])))
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_near_dup_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all({a, b} == {1, 2} for (a, b) in pairs)
