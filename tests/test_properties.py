@@ -41,3 +41,34 @@ def test_field_struct_roundtrip(name, dtype, rank):
 def test_pmod_semantics_match_oracle_form(x, n):
     # the ((x % n) + n) % n form used in every oracle equals Spark's pmod
     assert ((x % n) + n) % n == x % n if x >= 0 else ((x % n) + n) % n >= 0
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_pq_codebooks_deterministic_and_shaped(seed):
+    from hybridbackend_spark.operators.similarity import pq_random_codebooks
+
+    a = pq_random_codebooks(dim=64, m=4, ksub=8, seed=seed)
+    b = pq_random_codebooks(dim=64, m=4, ksub=8, seed=seed)
+    assert a == b
+    assert len(a) == 4 and all(len(bk) == 8 for bk in a)
+    assert all(len(c) == 16 for bk in a for c in bk)
+
+
+@given(st.lists(st.integers(0, 255), min_size=2, max_size=12),
+       st.integers(1, 6))
+@settings(max_examples=30, deadline=None)
+def test_morton_key_monotone_in_single_dim(vals, bits):
+    """With the other dimension fixed at 0, the Morton key is monotone in
+    the remaining dimension (bit interleave preserves per-dim order)."""
+    top = (1 << bits) - 1
+
+    def morton(x):
+        x = min(max(x, 0), top)
+        k = 0
+        for b in range(bits):
+            k |= ((x >> b) & 1) << (2 * b)
+        return k
+
+    keys = [morton(v * top // 255) for v in sorted(vals)]
+    assert keys == sorted(keys)
