@@ -162,6 +162,7 @@ EXTRA = [
     "cms_token_counts",
     "customer_hierarchy_closure",
     "quantile_sketch_orders",
+    "substring_dedup_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

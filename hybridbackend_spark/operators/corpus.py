@@ -41,6 +41,7 @@ __all__ = [
     "negative_samples",
     "line_dedup",
     "boilerplate_prune",
+    "substring_dedup",
     "unigram_surprisal",
     "bigram_surprisal",
     "temperature_sample",
@@ -831,4 +832,89 @@ def bigram_surprisal(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.sum("_bits") / F.count(F.lit(1)), 6).alias("avg_bits"),
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 5,
+) -> DataFrame:
+    """Exact substring deduplication (the Lee et al. 2022 recipe,
+    re-expressed relationally): any ``window_tokens``-token span whose
+    text occurs ANYWHERE else in the corpus keeps only its first
+    occurrence (smallest (doc id, position)); every other occurrence is
+    masked out token-by-token and documents are rebuilt from the
+    surviving tokens. Finer-grained than :func:`line_dedup` (overlapping
+    windows catch duplicated spans at ANY offset, not just aligned
+    lines).
+
+    Plan shape — three partial-agg shuffles, all keyed small:
+    (1) rolling window texts -> groupBy(window) with a min(struct(doc,
+    pos)) winner (shuffle = distinct windows after map-side combine);
+    (2) duplicated occurrences explode to their covered token positions
+    -> distinct (doc, pos) mask; (3) tokens anti-join the mask on (doc,
+    pos) and reassemble per doc. Shuffled bytes scale with distinct
+    window texts + masked positions, never corpus bytes squared. At 100
+    TB, hash the window text (xxhash64) instead of shuffling raw
+    strings — kept raw here so the oracle can replay it.
+
+    Returns (id, n_tokens, n_masked, dedup_text).
+    """
+    k = window_tokens
+    toks = tokens(_c(text_col))
+    base = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode("_toks").alias("_pos", "_tok")
+    )
+    windows = base.filter(F.size("_toks") >= k).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - k + 1),
+                lambda i: F.array_join(F.slice(F.col("_toks"), i, k), " "),
+            )
+        ).alias("_pos", "_win"),
+    )
+    first = windows.groupBy("_win").agg(
+        F.min(F.struct(id_col, "_pos")).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dups = (
+        windows.join(first, "_win")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(f"_first.{id_col}") == F.col(id_col))
+                & (F.col("_first._pos") == F.col("_pos"))
+            )
+        )
+        .select(id_col, "_pos")
+    )
+    mask = dups.select(
+        id_col, F.explode(F.sequence(F.col("_pos"), F.col("_pos") + k - 1)).alias("_pos")
+    ).distinct()
+    kept = tok_rows.join(mask, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        base.select(id_col, F.size("_toks").cast("long").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_masked"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
     )

@@ -769,6 +769,7 @@ _DRIVER_WINDOW_FIRST = [
     "cms_token_counts",
     "customer_hierarchy_closure",
     "quantile_sketch_orders",
+    "substring_dedup_docs",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
@@ -5587,3 +5588,60 @@ def quantile_sketch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     sk = quantile_sketch_build(o, ["o_orderpriority"], "o_totalprice")
     return quantile_sketch_estimate(sk, ["o_orderpriority"], 0.9)
+
+
+@register(
+    "substring_dedup_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+               WHERE len({_TOKS_SQL}) > 0),
+    tok AS (
+      SELECT doc_id, u.i - 1 AS pos, w[u.i] AS tk
+      FROM t, unnest(generate_series(1, len(w))) u(i)
+    ),
+    win AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(list_slice(w, u.i, u.i + 4), ' ') AS win
+      FROM t, unnest(generate_series(1, len(w) - 4)) u(i)
+      WHERE len(w) >= 5
+    ),
+    fst AS (
+      SELECT win, min(struct_pack(doc_id := doc_id, pos := pos)) AS f,
+             count(*) AS n
+      FROM win GROUP BY win
+    ),
+    dups AS (
+      SELECT w.doc_id, w.pos
+      FROM win w JOIN fst ON fst.win = w.win
+      WHERE fst.n > 1
+        AND NOT (fst.f.doc_id = w.doc_id AND fst.f.pos = w.pos)
+    ),
+    mask AS (
+      SELECT DISTINCT doc_id, pos + u.o AS pos
+      FROM dups, unnest(generate_series(0, 4)) u(o)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.tk
+      FROM tok ANTI JOIN mask USING (doc_id, pos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS kept_n,
+             string_agg(tk, ' ' ORDER BY pos) AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, len(t.w)::BIGINT AS n_tokens,
+           (len(t.w) - coalesce(rebuilt.kept_n, 0))::BIGINT AS n_masked,
+           coalesce(rebuilt.dedup_text, '') AS dedup_text
+    FROM t LEFT JOIN rebuilt USING (doc_id)
+    """,
+)
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at 5-token window granularity: duplicated
+    spans keep their first occurrence corpus-wide; all other occurrences
+    are masked and documents rebuilt. The full mask/rebuild pipeline is
+    hash-checked by the oracle."""
+    from .operators.corpus import substring_dedup
+
+    return substring_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=5
+    )

@@ -437,3 +437,39 @@ def test_bigram_surprisal_exact_bits(spark):
     assert out[0] == (1, 1.0)
     # bits(a,c)=floor(log2 1)=0 -> 2 bits
     assert out[3] == (1, 2.0)
+
+
+def test_substring_dedup_masks_repeated_spans(spark):
+    from hybridbackend_spark.operators.corpus import substring_dedup
+
+    shared = "one two three four five"          # 5-token span, shared
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),         # first occurrence survives
+            (2, f"gamma delta {shared}"),        # later occurrence masked
+            (3, "totally different words here"), # untouched (only 4 tokens)
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, window_tokens=5).collect()}
+    assert out[1]["dedup_text"] == f"{shared} alpha beta"
+    assert out[1]["n_masked"] == 0
+    assert out[2]["dedup_text"] == "gamma delta"
+    assert out[2]["n_masked"] == 5
+    assert out[3]["dedup_text"] == "totally different words here"
+
+
+def test_substring_dedup_overlapping_windows_mask_union(spark):
+    from hybridbackend_spark.operators.corpus import substring_dedup
+
+    # doc 2 repeats a 7-token span of doc 1: three overlapping duplicated
+    # 5-windows whose union masks all 7 tokens
+    span = "a b c d e f g"
+    df = spark.createDataFrame(
+        [(1, f"{span} tail1 tail2"), (2, f"{span} other words")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(df, window_tokens=5).collect()}
+    assert out[1]["n_masked"] == 0
+    assert out[2]["n_masked"] == 7
+    assert out[2]["dedup_text"] == "other words"
