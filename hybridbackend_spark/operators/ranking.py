@@ -20,11 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk"    "item_similarity",
+]
 
 
 def bm25_topk(
@@ -106,4 +107,83 @@ def bm25_topk(
         scored.orderBy(F.desc("score"), "_id")
         .limit(k)
         .select(F.col("_id").alias(id_col), "score", "n_hits")
+    )
+
+
+def item_similarity(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 10,
+    max_user_degree: int | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over binary
+    co-occurrence sets, ``sim(i, j) = |U_i ∩ U_j| / sqrt(|U_i| |U_j|)``,
+    top-``k`` neighbors per item. The classic i2i recommender built
+    relationally.
+
+    Scale shape: distinct (user, item) pairs self-join on the USER key —
+    pair fan-out per user is degree^2, so ``max_user_degree`` drops
+    power users above the cap BEFORE the join (the standard i2i guard:
+    a user who bought everything contributes no signal, only quadratic
+    work — same reasoning as the LSH bucket caps). Then one partial-agg
+    groupBy((i, j)) count, two tiny degree joins, and a per-item top-k
+    window. Co-counts shuffle (i, j) keys only, never user payloads.
+
+    Returns (item, neighbor, n_common, sim, rnk).
+    """
+    ui = interactions.select(
+        F.col(user_col).alias("_u"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_user_degree is not None:
+        ok = (
+            ui.groupBy("_u")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_user_degree)
+            .select("_u")
+        )
+        ui = ui.join(ok, "_u")
+    deg = ui.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = ui.alias("a")
+    b = ui.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a._u") == F.col("b._u"))
+            & (F.col("a._i") < F.col("b._i")),
+        )
+        .groupBy(F.col("a._i").alias("_ia"), F.col("b._i").alias("_ib"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("_i").alias("_ia"), F.col("_n").alias("_na"))
+    db = deg.select(F.col("_i").alias("_ib"), F.col("_n").alias("_nb"))
+    sim = (
+        co.join(da, "_ia")
+        .join(db, "_ib")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("n_common")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb")),
+                dp,
+            ),
+        )
+    )
+    # symmetric neighbor lists: each pair serves both directions
+    both = sim.select(
+        F.col("_ia").alias("item"), F.col("_ib").alias("neighbor"),
+        "n_common", "sim",
+    ).unionAll(
+        sim.select(
+            F.col("_ib").alias("item"), F.col("_ia").alias("neighbor"),
+            "n_common", "sim",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("sim").desc(), F.col("neighbor")
+    )
+    return (
+        both.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
     )

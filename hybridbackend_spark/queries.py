@@ -5645,3 +5645,47 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(
         _t(spark, sf_dir, "documents"), "doc_id", "text", window_tokens=5
     )
+
+
+@register(
+    "item_similarity_parts",
+    """
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+    co AS (
+      SELECT a.i AS ia, b.i AS ib, count(*) AS n_common
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    sim AS (
+      SELECT ia, ib, n_common,
+             round(n_common / sqrt(da.n::DOUBLE * db.n), 6) AS sim
+      FROM co JOIN deg da ON da.i = co.ia JOIN deg db ON db.i = co.ib
+    ),
+    sym AS (
+      SELECT ia AS item, ib AS neighbor, n_common, sim FROM sim
+      UNION ALL
+      SELECT ib, ia, n_common, sim FROM sim
+    )
+    SELECT item, neighbor, n_common, sim,
+           row_number() OVER (PARTITION BY item
+                              ORDER BY sim DESC, neighbor) AS rnk
+    FROM sym QUALIFY rnk <= 5
+    """,
+)
+def item_similarity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF over the customer-part co-purchase matrix: cosine on
+    binary co-occurrence, top-5 neighbors per part. User-key self-join
+    with degree capping available for power users; co-counts shuffle
+    (i, j) keys only."""
+    from .operators.ranking import item_similarity
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+    )
+    return item_similarity(inter, "u", "i", k=5)

@@ -60,3 +60,29 @@ def test_bm25_topk_cutoff_deterministic(spark):
         ).collect()
     ]
     assert a == b and len(a) == 7
+
+
+def test_item_similarity_exact_cosine_and_topk(spark):
+    from hybridbackend_spark.operators.ranking import item_similarity
+
+    # users: 1 buys {a,b}, 2 buys {a,b}, 3 buys {a,c}
+    # |Ua|=3 |Ub|=2 |Uc|=1; co(a,b)=2, co(a,c)=1, co(b,c)=0
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    df = spark.createDataFrame(rows, ["u", "i"])
+    out = {(r["item"], r["neighbor"]): (r["n_common"], r["sim"])
+           for r in item_similarity(df, "u", "i", k=5).collect()}
+    import math
+    assert out[("a", "b")] == (2, round(2 / math.sqrt(3 * 2), 6))
+    assert out[("a", "c")] == (1, round(1 / math.sqrt(3 * 1), 6))
+    assert ("b", "c") not in out  # no co-purchase -> no pair
+
+
+def test_item_similarity_degree_cap_drops_power_user(spark):
+    from hybridbackend_spark.operators.ranking import item_similarity
+
+    rows = [(1, "a"), (1, "b")]                       # normal user
+    rows += [(9, x) for x in "abcdefgh"]              # power user, degree 8
+    df = spark.createDataFrame(rows, ["u", "i"])
+    capped = item_similarity(df, "u", "i", k=10, max_user_degree=4)
+    pairs = {(r["item"], r["neighbor"]) for r in capped.collect()}
+    assert pairs == {("a", "b"), ("b", "a")}  # only user 1's signal remains
