@@ -163,6 +163,8 @@ EXTRA = [
     "customer_hierarchy_closure",
     "quantile_sketch_orders",
     "substring_dedup_docs",
+    "item_similarity_parts",
+    "ab_ztest_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

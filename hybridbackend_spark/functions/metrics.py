@@ -306,3 +306,76 @@ def gauc(
     return valid.agg(
         (F.sum(F.col("_auc") * w_expr) / F.sum(w_expr)).alias(alias)
     )
+
+
+def ab_ztest(
+    df,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    dp: int = 6,
+    scale: int = 100,
+):
+    """Two-sample z-test per experiment group: mean difference between
+    ``treatment`` and ``control`` variants with its pooled standard
+    error and z statistic — the workhorse readout of large-scale A/B
+    analytics.
+
+    ONE conditional-aggregation pass computes both variants' n / sum /
+    sum-of-squares together (map-side combine; no pivot, no second
+    scan). Sums quantize to integer units and squares accumulate as
+    DECIMAL(38,0) (exact at fact scale, like
+    :func:`~hybridbackend_spark.functions.feature.standard_scale`), so
+    means and variances are bit-identical across engines/partitionings;
+    only the final SE/z division touches floats, in a fixed expression
+    order. Population variances (divide by n), Welch-style unpooled SE.
+
+    Returns (group, n_a, n_b, mean_a, mean_b, diff, se, z) rounded to
+    ``dp``.
+    """
+    from pyspark.sql import functions as F
+
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    is_a = F.col(variant_col) == control
+    is_b = F.col(variant_col) == treatment
+
+    def _sums(cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n"),
+            F.sum(F.when(cond, q).otherwise(0)).alias("s"),
+            F.sum(F.when(cond, (q * q).cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)"))).alias("ss"),
+        ]
+
+    na, sa, ssa = _sums(is_a)
+    nb, sb, ssb = _sums(is_b)
+    agg = df.groupBy(group_col).agg(
+        na.alias("_na"), sa.alias("_sa"), ssa.alias("_ssa"),
+        nb.alias("_nb"), sb.alias("_sb"), ssb.alias("_ssb"),
+    )
+    fs = float(scale)
+
+    def mean(s, n):
+        return (s / fs) / n.cast("double")
+
+    def var(ss, s, n):
+        m = mean(s, n)
+        return (ss.cast("double") / (fs * fs)) / n.cast("double") - m * m
+
+    ma = mean(F.col("_sa"), F.col("_na"))
+    mb = mean(F.col("_sb"), F.col("_nb"))
+    va = var(F.col("_ssa"), F.col("_sa"), F.col("_na"))
+    vb = var(F.col("_ssb"), F.col("_sb"), F.col("_nb"))
+    se = F.sqrt(va / F.col("_na").cast("double") + vb / F.col("_nb").cast("double"))
+    return agg.select(
+        F.col(group_col),
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(ma, dp).alias("mean_a"),
+        F.round(mb, dp).alias("mean_b"),
+        F.round(mb - ma, dp).alias("diff"),
+        F.round(se, dp).alias("se"),
+        F.when(se > 0, F.round((mb - ma) / se, dp)).alias("z"),
+    )

@@ -770,6 +770,8 @@ _DRIVER_WINDOW_FIRST = [
     "customer_hierarchy_closure",
     "quantile_sketch_orders",
     "substring_dedup_docs",
+    "item_similarity_parts",
+    "ab_ztest_events",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
@@ -5689,3 +5691,73 @@ def item_similarity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
     )
     return item_similarity(inter, "u", "i", k=5)
+
+
+@register(
+    "ab_ztest_events",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+             CAST(round(value * 100) AS BIGINT) AS q
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN v = 'A' THEN q ELSE 0 END) AS sa,
+             sum(CASE WHEN v = 'A' THEN CAST(q * q AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssa,
+             sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN v = 'B' THEN q ELSE 0 END) AS sb,
+             sum(CASE WHEN v = 'B' THEN CAST(q * q AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssb
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, na AS n_a, nb AS n_b,
+           round((sa / 100.0) / na::DOUBLE, 6) AS mean_a,
+           round((sb / 100.0) / nb::DOUBLE, 6) AS mean_b,
+           round((sb / 100.0) / nb::DOUBLE - (sa / 100.0) / na::DOUBLE, 6)
+             AS diff,
+           round(sqrt(((ssa::DOUBLE / 10000.0) / na::DOUBLE
+                       - ((sa / 100.0) / na::DOUBLE)
+                         * ((sa / 100.0) / na::DOUBLE)) / na::DOUBLE
+                      + ((ssb::DOUBLE / 10000.0) / nb::DOUBLE
+                         - ((sb / 100.0) / nb::DOUBLE)
+                           * ((sb / 100.0) / nb::DOUBLE)) / nb::DOUBLE),
+                 6) AS se,
+           CASE WHEN sqrt(((ssa::DOUBLE / 10000.0) / na::DOUBLE
+                           - ((sa / 100.0) / na::DOUBLE)
+                             * ((sa / 100.0) / na::DOUBLE)) / na::DOUBLE
+                          + ((ssb::DOUBLE / 10000.0) / nb::DOUBLE
+                             - ((sb / 100.0) / nb::DOUBLE)
+                               * ((sb / 100.0) / nb::DOUBLE)) / nb::DOUBLE)
+                     > 0
+                THEN round(((sb / 100.0) / nb::DOUBLE
+                            - (sa / 100.0) / na::DOUBLE)
+                           / sqrt(((ssa::DOUBLE / 10000.0) / na::DOUBLE
+                                   - ((sa / 100.0) / na::DOUBLE)
+                                     * ((sa / 100.0) / na::DOUBLE))
+                                  / na::DOUBLE
+                                  + ((ssb::DOUBLE / 10000.0) / nb::DOUBLE
+                                     - ((sb / 100.0) / nb::DOUBLE)
+                                       * ((sb / 100.0) / nb::DOUBLE))
+                                    / nb::DOUBLE),
+                           6)
+           END AS z
+    FROM agg
+    """,
+)
+def ab_ztest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test per event type with a deterministic user-hash
+    variant split (user_id parity as the assignment stand-in): Welch SE,
+    exact integer sums / decimal sums-of-squares, one conditional-agg
+    pass. The oracle replays identical arithmetic, so every statistic
+    is bit-checked."""
+    from .functions.metrics import ab_ztest
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return ab_ztest(ev, "event_type", "variant", "value")

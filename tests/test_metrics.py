@@ -217,3 +217,40 @@ def test_gauc_reference_mode_requires_order_col(spark):
     )
     with pytest.raises(ValueError, match="order_col"):
         gauc(df, "g", "label", "score", tie_mode="reference")
+
+
+def test_ab_ztest_matches_numpy(spark):
+    import math
+
+    from hybridbackend_spark.functions.metrics import ab_ztest
+
+    a_vals = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b_vals = [14.0, 15.0, 13.5, 16.0]
+    rows = [("g", "A", v) for v in a_vals] + [("g", "B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g: string, v: string, x: double")
+    r = ab_ztest(df, "g", "v", "x").collect()[0]
+
+    def stats(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        var = sum((x - m) ** 2 for x in vals) / n
+        return n, m, var
+
+    na, ma, va = stats(a_vals)
+    nb, mb, vb = stats(b_vals)
+    se = math.sqrt(va / na + vb / nb)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert abs(r["mean_a"] - ma) < 1e-6
+    assert abs(r["mean_b"] - mb) < 1e-6
+    assert abs(r["diff"] - (mb - ma)) < 1e-6
+    assert abs(r["se"] - se) < 1e-6
+    assert abs(r["z"] - (mb - ma) / se) < 1e-4
+
+
+def test_ab_ztest_zero_variance_null_z(spark):
+    from hybridbackend_spark.functions.metrics import ab_ztest
+
+    rows = [("g", "A", 5.0)] * 3 + [("g", "B", 5.0)] * 3
+    df = spark.createDataFrame(rows, "g: string, v: string, x: double")
+    r = ab_ztest(df, "g", "v", "x").collect()[0]
+    assert r["z"] is None and r["se"] == 0.0
