@@ -373,3 +373,58 @@ def test_stream_stream_left_outer_emits_on_watermark(spark, tmp_path):
     assert (1, True) in rows     # matched pair
     assert (2, False) in rows    # unmatched, window closed -> null pad
     assert not any(u == 3 for (u, _) in rows)  # window still open
+
+
+def test_streaming_incremental_cms_equals_batch(spark, tmp_path):
+    """Sketch maintenance under streaming: per-microbatch CMS partials
+    merged across batches must equal the one-shot batch sketch — the
+    incremental-maintenance contract (same associativity the HLL
+    distinct sketches rely on), proven on a real foreachBatch stream."""
+    from pyspark.sql import functions as F, types as T
+
+    from hybridbackend_spark.operators.sketch import cms_build, cms_merge
+
+    rows = [(i, f"tok{i % 13}") for i in range(400)]
+    src = str(tmp_path / "toks")
+    spark.createDataFrame(rows, "id: long, k: string").repartition(
+        4
+    ).write.parquet(src)
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("k", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state = {"cms": None, "batches": 0}
+
+    def _acc(batch_df, epoch_id):
+        part = cms_build(batch_df, "k", width=32, depth=3)
+        state["batches"] += 1
+        if state["cms"] is None:
+            state["cms"] = part.collect()
+        else:
+            prev = spark.createDataFrame(
+                state["cms"], "row: int, bucket: long, cnt: long"
+            )
+            state["cms"] = cms_merge(prev, part).collect()
+
+    import tempfile
+
+    q = stream.writeStream.foreachBatch(_acc).option(
+        "checkpointLocation", tempfile.mkdtemp()
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    assert state["batches"] >= 2  # genuinely incremental
+    merged = sorted((r["row"], r["bucket"], r["cnt"]) for r in state["cms"])
+    full = sorted(
+        map(
+            tuple,
+            cms_build(
+                spark.read.parquet(src), "k", width=32, depth=3
+            ).collect(),
+        )
+    )
+    assert merged == full
