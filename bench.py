@@ -165,6 +165,7 @@ EXTRA = [
     "substring_dedup_docs",
     "item_similarity_parts",
     "ab_ztest_events",
+    "pit_join_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

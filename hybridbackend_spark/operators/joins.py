@@ -26,6 +26,7 @@ __all__ = [
     "asof_join",
     "interval_join",
     "fuzzy_join",
+    "point_in_time_join",
 ]
 
 
@@ -375,3 +376,34 @@ def fuzzy_join(
             "distance",
         )
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time-correct join of facts against an SCD2 dimension:
+    each fact row picks the dimension version whose
+    ``[valid_from, valid_to)`` interval contains its timestamp (open
+    ``valid_to`` NULL = current). THE feature-store correctness
+    primitive — training examples must see the feature value as of the
+    event time, never a later one (leakage).
+
+    Because SCD2 intervals are non-overlapping per key, each fact
+    matches at most one version. The join is a plain equi-join on the
+    key with the interval test as a residual predicate — it shuffles on
+    the same key any enrichment would, no cartesian, no explode;
+    exactly the shape Catalyst/AQE handles at fact scale. Facts before
+    the first interval get nulls under ``how="left"``.
+    """
+    cond = (
+        (facts[key] == dim[key])
+        & (facts[fact_ts] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
+    )
+    return facts.join(dim, cond, how).drop(dim[key])

@@ -772,6 +772,7 @@ _DRIVER_WINDOW_FIRST = [
     "substring_dedup_docs",
     "item_similarity_parts",
     "ab_ztest_events",
+    "pit_join_events",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
@@ -5761,3 +5762,58 @@ def ab_ztest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
     )
     return ab_ztest(ev, "event_type", "variant", "value")
+
+
+@register(
+    "pit_join_events",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) = 1
+                       OR lag(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    st AS (SELECT user_id, event_type, ts, event_id FROM s WHERE chg = 1),
+    dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER w AS valid_to,
+             row_number() OVER w AS version
+      FROM st
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id, d.state, d.version
+    FROM events e
+    LEFT JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct enrichment: every event joined to the SCD2
+    user-state version valid AT its own timestamp (leakage-free feature
+    lookup). Equi-join on the user key with the interval containment as
+    a residual — no cartesian, no explode; intervals are non-overlapping
+    so each fact matches exactly one version."""
+    from .operators.joins import point_in_time_join
+    from .operators.structural import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev, keys=["user_id"], order_by=["ts", "event_id"],
+        state_cols=["event_type"],
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    facts = ev.select("event_id", "user_id", "ts")
+    return point_in_time_join(facts, dim, "user_id", "ts").select(
+        "event_id", "user_id", "state", "version"
+    )

@@ -271,3 +271,36 @@ def test_fuzzy_join_matches_bruteforce(spark):
             if lev(wa, wb) <= 1:
                 expect.add((i, 100 + j))
     assert got == expect
+
+
+def test_point_in_time_join_no_leakage(spark):
+    import datetime as dt
+
+    from hybridbackend_spark.operators.joins import point_in_time_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", t0, t0 + dt.timedelta(days=10), 1),
+            (1, "gold", t0 + dt.timedelta(days=10), None, 2),
+        ],
+        "user_id: long, state: string, valid_from: timestamp, "
+        "valid_to: timestamp, version: int",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, t0 + dt.timedelta(days=5)),    # inside v1
+            (101, 1, t0 + dt.timedelta(days=10)),   # boundary -> v2 (half-open)
+            (102, 1, t0 + dt.timedelta(days=50)),   # open current -> v2
+            (103, 1, t0 - dt.timedelta(days=1)),    # before history -> null
+            (104, 7, t0 + dt.timedelta(days=5)),    # unknown key -> null
+        ],
+        "event_id: long, user_id: long, ts: timestamp",
+    )
+    out = {r["event_id"]: (r["state"], r["version"])
+           for r in point_in_time_join(facts, dim, "user_id", "ts").collect()}
+    assert out[100] == ("bronze", 1)
+    assert out[101] == ("gold", 2)   # never the PAST-future value: as-of semantics
+    assert out[102] == ("gold", 2)
+    assert out[103] == (None, None)
+    assert out[104] == (None, None)
