@@ -166,6 +166,8 @@ EXTRA = [
     "item_similarity_parts",
     "ab_ztest_events",
     "pit_join_events",
+    "target_encode_orders",
+    "k_anonymity_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -20,6 +20,7 @@ __all__ = [
     "hash_bucket",
     "concat_features",
     "standard_scale",
+    "target_encode",
 ]
 
 
@@ -104,3 +105,54 @@ def standard_scale(df, cols, dp: int = 6, scale: int = 100):
             ),  # zero variance -> null (ANSI mode forbids the 0/0)
         )
     return out.drop("_n", *[f"_s_{c}" for c in cols], *[f"_ss_{c}" for c in cols])
+
+
+def target_encode(
+    df,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 10.0,
+    loo: bool = True,
+    out_col: str | None = None,
+    dp: int = 6,
+    scale: int = 100,
+):
+    """Smoothed target (mean) encoding of a categorical column — the
+    high-cardinality-categorical workhorse the reference handles with
+    embedding tables, available here as a closed-form statistic:
+
+        enc = (sum_cat - own + prior * m) / (n_cat - own_n + m)
+
+    with ``prior`` the global target mean and ``m = smoothing``.
+    ``loo=True`` (leave-one-out) excludes the row's OWN target from its
+    category statistic — the standard leakage guard for training-time
+    encoding; ``loo=False`` gives the plain smoothed category mean for
+    serving.
+
+    All sums are exact scaled integers (same cents discipline as
+    :func:`standard_scale`), so encodings are bit-identical across
+    engines and layouts. One category aggregate + one scalar prior,
+    both broadcast back; the fact table never reshuffles.
+    """
+    from pyspark.sql import functions as F
+
+    out_col = out_col or f"{cat_col}_te"
+    q = F.round(F.col(target_col).cast("double") * scale).cast("long")
+    cat = df.groupBy(cat_col).agg(
+        F.sum(q).alias("_cs"), F.count(F.lit(1)).alias("_cn")
+    )
+    tot = df.agg(
+        F.sum(q).alias("_ts"), F.count(F.lit(1)).alias("_tn")
+    )
+    fs = float(scale)
+    joined = df.join(F.broadcast(cat), cat_col).join(F.broadcast(tot))
+    prior = (F.col("_ts") / fs) / F.col("_tn").cast("double")
+    if loo:
+        num = (F.col("_cs") - q) / fs + prior * smoothing
+        den = (F.col("_cn") - 1).cast("double") + F.lit(smoothing)
+    else:
+        num = F.col("_cs") / fs + prior * smoothing
+        den = F.col("_cn").cast("double") + F.lit(smoothing)
+    return joined.withColumn(out_col, F.round(num / den, dp)).drop(
+        "_cs", "_cn", "_ts", "_tn"
+    )

@@ -773,6 +773,8 @@ _DRIVER_WINDOW_FIRST = [
     "item_similarity_parts",
     "ab_ztest_events",
     "pit_join_events",
+    "target_encode_orders",
+    "k_anonymity_orders",
     "scd2_user_state",
     "incremental_sales_state",
     "latest_state_with_tombstones",
@@ -5816,4 +5818,69 @@ def pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = ev.select("event_id", "user_id", "ts")
     return point_in_time_join(facts, dim, "user_id", "ts").select(
         "event_id", "user_id", "state", "version"
+    )
+
+
+@register(
+    "target_encode_orders",
+    """
+    WITH q AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS qv
+      FROM orders
+    ),
+    cat AS (
+      SELECT o_orderpriority, sum(qv) AS cs, count(*) AS cn
+      FROM q GROUP BY o_orderpriority
+    ),
+    tot AS (SELECT sum(qv) AS ts, count(*) AS tn FROM q)
+    SELECT q.o_orderkey,
+           round(((cat.cs - q.qv) / 100.0
+                  + ((tot.ts / 100.0) / tn::DOUBLE) * 10.0)
+                 / ((cat.cn - 1)::DOUBLE + 10.0), 6) AS o_orderpriority_te
+    FROM q JOIN cat USING (o_orderpriority) CROSS JOIN tot
+    """,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of order priority against
+    order value — leakage-guarded categorical encoding in exact integer
+    arithmetic, bit-checked by the oracle."""
+    from .functions.feature import target_encode
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = target_encode(o, "o_orderpriority", "o_totalprice", smoothing=10.0)
+    return out.select("o_orderkey", "o_orderpriority_te")
+
+
+@register(
+    "k_anonymity_orders",
+    """
+    WITH g AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS od,
+             count(*) AS group_size
+      FROM orders
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority, o_orderstatus, od AS order_day, group_size,
+           (group_size < 5) AS below_k
+    FROM g
+    """,
+)
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier tuple (priority,
+    status, order day): group sizes with a below-k flag — the privacy
+    screen run before releasing joined/aggregated extracts. One partial
+    -agg shuffle on the QI tuple; rows are |distinct tuples|."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("below_k", F.col("group_size") < 5)
     )

@@ -366,3 +366,22 @@ def test_transition_matrix_exact_probabilities(spark):
     ))
     out2 = transition_matrix(df2, "user_id", "ts", "et", "event_id")
     assert sum(r["n_transitions"] for r in out2.collect()) == 5
+
+
+def test_target_encode_loo_excludes_own_row(spark):
+    from hybridbackend_spark.functions.feature import target_encode
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 100.0)]
+    df = spark.createDataFrame(rows, "id: long, cat: string, y: double")
+    out = {r["id"]: r["cat_te"] for r in
+           target_encode(df, "cat", "y", smoothing=2.0).collect()}
+    prior = (10 + 20 + 30 + 100) / 4.0
+    # row 1 in cat a: others sum 50, n-1=2 -> (50 + prior*2) / (2+2)
+    assert abs(out[1] - (50 + prior * 2) / 4.0) < 1e-6
+    # row 4 is the ONLY b row: denominator = 0 + m (pure prior pull)
+    assert abs(out[4] - (0 + prior * 2) / 2.0) < 1e-6
+
+    srv = {r["id"]: r["cat_te"] for r in
+           target_encode(df, "cat", "y", smoothing=2.0, loo=False).collect()}
+    assert abs(srv[1] - (60 + prior * 2) / 5.0) < 1e-6
+    assert srv[1] == srv[2] == srv[3]  # serving mode: same enc per category
