@@ -168,6 +168,8 @@ EXTRA = [
     "pit_join_events",
     "target_encode_orders",
     "k_anonymity_orders",
+    "attribution_last_touch",
+    "pareto_customers",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

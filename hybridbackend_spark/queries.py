@@ -5884,3 +5884,107 @@ def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .withColumn("below_k", F.col("group_size") < 5)
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type <> 'purchase'
+                  THEN event_type END AS touch
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(touch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch
+      FROM s
+    )
+    SELECT coalesce(last_touch, 'direct') AS channel,
+           count(*) AS n_purchases,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM w WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the most
+    recent preceding non-purchase event of the same user ('direct' when
+    none). One user-key window + one tiny channel aggregate; exact-cents
+    revenue sums."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    out = (
+        ev.withColumn("_touch", touch)
+        .withColumn("last_touch", F.last("_touch", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("last_touch", F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (_money_sum(F.col("value"))).alias("revenue"),
+        )
+    )
+    return out
+
+
+@register(
+    "pareto_customers",
+    f"""
+    WITH rev AS (
+      SELECT o_custkey, {_SQL_MONEY.format(expr="o_totalprice")} AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey) AS cum_rev,
+             sum(revenue) OVER () AS total_rev,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+             count(*) OVER () AS n
+      FROM rev
+    )
+    SELECT o_custkey, revenue, rnk,
+           round(cum_rev / total_rev, 6) AS cum_share,
+           (rnk * 10 <= n) AS top_decile
+    FROM ranked
+    """,
+)
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) per customer: exact-cents revenue,
+    descending cumulative share, top-decile flag. The global ordered
+    window is the documented cost — Spark range-partitions the global
+    sort; rows are |customers|, not |orders|."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        _money_sum(F.col("o_totalprice")).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        "rnk",
+        F.round(F.col("cum_rev") / F.col("total_rev"), 6).alias("cum_share"),
+        (F.col("rnk") * 10 <= F.col("n")).alias("top_decile"),
+    )
