@@ -170,6 +170,7 @@ EXTRA = [
     "k_anonymity_orders",
     "attribution_last_touch",
     "pareto_customers",
+    "bpe_merges_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -42,6 +42,8 @@ __all__ = [
     "line_dedup",
     "boilerplate_prune",
     "substring_dedup",
+    "bpe_train",
+    "bpe_encode",
     "unigram_surprisal",
     "bigram_surprisal",
     "temperature_sample",
@@ -918,3 +920,102 @@ def substring_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def _bpe_apply_merge(sym_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right application of one BPE merge (a, b) -> ab to
+    a symbol array, as a single fold expression (no Python per row)."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges ON the engine — the tokenizer-
+    construction step of an LLM data pipeline, distributed: word
+    frequencies come from one corpus pass; each merge round counts
+    adjacent symbol pairs over the DISTINCT-word table (weighted by word
+    count, partial-agg combined) and the driver receives exactly one
+    (pair, count) row via an ordered take(1). Ties break lexicographic,
+    so training is deterministic across layouts.
+
+    Scale shape: rounds touch the distinct-word table (vocabulary-sized,
+    NOT corpus-sized — the classic BPE trick); per-round shuffle is
+    distinct adjacent pairs. Lineage is cut every round. ``num_merges``
+    Spark rounds total.
+
+    Returns the ordered merge list [(a, b), ...].
+    """
+    words = (
+        df.select(F.explode(tokens(_c(text_col))).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_sym",
+            F.expr("transform(sequence(1, length(_w)), i -> substring(_w, i, 1))"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs = (
+            words.filter(F.size("_sym") >= 2)
+            .select(
+                "_n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("_sym"), 1, F.size("_sym") - 1),
+                        F.slice(F.col("_sym"), 2, F.size("_sym") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy("_p.a", "_p.b")
+            .agg(F.sum("_n").alias("_c"))
+            .orderBy(F.col("_c").desc(), "a", "b")
+            .take(1)
+        )
+        if not pairs:
+            break
+        top = pairs[0]
+        merges.append((top["a"], top["b"]))
+        words = words.withColumn(
+            "_sym", _bpe_apply_merge(F.col("_sym"), top["a"], top["b"])
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained BPE merges (in training order) to every token of
+    every document: returns (id, token, subwords array<string>). Pure
+    fold expressions — zero Python, zero shuffle beyond the explode."""
+    out = df.select(
+        F.col(id_col), F.explode(tokens(_c(text_col))).alias("token")
+    ).withColumn(
+        "subwords",
+        F.expr("transform(sequence(1, length(token)), i -> substring(token, i, 1))"),
+    )
+    for a, b in merges:
+        out = out.withColumn(
+            "subwords", _bpe_apply_merge(F.col("subwords"), a, b)
+        )
+    return out

@@ -5988,3 +5988,20 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cum_rev") / F.col("total_rev"), 6).alias("cum_share"),
         (F.col("rnk") * 10 <= F.col("n")).alias("top_decile"),
     )
+
+
+@register("bpe_merges_docs")  # iterative trainer: no static SQL oracle;
+# correctness is the python-differential + layout-invariance tests
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges trained on the documents corpus (rank, left,
+    right symbol) — tokenizer construction as an engine op. Rounds touch
+    the vocabulary-sized distinct-word table only; exact weighted pair
+    counts with lexicographic tie-breaks make training deterministic
+    (proven layout-invariant in tests)."""
+    from .operators.corpus import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), "text", num_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank: int, left: string, right: string",
+    )

@@ -473,3 +473,67 @@ def test_substring_dedup_overlapping_windows_mask_union(spark):
     assert out[1]["n_masked"] == 0
     assert out[2]["n_masked"] == 7
     assert out[2]["dedup_text"] == "other words"
+
+
+def _py_bpe_train(texts, num_merges):
+    """Pure-python BPE reference (word-frequency table, greedy L2R apply,
+    lexicographic tie-break)."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            words[w] += 1
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, n in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            s, out = syms[w], []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from hybridbackend_spark.operators.corpus import bpe_encode, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+        "wider wide widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = bpe_train(df, "text", num_merges=8)
+    want, ref_syms = _py_bpe_train(texts, 8)
+    assert got == want
+
+    enc = bpe_encode(df, got)
+    for r in enc.collect():
+        assert r["subwords"] == ref_syms[r["token"]]
+
+
+def test_bpe_train_layout_invariant(spark):
+    from hybridbackend_spark.operators.corpus import bpe_train
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 11}ab" for j in range(6)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = bpe_train(df, "text", num_merges=5)
+    b = bpe_train(df.repartition(13, "text"), "text", num_merges=5)
+    assert a == b
