@@ -171,6 +171,7 @@ EXTRA = [
     "attribution_last_touch",
     "pareto_customers",
     "bpe_merges_docs",
+    "percent_rank_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -6005,3 +6005,31 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rank: int, left: string, right: string",
     )
+
+
+@register(
+    "percent_rank_orders",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist /
+    ntile) per priority group — native Catalyst windows, one shuffle on
+    the partition key, deterministic via the orderkey tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
