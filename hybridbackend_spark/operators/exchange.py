@@ -22,6 +22,7 @@ __all__ = [
     "partition_sizes",
     "key_skew_report",
     "salted_key",
+    "salted_join",
 ]
 
 
@@ -89,3 +90,36 @@ def salted_key(key: Column | str, salt_buckets: int, seed: int = 0) -> Column:
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed)),
                   F.lit(salt_buckets))
     return F.struct(c.alias("key"), salt.alias("salt"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    seed: int = 0,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the fact side's hot keys spread across
+    ``salt_buckets`` sub-keys (random salt per row), the dim side
+    replicates each row once per salt value, and the join runs on
+    (key, salt) — a single hot key's probe work lands on
+    ``salt_buckets`` reducers instead of one. Use when AQE's skew split
+    is not enough (it splits a hot partition's INPUT, but a single
+    gigantic key still hashes to one task without salting).
+
+    Cost: the dim side shuffles ``salt_buckets``x — size it to the
+    skew, and keep the dim the SMALLER side. Row-level results are
+    identical to the plain join (each fact row meets each matching dim
+    row exactly once — its salt picks exactly one replica).
+    """
+    salt = F.pmod(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(seed)),
+        F.lit(salt_buckets),
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    out = f.join(d, [key, "_salt"], how)
+    return out.drop("_salt")

@@ -121,3 +121,50 @@ def test_to_local_iterator_read_path(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/region.parquet")
     it = df.toLocalIterator()
     assert next(it)["r_regionkey"] is not None
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.exchange import salted_join
+
+    # one gigantic hot key (0) + normal keys
+    fact = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, k * 10) for k in range(1, 20)],
+        "k: long, payload: long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(20)], "k: long, attr: string"
+    )
+    got = sorted(
+        map(tuple, salted_join(fact, dim, "k", salt_buckets=4).collect())
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
+
+    # left join keeps unmatched fact rows exactly once
+    fact2 = fact.union(spark.createDataFrame([(99, 1)], "k: long, payload: long"))
+    got_l = sorted(
+        map(tuple, salted_join(fact2, dim, "k", salt_buckets=4, how="left").collect())
+    )
+    want_l = sorted(map(tuple, fact2.join(dim, "k", "left").collect()))
+    assert got_l == want_l
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.exchange import salted_join
+
+    fact = spark.createDataFrame([(0, i) for i in range(1000)], "k: long, v: long")
+    dim = spark.createDataFrame([(0, "hot")], "k: long, attr: string")
+    out = salted_join(fact, dim, "k", salt_buckets=8)
+    # the hot key's rows must occupy multiple salt sub-keys pre-join:
+    # verify by re-deriving the salt distribution on the fact side
+    from hybridbackend_spark.operators.exchange import salted_key
+    n_salts = (
+        fact.withColumn("_s", salted_key("k", 8))
+        .select("_s.salt").distinct().count()
+    )
+    assert n_salts >= 4
+    assert out.count() == 1000
