@@ -172,6 +172,7 @@ EXTRA = [
     "pareto_customers",
     "bpe_merges_docs",
     "percent_rank_orders",
+    "incremental_join_state",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -27,6 +27,7 @@ __all__ = [
     "interval_join",
     "fuzzy_join",
     "point_in_time_join",
+    "incremental_join_delta",
 ]
 
 
@@ -407,3 +408,40 @@ def point_in_time_join(
         & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
     )
     return facts.join(dim, cond, how).drop(dim[key])
+
+
+def incremental_join_delta(
+    old_left: DataFrame,
+    old_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    cond,
+) -> DataFrame:
+    """Incremental (delta) maintenance of a join view: given the join's
+    previous inputs and the newly-arrived rows on each side, the NEW
+    result rows are exactly
+
+        old_left x delta_right  UNION ALL
+        delta_left x old_right  UNION ALL
+        delta_left x delta_right
+
+    (the algebraic delta rule for inner joins). Appending this delta to
+    the previous materialized result reproduces the full recompute —
+    hash-proven by the ``incremental_join_state`` oracle. At 100 TB this
+    is the difference between joining a day's delta against the
+    accumulated table and re-joining months of history on every
+    refresh. ``cond`` is a function (l, r) -> join Column, so non-equi
+    residuals (time windows) work unchanged.
+    """
+    parts = []
+    for l, r in (
+        (old_left, delta_right),
+        (delta_left, old_right),
+        (delta_left, delta_right),
+    ):
+        la, ra = l.alias("l"), r.alias("r")
+        parts.append(la.join(ra, cond(la, ra)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -777,6 +777,7 @@ _DRIVER_WINDOW_FIRST = [
     "k_anonymity_orders",
     "scd2_user_state",
     "incremental_sales_state",
+    "incremental_join_state",
     "latest_state_with_tombstones",
     "q7_volume_shipping",
     "q8_market_share",
@@ -6032,4 +6033,61 @@ def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "incremental_join_state",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.p_id AS purchase_id
+    FROM c JOIN p
+      ON p.user_id = c.user_id
+     AND p.p_ts > c.ts
+     AND p.p_ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def incremental_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained click->purchase attribution join: both sides
+    split into an accumulated half and a delta (by event-id parity); the
+    maintained view = previous result + the three delta terms. The
+    oracle recomputes the join from scratch — hash equality PROVES
+    incremental == full, the same contract as incremental_sales_state
+    but for joins."""
+    from .operators.joins import incremental_join_delta
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    old_c = clicks.filter(F.col("event_id") % 2 == 0)
+    new_c = clicks.filter(F.col("event_id") % 2 != 0)
+    old_p = purch.filter(F.col("p_id") % 2 == 0)
+    new_p = purch.filter(F.col("p_id") % 2 != 0)
+
+    def cond(l, r):
+        return (
+            (r["p_user"] == l["user_id"])
+            & (r["p_ts"] > l["ts"])
+            & (r["p_ts"] <= F.expr("l.ts + INTERVAL 30 MINUTE"))
+        )
+
+    la, ra = old_c.alias("l"), old_p.alias("r")
+    previous = la.join(ra, cond(la, ra))
+    delta = incremental_join_delta(old_c, old_p, new_c, new_p, cond)
+    return previous.unionAll(delta).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
     )
