@@ -173,6 +173,7 @@ EXTRA = [
     "bpe_merges_docs",
     "percent_rank_orders",
     "incremental_join_state",
+    "neyman_sample_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -37,6 +37,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "stratified_topn",
+    "neyman_sample",
     "weighted_sample",
     "negative_samples",
     "line_dedup",
@@ -1019,3 +1020,65 @@ def bpe_encode(
             "subwords", _bpe_apply_merge(F.col("subwords"), a, b)
         )
     return out
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    value: str,
+    total_n: int,
+    seed: int = 0,
+    scale: int = 100,
+) -> DataFrame:
+    """Optimal (Neyman) allocation stratified sampling: stratum h gets
+    quota ``n_h = floor(total_n * N_h * sigma_h / sum_g(N_g sigma_g))``
+    — variance-proportional allocation, the survey-sampling optimum for
+    estimating the mean of ``value`` (high-variance strata earn more
+    samples than proportional allocation gives them).
+
+    Statistics are engine-exact (integer units + DECIMAL(38,0) squares,
+    as in ``standard_scale``): sigma is quantized to integer micro-units
+    BEFORE the cross-stratum sum, so allocation never depends on float
+    summation order. Membership is the deterministic md5 hash order of
+    :func:`stratified_topn`. One stats aggregate + one windowed top-n_h;
+    the corpus shuffles once on the stratum key.
+    """
+    q = F.round(F.col(value).cast("double") * scale).cast("long")
+    stats = df.groupBy(strata).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(q).alias("_s"),
+        F.sum((q * q).cast("decimal(38,0)")).alias("_ss"),
+    )
+    fs = float(scale)
+    mean = (F.col("_s") / fs) / F.col("_n").cast("double")
+    var = (F.col("_ss").cast("double") / (fs * fs)) / F.col(
+        "_n"
+    ).cast("double") - mean * mean
+    # quantize N_h * sigma_h to integer micro-units before summing
+    weight = F.floor(
+        F.sqrt(F.greatest(var, F.lit(0.0))) * F.col("_n") * 1_000_000
+    ).cast("long")
+    weights = stats.select(strata, weight.alias("_w"))
+    wsum = weights.agg(F.sum("_w").alias("_wtot"))
+    quota = (
+        weights.join(F.broadcast(wsum))
+        .select(
+            strata,
+            # double division: total_n * w can overflow a long at fact
+            # scale; w fits a double exactly enough for a floor quota
+            F.floor(
+                F.lit(float(total_n))
+                * F.col("_w").cast("double")
+                / F.col("_wtot").cast("double")
+            ).cast("long").alias("_quota"),
+        )
+    )
+    h = F.md5(F.concat_ws(":", F.col(key).cast("string"), F.lit(str(seed))))
+    w = Window.partitionBy(strata).orderBy(h, F.col(key))
+    return (
+        df.join(F.broadcast(quota), strata)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

@@ -6091,3 +6091,55 @@ def incremental_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("p_id").alias("purchase_id"),
     )
+
+
+@register(
+    "neyman_sample_orders",
+    """
+    WITH q AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS qv
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority, count(*) AS n, sum(qv) AS s,
+             sum(CAST(qv * qv AS DECIMAL(38,0))) AS ss
+      FROM q GROUP BY o_orderpriority
+    ),
+    wts AS (
+      SELECT o_orderpriority,
+             CAST(floor(sqrt(greatest(
+                    (ss::DOUBLE / 10000.0) / n::DOUBLE
+                    - ((s / 100.0) / n::DOUBLE) * ((s / 100.0) / n::DOUBLE),
+                    0.0)) * n * 1000000) AS BIGINT) AS w
+      FROM stats
+    ),
+    quota AS (
+      SELECT o_orderpriority,
+             CAST(floor(1000.0 * w::DOUBLE
+                        / (SELECT sum(w) FROM wts)::DOUBLE) AS BIGINT)
+               AS qn
+      FROM wts
+    ),
+    ranked AS (
+      SELECT o.o_orderkey, o.o_orderpriority, quota.qn,
+             row_number() OVER (
+               PARTITION BY o.o_orderpriority
+               ORDER BY md5(o.o_orderkey::VARCHAR || ':0'), o.o_orderkey
+             ) AS rn
+      FROM orders o JOIN quota USING (o_orderpriority)
+    )
+    SELECT o_orderkey, o_orderpriority FROM ranked WHERE rn <= qn
+    """,
+)
+def neyman_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample of 1000 orders by priority:
+    variance-proportional quotas from engine-exact statistics,
+    deterministic md5-order membership — the selected set itself is
+    hash-checked."""
+    from .operators.corpus import neyman_sample
+
+    o = _t(spark, sf_dir, "orders")
+    return neyman_sample(
+        o, "o_orderpriority", "o_orderkey", "o_totalprice", total_n=1000
+    ).select("o_orderkey", "o_orderpriority")

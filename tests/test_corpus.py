@@ -537,3 +537,33 @@ def test_bpe_train_layout_invariant(spark):
     a = bpe_train(df, "text", num_merges=5)
     b = bpe_train(df.repartition(13, "text"), "text", num_merges=5)
     assert a == b
+
+
+def test_neyman_sample_variance_proportional_quotas(spark):
+    import random
+
+    from hybridbackend_spark.operators.corpus import neyman_sample
+
+    rng = random.Random(5)
+    rows = []
+    # stratum 'wild': high variance; 'tame': near-constant; equal sizes
+    for i in range(600):
+        rows.append((i, "wild", rng.uniform(0.0, 1000.0)))
+    for i in range(600, 1200):
+        rows.append((i, "tame", 500.0 + rng.uniform(-1.0, 1.0)))
+    df = spark.createDataFrame(rows, "k: long, s: string, v: double")
+    out = neyman_sample(df, "s", "k", "v", total_n=200)
+    by = {r["s"]: r["n"] for r in
+          out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # equal N, sigma ratio ~ 290:0.58 -> essentially all quota to 'wild'
+    assert by.get("wild", 0) > 190
+    assert by.get("tame", 0) <= 5
+    # determinism across layouts
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(
+        r["k"]
+        for r in neyman_sample(
+            df.repartition(7, "v"), "s", "k", "v", total_n=200
+        ).collect()
+    )
+    assert a == b
