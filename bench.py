@@ -174,6 +174,7 @@ EXTRA = [
     "percent_rank_orders",
     "incremental_join_state",
     "neyman_sample_orders",
+    "sequence_pattern_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match"]
 
 
 def resample_fill(
@@ -169,4 +169,60 @@ def transition_matrix(
                 F.col("n_transitions").cast("double") / F.col("_tot"), dp
             ).alias("p"),
         )
+    )
+
+
+def sequence_pattern_match(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    symbols: dict[str, str],
+    pattern: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection, relationally:
+    each key's ordered events encode to a symbol string (one char per
+    event via ``symbols``; unmapped states become '.') and ``pattern``
+    — a regex over those symbols, e.g. ``"vc+b"`` for
+    view -> cart(s) -> buy — counts its non-overlapping occurrences per
+    key. Spark has no MATCH_RECOGNIZE; this gives the common subset
+    (concatenation, alternation, quantifiers) with regex semantics.
+
+    Scale shape: one ordered collect_list per key (the same key shuffle
+    any per-entity sequence op needs; the string is events-per-key
+    long, fine for user-session scales) + JVM regexp_count. For
+    unbounded per-key histories, pre-clip with
+    :func:`~hybridbackend_spark.operators.joins.clip_history`.
+
+    Returns (key, n_events, symbol_string, n_matches).
+    """
+    sym = F.col(state_col)
+    expr = None
+    for state, ch in symbols.items():
+        if len(ch) != 1:
+            raise ValueError(f"symbol for {state!r} must be one char")
+        cond = (sym == state, F.lit(ch))
+        expr = F.when(*cond) if expr is None else expr.when(*cond)
+    expr = expr.otherwise(F.lit("."))
+    order_cols = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    # order-stable collect: sort the (order-keys, char) structs inside
+    # the aggregate — one partial-agg shuffle, no window
+    item = F.struct(*order_cols, expr.alias("_ch"))
+    encoded = (
+        df.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(item)).alias("_seq"))
+        .select(
+            key_col,
+            F.size("_seq").alias("n_events"),
+            F.array_join(
+                F.transform(F.col("_seq"), lambda s: s["_ch"]), ""
+            ).alias("symbol_string"),
+        )
+    )
+    return encoded.withColumn(
+        "n_matches",
+        F.expr(f"regexp_count(symbol_string, '{pattern}')"),
     )

@@ -6143,3 +6143,41 @@ def neyman_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neyman_sample(
         o, "o_orderpriority", "o_orderkey", "o_totalprice", total_n=1000
     ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "sequence_pattern_events",
+    """
+    WITH enc AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'cart' THEN 'a'
+                                        WHEN 'purchase' THEN 'p'
+                                        ELSE '.' END,
+                        '' ORDER BY ts, event_id) AS symbol_string
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events, symbol_string,
+           len(regexp_extract_all(symbol_string, 'c[va]*p'))::INT
+             AS n_matches
+    FROM enc
+    """,
+)
+def sequence_pattern_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style detection of click -> (view|cart)* ->
+    purchase runs per user: events encode to a per-user symbol string
+    (order-stable collect, one partial-agg shuffle) and the pattern is a
+    JVM regex count. Spark has no MATCH_RECOGNIZE; this covers the
+    concatenation/alternation/quantifier subset with identical regex
+    semantics in the oracle."""
+    from .operators.timeseries import sequence_pattern_match
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_pattern_match(
+        ev, "user_id", "ts", "event_type",
+        symbols={"view": "v", "click": "c", "cart": "a", "purchase": "p"},
+        pattern="c[va]*p",
+        tiebreak_col="event_id",
+    )

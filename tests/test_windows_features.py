@@ -385,3 +385,28 @@ def test_target_encode_loo_excludes_own_row(spark):
            target_encode(df, "cat", "y", smoothing=2.0, loo=False).collect()}
     assert abs(srv[1] - (60 + prior * 2) / 5.0) < 1e-6
     assert srv[1] == srv[2] == srv[3]  # serving mode: same enc per category
+
+
+def test_sequence_pattern_match_counts(spark):
+    import datetime as dt
+
+    from hybridbackend_spark.operators.timeseries import sequence_pattern_match
+
+    t0 = dt.datetime(2024, 1, 1)
+    seq1 = ["click", "view", "cart", "purchase",   # match c[va]*p
+            "click", "purchase",                   # match (zero quantifier)
+            "view", "purchase"]                    # no click -> no match
+    rows = [(1, t0 + dt.timedelta(minutes=i), i, s) for i, s in enumerate(seq1)]
+    rows += [(2, t0, 100, "click"), (2, t0 + dt.timedelta(minutes=1), 101, "refund")]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, event_id: long, event_type: string"
+    )
+    out = {r["user_id"]: r for r in sequence_pattern_match(
+        df, "user_id", "ts", "event_type",
+        symbols={"view": "v", "click": "c", "cart": "a", "purchase": "p"},
+        pattern="c[va]*p", tiebreak_col="event_id",
+    ).collect()}
+    assert out[1]["symbol_string"] == "cvapcpvp"
+    assert out[1]["n_matches"] == 2
+    assert out[2]["symbol_string"] == "c."   # unmapped state -> '.'
+    assert out[2]["n_matches"] == 0
