@@ -775,6 +775,10 @@ _DRIVER_WINDOW_FIRST = [
     "pit_join_events",
     "target_encode_orders",
     "k_anonymity_orders",
+    "neyman_sample_orders",
+    "sequence_pattern_events",
+    "attribution_last_touch",
+    "pareto_customers",
     "scd2_user_state",
     "incremental_sales_state",
     "incremental_join_state",
