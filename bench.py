@@ -175,6 +175,7 @@ EXTRA = [
     "incremental_join_state",
     "neyman_sample_orders",
     "sequence_pattern_events",
+    "rolling_anomaly_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

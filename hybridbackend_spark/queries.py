@@ -6185,3 +6185,66 @@ def sequence_pattern_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="c[va]*p",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "rolling_anomaly_events",
+    """
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS qv
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, ts, event_id, qv,
+             count(*) OVER win AS wn,
+             sum(qv) OVER win AS ws,
+             sum(CAST(qv * qv AS DECIMAL(38,0))) OVER win AS wss
+      FROM q
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           round(qv / 100.0, 2) AS value,
+           CASE WHEN wn >= 20
+                     AND ((wss::DOUBLE / 10000.0) / wn::DOUBLE
+                          - ((ws / 100.0) / wn::DOUBLE)
+                            * ((ws / 100.0) / wn::DOUBLE)) > 0
+                THEN abs(qv / 100.0 - (ws / 100.0) / wn::DOUBLE)
+                     > 4.0 * sqrt((wss::DOUBLE / 10000.0) / wn::DOUBLE
+                                  - ((ws / 100.0) / wn::DOUBLE)
+                                    * ((ws / 100.0) / wn::DOUBLE))
+                ELSE FALSE END AS is_anomaly
+    FROM w
+    """,
+)
+def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags per event type: each value compared
+    to the mean/std of its 50 TRAILING observations (never itself or the
+    future — the leakage-safe monitoring frame; warm-up of 20 required).
+    Integer-cents sums and decimal squares inside the window frame keep
+    the statistics engine-exact; one key-partitioned ordered window."""
+    ev = _t(spark, sf_dir, "events")
+    q = F.round(F.col("value") * 100).cast("long")
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    wn = F.count(F.lit(1)).over(win)
+    ws = F.sum(q).over(win)
+    wss = F.sum((q * q).cast("decimal(38,0)")).over(win)
+    mean = (ws / 100.0) / wn.cast("double")
+    var = (wss.cast("double") / 10000.0) / wn.cast("double") - mean * mean
+    flag = (
+        F.when(
+            (wn >= 20) & (var > 0),
+            F.abs(q / F.lit(100.0) - mean) > F.lit(4.0) * F.sqrt(var),
+        ).otherwise(F.lit(False))
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        flag.alias("is_anomaly"),
+    )
