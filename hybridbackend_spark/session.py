@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_session", "DEFAULT_CONF"]
+__all__ = ["get_session", "DEFAULT_CONF", "cluster_conf"]
 
 DEFAULT_CONF = {
     # Adaptive execution: coalesce small shuffle partitions, split skewed
@@ -69,3 +69,48 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    total_executor_cores: int,
+    target_sf_tb: float = 100.0,
+    executor_mem_gb: int = 32,
+) -> dict[str, str]:
+    """Production conf profile for a real cluster at ``target_sf_tb``
+    terabytes — the knobs this engine's operators assume, sized
+    explicitly instead of left to defaults:
+
+    - initial shuffle partitions ~ 3x total cores (AQE coalesces down;
+      starting high avoids oversized partitions on the first exchange);
+      floored so an average shuffle partition stays under ~256 MB at the
+      target scale.
+    - ``files.maxPartitionBytes`` 256 MB: scan tasks sized so a 100 TB
+      table makes ~400k splits — large enough to amortize task overhead,
+      small enough that one task's columnar batches fit executor memory
+      alongside shuffle buffers.
+    - broadcast threshold 64 MB: real dimension tables (nation, region,
+      calendars, configs) broadcast; anything fact-proportional never
+      does — the engine's TPC-H shapes rely on THIS line, not hints.
+    - AQE skew thresholds at 256 MB / 5x median: split hot partitions;
+      for single-key explosions use ``exchange.salted_join``.
+    - shuffle compression + spill compression on (network and disk are
+      the scarce resources at this scale).
+    """
+    est_shuffle_bytes = target_sf_tb * (1 << 40) * 0.2  # ~20% of scan
+    by_size = int(est_shuffle_bytes / (256 * (1 << 20)))
+    parts = max(3 * total_executor_cores, by_size, 200)
+    return {
+        **DEFAULT_CONF,
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(256 * (1 << 20)),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * (1 << 20)),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * (1 << 20)),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            256 * (1 << 20)
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.memory.fraction": "0.6",
+    }

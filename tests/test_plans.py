@@ -620,3 +620,19 @@ def test_standard_scale_single_stats_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # no hash shuffle of the fact table itself
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_cluster_conf_scales_with_size_and_cores():
+    from hybridbackend_spark.session import cluster_conf
+
+    small = cluster_conf(total_executor_cores=100, target_sf_tb=1.0)
+    big = cluster_conf(total_executor_cores=4000, target_sf_tb=100.0)
+    assert int(big["spark.sql.shuffle.partitions"]) > int(
+        small["spark.sql.shuffle.partitions"]
+    )
+    # 100 TB: partitions sized so ~20% shuffle volume / 256MB targets
+    assert int(big["spark.sql.shuffle.partitions"]) >= 80_000
+    # dims-only broadcast line
+    assert int(big["spark.sql.autoBroadcastJoinThreshold"]) == 64 * (1 << 20)
+    # AQE stays on in every profile
+    assert big["spark.sql.adaptive.enabled"] == "true"
