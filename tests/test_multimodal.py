@@ -300,3 +300,27 @@ def test_image_near_dup_pairs_banded(spark):
              for r in image_near_dup_pairs(df, max_hamming=3).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert all({a, b} == {1, 2} for (a, b) in pairs)
+
+
+def test_detect_scene_cuts_real_frames(spark):
+    import numpy as np
+
+    from hybridbackend_spark.operators.multimodal import (
+        detect_scene_cuts,
+        encode_ppm,
+    )
+
+    dark = np.zeros((8, 8, 3), dtype=np.uint8)
+    dark2 = dark.copy(); dark2[0, 0] = 2          # tiny wiggle, no cut
+    bright = np.full((8, 8, 3), 200, dtype=np.uint8)  # hard cut
+    stream = encode_ppm(dark) + encode_ppm(dark2) + encode_ppm(bright)
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "media_id: long, payload: binary"
+    )
+    out = sorted(
+        (r["frame_idx"], r["is_cut"], r["diff"])
+        for r in detect_scene_cuts(df, threshold=30.0).collect()
+    )
+    assert len(out) == 2
+    assert out[0][1] is False and out[0][2] < 1.0     # dark -> dark2
+    assert out[1][1] is True and out[1][2] > 150.0    # dark2 -> bright
