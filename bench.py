@@ -176,6 +176,7 @@ EXTRA = [
     "neyman_sample_orders",
     "sequence_pattern_events",
     "rolling_anomaly_events",
+    "hashing_vectorize_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

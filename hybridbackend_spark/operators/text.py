@@ -22,6 +22,7 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "fingerprint",
+    "hashing_vectorize",
     "redact_pii",
     "PII_PATTERNS",
     "extract_urls",
@@ -271,3 +272,66 @@ def redact_pii(col: Column | str) -> dict[str, Column]:
         red = F.regexp_replace(red, pat, token)
     out["redacted"] = red
     return out
+
+
+def hashing_vectorize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    idf: bool = True,
+    dense: bool = True,
+) -> DataFrame:
+    """Feature-hashing text vectorization (the hashing trick): tokens
+    hash to ``dim`` buckets (portable md5, so any engine re-derives the
+    mapping), per-doc term frequencies accumulate per bucket, optionally
+    weighted by an INTEGER-EXACT idf — ``1 + floor(log2 N) -
+    floor(log2 df)`` whole bits (the binary-digit-count scheme of
+    ``unigram_surprisal``; float ``ln`` differs across libms, integer
+    bits never do). The bridge from raw text to every vector operator
+    here (cosine top-k, PQ, k-means, near-dup) WITHOUT an external
+    embedding model.
+
+    Shapes: ``dense=False`` returns sparse (id, bucket, weight) rows —
+    shuffle = nonzero cells; ``dense=True`` assembles the length-``dim``
+    array per doc via one groupBy (map-side combined).
+    """
+    from .corpus import hash_bucket
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(_c(text_col))).alias("_tok")
+    )
+    cells = (
+        toks.withColumn("_b", hash_bucket(F.col("_tok"), dim, seed=0))
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    if idf:
+        n_docs = df.select(F.col(id_col)).distinct().count()
+        dfs = (
+            toks.withColumn("_b", hash_bucket(F.col("_tok"), dim, seed=0))
+            .select(id_col, "_b")
+            .distinct()
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_df"))
+        )
+        bits_n = len(bin(n_docs)) - 3  # floor(log2 n_docs): '0b1...'
+        idf_bits = F.lit(1 + bits_n) - (F.length(F.bin(F.col("_df"))) - 1)
+        cells = cells.join(F.broadcast(dfs), "_b").withColumn(
+            "weight", (F.col("_tf") * idf_bits).cast("long")
+        )
+    else:
+        cells = cells.withColumn("weight", F.col("_tf").cast("long"))
+    sparse = cells.select(id_col, F.col("_b").alias("bucket"), "weight")
+    if not dense:
+        return sparse
+    assembled = sparse.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "weight"))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+    )
+    return assembled.select(id_col, vec.alias("vector"))

@@ -6248,3 +6248,37 @@ def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         flag.alias("is_anomaly"),
     )
+
+
+@register(
+    "hashing_vectorize_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, u.t AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents), unnest(w) u(t)
+    ),
+    b AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok || ':0'), 1, 8))::BIGINT % 64)
+               AS bucket
+      FROM t
+    ),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+    dfs AS (SELECT bucket, count(DISTINCT doc_id) AS df FROM b GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+    SELECT tf.doc_id, tf.bucket,
+           (tf.tf * (1 + (length(bin(n.nd)) - 1)
+                     - (length(bin(dfs.df)) - 1)))::BIGINT AS weight
+    FROM tf JOIN dfs USING (bucket) CROSS JOIN n
+    """,
+)
+def hashing_vectorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF-IDF vectors (sparse form) over documents:
+    portable md5 bucket mapping + integer-bit idf, so every nonzero
+    cell is hash-checked. The dense assembly feeding the ANN/k-means
+    operators is the same cells reshaped (tested equal)."""
+    from .operators.text import hashing_vectorize
+
+    return hashing_vectorize(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", dim=64, dense=False
+    )

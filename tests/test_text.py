@@ -140,3 +140,47 @@ def test_extract_urls_and_domains(spark):
     assert row["urls"] == ["https://a.b.example.com/x/y.html", "http://plain.org"]
     assert row["d1"] == "example.com"
     assert row["d2"] == "localhost"
+
+
+def test_hashing_vectorize_dense_matches_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.text import hashing_vectorize
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "")],
+        "doc_id: long, text: string",
+    )
+    sparse = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashing_vectorize(df, dense=False).collect()
+    }
+    dense = {
+        r["doc_id"]: r["vector"]
+        for r in hashing_vectorize(df, dense=True).collect()
+    }
+    for (doc, bucket), w in sparse.items():
+        assert dense[doc][bucket] == w
+    for doc, vec in dense.items():
+        assert len(vec) == 64
+        assert sum(1 for x in vec if x != 0) == sum(
+            1 for (d, _) in sparse if d == doc
+        )
+    assert 3 not in dense  # empty doc -> no tokens -> no vector row
+
+
+def test_hashing_vectorize_idf_downweights_common(spark):
+    from hybridbackend_spark.operators.text import hashing_vectorize
+
+    # 'common' in all 4 docs; 'rare' once -> rare bucket outweighs
+    rows = [(i, "common") for i in range(3)] + [(9, "common rare")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sp = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashing_vectorize(df, dense=False).collect()
+    }
+    doc9 = {b: w for (d, b), w in sp.items() if d == 9}
+    assert len(doc9) == 2
+    w_common, w_rare = sorted(doc9.values())
+    # n=4: idf(common, df=4)=1+2-2=1; idf(rare, df=1)=1+2-0=3
+    assert (w_common, w_rare) == (1, 3)
