@@ -177,6 +177,7 @@ EXTRA = [
     "sequence_pattern_events",
     "rolling_anomaly_events",
     "hashing_vectorize_docs",
+    "calibration_embeddings",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -379,3 +379,57 @@ def ab_ztest(
         F.round(se, dp).alias("se"),
         F.when(se > 0, F.round((mb - ma) / se, dp)).alias("z"),
     )
+
+
+def calibration_bins(
+    df,
+    label: str = "y",
+    score: str = "p",
+    bins: int = 10,
+    dp: int = 6,
+    scale: int = 1_000_000,
+):
+    """Reliability diagram + expected-calibration-error terms: scores in
+    [0, 1] bucket into ``bins`` equal-width bins; each bin reports its
+    count, mean predicted confidence, observed positive rate, and its
+    ECE contribution ``n_b / N * |acc_b - conf_b|`` (sum the column for
+    the scalar ECE). Confidence means use exact micro-unit integer sums
+    (the engine's cents discipline), so the curve is engine-identical.
+    One partial-agg shuffle on the bin id — |bins| rows out regardless
+    of scale."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score).cast("double")
+    y = F.col(label).cast("double")
+    b = F.least(
+        F.floor(s * bins).cast("int"), F.lit(bins - 1)
+    )
+    q = F.round(s * scale).cast("long")
+    agg = (
+        df.select(b.alias("bin"), q.alias("_q"), y.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("_sq"),
+            F.sum("_y").cast("long").alias("_pos"),
+        )
+    )
+    total = agg.agg(F.sum("n").alias("_tot"))
+    fs = float(scale)
+    conf = (F.col("_sq") / fs) / F.col("n").cast("double")
+    acc = F.col("_pos").cast("double") / F.col("n").cast("double")
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            F.round(conf, dp).alias("confidence"),
+            F.round(acc, dp).alias("accuracy"),
+            F.round(
+                F.col("n").cast("double")
+                / F.col("_tot").cast("double")
+                * F.abs(acc - conf),
+                dp,
+            ).alias("ece_term"),
+        )
+    )

@@ -6282,3 +6282,48 @@ def hashing_vectorize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashing_vectorize(
         _t(spark, sf_dir, "documents"), "doc_id", "text", dim=64, dense=False
     )
+
+
+@register(
+    "calibration_embeddings",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+             least(greatest(embedding[1]::DOUBLE + 0.5, 0.0), 1.0) AS p
+      FROM embeddings
+    ),
+    binned AS (
+      SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+             CAST(round(p * 1000000) AS BIGINT) AS q, y
+      FROM scored
+    ),
+    agg AS (
+      SELECT bin, count(*) AS n, sum(q) AS sq,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n) AS t FROM agg)
+    SELECT bin, n,
+           round((sq / 1000000.0) / n::DOUBLE, 6) AS confidence,
+           round(pos::DOUBLE / n::DOUBLE, 6) AS accuracy,
+           round(n::DOUBLE / t::DOUBLE
+                 * abs(pos::DOUBLE / n::DOUBLE
+                       - (sq / 1000000.0) / n::DOUBLE), 6) AS ece_term
+    FROM agg CROSS JOIN tot
+    """,
+)
+def calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the synthetic scorer (first embedding
+    element shifted to [0,1]) against the label — per-bin confidence vs
+    observed rate plus ECE contributions, all engine-exact."""
+    from .functions.metrics import calibration_bins
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("double").alias("y"),
+        F.least(
+            F.greatest(F.element_at("embedding", 1).cast("double") + 0.5,
+                       F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("p"),
+    )
+    return calibration_bins(emb, label="y", score="p", bins=10)

@@ -254,3 +254,30 @@ def test_ab_ztest_zero_variance_null_z(spark):
     df = spark.createDataFrame(rows, "g: string, v: string, x: double")
     r = ab_ztest(df, "g", "v", "x").collect()[0]
     assert r["z"] is None and r["se"] == 0.0
+
+
+def test_calibration_bins_perfect_and_off(spark):
+    from hybridbackend_spark.functions.metrics import calibration_bins
+
+    # perfectly calibrated bin: p=0.25 with 1/4 positives; badly
+    # calibrated bin: p=0.95 with 0 positives
+    rows = [(0.25, 1.0)] + [(0.25, 0.0)] * 3 + [(0.95, 0.0)] * 4
+    df = spark.createDataFrame(rows, "p: double, y: double")
+    out = {r["bin"]: r for r in calibration_bins(df, "y", "p").collect()}
+    assert out[2]["confidence"] == 0.25 and out[2]["accuracy"] == 0.25
+    assert out[2]["ece_term"] == 0.0
+    assert out[9]["confidence"] == 0.95 and out[9]["accuracy"] == 0.0
+    assert abs(out[9]["ece_term"] - 0.5 * 0.95) < 1e-6
+    # ECE = sum of terms
+    ece = sum(r["ece_term"] for r in out.values())
+    assert abs(ece - 0.475) < 1e-6
+
+
+def test_calibration_bins_edge_scores(spark):
+    from hybridbackend_spark.functions.metrics import calibration_bins
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 1.0)], "p: double, y: double"
+    )
+    out = {r["bin"]: r["n"] for r in calibration_bins(df, "y", "p").collect()}
+    assert out == {0: 1, 9: 1}  # p=1.0 clamps into the last bin
