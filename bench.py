@@ -178,6 +178,7 @@ EXTRA = [
     "rolling_anomaly_events",
     "hashing_vectorize_docs",
     "calibration_embeddings",
+    "embedding_drift_labels",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

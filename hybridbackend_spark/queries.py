@@ -6327,3 +6327,67 @@ def calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     )
     return calibration_bins(emb, label="y", score="p", bins=10)
+
+
+@register(
+    "embedding_drift_labels",
+    """
+    WITH e AS (
+      SELECT label, vec_id % 2 AS period,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, period, pos,
+             sum(q) AS s, count(*) AS n
+      FROM e GROUP BY label, period, pos
+    ),
+    paired AS (
+      SELECT a.label, a.pos,
+             (a.s / 1000000.0) / a.n::DOUBLE AS ca,
+             (b.s / 1000000.0) / b.n::DOUBLE AS cb
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.pos = a.pos
+       AND a.period = 0 AND b.period = 1
+    )
+    SELECT label,
+           round(sqrt(sum((ca - cb) * (ca - cb))), 6) AS centroid_shift
+    FROM paired GROUP BY label
+    """,
+)
+def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per label, the L2 distance between the
+    class centroid of period 0 and period 1 (vec_id parity as the
+    period stand-in) — the vector-space analog of source_token_drift.
+    Centroids use exact scaled-integer sums (posexplode -> (label,
+    period, dim) partial aggs — shuffle = labels x periods x dim rows);
+    only the final distance touches floats. Sum order in the distance is
+    fixed by aggregating over the ORDERED dim key in both engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("period"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).withColumn("q", F.round(F.col("x") * 1_000_000).cast("long"))
+    cent = e.groupBy("label", "period", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.filter(F.col("period") == 0).select(
+        "label", "pos",
+        ((F.col("s") / 1_000_000.0) / F.col("n").cast("double")).alias("ca"),
+    )
+    b = cent.filter(F.col("period") == 1).select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"),
+        ((F.col("s") / 1_000_000.0) / F.col("n").cast("double")).alias("cb"),
+    )
+    paired = a.join(
+        b, (a.label == b.lb) & (a.pos == F.col("pb"))
+    )
+    d = (F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))
+    return (
+        paired.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(d)), 6).alias("centroid_shift"))
+    )
