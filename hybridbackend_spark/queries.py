@@ -779,6 +779,10 @@ _DRIVER_WINDOW_FIRST = [
     "sequence_pattern_events",
     "attribution_last_touch",
     "pareto_customers",
+    "hashing_vectorize_docs",
+    "calibration_embeddings",
+    "embedding_drift_labels",
+    "rolling_anomaly_events",
     "scd2_user_state",
     "incremental_sales_state",
     "incremental_join_state",
