@@ -179,6 +179,7 @@ EXTRA = [
     "hashing_vectorize_docs",
     "calibration_embeddings",
     "embedding_drift_labels",
+    "text_ann_pipeline",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -23,6 +23,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "hashing_vectorize",
+    "jl_project",
     "redact_pii",
     "PII_PATTERNS",
     "extract_urls",
@@ -335,3 +336,45 @@ def hashing_vectorize(
         lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
     )
     return assembled.select(id_col, vec.alias("vector"))
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "vector",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+    dp: int = 6,
+) -> Column | DataFrame:
+    """Johnson-Lindenstrauss random projection: dense ``in_dim`` vectors
+    compress to ``out_dim`` via a seeded +-1 Rademacher matrix scaled by
+    1/sqrt(out_dim) — pairwise distances preserved within (1 +- eps)
+    w.h.p. The cheap densifier between :func:`hashing_vectorize`'s
+    sparse TF-IDF space and the ANN/k-means operators (which cost
+    O(dim) per comparison).
+
+    The matrix folds into the plan as literals (deterministic from
+    ``seed`` — any engine re-derives it); projection is a per-row
+    expression, zero shuffle, zero Python."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+    inv = 1.0 / (out_dim ** 0.5)
+    v = F.col(vec_col)
+    comps = []
+    for r in rows:
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in r]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(dot * inv, dp))
+    return df.withColumn("jl_vector", F.array(*comps))

@@ -6395,3 +6395,90 @@ def embedding_drift_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired.groupBy("label")
         .agg(F.round(F.sqrt(F.sum(d)), 6).alias("centroid_shift"))
     )
+
+
+def _text_ann_oracle(out_dim: int = 16, in_dim: int = 64, seed: int = 7) -> str:
+    """Replica of hashing-vectorize -> JL-project -> cosine top-k: the
+    identical seeded Rademacher matrix as literals, the same md5 bucket
+    mapping and integer-bit idf, sequential-fold dots — every projected
+    coordinate and every cosine is hash-checked. out_dim=16 makes the
+    1/sqrt scale exactly 0.25, so projections are exact rationals."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+    comps = ",\n             ".join(
+        "round(list_sum(list_transform(list_zip(v, ["
+        + ", ".join(repr(x) for x in r)
+        + "]::DOUBLE[]), p -> p[1] * p[2])) * 0.25, 6)"
+        for r in rows
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, u.t AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents), unnest(w) u(t)
+    ),
+    b AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok || ':0'), 1, 8))::BIGINT % {in_dim})
+               AS bucket
+      FROM t
+    ),
+    tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+    dfs AS (SELECT bucket, count(DISTINCT doc_id) AS df FROM b GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+    cells AS (
+      SELECT tf.doc_id, tf.bucket,
+             (tf.tf * (1 + (length(bin(n.nd)) - 1)
+                       - (length(bin(dfs.df)) - 1)))::DOUBLE AS w
+      FROM tf JOIN dfs USING (bucket) CROSS JOIN n
+    ),
+    dense AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {in_dim - 1}),
+               i -> coalesce((map_from_entries(
+                      list(struct_pack(k := bucket, v := w)))[i])[1],
+                    CAST(0.0 AS DOUBLE))) AS v
+      FROM cells GROUP BY doc_id
+    ),
+    jl AS (
+      SELECT doc_id,
+             [{comps}] AS j
+      FROM dense
+    ),
+    scored AS (
+      SELECT q.doc_id AS qid, c.doc_id AS cid,
+             round(list_sum(list_transform(list_zip(q.j, c.j),
+                     p -> p[1] * p[2]))
+                   / (sqrt(list_sum(list_transform(q.j, x -> x * x)))
+                      * sqrt(list_sum(list_transform(c.j, x -> x * x)))),
+                   6) AS cos
+      FROM jl q JOIN jl c ON q.doc_id < 3 AND c.doc_id <> q.doc_id
+    )
+    SELECT qid AS doc_id, cid AS neighbor_id, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid)
+             AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """
+
+
+@register("text_ann_pipeline", _text_ann_oracle())
+def text_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text -> ANN with no external model: feature-hashed TF-IDF
+    (integer weights) -> Johnson-Lindenstrauss 16-dim projection (exact
+    quarters — 0.25 scale) -> cosine top-5 for the first three docs.
+    Every stage is a zero-shuffle projection except the two tiny
+    aggregations; the oracle replays the whole pipeline bit for bit."""
+    from .operators.similarity import cosine_topk
+    from .operators.text import hashing_vectorize, jl_project
+
+    docs = _t(spark, sf_dir, "documents")
+    dense = hashing_vectorize(docs, "doc_id", "text", dim=64, dense=True)
+    jl = jl_project(dense, "vector", in_dim=64, out_dim=16, seed=7)
+    q = jl.filter(F.col("doc_id") < 3)
+    return cosine_topk(
+        q, jl, "doc_id", "doc_id", "jl_vector", "jl_vector", k=5
+    )

@@ -184,3 +184,32 @@ def test_hashing_vectorize_idf_downweights_common(spark):
     w_common, w_rare = sorted(doc9.values())
     # n=4: idf(common, df=4)=1+2-2=1; idf(rare, df=1)=1+2-0=3
     assert (w_common, w_rare) == (1, 3)
+
+
+def test_jl_project_preserves_relative_distances(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.text import jl_project
+
+    rng = random.Random(1)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "id: long, vector: array<double>"
+    )
+    out = {r["id"]: r["jl_vector"] for r in
+           jl_project(df, out_dim=16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    # the near pair stays far closer than the far pair after projection
+    assert d2(out[0], out[1]) * 10 < d2(out[0], out[2])
+    # determinism: same seed -> identical projection
+    again = {r["id"]: r["jl_vector"] for r in
+             jl_project(df, out_dim=16).collect()}
+    assert out == again
