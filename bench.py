@@ -180,6 +180,7 @@ EXTRA = [
     "calibration_embeddings",
     "embedding_drift_labels",
     "text_ann_pipeline",
+    "leakage_check_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

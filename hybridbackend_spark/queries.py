@@ -6482,3 +6482,49 @@ def text_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         q, jl, "doc_id", "doc_id", "jl_vector", "jl_vector", k=5
     )
+
+
+@register(
+    "leakage_check_events",
+    """
+    WITH tr AS (
+      SELECT user_id, max(ts) AS max_train_ts
+      FROM events WHERE event_id % 5 <> 0 GROUP BY user_id
+    ),
+    te AS (
+      SELECT user_id, min(ts) AS min_test_ts
+      FROM events WHERE event_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT tr.user_id,
+           (tr.max_train_ts >= te.min_test_ts) AS leaks,
+           CAST(floor((epoch_us(tr.max_train_ts) - epoch_us(te.min_test_ts))
+                      / 1000000.0) AS BIGINT) AS overlap_seconds
+    FROM tr JOIN te USING (user_id)
+    """,
+)
+def leakage_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-leakage audit of a train/test split (every 5th event as
+    test): per entity, does any training timestamp reach into the test
+    period, and by how much. Two per-key partial aggs + one key join —
+    the pre-flight check every time-series model split needs. (The
+    id-hash split itself is leakage-safe by KEY; this audits splits
+    that must also be causal in TIME.)"""
+    ev = _t(spark, sf_dir, "events")
+    tr = ev.filter(F.col("event_id") % 5 != 0).groupBy("user_id").agg(
+        F.max("ts").alias("max_train_ts")
+    )
+    te = ev.filter(F.col("event_id") % 5 == 0).groupBy("user_id").agg(
+        F.min("ts").alias("min_test_ts")
+    )
+    j = tr.join(te, "user_id")
+    return j.select(
+        "user_id",
+        (F.col("max_train_ts") >= F.col("min_test_ts")).alias("leaks"),
+        F.floor(
+            (
+                F.unix_micros("max_train_ts")
+                - F.unix_micros("min_test_ts")
+            ).cast("double")
+            / 1_000_000.0
+        ).cast("long").alias("overlap_seconds"),
+    )
