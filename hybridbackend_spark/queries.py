@@ -782,6 +782,7 @@ _DRIVER_WINDOW_FIRST = [
     "hashing_vectorize_docs",
     "calibration_embeddings",
     "embedding_drift_labels",
+    "text_ann_pipeline",
     "rolling_anomaly_events",
     "scd2_user_state",
     "incremental_sales_state",
