@@ -181,6 +181,7 @@ EXTRA = [
     "embedding_drift_labels",
     "text_ann_pipeline",
     "leakage_check_events",
+    "session_paths_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -6529,3 +6529,66 @@ def leakage_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).cast("long").alias("overlap_seconds"),
     )
+
+
+@register(
+    "session_paths_events",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM (
+        SELECT *,
+               CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)))
+                         > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      )
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions,
+           row_number() OVER (ORDER BY count(*) DESC, path) AS rnk
+    FROM paths GROUP BY path
+    QUALIFY rnk <= 20
+    """,
+)
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session paths: 30-minute sessionization, each session's
+    ordered event-type string, global path frequencies — the product-
+    analytics 'user flow' readout. One user-key window, one (user,
+    session) collect, one tiny path aggregate."""
+    from .functions.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, key="user_id", ts="ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), "path")
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+    )
