@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .feature import impute, log1p_feature, mod_bucket, normalize
 
-__all__ = ["EmbeddingSpec", "FeatureSpec", "DataSpec"]
+__all__ = ["EmbeddingSpec", "FeatureSpec", "DataSpec", "CorpusSpec"]
 
 
 @dataclass(frozen=True)
@@ -173,4 +173,90 @@ class DataSpec:
                 else self.numeric_column(spec)
             )
             out = out.withColumn(spec.name, col)
+        return out
+
+
+class CorpusSpec:
+    """Config-as-code for the corpus-curation side: a JSON stage list
+    drives the text-pipeline operators the way :class:`DataSpec` drives
+    feature transforms — the same declarative philosophy the reference
+    applies to its data pipelines, extended to curation.
+
+    Stages (applied in order):
+    - ``{"op": "quality_filter", "min_score": 0.5}`` — keep docs at or
+      above the heuristic quality score;
+    - ``{"op": "length_filter", "min_tokens": n, "max_tokens": m}``;
+    - ``{"op": "exact_dedup"}`` — normalized-text exact dedup (min id
+      survives);
+    - ``{"op": "minhash_dedup", "threshold": 0.8, "keep": "longest"}``;
+    - ``{"op": "boilerplate_prune", "max_df": 2}`` (rewrites text);
+    - ``{"op": "hash_split", "weights": {"train": 0.98, ...}}`` —
+      appends the split column;
+    - ``{"op": "sample", "fraction": 0.5}`` — deterministic hash-rate
+      sample.
+
+    Every stage resolves to the existing oracled operators, so a spec
+    run is exactly the composition a hand-written pipeline would be
+    (tested equal in tests/test_windows_features.py).
+    """
+
+    def __init__(self, stages: Sequence[dict]):
+        self.stages = list(stages)
+
+    @classmethod
+    def read(cls, text: str) -> "CorpusSpec":
+        return cls(json.loads(text))
+
+    def apply(
+        self,
+        df: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        from ..operators.corpus import boilerplate_prune, hash_split, hash_bucket
+        from ..operators.dedup import exact_dedup, minhash_lsh_dedup
+        from ..operators.text import quality_score, token_count
+
+        out = df
+        for st in self.stages:
+            op = st["op"]
+            if op == "quality_filter":
+                out = out.filter(
+                    quality_score(F.col(text_col)) >= st["min_score"]
+                )
+            elif op == "length_filter":
+                n = token_count(F.col(text_col))
+                if "min_tokens" in st:
+                    out = out.filter(n >= st["min_tokens"])
+                if "max_tokens" in st:
+                    out = out.filter(n <= st["max_tokens"])
+            elif op == "exact_dedup":
+                keep = exact_dedup(out, text_col, id_col).select(id_col)
+                out = out.join(keep, id_col, "left_semi")
+            elif op == "minhash_dedup":
+                keep = minhash_lsh_dedup(
+                    out, text_col, id_col,
+                    threshold=st.get("threshold", 0.8),
+                    keep=st.get("keep", "min_id"),
+                )
+                out = out.join(keep, id_col, "left_semi")
+            elif op == "boilerplate_prune":
+                pruned = boilerplate_prune(
+                    out, id_col, text_col, max_df=st.get("max_df", 2)
+                ).select(id_col, F.col("pruned_text").alias(text_col))
+                out = out.drop(text_col).join(pruned, id_col)
+            elif op == "hash_split":
+                out = hash_split(
+                    out, F.col(id_col), weights=st.get("weights"),
+                    seed=st.get("seed", 0),
+                )
+            elif op == "sample":
+                frac = float(st["fraction"])
+                bucket = hash_bucket(
+                    F.col(id_col), n_buckets=1_000_000,
+                    seed=st.get("seed", 0),
+                )
+                out = out.filter(bucket < int(frac * 1_000_000))
+            else:
+                raise ValueError(f"unknown corpus stage op: {op!r}")
         return out

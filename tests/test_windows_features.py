@@ -410,3 +410,54 @@ def test_sequence_pattern_match_counts(spark):
     assert out[1]["n_matches"] == 2
     assert out[2]["symbol_string"] == "c."   # unmapped state -> '.'
     assert out[2]["n_matches"] == 0
+
+
+def test_corpus_spec_equals_hand_composition(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.functions.spec import CorpusSpec
+    from hybridbackend_spark.operators.corpus import hash_split
+    from hybridbackend_spark.operators.dedup import exact_dedup
+    from hybridbackend_spark.operators.text import quality_score, token_count
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again today"),  # dup
+        (3, "short"),                                                    # too short
+        (4, "a different but perfectly reasonable document for the corpus test"),
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12"),                               # digit junk
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    spec = CorpusSpec.read(json.dumps([
+        {"op": "length_filter", "min_tokens": 4},
+        {"op": "quality_filter", "min_score": 0.5},
+        {"op": "exact_dedup"},
+        {"op": "hash_split", "weights": {"train": 0.5, "val": 0.5}},
+    ]))
+    got = spec.apply(df)
+
+    hand = df.filter(token_count(F.col("text")) >= 4)
+    hand = hand.filter(quality_score(F.col("text")) >= 0.5)
+    keep = exact_dedup(hand, "text", "doc_id").select("doc_id")
+    hand = hand.join(keep, "doc_id", "left_semi")
+    hand = hash_split(hand, F.col("doc_id"), weights={"train": 0.5, "val": 0.5})
+
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, hand.collect()))
+    assert a == b
+    ids = {r[0] for r in a}
+    assert 3 not in ids            # length filter
+    assert len(ids & {1, 2}) == 1  # dedup kept one copy
+    assert "split" in got.columns
+
+
+def test_corpus_spec_unknown_stage_raises(spark):
+    import pytest
+
+    from hybridbackend_spark.functions.spec import CorpusSpec
+
+    df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="unknown corpus stage"):
+        CorpusSpec([{"op": "nope"}]).apply(df)
