@@ -182,6 +182,7 @@ EXTRA = [
     "text_ann_pipeline",
     "leakage_check_events",
     "session_paths_events",
+    "kcenter_select_embeddings",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -29,6 +29,7 @@ __all__ = [
     "pq_encode",
     "pq_decode",
     "pq_topk",
+    "kcenter_select",
 ]
 
 
@@ -575,3 +576,64 @@ def pq_topk(
             "rnk",
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    scale: int = 1_000_000,
+) -> list:
+    """Greedy k-center coreset selection (farthest-point traversal):
+    start from the smallest id, then repeatedly add the point FARTHEST
+    from the current selection — the classic 2-approximation for
+    maximum-diversity / coverage data selection (active learning seeds,
+    eval-set construction, codebook init).
+
+    Distributed shape: the running min-distance-to-selection maintains
+    as a column — each round computes distances to ONE new center
+    (per-row expression, zero shuffle) and takes an ordered ``take(1)``
+    argmax (distance desc, id asc — deterministic). k rounds = k bounded
+    driver round trips, like the Lloyd trainer. Distances quantize to
+    integer units before the argmax so selection is bit-reproducible
+    across layouts and engines.
+
+    Returns the ordered list of selected ids.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), _as_double_vec(vec_col).alias("_v")
+    )
+    first = base.orderBy("_id").take(1)
+    if not first:
+        return []
+    selected = [first[0]["_id"]]
+    center_vec = list(first[0]["_v"])
+
+    def qdist_to(cent: list) -> Column:
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(F.sqrt(d2) * scale).cast("long")
+
+    cur = base.withColumn("_mind", qdist_to(center_vec)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(k - 1):
+        far = cur.orderBy(F.col("_mind").desc(), "_id").take(1)
+        if not far or far[0]["_mind"] == 0:
+            break
+        selected.append(far[0]["_id"])
+        next_vec = list(
+            base.filter(F.col("_id") == far[0]["_id"]).take(1)[0]["_v"]
+        )
+        cur = cur.withColumn(
+            "_mind", F.least(F.col("_mind"), qdist_to(next_vec))
+        ).localCheckpoint(eager=True)
+    return selected

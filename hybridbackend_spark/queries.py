@@ -783,6 +783,7 @@ _DRIVER_WINDOW_FIRST = [
     "calibration_embeddings",
     "embedding_drift_labels",
     "text_ann_pipeline",
+    "kcenter_select_embeddings",
     "rolling_anomaly_events",
     "scd2_user_state",
     "incremental_sales_state",
@@ -6591,4 +6592,60 @@ def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 20)
+    )
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy k-center rounds in SQL: identical quantized
+    distances and (distance desc, id asc) argmax, so the selected ids
+    and their order are bit-checked."""
+    qd = (
+        "CAST(round(sqrt(list_sum(list_transform(list_zip({v}, {c}), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))) * 1000000) AS BIGINT)"
+    )
+    parts = [
+        """
+    WITH e AS (
+      SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+    d0 AS (
+      SELECT e.id, e.v, """
+        + qd.format(v="e.v", c="c0.v")
+        + """ AS d
+      FROM e, c0
+    )"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""",
+    p{i} AS (SELECT id, v FROM d{i - 1} ORDER BY d DESC, id LIMIT 1),
+    d{i} AS (
+      SELECT d{i - 1}.id, d{i - 1}.v,
+             least(d{i - 1}.d, """
+            + qd.format(v=f"d{i - 1}.v", c=f"p{i}.v")
+            + f""") AS d
+      FROM d{i - 1}, p{i}
+    )"""
+        )
+    sel = ["SELECT 1 AS rank, id FROM c0"] + [
+        f"SELECT {i + 1} AS rank, id FROM p{i}" for i in range(1, k)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@register("kcenter_select_embeddings", _kcenter_oracle())
+def kcenter_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings table: 6 maximally-
+    diverse vectors by farthest-point traversal, quantized distances and
+    deterministic argmax — selection ORDER included in the hash check
+    (the oracle unrolls identical rounds)."""
+    from .operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ids = kcenter_select(emb, "embedding", "vec_id", k=6)
+    return spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(ids)], "rank: int, id: long"
     )

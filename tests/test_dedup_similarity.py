@@ -581,3 +581,38 @@ def test_minhash_dedup_keep_longest(spark):
     }
     assert longest == {1, 7}
     assert min_id == {0, 7}
+
+
+def test_kcenter_select_farthest_traversal(spark):
+    from hybridbackend_spark.operators.similarity import kcenter_select
+
+    # 3 clusters at corners; greedy must visit all corners before
+    # densifying any one cluster
+    pts = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+        (10, [10.0, 0.0]), (11, [10.1, 0.0]),
+        (20, [0.0, 10.0]), (21, [0.0, 10.1]),
+    ]
+    df = spark.createDataFrame(pts, "vec_id: long, v: array<double>")
+    sel = kcenter_select(df, "v", "vec_id", k=3)
+    assert sel[0] == 0                 # deterministic start: min id
+    assert {sel[1], sel[2]} <= {10, 11, 20, 21}
+    # one from each far cluster, not two from the same
+    assert not ({sel[1], sel[2]} <= {10, 11})
+    assert not ({sel[1], sel[2]} <= {20, 21})
+    # exhausted distinct points: k larger than spread stops growing sanely
+    sel7 = kcenter_select(df, "v", "vec_id", k=7)
+    assert len(sel7) == 7 and len(set(sel7)) == 7
+
+
+def test_kcenter_select_layout_invariant(spark):
+    from hybridbackend_spark.operators.similarity import kcenter_select
+
+    import random
+
+    rng = random.Random(2)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(pts, "vec_id: long, v: array<double>")
+    a = kcenter_select(df, "v", "vec_id", k=5)
+    b = kcenter_select(df.repartition(13), "v", "vec_id", k=5)
+    assert a == b
