@@ -183,6 +183,7 @@ EXTRA = [
     "leakage_check_events",
     "session_paths_events",
     "kcenter_select_embeddings",
+    "ndcg_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

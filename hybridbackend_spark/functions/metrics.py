@@ -433,3 +433,55 @@ def calibration_bins(
             ).alias("ece_term"),
         )
     )
+
+
+def ndcg_at_k(
+    df,
+    group_col: str,
+    rel_col: str,
+    rank_col: str,
+    k: int = 10,
+    dp: int = 6,
+):
+    """NDCG@k per group: DCG with the standard ``1 / log2(rank + 1)``
+    position discounts, normalized by the ideal DCG of the group's own
+    relevance multiset. The discounts enter the plan as PYTHON-computed
+    literals (one per position <= k), so no runtime ``log`` call exists
+    to differ between engines — the oracle embeds the identical
+    constants; sums run over the ordered rank key.
+
+    Expects one row per (group, rank) with graded relevance. Groups
+    with zero total relevance yield NDCG null (0/0 guarded).
+    """
+    import math
+
+    from pyspark.sql import Window, functions as F
+
+    w = {i: 1.0 / math.log2(i + 1) for i in range(1, k + 1)}
+    disc = F.create_map(
+        *[F.lit(x) for pair in w.items() for x in pair]
+    )
+    top = df.filter(F.col(rank_col) <= k)
+    dcg = F.sum(
+        F.col(rel_col).cast("double") * F.element_at(disc, F.col(rank_col))
+    )
+    # ideal ordering of the SAME top-k relevance values
+    iw = Window.partitionBy(group_col).orderBy(
+        F.col(rel_col).desc(), F.col(rank_col)
+    )
+    ideal = top.withColumn("_irk", F.row_number().over(iw)).filter(
+        F.col("_irk") <= k
+    )
+    idcg = ideal.groupBy(group_col).agg(
+        F.sum(
+            F.col(rel_col).cast("double")
+            * F.element_at(disc, F.col("_irk"))
+        ).alias("_idcg")
+    )
+    got = top.groupBy(group_col).agg(dcg.alias("_dcg"))
+    return got.join(idcg, group_col).select(
+        group_col,
+        F.when(
+            F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), dp)
+        ).alias("ndcg"),
+    )

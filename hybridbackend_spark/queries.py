@@ -6649,3 +6649,62 @@ def kcenter_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, x) for i, x in enumerate(ids)], "rank: int, id: long"
     )
+
+
+@register(
+    "ndcg_orders",
+    """
+    WITH disc(rk, w) AS (VALUES
+        (1, 1.0),
+        (2, 0.6309297535714575),
+        (3, 0.5),
+        (4, 0.43067655807339306),
+        (5, 0.38685280723454163)
+    ),
+    ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk,
+             (o_orderkey % 4)::DOUBLE AS rel
+      FROM orders
+    ),
+    top AS (SELECT * FROM ranked WHERE rk <= 5),
+    dcg AS (
+      SELECT o_custkey, sum(rel * w) AS d
+      FROM top JOIN disc USING (rk) GROUP BY o_custkey
+    ),
+    ideal AS (
+      SELECT o_custkey, rel,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY rel DESC, rk) AS irk
+      FROM top
+    ),
+    idcg AS (
+      SELECT o_custkey, sum(rel * w) AS i
+      FROM ideal JOIN disc ON disc.rk = ideal.irk
+      WHERE irk <= 5 GROUP BY o_custkey
+    )
+    SELECT dcg.o_custkey,
+           CASE WHEN idcg.i > 0 THEN round(dcg.d / idcg.i, 6) END AS ndcg
+    FROM dcg JOIN idcg USING (o_custkey)
+    """,
+)
+def ndcg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of each customer's price-ordered ranking against a
+    deterministic graded relevance (orderkey mod 4): literal log2
+    discounts shared by both engines, ideal-DCG normalization — the
+    ranking-quality metric closing the metrics family (AUC / GAUC /
+    calibration / NDCG)."""
+    from .functions.metrics import ndcg_at_k
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rk"),
+        (F.col("o_orderkey") % 4).cast("double").alias("rel"),
+    )
+    return ndcg_at_k(ranked, "o_custkey", "rel", "rk", k=5)

@@ -281,3 +281,32 @@ def test_calibration_bins_edge_scores(spark):
     )
     out = {r["bin"]: r["n"] for r in calibration_bins(df, "y", "p").collect()}
     assert out == {0: 1, 9: 1}  # p=1.0 clamps into the last bin
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    import math
+
+    from hybridbackend_spark.functions.metrics import ndcg_at_k
+
+    # group a: relevance already in ideal order -> ndcg 1
+    # group b: relevance inverted -> ndcg < 1, equals hand computation
+    rows = [("a", 1, 3.0), ("a", 2, 2.0), ("a", 3, 1.0),
+            ("b", 1, 0.0), ("b", 2, 1.0), ("b", 3, 2.0)]
+    df = spark.createDataFrame(rows, "g: string, rk: int, rel: double")
+    out = {r["g"]: r["ndcg"] for r in
+           ndcg_at_k(df, "g", "rel", "rk", k=3).collect()}
+    assert out["a"] == 1.0
+    w = [1.0 / math.log2(i + 1) for i in (1, 2, 3)]
+    dcg_b = 0.0 * w[0] + 1.0 * w[1] + 2.0 * w[2]
+    idcg_b = 2.0 * w[0] + 1.0 * w[1] + 0.0 * w[2]
+    assert abs(out["b"] - round(dcg_b / idcg_b, 6)) < 1e-9
+    assert out["b"] < 1.0
+
+
+def test_ndcg_zero_relevance_null(spark):
+    from hybridbackend_spark.functions.metrics import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, 0.0)], "g: string, rk: int, rel: double"
+    )
+    assert ndcg_at_k(df, "g", "rel", "rk", k=2).collect()[0]["ndcg"] is None
