@@ -184,6 +184,7 @@ EXTRA = [
     "session_paths_events",
     "kcenter_select_embeddings",
     "ndcg_orders",
+    "mrr_hitrate_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -485,3 +485,43 @@ def ndcg_at_k(
             F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), dp)
         ).alias("ndcg"),
     )
+
+
+def mrr_hitrate_at_k(
+    df,
+    group_col: str,
+    rel_col: str,
+    rank_col: str,
+    k: int = 10,
+    dp: int = 6,
+):
+    """Mean-reciprocal-rank and hit-rate@k per group: the retrieval
+    companions to :func:`ndcg_at_k`. A row is a hit when its graded
+    relevance is positive; RR is ``1/rank`` of the FIRST hit within the
+    top ``k`` (0 when none). Reciprocals of integer ranks are exact
+    binary-representable only for powers of two, so both engines
+    compute the identical ``1.0 / rank`` double — same operand, same
+    IEEE division — and the means run over exact hit counts.
+
+    Returns (group, first_hit_rank nullable, rr, hit_at_k).
+    """
+    from pyspark.sql import functions as F
+
+    top = df.filter(F.col(rank_col) <= k)
+    agg = top.groupBy(group_col).agg(
+        F.min(
+            F.when(F.col(rel_col) > 0, F.col(rank_col))
+        ).alias("first_hit_rank")
+    )
+    return agg.select(
+        group_col,
+        "first_hit_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / F.col("first_hit_rank").cast("double"),
+                F.lit(0.0),
+            ),
+            dp,
+        ).alias("rr"),
+        F.col("first_hit_rank").isNotNull().alias("hit_at_k"),
+    )

@@ -6708,3 +6708,42 @@ def ndcg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 4).cast("double").alias("rel"),
     )
     return ndcg_at_k(ranked, "o_custkey", "rel", "rk", k=5)
+
+
+@register(
+    "mrr_hitrate_orders",
+    """
+    WITH ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk,
+             (o_orderkey % 4) AS rel
+      FROM orders
+    ),
+    agg AS (
+      SELECT o_custkey,
+             min(CASE WHEN rel > 0 THEN rk END) AS first_hit_rank
+      FROM ranked WHERE rk <= 5 GROUP BY o_custkey
+    )
+    SELECT o_custkey, first_hit_rank,
+           round(coalesce(1.0 / first_hit_rank::DOUBLE, 0.0), 6) AS rr,
+           (first_hit_rank IS NOT NULL) AS hit_at_k
+    FROM agg
+    """,
+)
+def mrr_hitrate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and hit-rate@5 over the same ranking/relevance setup as
+    ndcg_orders — identical IEEE reciprocals, exact hit ranks."""
+    from .functions.metrics import mrr_hitrate_at_k
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_custkey",
+        F.row_number().over(w).alias("rk"),
+        (F.col("o_orderkey") % 4).alias("rel"),
+    )
+    return mrr_hitrate_at_k(ranked, "o_custkey", "rel", "rk", k=5)

@@ -310,3 +310,21 @@ def test_ndcg_zero_relevance_null(spark):
         [("g", 1, 0.0), ("g", 2, 0.0)], "g: string, rk: int, rel: double"
     )
     assert ndcg_at_k(df, "g", "rel", "rk", k=2).collect()[0]["ndcg"] is None
+
+
+def test_mrr_hitrate_semantics(spark):
+    from hybridbackend_spark.functions.metrics import mrr_hitrate_at_k
+
+    rows = [
+        ("a", 1, 0.0), ("a", 2, 1.0), ("a", 3, 2.0),  # first hit rank 2
+        ("b", 1, 0.0), ("b", 2, 0.0),                  # no hit
+        ("c", 1, 3.0),                                 # immediate hit
+        ("d", 6, 5.0),                                 # hit outside k=5
+    ]
+    df = spark.createDataFrame(rows, "g: string, rk: int, rel: double")
+    out = {r["g"]: r for r in
+           mrr_hitrate_at_k(df, "g", "rel", "rk", k=5).collect()}
+    assert out["a"]["first_hit_rank"] == 2 and out["a"]["rr"] == 0.5
+    assert out["b"]["rr"] == 0.0 and out["b"]["hit_at_k"] is False
+    assert out["c"]["rr"] == 1.0 and out["c"]["hit_at_k"] is True
+    assert "d" not in out  # all rows filtered beyond k
