@@ -1,0 +1,328 @@
+"""Product/event analytics: cohort retention, funnels, equi-depth
+binning, per-group trend fitting, and contingency testing.
+
+These are the reporting-side queries a training-data platform runs over
+its own event exhaust (reference parity target: the metric streams in
+``tensorflow/metrics`` cover model-quality metrics; this module covers
+the dataset/product analytics the reference leaves to downstream OLAP).
+
+Scale shapes (all verified by plan tests):
+- ``cohort_retention``: two shuffles on ``user`` (first-touch agg, then
+  activity join back) — both hash-partition on the same key, so AQE
+  reuses the exchange; the final (cohort, offset) agg is tiny.
+- ``funnel``: k-1 co-partitioned joins on ``user`` for a k-step funnel;
+  every join key is the same column, so one shuffle's partitioning is
+  reused. No per-user event list is ever collected.
+- ``equidepth_bins``: exact interpolated percentiles (single fused agg)
+  broadcast as ONE row; bin assignment is a map-side CASE — no global
+  sort, no single-partition window (the classic ntile() scale mistake).
+- ``ols_trend`` / ``chi_square`` / ``corr_pairs``: single partial+final
+  aggregations over exact integer (decimal) sufficient statistics;
+  the closed forms are evaluated on scalars after aggregation, so
+  float summation order can never flip a value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "cohort_retention",
+    "funnel",
+    "equidepth_bins",
+    "ols_trend",
+    "chi_square",
+    "corr_pairs",
+]
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    A user's cohort is the ISO week (Monday-truncated) of their first
+    event; for every (cohort_week, week_offset) cell, count the distinct
+    cohort users active in that week. Returns
+    (cohort_week DATE, week_offset INT, n_active, cohort_size).
+
+    100 TB shape: ``first`` is one partial+final min-agg on user;
+    ``active`` is a distinct on (user, week) — both hash-partition on
+    ``user``, so the join is co-located; the output agg is bounded by
+    weeks x offsets, not users.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    first = events.groupBy(u.alias("_u")).agg(
+        F.date_trunc("week", F.min(t)).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(u.alias("_u"), F.date_trunc("week", t).cast("date").alias("_w"))
+        .distinct()
+    )
+    cells = (
+        active.join(first, "_u")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("_w"), F.col("cohort_week")) / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("_u").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    out = cells.join(sizes, "cohort_week")
+    if max_offset is not None:
+        out = out.filter(F.col("week_offset") <= max_offset)
+    return out.select("cohort_week", "week_offset", "n_active", "cohort_size")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel completion: a user completes step i at the EARLIEST
+    event of type ``steps[i]`` that is strictly after their step-(i-1)
+    completion time. Returns one row per step:
+    (step INT, step_name, n_users, conversion_pct from step 1).
+
+    100 TB shape: k-1 equi-joins, all keyed on ``user_col`` — the first
+    shuffle's hash partitioning serves every subsequent join and agg, and
+    each stage's left side only shrinks (users still in the funnel). No
+    collect_list of per-user histories.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    reached = [
+        events.filter(ty == steps[0])
+        .groupBy(u.alias("_u"))
+        .agg(F.min(t).alias("_t"))
+    ]
+    for s in steps[1:]:
+        prev = reached[-1].select("_u", F.col("_t").alias("_pt"))
+        step_ev = events.filter(ty == s).select(u.alias("_u"), t.alias("_st"))
+        reached.append(
+            step_ev.join(prev, "_u")
+            .filter(F.col("_st") > F.col("_pt"))
+            .groupBy("_u")
+            .agg(F.min("_st").alias("_t"))
+        )
+    counts = [df.groupBy().agg(F.count(F.lit(1)).alias("n")) for df in reached]
+    rows = None
+    for i, (name, c) in enumerate(zip(steps, counts)):
+        row = c.select(
+            F.lit(i + 1).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col("n").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    base = counts[0].select(F.col("n").alias("_base"))
+    return (
+        rows.crossJoin(F.broadcast(base))
+        .select(
+            "step",
+            "step_name",
+            "n_users",
+            F.round(F.col("n_users") * 100.0 / F.col("_base"), 4).alias(
+                "conversion_pct"
+            ),
+        )
+    )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 8,
+    value_dp: int = 2,
+) -> DataFrame:
+    """Equi-depth histogram WITHOUT a global sort: compute the exact
+    interpolated percentile boundaries (one fused agg, broadcast as a
+    single row), then assign each row's bin with a map-side comparison
+    chain (value > boundary_i). Ties land in the lower bin. Returns
+    (bin INT, n_rows, min_v, max_v, sum_v rounded).
+
+    The naive ntile() version funnels the whole table through ONE
+    partition; this version's only wide op is the percentile agg itself
+    (partial per partition, merged on the driver-side final agg).
+    """
+    v = F.col(value_col)
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(repr(f) for f in fracs)}))"
+        ).alias("_b")
+    )
+    binned = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("_b"),
+                F.lit(0),
+                lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+            )
+        ).cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min(v), value_dp).alias("min_v"),
+        F.round(F.max(v), value_dp).alias("max_v"),
+        (F.sum(F.round(v * 100).cast("long")) / F.lit(100.0)).alias("sum_v"),
+    )
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: Column,
+    y_col: Column,
+    dp: int = 8,
+) -> DataFrame:
+    """Per-group simple linear regression (y = a + b*x) via exact integer
+    sufficient statistics. ``x_col``/``y_col`` must already be quantized
+    to integer grids (e.g. epoch days, money cents) so every sum is an
+    exact DECIMAL(38,0) — overflow-proof at fact scale and identical in
+    any summation order. The closed-form slope/intercept are evaluated
+    on the aggregated scalars in double, so both engines see the same
+    finite float expression tree. Returns group cols + (n, slope,
+    intercept) rounded to ``dp``.
+    """
+    x, y = x_col.cast("long"), y_col.cast("long")
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(x)).alias("sx"),
+        F.sum(_dec(y)).alias("sy"),
+        F.sum(_dec(x * y)).alias("sxy"),
+        F.sum(_dec(x * x)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return stats.select(
+        *group_cols,
+        F.col("n"),
+        F.round(slope, dp).alias("slope"),
+        F.round(intercept, dp).alias("intercept"),
+    )
+
+
+def chi_square(
+    df: DataFrame,
+    row_col: str,
+    col_col: Column,
+    col_alias: str = "col_key",
+    dp: int = 6,
+) -> DataFrame:
+    """Chi-square test of independence over the ``row_col`` x ``col_col``
+    contingency table. Observed counts are exact integers; each cell's
+    (o-e)^2/e term is quantized to integer micro-units before the final
+    sum (the money-sum trick), so the statistic is identical across
+    engines and partitionings. Returns ONE row (statistic, dof, n).
+
+    100 TB shape: one partial+final count agg produces the contingency
+    table (bounded by the category product, not the data); everything
+    after operates on that tiny table.
+    """
+    cells = df.groupBy(F.col(row_col).alias("r"), col_col.alias("c")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    # densify: ZERO cells still contribute (0-e)^2/e = e to the statistic,
+    # so the grid is the full cross product of the (tiny) marginals
+    row_t = cells.groupBy("r").agg(F.sum("o").alias("row_t"))
+    col_t = cells.groupBy("c").agg(F.sum("o").alias("col_t"))
+    grand = cells.agg(F.sum("o").alias("grand"))
+    terms = (
+        row_t.crossJoin(col_t)
+        .crossJoin(F.broadcast(grand))
+        .join(cells, ["r", "c"], "left")
+        .select(
+            "r",
+            "c",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            "grand",
+            (
+                F.col("row_t").cast("double")
+                * F.col("col_t").cast("double")
+                / F.col("grand").cast("double")
+            ).alias("e"),
+        )
+    )
+    term = (F.col("o").cast("double") - F.col("e")) * (
+        F.col("o").cast("double") - F.col("e")
+    ) / F.col("e")
+    return (
+        terms.groupBy()
+        .agg(
+            (F.sum(F.round(term * 1000000).cast("long")) / F.lit(1000000.0)).alias(
+                "_stat"
+            ),
+            F.count_distinct("r").alias("_nr"),
+            F.count_distinct("c").alias("_nc"),
+            F.max("grand").alias("n"),
+        )
+        .select(
+            F.round(F.col("_stat"), dp).alias("statistic"),
+            ((F.col("_nr") - 1) * (F.col("_nc") - 1)).cast("long").alias("dof"),
+            F.col("n"),
+        )
+    )
+
+
+def corr_pairs(
+    df: DataFrame,
+    cols: dict[str, Column],
+    dp: int = 8,
+) -> DataFrame:
+    """Pairwise Pearson correlation over pre-quantized integer columns
+    (``cols`` maps name -> integer-grid Column, e.g. cents). All
+    sufficient statistics are exact DECIMAL(38,0) sums from ONE fused
+    scan-agg; correlations are computed from the scalars in double.
+    Returns one row per pair (x, y, n, corr).
+    """
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for a in names:
+        ca = cols[a].cast("long")
+        aggs.append(F.sum(_dec(ca)).alias(f"s_{a}"))
+        aggs.append(F.sum(_dec(ca * ca)).alias(f"ss_{a}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum(_dec(cols[a].cast("long") * cols[b].cast("long"))).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    stats = df.groupBy().agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def _corr(a: str, b: str) -> Column:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        num = n * sp - sa * sb
+        den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        return F.round(num / den, dp)
+
+    rows = None
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            row = stats.select(
+                F.lit(a).alias("x"),
+                F.lit(b).alias("y"),
+                F.col("n"),
+                _corr(a, b).alias("corr"),
+            )
+            rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -29,6 +29,7 @@ __all__ = [
     "triangle_count",
     "label_propagation",
     "transitive_closure",
+    "bfs_distances",
 ]
 
 
@@ -437,3 +438,69 @@ def transitive_closure(
         f"transitive_closure did not converge in {max_rounds} doubling "
         "rounds — cyclic input or pathological depth"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_col: str = "id",
+    max_hops: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: (id, dist) = minimum hop count from any seed
+    node, for every node within ``max_hops``. Unreached nodes are
+    absent from the result (no sentinel rows).
+
+    Min-plus label propagation: each round joins the frontier's
+    distances to the adjacency list and keeps the per-node minimum —
+    the same join + partial-agg shape as :func:`connected_components`,
+    with lineage cut per round via ``localCheckpoint``. Distances are
+    monotone non-increasing and bounded below, so the exact integer sum
+    of (dist + 1) is a strictly-decreasing convergence measure; the
+    loop stops early once a round changes nothing. Rounds needed =
+    eccentricity of the seed set, each round one co-partitioned join +
+    agg — never an all-pairs product.
+    """
+    sym = edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+    if not directed:
+        sym = sym.union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _measure(d: DataFrame):
+        # count is part of the measure: newly-reached nodes must move it
+        return tuple(
+            d.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("dist").cast("decimal(38,0)")).alias("s"),
+            ).collect()[0]
+        )
+
+    prev = _measure(dist)
+    for _ in range(max_hops):
+        relaxed = (
+            sym.join(
+                dist.select(F.col("id").alias("_n"), F.col("dist").alias("_d")), "_n"
+            )
+            .groupBy(F.col("_m").alias("id"))
+            .agg((F.min("_d") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        cur = _measure(dist)
+        if cur == prev:
+            return dist
+        prev = cur
+    return dist

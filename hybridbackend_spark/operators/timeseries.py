@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma"]
 
 
 def resample_fill(
@@ -226,3 +226,45 @@ def sequence_pattern_match(
         "n_matches",
         F.expr(f"regexp_count(symbol_string, '{pattern}')"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_col: str | None = None,
+    dp: int = 8,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with alpha = 1/2:
+    s_1 = v_1, s_n = (s_{n-1} + v_n) / 2. Returns (key, n_obs, ewma).
+
+    Engine-exact by construction: alpha = 1/2 makes every product an
+    exact exponent shift, and the fold runs STRICTLY in (ts, order)
+    sequence in both engines (Spark ``aggregate`` over a sorted struct
+    array == DuckDB ``list_reduce`` over ``list(... ORDER BY ...)``),
+    so the IEEE operation sequence — and therefore every bit of the
+    result — is identical regardless of partitioning.
+
+    Scale shape: one shuffle on the key; each key's history is folded
+    as a single array. Per-key histories are assumed bounded (event
+    windows, session tails); for unbounded histories resample first
+    (``resample_fill``) — weights below 2^-1074 underflow to exactly 0
+    in both engines anyway, so a bounded suffix is sufficient.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    tie = F.col(order_col) if order_col else F.lit(0)
+    rows = df.select(k.alias("_k"), F.struct(t, tie.alias("_o"), v.alias("_v")).alias("_s"))
+    folded = (
+        rows.groupBy("_k")
+        .agg(F.array_sort(F.collect_list("_s")).alias("_hist"))
+        .select(
+            F.col("_k").alias(key_col),
+            F.size("_hist").alias("n_obs"),
+            F.expr(
+                "aggregate(slice(_hist, 2, greatest(size(_hist) - 1, 0)), "
+                "_hist[0]._v, (acc, x) -> (acc + x._v) / 2.0D)"
+            ).alias("_ewma"),
+        )
+    )
+    return folded.select(key_col, "n_obs", F.round("_ewma", dp).alias("ewma"))

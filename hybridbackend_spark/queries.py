@@ -755,6 +755,17 @@ _DRIVER_WINDOW_FIRST = [
     "pq_topk_docs",
     "lsh_linkage_docs",
     "fuzzy_join_customers",
+    "bloom_prune_join_lineitem",
+    "bfs_hops_suppliers",
+    "ewma_user_value",
+    "dq_audit_orders",
+    "cohort_retention_events",
+    "funnel_events",
+    "chisq_events",
+    "equidepth_bins_lineitem",
+    "corr_lineitem",
+    "ols_trend_orders",
+    "stream_topk_types",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -6747,3 +6758,503 @@ def mrr_hitrate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 4).alias("rel"),
     )
     return mrr_hitrate_at_k(ranked, "o_custkey", "rel", "rk", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Wave 6: event analytics (cohort/funnel), data-quality audit, Bloom-filter
+# join pruning, EWMA, multi-source BFS, chi-square, correlation, OLS trend,
+# equi-depth binning, stream top-k.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention_events",
+    """
+    WITH first AS (
+      SELECT user_id AS u,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ),
+    cells AS (
+      SELECT cohort_week,
+             CAST(date_diff('day', cohort_week, w) // 7 AS INT) AS week_offset,
+             count(DISTINCT u) AS n_active
+      FROM active JOIN first USING (u)
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM first GROUP BY 1)
+    SELECT cohort_week, week_offset, n_active, cohort_size
+    FROM cells JOIN sizes USING (cohort_week)
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream: first-touch
+    week per user, distinct active weeks, (cohort, offset) cells. Both
+    user-keyed aggregations hash-partition on the same key (exchange
+    reuse); the output is bounded by weeks x offsets."""
+    from .operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+@register(
+    "funnel_events",
+    """
+    WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+           WHERE e.event_type = 'click' GROUP BY 1),
+    s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+    c AS (
+      SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    )
+    SELECT step, step_name, n_users,
+           round(CAST(n_users AS DOUBLE) * 100.0
+                 / CAST((SELECT count(*) FROM s1) AS DOUBLE), 4) AS conversion_pct
+    FROM c
+    """,
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: step i completes at the
+    earliest qualifying event strictly after step i-1. All k-1 joins are
+    keyed on user_id (one partitioning serves every stage); no per-user
+    history is ever collected."""
+    from .operators.analytics import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = funnel(ev, ["view", "click", "purchase"], "user_id", "ts", "event_type")
+    return out.select(
+        "step",
+        "step_name",
+        "n_users",
+        F.col("conversion_pct").cast("double").alias("conversion_pct"),
+    )
+
+
+@register(
+    "dq_audit_orders",
+    """
+    WITH b AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_ck,
+        sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_tp,
+        sum(CASE WHEN NOT (o_totalprice BETWEEN 0.0 AND 1000000.0)
+            THEN 1 ELSE 0 END) AS rng_tp,
+        sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+            THEN 1 ELSE 0 END) AS set_os
+      FROM orders
+    ),
+    dup AS (
+      SELECT coalesce(sum(k), 0) AS d FROM (
+        SELECT count(*) AS k FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+      )
+    ),
+    fk AS (
+      SELECT count(*) AS o FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT 'row_count' AS "constraint", '*' AS "column",
+           round(CAST(n AS DOUBLE), 6) AS metric, n >= 1 AS passed FROM b
+    UNION ALL
+    SELECT 'not_null', 'o_custkey',
+           round(CAST(null_ck AS DOUBLE) / CAST(n AS DOUBLE), 6),
+           null_ck = 0 FROM b
+    UNION ALL
+    SELECT 'not_null', 'o_totalprice',
+           round(CAST(null_tp AS DOUBLE) / CAST(n AS DOUBLE), 6),
+           null_tp = 0 FROM b
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice', round(CAST(rng_tp AS DOUBLE), 6),
+           rng_tp = 0 FROM b
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus', round(CAST(set_os AS DOUBLE), 6),
+           set_os = 0 FROM b
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', round(CAST(d AS DOUBLE), 6), d = 0 FROM dup
+    UNION ALL
+    SELECT 'foreign_key', 'o_custkey', round(CAST(o AS DOUBLE), 6), o = 0 FROM fk
+    """,
+)
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative Deequ-style data-quality audit of the orders table:
+    completeness, key uniqueness, range/set membership, and referential
+    integrity against customer — all table-local checks in ONE fused
+    scan-agg plus one anti-join for the FK."""
+    from .operators.quality import Check, dq_audit
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    check = Check(
+        not_null=["o_custkey", "o_totalprice"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (0.0, 1000000.0)},
+        isin={"o_orderstatus": ["O", "F", "P"]},
+        refs=[("o_custkey", c, "c_custkey")],
+        min_rows=1,
+    )
+    return dq_audit(o, check)
+
+
+@register(
+    "bloom_prune_join_lineitem",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT))
+             / 100.0 AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 2
+    GROUP BY p.p_brand
+    """,
+)
+def bloom_prune_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: the selective part subset
+    (p_size <= 2) builds a 2^16-bit bitmap that pre-filters lineitem
+    MAP-SIDE before the join shuffles — the manual analog of runtime
+    row-level filtering. False positives are resolved by the real join,
+    so the result is exactly the plain join (which is what the oracle
+    runs)."""
+    from .operators.joins import bloom_filter_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 2)
+    joined = bloom_filter_join(li, p, "l_partkey", "p_partkey")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "ewma_user_value",
+    """
+    WITH h AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS l
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, len(l) AS n_obs,
+           round(list_reduce(l, (a, b) -> (a + b) / 2.0), 8) AS ewma
+    FROM h
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2) of event values: the fold runs in
+    strict (ts, event_id) order in both engines and every product is an
+    exact exponent shift, so the result is bit-identical regardless of
+    partitioning — a sequential-state computation expressed exactly."""
+    from .operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma(ev, "user_id", "ts", "value", order_col="event_id")
+
+
+@register(
+    "bfs_hops_suppliers",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o_custkey * 10 AS a, l_suppkey * 10 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    seeds AS (SELECT DISTINCT c_custkey * 10 AS id FROM customer
+              WHERE c_custkey % 50 = 0),
+    r AS (
+      SELECT id, 0 AS d FROM seeds
+      UNION
+      SELECT edges.b AS id, r.d + 1 AS d
+      FROM r JOIN edges ON edges.a = r.id
+      WHERE r.d < 4
+    )
+    SELECT id, min(d) AS dist FROM r GROUP BY id
+    """,
+)
+def bfs_hops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the bipartite customer-supplier trade graph
+    (same graph as pagerank_customer_supplier): minimum hop count from a
+    deterministic seed set of customers, capped at 4 hops. Min-plus
+    propagation with per-round lineage cuts; the oracle is a true
+    recursive CTE bounded by the same hop cap."""
+    from .operators.graph import bfs_distances
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 10).alias("a"),
+            (F.col("l_suppkey") * 10 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    seeds = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") * 10).alias("id")
+    )
+    return bfs_distances(edges, seeds, "a", "b", "id", max_hops=4)
+
+
+@register(
+    "chisq_events",
+    """
+    WITH cells AS (
+      SELECT event_type AS r,
+             CAST(floor(extract(hour FROM ts) / 6) AS INT) AS c,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(o) AS row_t FROM cells GROUP BY r),
+    ct AS (SELECT c, sum(o) AS col_t FROM cells GROUP BY c),
+    g AS (SELECT sum(o) AS grand FROM cells),
+    terms AS (
+      SELECT rt.r, ct.c, coalesce(cells.o, 0) AS o, g.grand,
+             (CAST(rt.row_t AS DOUBLE) * CAST(ct.col_t AS DOUBLE)
+              / CAST(g.grand AS DOUBLE)) AS e
+      FROM rt CROSS JOIN ct CROSS JOIN g
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+    )
+    SELECT round(CAST(sum(CAST(round(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+                                     * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 6) AS statistic,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
+           max(grand) AS n
+    FROM terms
+    """,
+)
+def chisq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: event_type x 6-hour time-of-day
+    bucket. Observed counts are exact; each cell's term is quantized to
+    integer micro-units before the final sum (the money-sum trick), so
+    the statistic is engine- and partitioning-exact."""
+    from .operators.analytics import chi_square
+
+    ev = _t(spark, sf_dir, "events")
+    return chi_square(
+        ev, "event_type", F.floor(F.hour("ts") / 6).cast("int"), "tod_bucket"
+    )
+
+
+@register(
+    "corr_lineitem",
+    """
+    WITH q AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(round(l_discount * 10000) AS BIGINT) AS disc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CAST(qty AS DECIMAL(38,0))) AS s_qty,
+             sum(CAST(qty * qty AS DECIMAL(38,0))) AS ss_qty,
+             sum(CAST(price AS DECIMAL(38,0))) AS s_price,
+             sum(CAST(price * price AS DECIMAL(38,0))) AS ss_price,
+             sum(CAST(disc AS DECIMAL(38,0))) AS s_disc,
+             sum(CAST(disc * disc AS DECIMAL(38,0))) AS ss_disc,
+             sum(CAST(qty * price AS DECIMAL(38,0))) AS sp_qty_price,
+             sum(CAST(qty * disc AS DECIMAL(38,0))) AS sp_qty_disc,
+             sum(CAST(price * disc AS DECIMAL(38,0))) AS sp_price_disc
+      FROM q
+    )
+    SELECT 'qty' AS x, 'price' AS y, n,
+           round((CAST(n AS DOUBLE) * CAST(sp_qty_price AS DOUBLE)
+                  - CAST(s_qty AS DOUBLE) * CAST(s_price AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(ss_qty AS DOUBLE)
+                         - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(ss_price AS DOUBLE)
+                           - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE))),
+                 8) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'qty', 'disc', n,
+           round((CAST(n AS DOUBLE) * CAST(sp_qty_disc AS DOUBLE)
+                  - CAST(s_qty AS DOUBLE) * CAST(s_disc AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(ss_qty AS DOUBLE)
+                         - CAST(s_qty AS DOUBLE) * CAST(s_qty AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(ss_disc AS DOUBLE)
+                           - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))),
+                 8)
+    FROM s
+    UNION ALL
+    SELECT 'price', 'disc', n,
+           round((CAST(n AS DOUBLE) * CAST(sp_price_disc AS DOUBLE)
+                  - CAST(s_price AS DOUBLE) * CAST(s_disc AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(ss_price AS DOUBLE)
+                         - CAST(s_price AS DOUBLE) * CAST(s_price AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(ss_disc AS DOUBLE)
+                           - CAST(s_disc AS DOUBLE) * CAST(s_disc AS DOUBLE))),
+                 8)
+    FROM s
+    """,
+)
+def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over integer-quantized lineitem
+    measures (cents / basis points) from ONE fused scan-agg of exact
+    DECIMAL(38,0) sufficient statistics — overflow-proof at fact scale
+    and identical in any summation order."""
+    from .operators.analytics import corr_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_pairs(
+        li,
+        {
+            "qty": F.round(F.col("l_quantity") * 100),
+            "price": F.round(F.col("l_extendedprice") * 100),
+            "disc": F.round(F.col("l_discount") * 10000),
+        },
+    )
+
+
+@register(
+    "ols_trend_orders",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT c_mktsegment, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+      FROM j GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8) AS intercept
+    FROM s
+    """,
+)
+def ols_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear trend of order value (cents) over time (epoch
+    days): closed-form OLS from exact integer sufficient statistics —
+    one partial+final agg; the slope/intercept are evaluated on scalars
+    after aggregation."""
+    from .operators.analytics import ols_trend
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("_x"),
+        F.round(F.col("o_totalprice") * 100).alias("_y"),
+    )
+    return ols_trend(j, ["c_mktsegment"], F.col("_x"), F.col("_y"))
+
+
+@register(
+    "equidepth_bins_lineitem",
+    """
+    WITH g AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    b AS (
+      SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+      FROM g
+    ),
+    binned AS (
+      SELECT v,
+             1 + (CASE WHEN v > q[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[4] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[5] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[6] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[7] THEN 1 ELSE 0 END) AS bin
+      FROM g, b
+    )
+    SELECT bin, count(*) AS n_rows,
+           round(CAST(min(v) AS DOUBLE), 2) AS min_v,
+           round(CAST(max(v) AS DOUBLE), 2) AS max_v,
+           sum(CAST(round(v * 100) AS BIGINT)) / 100.0 AS sum_v
+    FROM binned GROUP BY bin
+    """,
+)
+def equidepth_bins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of price cents WITHOUT a global sort: exact
+    interpolated percentile boundaries from one fused agg (broadcast as
+    a single row), map-side bin assignment. On the integer cents grid
+    with eighth fractions, the interpolation a + (b-a)*f is EXACT in
+    double (every term is a multiple of 1/8 below 2^53), so boundary
+    comparisons cannot differ between engines."""
+    from .operators.analytics import equidepth_bins
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    out = equidepth_bins(li, "v", n_bins=8)
+    return out.select(
+        "bin",
+        "n_rows",
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+        "sum_v",
+    )
+
+
+@register(
+    "stream_topk_types",
+    """
+    WITH c AS (
+      SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start_sec,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start_sec, event_type, n_events, rk FROM (
+      SELECT window_start_sec, event_type, n_events,
+             row_number() OVER (PARTITION BY window_start_sec
+                                ORDER BY n_events DESC, event_type) AS rk
+      FROM c
+    ) WHERE rk <= 2
+    """,
+)
+def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: tumbling-window counts maintained by Structured
+    Streaming (availableNow replay), then a bounded finishing rank over
+    the materialized window aggregates — the state-store does the heavy
+    counting; the rank touches only windows x types rows."""
+    from .streaming.ops import read_event_stream, run_available_now, tumbling_agg
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_agg(stream, "ts", "1 hour", keys=["event_type"])
+    out = run_available_now(agg)
+    w = Window.partitionBy("window_start_sec").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        out.select(
+            F.unix_timestamp("window_start").alias("window_start_sec"),
+            "event_type",
+            "n_events",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+    )

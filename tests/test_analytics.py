@@ -1,0 +1,230 @@
+"""Wave-6 operators: event analytics, DQ audit, bloom join pruning,
+EWMA, BFS, chi-square, OLS, correlation, equi-depth bins."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hybridbackend_spark.operators.analytics import (
+    chi_square,
+    cohort_retention,
+    corr_pairs,
+    equidepth_bins,
+    funnel,
+    ols_trend,
+)
+from hybridbackend_spark.operators.graph import bfs_distances
+from hybridbackend_spark.operators.joins import bloom_filter_join
+from hybridbackend_spark.operators.quality import Check, dq_audit
+from hybridbackend_spark.operators.timeseries import ewma
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_cohort_retention_cells(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1: first week of 2024-01-01 (Mon), active weeks 0 and 2
+            (1, _ts("2024-01-02 10:00:00")),
+            (1, _ts("2024-01-16 10:00:00")),
+            # user 2: same cohort, active week 0 only
+            (2, _ts("2024-01-03 10:00:00")),
+            # user 3: cohort of 2024-01-08, active weeks 0 and 1
+            (3, _ts("2024-01-08 10:00:00")),
+            (3, _ts("2024-01-14 10:00:00")),  # Sunday -> still week of 01-08
+            (3, _ts("2024-01-15 10:00:00")),  # Monday -> offset 1
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (str(r.cohort_week), r.week_offset): (r.n_active, r.cohort_size)
+        for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2)
+    assert out[("2024-01-01", 2)] == (1, 2)
+    assert out[("2024-01-08", 0)] == (1, 1)
+    assert out[("2024-01-08", 1)] == (1, 1)
+    assert len(out) == 4
+
+
+def test_funnel_strict_order(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1 completes the full funnel in order
+            (1, "view", _ts("2024-01-01 00:00:00")),
+            (1, "click", _ts("2024-01-01 00:01:00")),
+            (1, "buy", _ts("2024-01-01 00:02:00")),
+            # user 2 clicks BEFORE viewing: click must not count
+            (2, "click", _ts("2024-01-01 00:00:00")),
+            (2, "view", _ts("2024-01-01 00:01:00")),
+            # user 3 views only
+            (3, "view", _ts("2024-01-01 00:00:00")),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r.step_name: r for r in funnel(ev, ["view", "click", "buy"]).collect()}
+    assert out["view"].n_users == 3
+    assert out["click"].n_users == 1
+    assert out["buy"].n_users == 1
+    assert out["view"].conversion_pct == 100.0
+    assert abs(out["click"].conversion_pct - 100.0 / 3) < 0.01
+
+
+def test_equidepth_bins_partition_rows(spark):
+    df = spark.range(1, 801).select(F.col("id").alias("v"))
+    out = equidepth_bins(df, "v", n_bins=8).collect()
+    assert sorted(r.bin for r in out) == list(range(1, 9))
+    assert sum(r.n_rows for r in out) == 800
+    # exact integer grid -> perfectly balanced bins
+    assert all(r.n_rows == 100 for r in out)
+    b1 = next(r for r in out if r.bin == 1)
+    assert b1.min_v == 1 and b1.max_v == 100
+
+
+def test_ols_trend_exact_line(spark):
+    # y = 7x + 3 exactly, two groups with different slopes
+    rows = [("a", x, 7 * x + 3) for x in range(10)] + [
+        ("b", x, -2 * x + 100) for x in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in ols_trend(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert out["a"].slope == 7.0 and out["a"].intercept == 3.0
+    assert out["b"].slope == -2.0 and out["b"].intercept == 100.0
+
+
+def test_chi_square_independent_uniform(spark):
+    # perfectly independent table -> statistic 0
+    rows = [(r, c) for r in "ab" for c in range(3) for _ in range(10)]
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square(df, "r", F.col("c")).collect()[0]
+    assert out.statistic == 0.0
+    assert out.dof == 2
+    assert out.n == 60
+
+
+def test_chi_square_hand_computed(spark):
+    # 2x2 table [[10, 0], [0, 10]] -> chi2 = n = 20
+    rows = [("a", 0)] * 10 + [("b", 1)] * 10
+    df = spark.createDataFrame(rows, "r string, c int")
+    out = chi_square(df, "r", F.col("c")).collect()[0]
+    assert out.statistic == 20.0 and out.dof == 1
+
+
+def test_corr_pairs_perfect_and_inverse(spark):
+    df = spark.createDataFrame(
+        [(i, 2 * i, 100 - i) for i in range(50)], "a long, b long, c long"
+    )
+    out = {(r.x, r.y): r.corr for r in corr_pairs(
+        df, {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    ).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_ewma_matches_python_fold(spark):
+    vals = [3.7, -1.2, 9.9, 0.5, 2.25]
+    rows = [(1, _ts(f"2024-01-01 00:0{i}:00"), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v double")
+    out = ewma(df, "k", "ts", "v", order_col="eid").collect()[0]
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = (acc + v) / 2.0
+    assert out.n_obs == 5
+    assert out.ewma == round(acc, 8)
+
+
+def test_bfs_distances_chain_and_unreached(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=10).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_directed_and_capped(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "id_a long, id_b long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = {r.id: r.dist
+           for r in bfs_distances(edges, seeds, directed=True, max_hops=1).collect()}
+    assert out == {1: 0, 2: 1}  # 3 not reached within 1 hop
+
+
+def test_bloom_join_matches_plain_join_and_prunes(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") <= 2)
+    out = bloom_filter_join(li, p, "l_partkey", "p_partkey")
+    plain = li.join(p, li.l_partkey == p.p_partkey)
+    assert out.count() == plain.count()
+    # the bloom pre-filter must actually drop fact rows map-side
+    n_fact = li.count()
+    n_match = plain.select("l_orderkey", "l_linenumber").distinct().count()
+    assert n_match < n_fact  # the dim subset is selective in this data
+    # semi mode: one row per pruned fact row, fact columns only
+    semi = bloom_filter_join(li, p, "l_partkey", "p_partkey", how="left_semi")
+    assert semi.columns == li.columns
+    assert semi.count() == li.join(
+        p, li.l_partkey == p.p_partkey, "left_semi"
+    ).count()
+
+
+def test_bloom_join_false_positive_rate_bounded(spark):
+    # 100 dim keys in a 2^16-bit filter, k=3: fpr ~ (3*100/65536)^3 ~ 1e-7.
+    # Probe 20k disjoint keys; essentially none should pass the bloom bits
+    # (and the final join keeps the result exact regardless).
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    fact = spark.range(1000000, 1020000).select(F.col("id").alias("k"))
+    out = bloom_filter_join(fact, dim, "k", "k", how="left_semi")
+    assert out.count() == 0
+
+
+def test_dq_audit_flags_planted_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", 100),
+            (2, -5.0, "O", 100),   # range violation
+            (2, 20.0, "X", 999),   # dup key, bad status, orphan ref
+            (None, 30.0, "F", 100),  # null key
+        ],
+        "k long, price double, status string, ref long",
+    )
+    ref = spark.createDataFrame([(100,)], "rk long")
+    check = Check(
+        not_null=["k"],
+        unique=[["k"]],
+        ranges={"price": (0.0, 1000.0)},
+        isin={"status": ["O", "F"]},
+        refs=[("ref", ref, "rk")],
+        min_rows=1,
+    )
+    rep = {(r.constraint, r.column): r for r in dq_audit(df, check).collect()}
+    assert rep[("row_count", "*")].passed
+    assert rep[("row_count", "*")].metric == 4.0
+    assert not rep[("not_null", "k")].passed
+    assert rep[("not_null", "k")].metric == 0.25
+    assert not rep[("unique", "k")].passed
+    assert rep[("unique", "k")].metric == 2.0  # both rows of the dup key
+    assert not rep[("in_range", "price")].passed
+    assert rep[("in_range", "price")].metric == 1.0
+    assert not rep[("in_set", "status")].passed
+    assert not rep[("foreign_key", "ref")].passed
+    assert rep[("foreign_key", "ref")].metric == 1.0
+
+
+def test_dq_audit_clean_table_passes(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    check = Check(not_null=["k", "v"], unique=[["k"]], ranges={"v": (0.0, 10.0)})
+    rep = dq_audit(df, check).collect()
+    assert all(r.passed for r in rep)
+
+
+def test_bloom_prune_plan_has_no_python_udf(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(F.col("p_size") <= 2)
+    plan = bloom_filter_join(li, p, "l_partkey", "p_partkey")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
