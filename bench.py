@@ -185,6 +185,18 @@ EXTRA = [
     "kcenter_select_embeddings",
     "ndcg_orders",
     "mrr_hitrate_orders",
+    # wave 6
+    "cohort_retention_events",
+    "funnel_unbounded_events",
+    "dq_audit_orders",
+    "bloom_prune_join_lineitem",
+    "ewma_user_value",
+    "bfs_hops_suppliers",
+    "chisq_events",
+    "corr_lineitem",
+    "ols_trend_orders",
+    "equidepth_bins_lineitem",
+    "stream_topk_types",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

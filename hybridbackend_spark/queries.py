@@ -760,7 +760,7 @@ _DRIVER_WINDOW_FIRST = [
     "ewma_user_value",
     "dq_audit_orders",
     "cohort_retention_events",
-    "funnel_events",
+    "funnel_unbounded_events",
     "chisq_events",
     "equidepth_bins_lineitem",
     "corr_lineitem",
@@ -6794,9 +6794,12 @@ def mrr_hitrate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the event stream: first-touch
-    week per user, distinct active weeks, (cohort, offset) cells. Both
-    user-keyed aggregations hash-partition on the same key (exchange
-    reuse); the output is bounded by weeks x offsets."""
+    week per user, distinct active weeks, (cohort, offset) cells.
+    Extends ``retention_cohorts`` with per-cohort denominators
+    (cohort_size, for retention-RATE reporting) via the reusable
+    ``operators.analytics.cohort_retention`` API. Both user-keyed
+    aggregations hash-partition on the same key (exchange reuse); the
+    output is bounded by weeks x offsets."""
     from .operators.analytics import cohort_retention
 
     ev = _t(spark, sf_dir, "events")
@@ -6804,7 +6807,7 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "funnel_events",
+    "funnel_unbounded_events",
     """
     WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
                 WHERE event_type = 'view' GROUP BY 1),
@@ -6827,11 +6830,13 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c
     """,
 )
-def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view -> click -> purchase funnel: step i completes at the
-    earliest qualifying event strictly after step i-1. All k-1 joins are
-    keyed on user_id (one partitioning serves every stage); no per-user
-    history is ever collected."""
+def funnel_unbounded_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED ordered funnel (complements the windowed
+    ``funnel_events``, which requires each step within 1 hour of the
+    previous): step i completes at the earliest qualifying event
+    strictly after step i-1, with no time limit, and reports conversion
+    percentages. All k-1 joins are keyed on user_id (one partitioning
+    serves every stage); no per-user history is ever collected."""
     from .operators.analytics import funnel
 
     ev = _t(spark, sf_dir, "events")
