@@ -197,6 +197,11 @@ EXTRA = [
     "ols_trend_orders",
     "equidepth_bins_lineitem",
     "stream_topk_types",
+    # wave 7
+    "covariance_embeddings",
+    "pca_project_embeddings",
+    "join_size_estimate_cms",
+    "attribution_multitouch",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

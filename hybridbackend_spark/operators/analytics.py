@@ -326,3 +326,84 @@ def corr_pairs(
             )
             rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+def touch_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    window_seconds: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch attribution: split each conversion's value across the
+    user's preceding touches within the lookback window, under two
+    standard models at once — linear (1/n each) and U-shaped (40% first
+    touch, 40% last touch, 20% split across the middle; 100%/50-50 when
+    n is 1/2). Returns per-channel (channel, n_touches,
+    linear_credit, ushape_credit).
+
+    Complements the session-scoped ``attribution_last_touch`` query
+    (single-touch model) with the fractional models.
+
+    Scale shape: one equi-join on ``user_col`` with a time-range
+    residual (fan-out bounded by per-user activity in the window, the
+    same bound any attribution system carries), one partial-agg per
+    conversion for (n, first, last), then a channel rollup. Credits are
+    quantized to integer micro-units before the channel sum, so the
+    totals are exact under any partitioning. Conversions with no
+    in-window touch are dropped (inner join) — they have no channel to
+    credit.
+    """
+    u, t, ty = F.col(user_col), F.col(ts_col), F.col(type_col)
+    conv = events.filter(ty == conversion_type).select(
+        u.alias("_u"),
+        t.alias("_pt"),
+        F.col(id_col).alias("_cid"),
+        F.col(value_col).alias("_val"),
+    )
+    touch = events.filter(ty.isin(touch_types)).select(
+        u.alias("_u"),
+        t.alias("_tt"),
+        F.col(id_col).alias("_tid"),
+        ty.alias("channel"),
+    )
+    j = conv.join(touch, "_u").filter(
+        (F.col("_tt") < F.col("_pt"))
+        & (F.col("_tt") >= F.col("_pt") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+    )
+    per_conv = j.groupBy("_cid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct(F.col("_tt"), F.col("_tid"))).alias("_first"),
+        F.max(F.struct(F.col("_tt"), F.col("_tid"))).alias("_last"),
+    )
+    jj = j.join(per_conv, "_cid")
+    is_first = (F.col("_tt") == F.col("_first._tt")) & (
+        F.col("_tid") == F.col("_first._tid")
+    )
+    is_last = (F.col("_tt") == F.col("_last._tt")) & (
+        F.col("_tid") == F.col("_last._tid")
+    )
+    n, val = F.col("_n"), F.col("_val")
+    linear = val / n.cast("double")
+    ushape = (
+        F.when(n == 1, val)
+        .when(n == 2, val / F.lit(2.0))
+        .otherwise(
+            F.when(is_first | is_last, val * F.lit(0.4)).otherwise(
+                val * F.lit(0.2) / (n - 2).cast("double")
+            )
+        )
+    )
+    micro = lambda c: F.sum(F.round(c * 1000000).cast("long")) / F.lit(1000000.0)
+    return (
+        jj.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(micro(linear), 4).alias("linear_credit"),
+            F.round(micro(ushape), 4).alias("ushape_credit"),
+        )
+    )

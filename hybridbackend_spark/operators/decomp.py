@@ -1,0 +1,142 @@
+"""Distributed matrix decomposition over embedding columns: exact
+covariance accumulation and PCA projection.
+
+The distributed part — the only part that touches data-proportional
+rows — is the covariance (Gramian) accumulation, and it is expressed as
+pure column operations: per row, the upper-triangle products of the
+quantized vector are computed JVM-side and exploded; a single
+partial+final aggregation reduces them to one row per (i, j) cell. The
+shuffle volume after map-side combine is d*(d+1)/2 cells x partitions —
+NEVER proportional to the number of rows, which is exactly the
+treeAggregate shape MLlib's RowMatrix uses for its Gramian.
+
+The eigendecomposition runs on the driver over the d x d matrix (bounded
+by dimension, not data — 64x64 here), like every distributed PCA does;
+the resulting eigenvectors are broadcast back as array literals and the
+projection is an expression-level dot product (zero shuffle).
+
+Determinism: input floats are quantized to an integer grid (exact
+DECIMAL sums, any partitioning/order), and eigenvector signs are
+canonicalized (largest-|component| positive), so results are stable
+across runs. The covariance matrix itself is oracled bit-for-bit; the
+eigensolve is LAPACK territory and is differential-tested against numpy
+instead (no SQL engine can replay it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["covariance_matrix", "pca_project"]
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    scale_bits: int = 20,
+    dp: int = 8,
+) -> DataFrame:
+    """Exact sample covariance of a fixed-dim array column.
+
+    Quantizes each component to ``round(x * 2^scale_bits)`` (long), so
+    every sufficient statistic (component sums and pairwise product
+    sums) is an exact DECIMAL(38,0). Covariance is evaluated on the
+    aggregated scalars in double and rescaled by the exact power of two
+    2^(2*scale_bits). Returns (i, j, cov) for the upper triangle
+    (i <= j), rounded to ``dp``.
+    """
+    scale = 1 << scale_bits
+    q = df.select(
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x * scale).cast("long")
+        ).alias("_v")
+    )
+    # per-row upper-triangle products, flattened then exploded: the
+    # groupBy's map-side combine reduces each partition to <= d(d+1)/2
+    # cells before any shuffle
+    prods = q.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), i -> "
+                    f"transform(sequence(i, {dim - 1}), j -> "
+                    "struct(i, j, _v[i] * _v[j] AS p)))"
+                )
+            )
+        ).alias("_c")
+    ).select("_c.i", "_c.j", "_c.p")
+    cells = prods.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("spp")
+    )
+    sums = (
+        q.select(F.posexplode("_v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    )
+    n_row = q.agg(F.count(F.lit(1)).alias("n"))
+    si = sums.select(F.col("i"), F.col("s").alias("si"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    nd = F.col("n").cast("double")
+    cov = (
+        F.col("spp").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double") / nd
+    ) / (nd - 1) / F.lit(float(scale * scale))
+    return (
+        cells.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_row))
+        .select("i", "j", F.round(cov, dp).alias("cov"))
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 4,
+    scale_bits: int = 20,
+    out_col: str = "pc",
+    dp: int = 6,
+) -> DataFrame:
+    """Project each vector onto the top-``k`` principal components.
+
+    Covariance via :func:`covariance_matrix` (exact, distributed),
+    eigendecomposition on the driver (d x d, bounded by dimension),
+    sign-canonicalized eigenvectors broadcast as literals, projection
+    as an expression dot product — no shuffle, no Python in the row
+    path. Appends ``out_col`` (array<double> length k) and keeps all
+    input columns.
+    """
+    import numpy as np
+
+    cells = covariance_matrix(df, vec_col, dim, scale_bits, dp=12).collect()
+    cov = np.zeros((dim, dim))
+    for r in cells:
+        cov[r.i, r.j] = r.cov
+        cov[r.j, r.i] = r.cov
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:  # sign canonicalization
+            v = -v
+        comps.append([float(x) for x in v])
+
+    x = F.col(vec_col)
+    projections = [
+        F.aggregate(
+            F.zip_with(
+                x,
+                F.array(*[F.lit(c) for c in comp]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        for comp in comps
+    ]
+    return df.withColumn(
+        out_col, F.array(*[F.round(p, dp) for p in projections])
+    )

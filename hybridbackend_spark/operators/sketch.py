@@ -24,6 +24,7 @@ __all__ = [
     "cms_build",
     "cms_query",
     "cms_merge",
+    "cms_join_size",
     "quantile_sketch_build",
     "quantile_sketch_merge",
     "quantile_sketch_estimate",
@@ -194,3 +195,32 @@ def quantile_sketch_estimate(
         F.round(lo + (hi - lo) * frac, dp).alias(f"q{int(q * 100)}_est"),
         F.col("_n").alias("n"),
     )
+
+
+def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Estimate an equi-join's output cardinality WITHOUT running the
+    join: for sketches of the two key streams built with the same
+    (width, depth, seed), the inner product of each depth row
+    sum_b a[d,b] * b[d,b] upper-bounds sum_k f_a(k) * f_b(k) = |A join B|;
+    the min over depth rows is the estimate (AGMS/count-min inner
+    product). Returns one row: (est_pairs BIGINT).
+
+    Why at 100 TB: join-size estimation is the planning question behind
+    shuffle sizing, skew salting, and broadcast decisions; this answers
+    it from two depth x width integer matrices that were built with one
+    map-side-combined pass per table — no shuffle of the tables, no
+    join. Exact integer arithmetic end to end, so the estimate is
+    engine-reproducible (oracled), unlike sampled estimators.
+    """
+    a = cms_a.select("row", "bucket", F.col("cnt").alias("_ca"))
+    b = cms_b.select("row", "bucket", F.col("cnt").alias("_cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(
+            F.sum(
+                (F.col("_ca") * F.col("_cb")).cast("decimal(38,0)")
+            ).alias("_dot")
+        )
+    )
+    return per_row.agg(F.min("_dot").cast("long").alias("est_pairs"))

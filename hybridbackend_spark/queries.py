@@ -766,6 +766,9 @@ _DRIVER_WINDOW_FIRST = [
     "corr_lineitem",
     "ols_trend_orders",
     "stream_topk_types",
+    "covariance_embeddings",
+    "join_size_estimate_cms",
+    "attribution_multitouch",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -7262,4 +7265,170 @@ def stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 7: distributed decomposition (covariance/PCA), sketch-based join
+# planning, multi-touch attribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "covariance_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                      AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM q
+    ),
+    c AS (
+      SELECT a.i - 1 AS i, b.i - 1 AS j,
+             sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS spp
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ),
+    s AS (SELECT i - 1 AS i, sum(CAST(x AS DECIMAL(38,0))) AS s FROM e GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM q)
+    SELECT c.i, c.j,
+           round((CAST(spp AS DOUBLE)
+                  - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / CAST(n.n AS DOUBLE))
+                 / (CAST(n.n AS DOUBLE) - 1) / 1099511627776.0, 8) AS cov
+    FROM c JOIN s si ON si.i = c.i JOIN s sj ON sj.i = c.j CROSS JOIN n
+    """,
+)
+def covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample covariance matrix (upper triangle) of the embedding
+    column: components quantized to a 2^20 integer grid so every
+    sufficient statistic is an exact DECIMAL(38,0); shuffle volume after
+    map-side combine is d(d+1)/2 cells x partitions, never rows — the
+    treeAggregate Gramian shape of distributed PCA."""
+    from .operators.decomp import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", dim=64, scale_bits=20)
+
+
+@register("pca_project_embeddings")  # eigensolve is LAPACK — no SQL oracle
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-4 PCA projection of the embeddings: distributed exact
+    covariance, driver-side eigh over the 64x64 matrix (bounded by
+    dimension, not data), sign-canonicalized components broadcast as
+    literals, expression-level dot-product projection (zero shuffle).
+    Differential-tested against numpy in tests/test_decomp.py; rows-only
+    for the driver gate."""
+    from .operators.decomp import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "embedding", dim=64, k=4)
+    return out.select("vec_id", F.col("pc").alias("pc"))
+
+
+@register(
+    "join_size_estimate_cms",
+    """
+    WITH ca AS (SELECT row, bucket, count(*) AS cnt FROM (SELECT 0 AS row, (('0x' || substr(md5(o_orderkey || ':0'), 1, 8))::BIGINT % 256) AS bucket FROM orders UNION ALL SELECT 1 AS row, (('0x' || substr(md5(o_orderkey || ':1'), 1, 8))::BIGINT % 256) AS bucket FROM orders UNION ALL SELECT 2 AS row, (('0x' || substr(md5(o_orderkey || ':2'), 1, 8))::BIGINT % 256) AS bucket FROM orders) GROUP BY 1, 2),
+    cb AS (SELECT row, bucket, count(*) AS cnt FROM (SELECT 0 AS row, (('0x' || substr(md5(l_orderkey || ':0'), 1, 8))::BIGINT % 256) AS bucket FROM lineitem UNION ALL SELECT 1 AS row, (('0x' || substr(md5(l_orderkey || ':1'), 1, 8))::BIGINT % 256) AS bucket FROM lineitem UNION ALL SELECT 2 AS row, (('0x' || substr(md5(l_orderkey || ':2'), 1, 8))::BIGINT % 256) AS bucket FROM lineitem) GROUP BY 1, 2),
+    dots AS (
+      SELECT ca.row, sum(CAST(ca.cnt * cb.cnt AS DECIMAL(38,0))) AS dot
+      FROM ca JOIN cb USING (row, bucket) GROUP BY ca.row
+    ),
+    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_pairs FROM dots),
+    tr AS (SELECT count(*) AS true_pairs
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    SELECT est_pairs, true_pairs,
+           round((CAST(est_pairs AS DOUBLE) - CAST(true_pairs AS DOUBLE)) * 100.0
+                 / CAST(true_pairs AS DOUBLE), 4) AS over_pct
+    FROM est CROSS JOIN tr
+""",
+)
+def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation: |orders JOIN lineitem| on
+    orderkey predicted from the inner product of two count-min sketches
+    (width 256, depth 3) built with ONE map-side-combined pass per table
+    — no shuffle of either table, no join. The answer behind shuffle
+    sizing / broadcast / salting decisions at 100 TB. Exact integer
+    arithmetic end to end; the oracle rebuilds both matrices and the
+    true join count, so estimate AND ground truth are hash-checked."""
+    from .operators.sketch import cms_build, cms_join_size
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    ca = cms_build(o, "o_orderkey", width=256, depth=3, seed=0)
+    cb = cms_build(li, "l_orderkey", width=256, depth=3, seed=0)
+    est = cms_join_size(ca, cb)
+    true = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("true_pairs"))
+    )
+    return est.crossJoin(true).select(
+        "est_pairs",
+        "true_pairs",
+        F.round(
+            (F.col("est_pairs").cast("double") - F.col("true_pairs").cast("double"))
+            * 100.0
+            / F.col("true_pairs").cast("double"),
+            4,
+        ).alias("over_pct"),
+    )
+
+
+@register(
+    "attribution_multitouch",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, ts AS pt, event_id AS cid, value AS val
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id AS u, ts AS tt, event_id AS tid, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT cid, val, tt, tid, channel FROM conv JOIN touch USING (u)
+      WHERE tt < pt AND tt >= pt - INTERVAL 604800 SECOND
+    ),
+    r AS (
+      SELECT cid, val, tt, tid, channel,
+             count(*) OVER (PARTITION BY cid) AS n,
+             row_number() OVER (PARTITION BY cid ORDER BY tt, tid) AS rn_a,
+             row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid DESC) AS rn_d
+      FROM j
+    ),
+    credits AS (
+      SELECT channel,
+             val / CAST(n AS DOUBLE) AS lin,
+             CASE WHEN n = 1 THEN val
+                  WHEN n = 2 THEN val / 2.0
+                  ELSE CASE WHEN rn_a = 1 OR rn_d = 1
+                            THEN val * CAST(0.4 AS DOUBLE)
+                            ELSE val * CAST(0.2 AS DOUBLE)
+                                 / CAST(n - 2 AS DOUBLE) END
+             END AS ush
+      FROM r
+    )
+    SELECT channel, count(*) AS n_touches,
+           round(CAST(sum(CAST(round(lin * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 4) AS linear_credit,
+           round(CAST(sum(CAST(round(ush * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0, 4) AS ushape_credit
+    FROM credits GROUP BY channel
+    """,
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional multi-touch attribution (linear + U-shaped 40/20/40)
+    of purchase value across the user's view/click touches in a 7-day
+    lookback — complements the single-touch attribution_last_touch.
+    Credits are micro-quantized before the channel rollup, so totals
+    are exact under any partitioning."""
+    from .operators.analytics import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, ["view", "click"], "purchase", window_seconds=604800
     )

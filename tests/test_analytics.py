@@ -228,3 +228,45 @@ def test_bloom_prune_plan_has_no_python_udf(spark, sf_dir):
     plan = bloom_filter_join(li, p, "l_partkey", "p_partkey")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_touch_attribution_hand_computed(spark):
+    from hybridbackend_spark.operators.analytics import touch_attribution
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: three touches then a purchase of 90
+            (1, 1, "view", _ts("2024-01-01 00:00:00"), 0.0),
+            (2, 1, "click", _ts("2024-01-01 01:00:00"), 0.0),
+            (3, 1, "view", _ts("2024-01-01 02:00:00"), 0.0),
+            (4, 1, "purchase", _ts("2024-01-01 03:00:00"), 90.0),
+            # user 2: single touch then purchase of 10
+            (5, 2, "click", _ts("2024-01-01 00:00:00"), 0.0),
+            (6, 2, "purchase", _ts("2024-01-01 00:30:00"), 10.0),
+            # user 3: purchase with no touches -> dropped
+            (7, 3, "purchase", _ts("2024-01-01 00:00:00"), 99.0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp, value double",
+    )
+    out = {r.channel: r for r in touch_attribution(
+        ev, ["view", "click"], "purchase", window_seconds=7 * 86400
+    ).collect()}
+    # linear: user1 gives 30 to each touch -> view 60, click 30; user2 click 10
+    assert out["view"].linear_credit == 60.0
+    assert out["click"].linear_credit == 40.0
+    # u-shape: user1 first(view)=36, last(view)=36, middle(click)=18
+    assert out["view"].ushape_credit == 72.0
+    assert out["click"].ushape_credit == 28.0
+    assert out["view"].n_touches == 2 and out["click"].n_touches == 2
+
+
+def test_touch_attribution_conserves_value(spark, sf_dir):
+    from hybridbackend_spark.operators.analytics import touch_attribution
+    from hybridbackend_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events")
+    out = touch_attribution(ev, ["view", "click"], "purchase").collect()
+    total_lin = sum(r.linear_credit for r in out)
+    total_ush = sum(r.ushape_credit for r in out)
+    # both models must distribute the same attributed total
+    assert abs(total_lin - total_ush) < 0.01

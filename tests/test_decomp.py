@@ -1,0 +1,79 @@
+"""Distributed covariance / PCA and sketch join-size estimation."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.operators.decomp import covariance_matrix, pca_project
+from hybridbackend_spark.operators.sketch import cms_build, cms_join_size
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.RandomState(7)
+    # anisotropic gaussian so the principal axes are well separated
+    base = rng.randn(200, 4) * np.array([5.0, 2.0, 0.5, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>"), base
+
+
+def test_covariance_matches_numpy(spark, vec_df):
+    df, base = vec_df
+    out = covariance_matrix(df, "v", dim=4, scale_bits=20)
+    got = {(r.i, r.j): r.cov for r in out.collect()}
+    ref = np.cov(base, rowvar=False, ddof=1)
+    assert len(got) == 10  # upper triangle of 4x4
+    for (i, j), v in got.items():
+        assert math.isclose(v, ref[i][j], rel_tol=1e-4, abs_tol=1e-5)
+
+
+def test_pca_projection_matches_numpy(spark, vec_df):
+    df, base = vec_df
+    out = pca_project(df, "v", dim=4, k=2).orderBy("vec_id").collect()
+    # numpy reference: eigh of sample covariance, same sign rule
+    cov = np.cov(base, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    proj = base @ np.stack(comps, axis=1)
+    for r in out:
+        for k in range(2):
+            assert math.isclose(r.pc[k], proj[r.vec_id][k], rel_tol=1e-3,
+                                abs_tol=1e-3)
+
+
+def test_pca_variance_ordering(spark, vec_df):
+    df, _ = vec_df
+    out = pca_project(df, "v", dim=4, k=3)
+    arr = np.array([r.pc for r in out.collect()])
+    variances = arr.var(axis=0)
+    assert variances[0] > variances[1] > variances[2]
+
+
+def test_cms_join_size_upper_bound_and_tightness(spark):
+    # two key streams with known join size: keys 0..99 each appearing
+    # 3x on the left and 2x on the right -> true join size 100*6=600
+    left = spark.range(0, 300).select((F.col("id") % 100).alias("k"))
+    right = spark.range(0, 200).select((F.col("id") % 100).alias("k"))
+    ca = cms_build(left, "k", width=1024, depth=4)
+    cb = cms_build(right, "k", width=1024, depth=4)
+    est = cms_join_size(ca, cb).collect()[0].est_pairs
+    assert est >= 600  # inner product is an upper bound
+    assert est <= 600 * 1.5  # wide sketch -> tight at this cardinality
+
+
+def test_cms_join_size_disjoint_keys(spark):
+    left = spark.range(0, 100).select(F.col("id").alias("k"))
+    right = spark.range(100000, 100100).select(F.col("id").alias("k"))
+    ca = cms_build(left, "k", width=4096, depth=4)
+    cb = cms_build(right, "k", width=4096, depth=4)
+    est = cms_join_size(ca, cb).collect()[0].est_pairs
+    # disjoint keys: only hash-collision mass remains
+    assert est < 100 * 100 * 0.05
