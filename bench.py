@@ -202,6 +202,11 @@ EXTRA = [
     "pca_project_embeddings",
     "join_size_estimate_cms",
     "attribution_multitouch",
+    # wave 8
+    "merge_upsert_orders",
+    "provenance_lineitem",
+    "woe_orders",
+    "seasonal_dow_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -156,3 +156,68 @@ def target_encode(
     return joined.withColumn(out_col, F.round(num / den, dp)).drop(
         "_cs", "_cn", "_ts", "_tn"
     )
+
+
+def woe_iv(
+    df,
+    cat_col: str,
+    label_col,
+    dp: int = 6,
+):
+    """Weight-of-evidence / information-value profile of a categorical
+    feature against a binary label — the credit-scoring / feature-
+    selection standard.
+
+    WOE is computed in WHOLE BITS with exact integer arithmetic
+    (``floor(log2 .)`` = binary digit count, the same trick as
+    ``corpus.unigram_surprisal``):
+
+        woe_bits = [bits(pos_c) + bits(neg_total)]
+                 - [bits(neg_c) + bits(pos_total)]
+
+    which is the floor-log2 form of log2((pos_c/pos_t)/(neg_c/neg_t))
+    (each floor taken per factor, so products never overflow). The IV
+    term multiplies the exact rate difference by that integer — micro-
+    quantized before any cross-category sum a caller does. Categories
+    with a zero class count get NULL woe (undefined in the standard
+    definition) and a 0 IV term. Exact on any engine and partitioning.
+
+    One partial+final count aggregation; the two class totals broadcast
+    as a single row. Returns (category, pos_c, neg_c, woe_bits,
+    iv_term).
+    """
+    from pyspark.sql import functions as F
+
+    lab = label_col if not isinstance(label_col, str) else F.col(label_col)
+    counts = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.sum(F.when(lab, 1).otherwise(0)).cast("long").alias("pos_c"),
+        F.sum(F.when(lab, 0).otherwise(1)).cast("long").alias("neg_c"),
+    )
+    totals = counts.agg(
+        F.sum("pos_c").alias("pos_t"), F.sum("neg_c").alias("neg_t")
+    )
+    bits = lambda c: F.length(F.bin(c)) - 1
+    woe = (bits(F.col("pos_c")) + bits(F.col("neg_t"))) - (
+        bits(F.col("neg_c")) + bits(F.col("pos_t"))
+    )
+    rate_diff = F.col("pos_c").cast("double") / F.col("pos_t").cast(
+        "double"
+    ) - F.col("neg_c").cast("double") / F.col("neg_t").cast("double")
+    defined = (F.col("pos_c") > 0) & (F.col("neg_c") > 0)
+    iv_term = F.when(
+        defined,
+        F.round(rate_diff * woe.cast("double") * 1000000)
+        .cast("long")
+        .cast("double")
+        / 1000000.0,
+    ).otherwise(0.0)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "pos_c",
+            "neg_c",
+            F.when(defined, woe.cast("long")).alias("woe_bits"),
+            F.round(iv_term, dp).alias("iv_term"),
+        )
+    )

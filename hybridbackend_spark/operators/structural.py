@@ -40,6 +40,7 @@ __all__ = [
     "distinct_sketch_state",
     "merge_distinct_sketches",
     "table_diff",
+    "merge_into",
 ]
 
 _ZERO_BY_DTYPE = {
@@ -534,3 +535,37 @@ def table_diff(
         .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
         .alias("change_type"),
     ).filter(F.col("change_type").isNotNull())
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics over plain DataFrames: source rows UPDATE
+    matching target rows (whole-row replace), non-matching source rows
+    INSERT, and — when ``delete_col`` names a boolean source column —
+    flagged rows DELETE their target match instead. The lakehouse
+    upsert primitive, expressed engine-agnostically.
+
+    Scale shape: ONE left-anti join on the key (kept target rows) plus a
+    union with the surviving source rows — both sides hash-partition on
+    the key, the anti join's build side is the (small) source, and no
+    full-outer wide row is ever materialized. Column sets must match
+    (modulo ``delete_col``); a mismatch raises immediately rather than
+    silently nulling.
+    """
+    s_cols = [c for c in source.columns if c != delete_col]
+    if set(s_cols) != set(target.columns):
+        raise ValueError(
+            f"schema mismatch: target {sorted(target.columns)} "
+            f"vs source {sorted(s_cols)}"
+        )
+    kept = target.join(source.select(*key_cols).distinct(), key_cols, "left_anti")
+    survivors = source
+    if delete_col is not None:
+        survivors = survivors.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    return kept.unionByName(survivors.select(*target.columns))

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow"]
 
 
 def resample_fill(
@@ -268,3 +268,54 @@ def ewma(
         )
     )
     return folded.select(key_col, "n_obs", F.round("_ewma", dp).alias("ewma"))
+
+
+def seasonal_dow(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    dp: int = 4,
+) -> DataFrame:
+    """Day-of-week seasonal decomposition of a daily-aggregated series:
+    daily totals (exact integer cents), per-weekday seasonal mean vs the
+    global daily mean, and the per-day residual after removing the
+    weekday effect. Returns (day DATE, dow INT 0=Sunday, day_total,
+    dow_mean, seasonal, residual).
+
+    All group statistics are ratios of exact integer sums, so every
+    double is identical across engines; the two stat sides broadcast as
+    tiny tables (7 rows / 1 row) onto the daily series. Shuffle volume
+    is one (day)-key partial agg of the raw stream — days, not rows.
+    """
+    daily = (
+        df.select(
+            F.col(ts_col).cast("date").alias("day"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("_cents"))
+        # 0=Sunday, matching DuckDB's dayofweek()
+        .withColumn("dow", (F.dayofweek(F.col("day")) - 1).cast("int"))
+    )
+    dow_stats = daily.groupBy("dow").agg(
+        F.sum("_cents").alias("_dc"), F.count(F.lit(1)).alias("_dn")
+    )
+    glob = daily.agg(
+        F.sum("_cents").alias("_gc"), F.count(F.lit(1)).alias("_gn")
+    )
+    dow_mean = F.col("_dc").cast("double") / F.col("_dn").cast("double") / 100.0
+    glob_mean = F.col("_gc").cast("double") / F.col("_gn").cast("double") / 100.0
+    return (
+        daily.join(F.broadcast(dow_stats), "dow")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "day",
+            "dow",
+            (F.col("_cents") / F.lit(100.0)).alias("day_total"),
+            F.round(dow_mean, dp).alias("dow_mean"),
+            F.round(dow_mean - glob_mean, dp).alias("seasonal"),
+            F.round(F.col("_cents") / F.lit(100.0) - dow_mean, dp).alias(
+                "residual"
+            ),
+        )
+    )

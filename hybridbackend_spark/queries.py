@@ -769,6 +769,10 @@ _DRIVER_WINDOW_FIRST = [
     "covariance_embeddings",
     "join_size_estimate_cms",
     "attribution_multitouch",
+    "merge_upsert_orders",
+    "provenance_lineitem",
+    "woe_orders",
+    "seasonal_dow_events",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -7432,3 +7436,180 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return touch_attribution(
         ev, ["view", "click"], "purchase", window_seconds=604800
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 8: MERGE INTO upsert, row provenance, WOE/IV encoding, seasonal
+# decomposition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1000.0 AS o_totalprice,
+             o_orderdate, o_orderpriority,
+             (o_orderkey % 97 = 0) AS _del
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority, FALSE AS _del
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    kept AS (
+      SELECT o.* FROM orders o
+      WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM kept
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM src WHERE NOT _del
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+           o_orderdate
+    FROM merged
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over orders: a deterministic CDC batch (updates for
+    keys %10, inserts at keys+10M for %13, deletes for %97) applied via
+    ``merge_into`` — one co-partitioned anti join + union, no full-outer
+    wide rows. The complete merged table is hash-checked."""
+    from .operators.structural import merge_into
+
+    o = _t(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_orderkey") % 97 == 0).alias("_del"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit(False).alias("_del"),
+    )
+    src = upd.unionByName(ins)
+    merged = merge_into(o, src, ["o_orderkey"], delete_col="_del")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderdate",
+    )
+
+
+@register(
+    "provenance_lineitem",
+    """
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS _source_file,
+           count(*) AS n_rows,
+           min(file_row_number) AS min_row,
+           max(file_row_number) AS max_row,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+             AS sum_price
+    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet',
+                      filename=true, file_row_number=true)
+    GROUP BY 1
+    """,
+)
+def provenance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level provenance from the parquet scan itself: per source
+    file, row count, row-index range (0-based within the file, from
+    Spark's ``_metadata`` — stable across runs/partitionings, unlike
+    invented ids) and a content checksum. NOTE: the oracle reads the
+    sf0.01 path directly (DuckDB views cannot carry filename), matching
+    the driver's correctness scale."""
+    from .sources.tabular import read_parquet_with_provenance
+
+    df = read_parquet_with_provenance(spark, f"{sf_dir}/lineitem.parquet")
+    return df.groupBy("_source_file").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_source_row").alias("min_row"),
+        F.max("_source_row").alias("max_row"),
+        _money_sum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+
+
+@register(
+    "woe_orders",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS category,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos_c,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS neg_c
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(pos_c) AS pos_t, sum(neg_c) AS neg_t FROM c)
+    SELECT category, pos_c, neg_c,
+           CASE WHEN pos_c > 0 AND neg_c > 0 THEN
+             CAST((length(bin(pos_c)) - 1) + (length(bin(neg_t)) - 1)
+                  - (length(bin(neg_c)) - 1) - (length(bin(pos_t)) - 1)
+                  AS BIGINT)
+           END AS woe_bits,
+           round(CASE WHEN pos_c > 0 AND neg_c > 0 THEN
+             CAST(CAST(round((CAST(pos_c AS DOUBLE) / CAST(pos_t AS DOUBLE)
+                   - CAST(neg_c AS DOUBLE) / CAST(neg_t AS DOUBLE))
+                  * CAST((length(bin(pos_c)) - 1) + (length(bin(neg_t)) - 1)
+                         - (length(bin(neg_c)) - 1) - (length(bin(pos_t)) - 1)
+                         AS DOUBLE)
+                  * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+             ELSE 0.0 END, 6) AS iv_term
+    FROM c CROSS JOIN t
+    """,
+)
+def woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of order priority
+    against the finished-status label — whole-bit WOE via exact binary
+    digit counts (engine- and order-exact, no transcendental log in the
+    distributed path)."""
+    from .functions.feature import woe_iv
+
+    o = _t(spark, sf_dir, "orders")
+    return woe_iv(o, "o_orderpriority", F.col("o_orderstatus") == "F")
+
+
+@register(
+    "seasonal_dow_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1
+    ),
+    d2 AS (SELECT day, cents, dayofweek(day) AS dow FROM daily),
+    ds AS (SELECT dow, sum(cents) AS dc, count(*) AS dn FROM d2 GROUP BY 1),
+    g AS (SELECT sum(cents) AS gc, count(*) AS gn FROM d2)
+    SELECT day, d2.dow,
+           CAST(cents AS DOUBLE) / 100.0 AS day_total,
+           round(CAST(dc AS DOUBLE) / CAST(dn AS DOUBLE) / 100.0, 4) AS dow_mean,
+           round(CAST(dc AS DOUBLE) / CAST(dn AS DOUBLE) / 100.0
+                 - CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE) / 100.0, 4)
+             AS seasonal,
+           round(CAST(cents AS DOUBLE) / 100.0
+                 - CAST(dc AS DOUBLE) / CAST(dn AS DOUBLE) / 100.0, 4)
+             AS residual
+    FROM d2 JOIN ds USING (dow) CROSS JOIN g
+    """,
+)
+def seasonal_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily event value: exact
+    integer-cent daily totals, weekday seasonal means vs the global
+    mean, per-day residuals — group stats broadcast (7 rows / 1 row),
+    shuffle bounded by distinct days."""
+    from .operators.timeseries import seasonal_dow
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_dow(ev, "ts", "value")

@@ -22,7 +22,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schema import Field, infer_fields, merge_fields
 
-__all__ = ["read_tabular", "read_parquet", "read_orc", "read_csv", "read_jsonl"]
+__all__ = [
+    "read_tabular",
+    "read_parquet",
+    "read_orc",
+    "read_csv",
+    "read_jsonl",
+    "read_parquet_with_provenance",
+    "estimate_row_bytes",
+    "write_compacted",
+]
 
 
 def _first_path(paths: str | Sequence[str]) -> str:
@@ -174,3 +183,79 @@ def read_jsonl(
     for k, v in kw.items():
         reader = reader.option(k, v)
     return reader.load([paths] if isinstance(paths, str) else list(paths))
+
+
+def read_parquet_with_provenance(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    file_col: str = "_source_file",
+    row_col: str = "_source_row",
+) -> "DataFrame":
+    """Parquet scan with row-level provenance: appends the source file's
+    basename and the row's 0-based index WITHIN that file, from Spark's
+    hidden ``_metadata`` struct (no shuffle, no ids invented — unlike
+    ``monotonically_increasing_id`` these are stable across runs,
+    partitionings, and engines, so (file, row) is a durable row address
+    for audits, lineage joins, and incremental reprocessing).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*([paths] if isinstance(paths, str) else list(paths)))
+    return df.select(
+        "*",
+        F.regexp_extract(F.col("_metadata.file_path"), r"([^/]+)$", 1).alias(
+            file_col
+        ),
+        F.col("_metadata.row_index").alias(row_col),
+    )
+
+
+def estimate_row_bytes(paths: str | Sequence[str]) -> float:
+    """Average ON-DISK (compressed) bytes per row across the given
+    parquet files, from footer metadata only — no data is read. The
+    sizing input for :func:`write_compacted`."""
+    import pyarrow.parquet as pq
+
+    files = [paths] if isinstance(paths, str) else list(paths)
+    rows, byts = 0, 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            byts += sum(
+                g.column(c).total_compressed_size for c in range(g.num_columns)
+            )
+    if rows == 0:
+        raise ValueError("no rows in input files")
+    return byts / rows
+
+
+def write_compacted(
+    df: "DataFrame",
+    path: str,
+    row_bytes: float,
+    target_mb: float = 256,
+    compression: str = "zstd",
+    partition_by: Sequence[str] | None = None,
+) -> int:
+    """Write parquet sized for the small-files problem: choose the file
+    count from (row count x estimated bytes/row) / target size, then
+    round-robin repartition so every output file lands near
+    ``target_mb``. Returns the file count used.
+
+    Why at 100 TB: a 1000-executor job naively writes one file per task
+    — hundreds of thousands of KB-scale files that crush the name node
+    and every downstream scan's footer-read phase. Compaction to a
+    deliberate target (128-512 MB is the usual parquet sweet spot)
+    keeps scans row-group-parallel AND file-count-sane. The extra
+    round-robin exchange is the documented price; skip it only when the
+    upstream partitioning already matches.
+    """
+    n_rows = df.count()
+    n_files = max(1, -(-int(n_rows * row_bytes) // int(target_mb * 1024 * 1024)))
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.option("compression", compression).parquet(path)
+    return n_files
