@@ -207,6 +207,11 @@ EXTRA = [
     "provenance_lineitem",
     "woe_orders",
     "seasonal_dow_events",
+    # wave 9
+    "skew_report_lineitem",
+    "winsorize_lineitem",
+    "keywords_docs",
+    "kcore_parts",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -221,3 +221,41 @@ def woe_iv(
             F.round(iv_term, dp).alias("iv_term"),
         )
     )
+
+
+def winsorize(
+    df,
+    value_col: str,
+    lo_128: int = 1,
+    hi_128: int = 127,
+    out_col: str = "clipped",
+):
+    """Winsorize (clip) an INTEGER-GRID value column at dyadic quantile
+    fractions ``lo_128/128`` and ``hi_128/128``.
+
+    Why dyadic fractions: linear quantile interpolation
+    ``a + (b - a) * frac`` between integer-grid data points is EXACT in
+    double when ``frac`` has <= 7 fractional bits (every term is a
+    multiple of 2^-7 below 2^53) — so the clip boundaries, and therefore
+    every clipped value, are bit-identical across engines and
+    partitionings. Arbitrary fractions (0.01/0.99) cannot make that
+    guarantee. One fused percentile agg broadcast as a single row; the
+    clip itself is a map-side ``least/greatest``.
+    """
+    from pyspark.sql import functions as F
+
+    lo, hi = lo_128 / 128.0, hi_128 / 128.0
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, array({lo!r}, {hi!r}))").alias("_b")
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            out_col,
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.element_at("_b", 1)),
+                F.element_at("_b", 2),
+            ),
+        )
+        .drop("_b")
+    )

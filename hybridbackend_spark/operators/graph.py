@@ -30,6 +30,7 @@ __all__ = [
     "label_propagation",
     "transitive_closure",
     "bfs_distances",
+    "kcore",
 ]
 
 
@@ -504,3 +505,44 @@ def bfs_distances(
             return dist
         prev = cur
     return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """k-core peeling for a FIXED number of rounds: each round removes
+    every node whose current degree is below ``k`` (and all its edges);
+    after ``rounds`` rounds, returns the surviving (id, degree). With
+    enough rounds this converges to the true k-core; a fixed round count
+    keeps the computation deterministic and SQL-replayable (the oracle
+    unrolls identical rounds), the same contract as :func:`pagerank`.
+
+    Each round is one degree agg + two semi joins on the edge endpoints
+    (all shuffles keyed on node ids), lineage cut per round. Never
+    materializes anything bigger than the (shrinking) edge list.
+    """
+    sym = (
+        edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+        .union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("_n")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("_n")
+        )
+        sym = (
+            sym.join(keep, "_n", "left_semi")
+            .join(keep.select(F.col("_n").alias("_m")), "_m", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("_n").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["profile_columns", "mad_outliers"]
 
@@ -127,4 +127,59 @@ def mad_outliers(
         .withColumn("median", F.round("_med", stat_dp))
         .withColumn("mad", F.round("_mad", stat_dp))
         .drop("_med", "_mad")
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    dp: int = 4,
+) -> DataFrame:
+    """Join/agg skew diagnostic for a key column: the top-``top_k`` keys
+    with their counts, share, cumulative share, and skew ratio
+    (count / mean-count-per-key). Returns
+    (rank, key STRING, cnt, share_pct, cum_share_pct, skew_ratio).
+
+    This is the decision input for salting and AQE skew thresholds at
+    100 TB: a skew_ratio in the thousands on a join key means one
+    reducer gets that multiple of the average partition. One partial+
+    final count agg over the data; ranking/cumulation run on the
+    top-k rows only (the limit happens BEFORE the window, so no global
+    single-partition pass over all keys).
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_k")
+    )
+    top = counts.orderBy(F.desc("cnt"), "key").limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), "key")
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "_cum"
+        ),
+    )
+    nd = F.col("_n").cast("double")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") * 100.0 / nd, dp).alias(
+                "share_pct"
+            ),
+            F.round(F.col("_cum").cast("double") * 100.0 / nd, dp).alias(
+                "cum_share_pct"
+            ),
+            F.round(
+                F.col("cnt").cast("double") / (nd / F.col("_k").cast("double")),
+                dp,
+            ).alias("skew_ratio"),
+        )
     )

@@ -378,3 +378,52 @@ def jl_project(
         )
         comps.append(F.round(dot * inv, dp))
     return df.withColumn("jl_vector", F.array(*comps))
+
+
+def top_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` tokens by whole-bit
+    TF-IDF, ``weight = tf * [(1 + floor(log2 N)) - floor(log2 df)]`` —
+    the same exact integer-bit idf as ``hashing_vectorize`` (no float
+    log anywhere), with deterministic (weight desc, token asc)
+    tie-breaks, so the full keyword table hash-checks across engines.
+
+    One token explode, one (doc, token) tf agg, one token df agg (tiny,
+    broadcast), one per-doc top-k window keyed on the document — every
+    shuffle is on doc or token keys; nothing global.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(_c(text_col))).alias("_tok"))
+    tf = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = (
+        toks.select(id_col, "_tok")
+        .distinct()
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    bits = lambda c: F.length(F.bin(c)) - 1
+    weighted = (
+        tf.join(F.broadcast(dfs), "_tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            F.col("_tok").alias("token"),
+            (F.col("tf") * (F.lit(1) + bits(F.col("_n")) - bits(F.col("_df"))))
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("weight"), "token")
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "weight")
+    )

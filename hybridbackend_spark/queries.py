@@ -773,6 +773,10 @@ _DRIVER_WINDOW_FIRST = [
     "provenance_lineitem",
     "woe_orders",
     "seasonal_dow_events",
+    "skew_report_lineitem",
+    "winsorize_lineitem",
+    "keywords_docs",
+    "kcore_parts",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -7613,3 +7617,166 @@ def seasonal_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return seasonal_dow(ev, "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Wave 9: skew diagnostics, dyadic winsorization, whole-bit TF-IDF keywords,
+# k-core peeling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_report_lineitem",
+    """
+    WITH c AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(cnt) AS n, count(*) AS k FROM c),
+    top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10),
+    r AS (
+      SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rank, key, cnt,
+             sum(cnt) OVER (ORDER BY cnt DESC, key
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM top
+    )
+    SELECT rank, key, cnt,
+           round(CAST(cnt AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 4)
+             AS share_pct,
+           round(CAST(cum AS DOUBLE) * 100.0 / CAST(n AS DOUBLE), 4)
+             AS cum_share_pct,
+           round(CAST(cnt AS DOUBLE) / (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)),
+                 4) AS skew_ratio
+    FROM r CROSS JOIN t
+    """,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic on lineitem.l_suppkey: top-10 keys with
+    share, cumulative share, and skew ratio vs the mean key — the
+    decision input for salting / AQE skew thresholds. The rank window
+    runs on the top-10 rows only (limit before window)."""
+    from .operators.profile import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top_k=10)
+
+
+@register(
+    "winsorize_lineitem",
+    """
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    b AS (SELECT quantile_cont(v, [0.0078125, 0.9921875]) AS q FROM g)
+    SELECT l_orderkey, l_linenumber,
+           round(least(greatest(CAST(v AS DOUBLE), q[1]), q[2]), 4) AS clipped
+    FROM g, b
+    """,
+)
+def winsorize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize price cents at the dyadic 1/128 and 127/128 quantiles:
+    interpolated boundaries are exact in double on the integer grid
+    (every term a multiple of 2^-7 < 2^53), so all 60k clipped values
+    hash-check bit-for-bit. Map-side clip; the only wide op is the
+    percentile agg."""
+    from .functions.feature import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    out = winsorize(li, "v", 1, 127)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("clipped", 4).alias("clipped")
+    )
+
+
+@register(
+    "keywords_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS w FROM documents),
+    toks AS (SELECT doc_id, u.t AS tok FROM t, unnest(w) u(t)),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfs AS (SELECT tok, count(*) AS df FROM
+            (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    wt AS (
+      SELECT doc_id, tok AS token,
+             CAST(tf * (1 + (length(bin(n.n)) - 1) - (length(bin(df)) - 1))
+                  AS BIGINT) AS weight
+      FROM tf JOIN dfs USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, rank, token, weight FROM (
+      SELECT doc_id, token, weight,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY weight DESC, token) AS rank
+      FROM wt
+    ) WHERE rank <= 3
+    """,
+)
+def keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by whole-bit TF-IDF
+    (exact binary-digit-count idf, deterministic tie-breaks) — the full
+    keyword table hash-checks, no float log anywhere."""
+    from .operators.text import top_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_keywords(docs, "doc_id", "text", k=3)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled k-core peeling rounds: per round, keep nodes with degree
+    >= k and the edges between them — identical to the operator's fixed
+    rounds, so surviving (id, degree) pairs are hash-checked."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f""",
+    k{r} AS (SELECT a AS n FROM e{r - 1} GROUP BY a HAVING count(*) >= {k}),
+    e{r} AS (SELECT e.a, e.b FROM e{r - 1} e
+             JOIN k{r} x ON e.a = x.n JOIN k{r} y ON e.b = y.n)"""
+        )
+    return f"""
+    WITH pp AS (
+      SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    ebase AS (SELECT pa, pb FROM pp GROUP BY pa, pb
+              HAVING count(DISTINCT ok) >= 2),
+    e0 AS (SELECT pa AS a, pb AS b FROM ebase
+           UNION SELECT pb, pa FROM ebase)
+    {"".join(steps)}
+    SELECT a AS id, count(*) AS degree FROM e{rounds} GROUP BY a
+    """
+
+
+@register("kcore_parts", _kcore_oracle())
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (edges = part pairs sharing
+    >= 2 orders, the LPA/triangle graph) after 3 deterministic peeling
+    rounds — community-core extraction; the oracle unrolls identical
+    rounds so the surviving (id, degree) table is hash-checked."""
+    from .operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("ok"),
+        F.col("a.l_partkey").alias("pa"),
+        F.col("b.l_partkey").alias("pb"),
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count_distinct("ok").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("pa", "pb")
+    )
+    return kcore(edges, k=3, rounds=3, src="pa", dst="pb")

@@ -262,3 +262,45 @@ def test_transitive_closure_cycle_min_distances(spark):
            for r in transitive_closure(cyc).collect()}
     assert out[(1, 2)] == 1 and out[(1, 3)] == 2 and out[(1, 1)] == 3
     assert len(out) == 9
+
+
+def test_skew_report_shares(spark):
+    from hybridbackend_spark.operators.profile import skew_report
+    from pyspark.sql import functions as F
+
+    # key 'hot' has 80 of 100 rows; 20 other singleton keys
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top_k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top.key == "hot" and top.cnt == 80
+    assert top.share_pct == 80.0
+    assert top.cum_share_pct == 80.0
+    # mean count = 100/21 keys; skew_ratio = 80 / (100/21) = 16.8
+    assert abs(top.skew_ratio - 16.8) < 0.01
+    assert out[1].cum_share_pct == 81.0
+
+
+def test_kcore_triangle_plus_tail(spark):
+    from hybridbackend_spark.operators.graph import kcore
+
+    # triangle 1-2-3 (2-core) with a pendant chain 3-4-5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r.id: r.degree for r in kcore(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}  # chain peeled, triangle survives
+
+
+def test_kcore_rounds_monotone(spark):
+    from hybridbackend_spark.operators.graph import kcore
+
+    # long chain: each peeling round removes both endpoints (k=2)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a long, id_b long"
+    )
+    one = kcore(edges, k=2, rounds=1).count()
+    two = kcore(edges, k=2, rounds=2).count()
+    assert one > two  # more rounds peel strictly deeper on a chain
+    assert kcore(edges, k=2, rounds=4).count() == 0  # chain has no 2-core

@@ -213,3 +213,22 @@ def test_jl_project_preserves_relative_distances(spark):
     again = {r["id"]: r["jl_vector"] for r in
              jl_project(df, out_dim=16).collect()}
     assert out == again
+
+
+def test_top_keywords_rare_token_wins(spark):
+    from hybridbackend_spark.operators.text import top_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common boring words"),
+            (3, "common boring words"),
+            (4, "common boring words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = top_keywords(docs, k=1).collect()
+    d1 = next(r for r in out if r.doc_id == 1)
+    # 'rare' (df=1) outweighs 'common' (df=4, tf=2): idf bits win
+    assert d1.token == "rare"
+    assert all(r.rank == 1 for r in out)
