@@ -212,6 +212,10 @@ EXTRA = [
     "winsorize_lineitem",
     "keywords_docs",
     "kcore_parts",
+    # wave 10
+    "kmv_overlap_docs",
+    "k_anonymize_customers",
+    "coverage_novelty_parts",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["Check", "dq_audit"]
+__all__ = ["Check", "dq_audit", "k_anonymize"]
 
 
 @dataclass
@@ -129,3 +129,30 @@ def dq_audit(df: DataFrame, check: Check, dp: int = 6) -> DataFrame:
         )
         report = report.unionByName(orphans)
     return report
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi: dict[str, Column],
+    k: int,
+) -> DataFrame:
+    """k-anonymity RELEASE (complements the k_anonymity audit): map each
+    quasi-identifier through its generalization expression (``quasi``
+    maps output name -> binning Column, e.g. a 1000-unit balance band),
+    then SUPPRESS every generalized group smaller than ``k``. Returns
+    the released group-level table (generalized columns + n_group), in
+    which every row represents >= k individuals by construction.
+
+    One partial+final count aggregation over the generalized keys plus a
+    HAVING filter — the entire release costs one shuffle bounded by the
+    generalized-group count. Generalization choices (band widths,
+    hierarchy levels) are the caller's policy knob; a too-fine choice
+    shows up directly as suppressed volume.
+    """
+    gen = df.select(*[expr.alias(name) for name, expr in quasi.items()])
+    names = list(quasi)
+    return (
+        gen.groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("n_group"))
+        .filter(F.col("n_group") >= k)
+    )

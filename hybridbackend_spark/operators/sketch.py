@@ -25,6 +25,8 @@ __all__ = [
     "cms_query",
     "cms_merge",
     "cms_join_size",
+    "kmv_build",
+    "kmv_jaccard",
     "quantile_sketch_build",
     "quantile_sketch_merge",
     "quantile_sketch_estimate",
@@ -224,3 +226,62 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         )
     )
     return per_row.agg(F.min("_dot").cast("long").alias("est_pairs"))
+
+
+def _kmv_hash(col) -> "F.Column":
+    # 60-bit positive integer from md5 — deterministic and identical in
+    # any engine with md5 (same trick as corpus.hash_bucket)
+    return F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values (bottom-k) sketch of a key SET: the k smallest
+    60-bit md5 hashes of the distinct keys. Returns (h) rows, at most k.
+
+    The KMV synopsis supports distinct-count estimation and — unlike
+    HLL — set-overlap estimates between sketches (union via merge,
+    intersection via the shared-members trick in :func:`kmv_jaccard`).
+    Deterministic md5 hashing means the sketch CONTENT is reproducible
+    in any engine, so estimates are oracle-checkable, unlike sampled
+    or randomized synopses.
+
+    One distinct + one top-k (Spark's TakeOrdered — per-partition heap,
+    merge of k-sized heads; never a global sort of all keys).
+    """
+    return (
+        df.select(_kmv_hash(key_col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Jaccard similarity estimate between two KMV sketches built with
+    the same k: take the k smallest hashes of the sketch UNION; the
+    fraction of those present in BOTH input sketches estimates
+    |A intersect B| / |A union B| (Beyer et al. 2007). Returns one row
+    (k_used, n_shared, est_jaccard).
+
+    Everything is exact integer arithmetic on <= 3k hash values, so two
+    corpora's overlap is estimated without ever joining their full key
+    sets — the sketch answer to "how much does this crawl overlap the
+    last one" at 100 TB.
+    """
+    union_k = (
+        a.select("h").union(b.select("h")).distinct().orderBy("h").limit(k)
+    )
+    shared = union_k.join(a.select("h"), "h", "left_semi").join(
+        b.select("h"), "h", "left_semi"
+    )
+    nk = union_k.agg(F.count(F.lit(1)).alias("k_used"))
+    ns = shared.agg(F.count(F.lit(1)).alias("n_shared"))
+    return nk.crossJoin(ns).select(
+        "k_used",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("k_used").cast("double"), 6
+        ).alias("est_jaccard"),
+    )

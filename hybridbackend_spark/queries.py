@@ -777,6 +777,9 @@ _DRIVER_WINDOW_FIRST = [
     "winsorize_lineitem",
     "keywords_docs",
     "kcore_parts",
+    "kmv_overlap_docs",
+    "coverage_novelty_parts",
+    "k_anonymize_customers",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -7780,3 +7783,196 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return kcore(edges, k=3, rounds=3, src="pa", dst="pb")
+
+
+# ---------------------------------------------------------------------------
+# Wave 10: KMV set-overlap sketch, k-anonymity release, recommendation
+# coverage/novelty.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmv_overlap_docs",
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
+    toksa AS (
+      SELECT DISTINCT u.t AS tok FROM t, unnest(w) u(t)
+      WHERE CAST(substr(source, 4) AS INT) < 10
+    ),
+    toksb AS (
+      SELECT DISTINCT u.t AS tok FROM t, unnest(w) u(t)
+      WHERE CAST(substr(source, 4) AS INT) >= 10
+    ),
+    ha AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM toksa ORDER BY 1 LIMIT 256),
+    hb AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+           FROM toksb ORDER BY 1 LIMIT 256),
+    uk AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+           ORDER BY h LIMIT 256),
+    shared AS (
+      SELECT h FROM uk
+      WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+    ),
+    nk AS (SELECT count(*) AS k_used FROM uk),
+    ns AS (SELECT count(*) AS n_shared FROM shared),
+    tj AS (
+      SELECT
+        (SELECT count(*) FROM (SELECT tok FROM toksa INTERSECT SELECT tok FROM toksb))
+          AS n_inter,
+        (SELECT count(*) FROM (SELECT tok FROM toksa UNION SELECT tok FROM toksb))
+          AS n_union
+    )
+    SELECT k_used, n_shared,
+           round(CAST(n_shared AS DOUBLE) / CAST(k_used AS DOUBLE), 6)
+             AS est_jaccard,
+           round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+             AS true_jaccard
+    FROM nk CROSS JOIN ns CROSS JOIN tj
+    """,
+)
+def kmv_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation WITHOUT joining full token sets: KMV
+    (bottom-256 md5) sketches of the two source halves' vocabularies,
+    Jaccard from shared members of the union's bottom-k (Beyer et al.
+    2007) — deterministic hashes, so the sketch CONTENT is oracled, with
+    the exact Jaccard alongside for calibration."""
+    from .operators.sketch import kmv_build, kmv_jaccard
+    from .operators.text import tokens as _tok
+
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    toks = docs.select(
+        src_num.alias("_s"), F.explode(_tok(F.col("text"))).alias("tok")
+    )
+    ta = toks.filter(F.col("_s") < 10).select("tok").distinct()
+    tb = toks.filter(F.col("_s") >= 10).select("tok").distinct()
+    ka, kb = kmv_build(ta, "tok", 256), kmv_build(tb, "tok", 256)
+    est = kmv_jaccard(ka, kb, 256)
+    inter = ta.intersect(tb).agg(F.count(F.lit(1)).alias("n_inter"))
+    uni = ta.union(tb).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    truth = inter.crossJoin(uni).select(
+        F.round(
+            F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 6
+        ).alias("true_jaccard")
+    )
+    return est.crossJoin(truth)
+
+
+@register(
+    "k_anonymize_customers",
+    """
+    SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+           c_mktsegment, count(*) AS n_group
+    FROM customer
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def k_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release of customers generalized to (1000-unit
+    balance band, segment), suppressing groups under k=5 — every
+    released row represents >= 5 individuals by construction
+    (complements the k_anonymity_orders risk audit). One count agg
+    bounded by generalized groups."""
+    from .operators.quality import k_anonymize
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymize(
+        c,
+        {
+            "bal_band": F.floor(F.col("c_acctbal") / 1000.0).cast("long"),
+            "c_mktsegment": F.col("c_mktsegment"),
+        },
+        k=5,
+    )
+
+
+@register(
+    "coverage_novelty_parts",
+    """
+    WITH ui AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+    co AS (
+      SELECT a.i AS ia, b.i AS ib, count(*) AS n_common
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    sim AS (
+      SELECT ia, ib, n_common,
+             round(n_common / sqrt(da.n::DOUBLE * db.n), 6) AS sim
+      FROM co JOIN deg da ON da.i = co.ia JOIN deg db ON db.i = co.ib
+    ),
+    sym AS (
+      SELECT ia AS item, ib AS neighbor, n_common, sim FROM sim
+      UNION ALL
+      SELECT ib, ia, n_common, sim FROM sim
+    ),
+    recs AS (
+      SELECT item, neighbor FROM (
+        SELECT item, neighbor,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY sim DESC, neighbor) AS rnk
+        FROM sym
+      ) WHERE rnk <= 2
+    ),
+    tot AS (SELECT count(*) AS n_inter FROM ui),
+    cat AS (SELECT count(*) AS catalog_size FROM part),
+    nov AS (
+      SELECT count(*) AS n_recs,
+             count(DISTINCT neighbor) AS n_rec_items,
+             sum((length(bin(tot.n_inter)) - 1)
+                 - (length(bin(deg.n)) - 1)) AS bits_sum
+      FROM recs JOIN deg ON deg.i = recs.neighbor CROSS JOIN tot
+    )
+    SELECT n_recs, n_rec_items, catalog_size,
+           round(CAST(n_rec_items AS DOUBLE) * 100.0
+                 / CAST(catalog_size AS DOUBLE), 4) AS coverage_pct,
+           round(CAST(bits_sum AS DOUBLE) / CAST(n_recs AS DOUBLE), 6)
+             AS avg_novelty_bits
+    FROM nov CROSS JOIN cat
+    """,
+)
+def coverage_novelty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation-quality counterpart to accuracy metrics: catalog
+    coverage and whole-bit novelty (-log2 popularity, exact binary digit
+    counts) of the top-2 item-item CF recommendations — the diversity
+    arm of the metrics family."""
+    from .operators.ranking import item_similarity
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+    )
+    ui = inter.distinct()
+    recs = item_similarity(ui, "u", "i", k=2).select("item", "neighbor")
+    deg = ui.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("n"))
+    tot = ui.agg(F.count(F.lit(1)).alias("n_inter"))
+    cat = _t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("catalog_size"))
+    bits = lambda c: F.length(F.bin(c)) - 1
+    nov = (
+        recs.join(deg, recs.neighbor == deg.i)
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            F.count_distinct("neighbor").alias("n_rec_items"),
+            F.sum(bits(F.col("n_inter")) - bits(F.col("n"))).alias("bits_sum"),
+        )
+    )
+    return nov.crossJoin(F.broadcast(cat)).select(
+        "n_recs",
+        "n_rec_items",
+        "catalog_size",
+        F.round(
+            F.col("n_rec_items").cast("double")
+            * 100.0
+            / F.col("catalog_size").cast("double"),
+            4,
+        ).alias("coverage_pct"),
+        F.round(
+            F.col("bits_sum").cast("double") / F.col("n_recs").cast("double"), 6
+        ).alias("avg_novelty_bits"),
+    )

@@ -93,3 +93,53 @@ def test_quantile_sketch_within_bucket_interpolation(spark):
     assert sk.count() == 1
     est = quantile_sketch_estimate(sk, ["g"], 0.5).collect()[0]["q50_est"]
     assert 1.28 <= est <= 2.56
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    from pyspark.sql import functions as F
+    from hybridbackend_spark.operators.sketch import kmv_build, kmv_jaccard
+
+    # |A|=2000, |B|=2000, overlap 1000 -> true J = 1000/3000 = 1/3
+    a = spark.range(0, 2000).select(F.col("id").alias("k"))
+    b = spark.range(1000, 3000).select(F.col("id").alias("k"))
+    est = kmv_jaccard(kmv_build(a, "k", 256), kmv_build(b, "k", 256), 256)
+    row = est.collect()[0]
+    assert row.k_used == 256
+    assert abs(row.est_jaccard - 1 / 3) < 0.12  # sketch error band
+
+
+def test_kmv_identical_and_disjoint_sets(spark):
+    from pyspark.sql import functions as F
+    from hybridbackend_spark.operators.sketch import kmv_build, kmv_jaccard
+
+    a = spark.range(0, 500).select(F.col("id").alias("k"))
+    same = kmv_jaccard(kmv_build(a, "k", 128), kmv_build(a, "k", 128), 128)
+    assert same.collect()[0].est_jaccard == 1.0
+    b = spark.range(10000, 10500).select(F.col("id").alias("k"))
+    disj = kmv_jaccard(kmv_build(a, "k", 128), kmv_build(b, "k", 128), 128)
+    assert disj.collect()[0].est_jaccard == 0.0
+
+
+def test_kmv_build_bounded_and_sorted(spark):
+    from pyspark.sql import functions as F
+    from hybridbackend_spark.operators.sketch import kmv_build
+
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    rows = [r.h for r in kmv_build(df, "k", 64).collect()]
+    assert len(rows) == 64
+    assert all(h >= 0 for h in rows)  # 60-bit positive
+
+
+def test_k_anonymize_suppresses_small_groups(spark):
+    from pyspark.sql import functions as F
+    from hybridbackend_spark.operators.quality import k_anonymize
+
+    rows = [(100.0 + i, "A") for i in range(10)] + [(5000.0, "B")]
+    df = spark.createDataFrame(rows, "bal double, seg string")
+    out = k_anonymize(
+        df,
+        {"band": F.floor(F.col("bal") / 1000.0).cast("long"), "seg": F.col("seg")},
+        k=5,
+    ).collect()
+    assert len(out) == 1  # the lone B row is suppressed
+    assert out[0].band == 0 and out[0].seg == "A" and out[0].n_group == 10
