@@ -216,6 +216,11 @@ EXTRA = [
     "kmv_overlap_docs",
     "k_anonymize_customers",
     "coverage_novelty_parts",
+    # wave 11
+    "changepoint_events",
+    "kaplan_meier_users",
+    "benford_orders",
+    "psi_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

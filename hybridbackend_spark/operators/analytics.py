@@ -24,7 +24,7 @@ Scale shapes (all verified by plan tests):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "cohort_retention",
@@ -33,6 +33,9 @@ __all__ = [
     "ols_trend",
     "chi_square",
     "corr_pairs",
+    "touch_attribution",
+    "kaplan_meier",
+    "psi_bits",
 ]
 
 
@@ -406,4 +409,145 @@ def touch_attribution(
             F.round(micro(linear), 4).alias("linear_credit"),
             F.round(micro(ushape), 4).alias("ushape_credit"),
         )
+    )
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    dp: int = 8,
+) -> DataFrame:
+    """Kaplan-Meier survival curve from (duration, event) per subject
+    (event=1 observed, 0 right-censored). Returns one row per distinct
+    event time: (t, n_risk, n_events, n_censored, survival).
+
+    S(t) = prod over event times u <= t of (1 - d_u / n_u). Each factor
+    is one identical double division; the cumulative product folds the
+    ordered factor list LEFT-TO-RIGHT (Spark ``aggregate`` over a sorted
+    array == DuckDB ``list_reduce``), so every survival value is
+    bit-identical across engines — the same sequential-fold contract as
+    ``timeseries.ewma``.
+
+    Scale shape: the risk table is one agg per distinct duration (tiny);
+    n_risk comes from a reverse cumulative sum. The factor list is
+    bounded by distinct event times, never by subjects.
+    """
+    t, e = F.col(duration_col), F.col(event_col)
+    counts = subjects.groupBy(t.alias("t")).agg(
+        F.sum(F.when(e == 1, 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(e == 1, 0).otherwise(1)).alias("n_censored"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = counts.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    )
+    factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    with_f = risk.withColumn("_f", factor)
+    # ordered factor list over ALL rows (bounded by distinct durations)
+    folded = with_f.select(
+        F.struct(F.col("t").alias("u"), F.col("_f").alias("f")).alias("_s")
+    ).agg(F.array_sort(F.collect_list("_s")).alias("_fs"))
+    out = with_f.crossJoin(F.broadcast(folded)).withColumn(
+        "survival",
+        F.round(
+            F.expr(
+                "aggregate(filter(_fs, s -> s.u <= t), CAST(1.0 AS DOUBLE), "
+                "(acc, s) -> acc * s.f)"
+            ),
+            dp,
+        ),
+    )
+    return out.select("t", "n_risk", "n_events", "n_censored", "survival")
+
+
+def psi_bits(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Population-stability-index drift monitor in WHOLE BITS: bin the
+    current population by the REFERENCE population's equi-depth
+    boundaries (dyadic fractions — exact interpolation on integer
+    grids, see ``feature.winsorize``), then per bin
+    ``psi_term = (p_ref - p_cur) * woe_bits`` with the integer-bit
+    log-ratio ``bits(ref_n) + bits(cur_t) - bits(cur_n) - bits(ref_t)``
+    (same arithmetic as ``feature.woe_iv``). Returns one row per bin:
+    (bin, ref_n, cur_n, ref_pct, cur_pct, woe_bits, psi_term); the PSI
+    is the caller's sum. Bins empty on either side get NULL woe and a
+    zero term.
+
+    Two count aggs bounded by n_bins; the boundary row broadcasts. The
+    monitoring question ("did this feature's distribution move between
+    training and serving?") answered with engine-exact arithmetic.
+    """
+    if n_bins & (n_bins - 1):
+        raise ValueError("n_bins must be a power of two (dyadic fractions)")
+    v = F.col(value_col)
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(
+        F.expr(
+            f"percentile({value_col}, array({', '.join(repr(f) for f in fracs)}))"
+        ).alias("_b")
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                (
+                    F.lit(1)
+                    + F.aggregate(
+                        F.col("_b"),
+                        F.lit(0),
+                        lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
+                    )
+                ).cast("int").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    spark = ref.sparkSession
+    grid = spark.range(1, n_bins + 1).select(F.col("id").cast("int").alias("bin"))
+    r = binned(ref).withColumnRenamed("n", "ref_n")
+    c = binned(cur).withColumnRenamed("n", "cur_n")
+    cells = (
+        grid.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("ref_n").alias("_rt"), F.sum("cur_n").alias("_ct")
+    )
+    bits = lambda col: F.length(F.bin(col)) - 1
+    woe = (bits(F.col("ref_n")) + bits(F.col("_ct"))) - (
+        bits(F.col("cur_n")) + bits(F.col("_rt"))
+    )
+    p_ref = F.col("ref_n").cast("double") / F.col("_rt").cast("double")
+    p_cur = F.col("cur_n").cast("double") / F.col("_ct").cast("double")
+    defined = (F.col("ref_n") > 0) & (F.col("cur_n") > 0)
+    term = F.when(
+        defined,
+        F.round((p_ref - p_cur) * woe.cast("double") * 1000000)
+        .cast("long")
+        .cast("double")
+        / 1000000.0,
+    ).otherwise(0.0)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.round(p_ref * 100.0, dp).alias("ref_pct"),
+        F.round(p_cur * 100.0, dp).alias("cur_pct"),
+        F.when(defined, woe.cast("long")).alias("woe_bits"),
+        F.round(term, dp).alias("psi_term"),
     )

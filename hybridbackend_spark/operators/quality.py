@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["Check", "dq_audit", "k_anonymize"]
+__all__ = ["Check", "dq_audit", "k_anonymize", "benford_audit", "BENFORD_EXPECTED"]
 
 
 @dataclass
@@ -155,4 +155,61 @@ def k_anonymize(
         gen.groupBy(*names)
         .agg(F.count(F.lit(1)).alias("n_group"))
         .filter(F.col("n_group") >= k)
+    )
+
+
+# First-digit probabilities log10(1 + 1/d): computed once here and inlined
+# as LITERALS in both engines, so no transcendental runs distributed.
+BENFORD_EXPECTED = [
+    0.30102999566398114, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_audit(df: DataFrame, value_col: str, dp: int = 6) -> DataFrame:
+    """First-digit (Benford's law) audit of a positive money column —
+    the classic fabricated-data / unit-mixup screen. Returns one row per
+    digit 1-9: (digit, n, share_pct, expected_pct, dev_pct).
+
+    The value is quantized to integer cents and the leading digit taken
+    from its decimal string (scale-invariant, no log10 at runtime — the
+    expected shares are compile-time literals). One count agg; digits
+    with no observations are densified to 0 so the audit always shows
+    all nine rows.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    obs = (
+        df.filter(cents > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    exp_map = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_EXPECTED]), F.col("digit")
+    )
+    total = obs.agg(F.sum("n").alias("_t"))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                * 100.0
+                / F.col("_t").cast("double"),
+                dp,
+            ).alias("share_pct"),
+            F.round(exp_map * 100.0, dp).alias("expected_pct"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                * 100.0
+                / F.col("_t").cast("double")
+                - exp_map * 100.0,
+                dp,
+            ).alias("dev_pct"),
+        )
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint"]
 
 
 def resample_fill(
@@ -317,5 +317,58 @@ def seasonal_dow(
             F.round(F.col("_cents") / F.lit(100.0) - dow_mean, dp).alias(
                 "residual"
             ),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    dp: int = 4,
+) -> DataFrame:
+    """CUSUM change-point detection per group over daily totals: the day
+    where the cumulative sum of deviations from the group mean reaches
+    its maximum magnitude is the most likely mean-shift point. Returns
+    (group, change_day, cusum_at_change, n_days).
+
+    Engine-exact: daily totals are exact integer cents; the mean is one
+    identical double division; the running sum adds identical doubles in
+    identical (day) order in any engine, so every CUSUM value matches
+    bit-for-bit. Shuffle volume: one (group, day) partial agg of the raw
+    stream, then windows over the tiny daily series.
+    """
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(ts_col).cast("date").alias("_d"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_c").alias("_cents"))
+    )
+    stats = daily.groupBy("_g").agg(
+        F.sum("_cents").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    mean = F.col("_tot").cast("double") / F.col("_n").cast("double")
+    w = Window.partitionBy("_g").orderBy("_d")
+    dev = (
+        daily.join(stats, "_g")
+        .withColumn("_dev", F.col("_cents").cast("double") - mean)
+        .withColumn(
+            "_cusum",
+            F.sum("_dev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    rk = Window.partitionBy("_g").orderBy(F.abs(F.col("_cusum")).desc(), "_d")
+    return (
+        dev.withColumn("_r", F.row_number().over(rk))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_d").alias("change_day"),
+            F.round(F.col("_cusum") / 100.0, dp).alias("cusum_at_change"),
+            F.col("_n").alias("n_days"),
         )
     )

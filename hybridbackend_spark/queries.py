@@ -780,6 +780,10 @@ _DRIVER_WINDOW_FIRST = [
     "kmv_overlap_docs",
     "coverage_novelty_parts",
     "k_anonymize_customers",
+    "changepoint_events",
+    "kaplan_meier_users",
+    "psi_orders",
+    "benford_orders",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -7976,3 +7980,204 @@ def coverage_novelty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bits_sum").cast("double") / F.col("n_recs").cast("double"), 6
         ).alias("avg_novelty_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 11: CUSUM change-point, Kaplan-Meier survival, Benford audit, PSI
+# drift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "changepoint_events",
+    """
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (SELECT g, sum(cents) AS tot, count(*) AS n FROM daily GROUP BY g),
+    dev AS (
+      SELECT daily.g, d, n,
+             sum(CAST(cents AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+               OVER (PARTITION BY daily.g ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM daily JOIN stats ON stats.g = daily.g
+    )
+    SELECT g AS event_type, d AS change_day,
+           round(cusum / 100.0, 4) AS cusum_at_change, n AS n_days
+    FROM (SELECT *, row_number() OVER (PARTITION BY g
+                                       ORDER BY abs(cusum) DESC, d) AS r
+          FROM dev)
+    WHERE r = 1
+    """,
+)
+def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type over daily value totals: the
+    day where the cumulative deviation from the mean peaks. Exact cents,
+    identical double mean, running sum in identical day order — every
+    CUSUM value bit-matches."""
+    from .operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "event_type", "ts", "value")
+
+
+@register(
+    "kaplan_meier_users",
+    """
+    WITH pu AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT max(CAST(ts AS DATE)) AS gm FROM events),
+    subj AS (
+      SELECT date_diff('day', fd, ld) AS t,
+             CASE WHEN ld < gm - INTERVAL 7 DAY THEN 1 ELSE 0 END AS e
+      FROM pu CROSS JOIN g
+    ),
+    counts AS (
+      SELECT t, sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS n_events,
+             sum(CASE WHEN e = 1 THEN 0 ELSE 1 END) AS n_censored
+      FROM subj GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_events, n_censored,
+             sum(n_events + n_censored)
+               OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM counts
+    ),
+    f AS (
+      SELECT t, n_risk, n_events, n_censored,
+             1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
+      FROM risk
+    )
+    SELECT t, n_risk, n_events, n_censored,
+           round((SELECT list_reduce([CAST(1.0 AS DOUBLE)]
+                                     || list(fac ORDER BY f2.t),
+                                     (a, b) -> a * b)
+                  FROM f f2 WHERE f2.t <= f.t), 8) AS survival
+    FROM f
+    """,
+)
+def kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes (duration =
+    first-to-last active day; censored if still active in the final
+    week): sequential left-to-right product of identical factors in both
+    engines — every survival value bit-matches (the ewma contract
+    applied to survival analysis)."""
+    from .operators.analytics import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("fd"),
+        F.max(F.col("ts").cast("date")).alias("ld"),
+    )
+    g = ev.agg(F.max(F.col("ts").cast("date")).alias("gm"))
+    subj = pu.crossJoin(F.broadcast(g)).select(
+        F.datediff("ld", "fd").alias("t"),
+        F.when(F.col("ld") < F.date_sub(F.col("gm"), 7), 1)
+        .otherwise(0)
+        .alias("e"),
+    )
+    return kaplan_meier(subj, "t", "e")
+
+
+@register(
+    "benford_orders",
+    """
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             count(*) AS n
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+      GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(1, 10)) AS digit),
+    expd AS (SELECT digit, e FROM (VALUES (1, CAST(0.30102999566398114 AS DOUBLE)), (2, CAST(0.17609125905568124 AS DOUBLE)), (3, CAST(0.12493873660829993 AS DOUBLE)), (4, CAST(0.09691001300805642 AS DOUBLE)), (5, CAST(0.07918124604762482 AS DOUBLE)), (6, CAST(0.06694678963061322 AS DOUBLE)), (7, CAST(0.05799194697768673 AS DOUBLE)), (8, CAST(0.05115252244738129 AS DOUBLE)), (9, CAST(0.04575749056067514 AS DOUBLE))) AS v(digit, e)),
+    t AS (SELECT sum(n) AS tot FROM obs)
+    SELECT g.digit, coalesce(o.n, 0) AS n,
+           round(CAST(coalesce(o.n, 0) AS DOUBLE) * 100.0
+                 / CAST(tot AS DOUBLE), 6) AS share_pct,
+           round(e * 100.0, 6) AS expected_pct,
+           round(CAST(coalesce(o.n, 0) AS DOUBLE) * 100.0
+                 / CAST(tot AS DOUBLE) - e * 100.0, 6) AS dev_pct
+    FROM grid g JOIN expd USING (digit)
+    LEFT JOIN obs o ON o.digit = g.digit CROSS JOIN t
+""",
+)
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed vs expected
+    digit shares (expected probabilities are compile-time literals — no
+    transcendental runs distributed), densified to all nine digits."""
+    from .operators.quality import benford_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice")
+
+
+@register(
+    "psi_orders",
+    """
+    WITH rq AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+    cq AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+    b AS (SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+                                   0.875]) AS q FROM rq),
+    rb AS (SELECT 1 + (CASE WHEN v > q[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[4] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[5] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[6] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[7] THEN 1 ELSE 0 END) AS bin FROM rq, b),
+    cb AS (SELECT 1 + (CASE WHEN v > q[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[4] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[5] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[6] THEN 1 ELSE 0 END)
+               + (CASE WHEN v > q[7] THEN 1 ELSE 0 END) AS bin FROM cq, b),
+    rc AS (SELECT bin, count(*) AS ref_n FROM rb GROUP BY 1),
+    cc AS (SELECT bin, count(*) AS cur_n FROM cb GROUP BY 1),
+    grid AS (SELECT unnest(range(1, 9)) AS bin),
+    cells AS (
+      SELECT g.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+      FROM grid g LEFT JOIN rc ON rc.bin = g.bin LEFT JOIN cc ON cc.bin = g.bin
+    ),
+    t AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM cells)
+    SELECT bin, ref_n, cur_n,
+           round(CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE) * 100.0, 6)
+             AS ref_pct,
+           round(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE) * 100.0, 6)
+             AS cur_pct,
+           CASE WHEN ref_n > 0 AND cur_n > 0 THEN
+             CAST((length(bin(ref_n)) - 1) + (length(bin(ct)) - 1)
+                  - (length(bin(cur_n)) - 1) - (length(bin(rt)) - 1) AS BIGINT)
+           END AS woe_bits,
+           round(CASE WHEN ref_n > 0 AND cur_n > 0 THEN
+             CAST(CAST(round((CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE)
+                   - CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE))
+                  * CAST((length(bin(ref_n)) - 1) + (length(bin(ct)) - 1)
+                         - (length(bin(cur_n)) - 1) - (length(bin(rt)) - 1)
+                         AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+             ELSE 0.0 END, 6) AS psi_term
+    FROM cells CROSS JOIN t
+""",
+)
+def psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift of order value, pre-1998 as the
+    reference vs 1998+ as current: reference equi-depth bins (dyadic,
+    exact on the cents grid), whole-bit log-ratios, micro-quantized PSI
+    terms — training-vs-serving drift monitoring, engine-exact."""
+    from .operators.analytics import psi_bits
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split).select("v")
+    cur = o.filter(F.col("o_orderdate") >= split).select("v")
+    return psi_bits(ref, cur, "v", n_bins=8)

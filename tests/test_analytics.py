@@ -270,3 +270,79 @@ def test_touch_attribution_conserves_value(spark, sf_dir):
     total_ush = sum(r.ushape_credit for r in out)
     # both models must distribute the same attributed total
     assert abs(total_lin - total_ush) < 0.01
+
+
+def test_cusum_finds_planted_shift(spark):
+    from hybridbackend_spark.operators.timeseries import cusum_changepoint
+
+    # mean 10 for 10 days then mean 50: CUSUM magnitude peaks at the shift
+    rows = []
+    for d in range(1, 21):
+        v = 10.0 if d <= 10 else 50.0
+        rows.append(("a", _ts(f"2024-01-{d:02d} 00:00:00"), v))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = cusum_changepoint(df, "g", "ts", "value").collect()[0]
+    assert str(out.change_day) == "2024-01-10"  # last day of the low regime
+    assert out.n_days == 20
+    # deviation is -20/day for 10 days -> cusum -200 at the trough
+    assert out.cusum_at_change == -200.0
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from hybridbackend_spark.operators.analytics import kaplan_meier
+
+    # classic small example: deaths at t=1 (1 of 4), t=3 (1 of 2),
+    # censored at t=2 (1), survivor censored at t=3? use exact table:
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 0)], "t int, e int"
+    )
+    out = {r.t: r for r in kaplan_meier(subj, "t", "e").collect()}
+    # t=1: n_risk 4, d=1 -> S=0.75
+    assert out[1].n_risk == 4 and out[1].survival == 0.75
+    # t=2: censored only, S stays 0.75
+    assert out[2].n_risk == 3 and out[2].survival == 0.75
+    # t=3: n_risk 2, d=1 -> S = 0.75 * 0.5 = 0.375
+    assert out[3].n_risk == 2 and out[3].survival == 0.375
+
+
+def test_kaplan_meier_no_events_flat(spark):
+    from hybridbackend_spark.operators.analytics import kaplan_meier
+
+    subj = spark.createDataFrame([(5, 0), (7, 0)], "t int, e int")
+    out = kaplan_meier(subj, "t", "e").collect()
+    assert all(r.survival == 1.0 for r in out)
+
+
+def test_psi_identical_populations_zero(spark):
+    from hybridbackend_spark.operators.analytics import psi_bits
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4096).select((F.col("id") % 997).alias("v"))
+    out = psi_bits(df, df, "v", n_bins=8).collect()
+    assert sum(r.psi_term for r in out) == 0.0
+    assert all(r.woe_bits == 0 for r in out if r.ref_n > 0)
+
+
+def test_psi_shifted_population_nonzero(spark):
+    from hybridbackend_spark.operators.analytics import psi_bits
+    from pyspark.sql import functions as F
+
+    ref = spark.range(0, 2048).select(F.col("id").alias("v"))
+    cur = spark.range(1536, 3584).select(F.col("id").alias("v"))  # shifted
+    out = psi_bits(ref, cur, "v", n_bins=8).collect()
+    assert abs(sum(r.psi_term for r in out)) > 0.5  # clear drift signal
+
+
+def test_benford_detects_uniform_fabrication(spark):
+    from hybridbackend_spark.operators.quality import benford_audit
+    from pyspark.sql import functions as F
+
+    # uniform 1000.00-1999.99 -> every value starts with digit 1
+    df = spark.range(0, 1000).select(
+        (1000.0 + F.col("id")).cast("double").alias("price")
+    )
+    out = {r.digit: r for r in benford_audit(df, "price").collect()}
+    assert len(out) == 9
+    assert out[1].share_pct == 100.0
+    assert out[1].dev_pct > 60  # way over the 30.1% Benford share
+    assert out[9].n == 0 and out[9].share_pct == 0.0
