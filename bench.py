@@ -221,6 +221,10 @@ EXTRA = [
     "kaplan_meier_users",
     "benford_orders",
     "psi_orders",
+    # wave 12
+    "cuped_events",
+    "forecast_backtest_events",
+    "l_diversity_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -36,6 +36,7 @@ __all__ = [
     "touch_attribution",
     "kaplan_meier",
     "psi_bits",
+    "cuped_adjust",
 ]
 
 
@@ -550,4 +551,81 @@ def psi_bits(
         F.round(p_cur * 100.0, dp).alias("cur_pct"),
         F.when(defined, woe.cast("long")).alias("woe_bits"),
         F.round(term, dp).alias("psi_term"),
+    )
+
+
+def cuped_adjust(
+    subjects: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for experiments (Deng et al. 2013):
+    adjust each subject's post-period metric with its pre-period
+    covariate, ``adj = post - theta * (pre - mean_pre)`` with the pooled
+    ``theta = cov(pre, post) / var(pre)``, then report per-variant means
+    and the variance-reduction ratio. ``pre_col``/``post_col`` must be
+    integer-grid columns (e.g. cents).
+
+    Engine-exact: theta and mean_pre come from exact integer sufficient
+    statistics (one fused agg, identical doubles); each subject's
+    adjusted value is then an identical double, which is micro-quantized
+    BEFORE the per-variant sums, so means and variances cannot drift
+    with partitioning. Returns one row per variant:
+    (variant, n, mean_post, mean_adj, var_post, var_adj,
+    var_reduction_pct).
+    """
+    pre, post = F.col(pre_col).cast("long"), F.col(post_col).cast("long")
+    stats = subjects.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(pre)).alias("sx"),
+        F.sum(_dec(post)).alias("sy"),
+        F.sum(_dec(pre * post)).alias("sxy"),
+        F.sum(_dec(pre * pre)).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+    adj_micro = F.round(
+        (post.cast("double") - F.col("_theta") * (pre.cast("double") - F.col("_xbar")))
+        * 1000000
+    ).cast("long")
+    per = (
+        subjects.crossJoin(
+            F.broadcast(stats.select(theta.alias("_theta"), xbar.alias("_xbar")))
+        )
+        .select(
+            F.col(variant_col).alias("variant"),
+            post.alias("_y"),
+            adj_micro.alias("_a"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("_y"))).alias("vy"),
+            F.sum(_dec(F.col("_y") * F.col("_y"))).alias("vyy"),
+            F.sum(_dec(F.col("_a"))).alias("va"),
+            # micros squared exceed long range: promote BEFORE multiplying
+            F.sum(_dec(F.col("_a")) * _dec(F.col("_a"))).alias("vaa"),
+        )
+    )
+    vn = F.col("n").cast("double")
+    my = F.col("vy").cast("double") / vn
+    ma = F.col("va").cast("double") / vn / 1000000.0
+    var_y = F.col("vyy").cast("double") / vn - my * my
+    mad = F.col("va").cast("double") / vn
+    var_a = (F.col("vaa").cast("double") / vn - mad * mad) / 1.0e12
+    return per.select(
+        "variant",
+        "n",
+        F.round(my / 100.0, dp).alias("mean_post"),
+        F.round(ma / 100.0, dp).alias("mean_adj"),
+        F.round(var_y / 10000.0, dp).alias("var_post"),
+        F.round(var_a / 10000.0, dp).alias("var_adj"),
+        F.round((F.lit(1.0) - var_a / var_y) * 100.0, dp).alias(
+            "var_reduction_pct"
+        ),
     )

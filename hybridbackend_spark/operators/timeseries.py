@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest"]
 
 
 def resample_fill(
@@ -372,3 +372,70 @@ def cusum_changepoint(
             F.col("_n").alias("n_days"),
         )
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    season: int = 7,
+    dp: int = 4,
+) -> DataFrame:
+    """Backtest the two standard forecasting baselines on daily totals:
+    naive (yesterday's value) and seasonal-naive (value ``season`` days
+    back), scoring MAE (exact cents) and SMAPE (micro-quantized) per
+    (group, model). Any fancier forecaster must beat these numbers —
+    this op IS the benchmark harness.
+
+    One (group, day) partial agg, two lag windows per group's tiny daily
+    series, error terms quantized before the final mean — engine-exact.
+    Returns (group, model, n_scored, mae, smape_pct).
+    """
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(ts_col).cast("date").alias("_d"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+        )
+        .groupBy("_g", "_d")
+        .agg(F.sum("_c").alias("_cents"))
+    )
+    w = Window.partitionBy("_g").orderBy("_d")
+    lagged = daily.select(
+        "_g",
+        "_d",
+        "_cents",
+        F.lag("_cents", 1).over(w).alias("_naive"),
+        F.lag("_cents", season).over(w).alias("_snaive"),
+    )
+
+    def score(fcol: str, model: str) -> DataFrame:
+        y = F.col("_cents").cast("double")
+        f = F.col(fcol).cast("double")
+        smape = F.abs(y - f) / ((F.abs(y) + F.abs(f)) / F.lit(2.0)) * 100.0
+        return (
+            lagged.filter(F.col(fcol).isNotNull())
+            .groupBy(F.col("_g").alias(group_col))
+            .agg(
+                F.count(F.lit(1)).alias("n_scored"),
+                (
+                    F.sum(F.abs(F.col("_cents") - F.col(fcol))) / F.count(F.lit(1))
+                    / F.lit(100.0)
+                ).alias("_mae"),
+                (
+                    F.sum(F.round(smape * 1000000).cast("long"))
+                    / F.count(F.lit(1))
+                    / F.lit(1000000.0)
+                ).alias("_smape"),
+            )
+            .select(
+                group_col,
+                F.lit(model).alias("model"),
+                "n_scored",
+                F.round("_mae", dp).alias("mae"),
+                F.round("_smape", dp).alias("smape_pct"),
+            )
+        )
+
+    return score("_naive", "naive").unionByName(score("_snaive", "seasonal_naive"))

@@ -784,6 +784,9 @@ _DRIVER_WINDOW_FIRST = [
     "kaplan_meier_users",
     "psi_orders",
     "benford_orders",
+    "cuped_events",
+    "forecast_backtest_events",
+    "l_diversity_orders",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -8181,3 +8184,171 @@ def psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = o.filter(F.col("o_orderdate") < split).select("v")
     cur = o.filter(F.col("o_orderdate") >= split).select("v")
     return psi_bits(ref, cur, "v", n_bins=8)
+
+
+# ---------------------------------------------------------------------------
+# Wave 12: CUPED experiment adjustment, forecast backtesting, l-diversity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cuped_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS pre,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    subj AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             pre, post
+      FROM per_user
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(CAST(pre AS DECIMAL(38,0))) AS sx,
+             sum(CAST(post AS DECIMAL(38,0))) AS sy,
+             sum(CAST(pre * post AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(pre * pre AS DECIMAL(38,0))) AS sxx
+      FROM subj
+    ),
+    th AS (
+      SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+      FROM s
+    ),
+    adj AS (
+      SELECT variant, post AS y,
+             CAST(round((CAST(post AS DOUBLE)
+                         - theta * (CAST(pre AS DOUBLE) - xbar)) * 1000000)
+                  AS BIGINT) AS a
+      FROM subj CROSS JOIN th
+    ),
+    per AS (
+      SELECT variant, count(*) AS n,
+             sum(CAST(y AS DECIMAL(38,0))) AS vy,
+             sum(CAST(y * y AS DECIMAL(38,0))) AS vyy,
+             sum(CAST(a AS DECIMAL(38,0))) AS va,
+             sum(CAST(a AS DECIMAL(38,0)) * CAST(a AS DECIMAL(38,0))) AS vaa
+      FROM adj GROUP BY variant
+    )
+    SELECT variant, n,
+           round(CAST(vy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_post,
+           round(CAST(va AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 / 100.0, 6)
+             AS mean_adj,
+           round((CAST(vyy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(vy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(vy AS DOUBLE) / CAST(n AS DOUBLE))) / 10000.0, 6)
+             AS var_post,
+           round((CAST(vaa AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(va AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(va AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12 / 10000.0,
+                 6) AS var_adj,
+           round((1.0 - ((CAST(vaa AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(va AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(va AS DOUBLE) / CAST(n AS DOUBLE))) / 1e12)
+                        / (CAST(vyy AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(vy AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(vy AS DOUBLE) / CAST(n AS DOUBLE))))
+                 * 100.0, 6) AS var_reduction_pct
+    FROM per
+    """,
+)
+def cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout: per-user pre-period value
+    (Jan 1-15) as the covariate for the post-period metric (Jan 16-30),
+    pooled theta from exact integer sufficient statistics, adjusted
+    values micro-quantized before per-variant aggregation — the
+    experimentation-stack step after ab_ztest, engine-exact."""
+    from .operators.analytics import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0)).alias("post"),
+    )
+    subj = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "pre",
+        "post",
+    )
+    return cuped_adjust(subj, "variant", "pre", "post")
+
+
+@register(
+    "forecast_backtest_events",
+    """
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT g, d, cents,
+             lag(cents, 1) OVER (PARTITION BY g ORDER BY d) AS naive,
+             lag(cents, 7) OVER (PARTITION BY g ORDER BY d) AS snaive
+      FROM daily
+    ),
+    scored AS (
+      SELECT g, 'naive' AS model, cents, naive AS f FROM lagged
+      WHERE naive IS NOT NULL
+      UNION ALL
+      SELECT g, 'seasonal_naive', cents, snaive FROM lagged
+      WHERE snaive IS NOT NULL
+    )
+    SELECT g AS event_type, model, count(*) AS n_scored,
+           round(CAST(sum(abs(cents - f)) AS DOUBLE) / count(*) / 100.0, 4)
+             AS mae,
+           round(CAST(sum(CAST(round(abs(CAST(cents AS DOUBLE)
+                                         - CAST(f AS DOUBLE))
+                 / ((abs(CAST(cents AS DOUBLE)) + abs(CAST(f AS DOUBLE))) / 2.0)
+                 * 100.0 * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0, 4) AS smape_pct
+    FROM scored GROUP BY g, model
+    """,
+)
+def forecast_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive and seasonal-naive forecasting baselines backtested on
+    daily event value per type: MAE in exact cents, SMAPE micro-
+    quantized — the benchmark any forecaster must beat, engine-exact."""
+    from .operators.timeseries import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events")
+    return forecast_backtest(ev, "event_type", "ts", "value", season=7)
+
+
+@register(
+    "l_diversity_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice / 100000.0) AS BIGINT) AS price_band,
+           count(*) AS n,
+           count(DISTINCT o_orderstatus) AS l,
+           count(DISTINCT o_orderstatus) >= 2 AS diverse
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (companion to the k-anonymity pair): for each
+    quasi-identifier group (priority x 100k price band), the count of
+    DISTINCT sensitive values (order status) — a group that is
+    k-anonymous but 1-diverse still leaks the sensitive attribute. One
+    partial-agg bounded by QI groups."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") / 100000.0).cast("long").alias("price_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("o_orderstatus").alias("l"),
+        (F.count_distinct("o_orderstatus") >= 2).alias("diverse"),
+    )

@@ -346,3 +346,49 @@ def test_benford_detects_uniform_fabrication(spark):
     assert out[1].share_pct == 100.0
     assert out[1].dev_pct > 60  # way over the 30.1% Benford share
     assert out[9].n == 0 and out[9].share_pct == 0.0
+
+
+def test_cuped_reduces_variance_with_correlated_covariate(spark):
+    from hybridbackend_spark.operators.analytics import cuped_adjust
+
+    # post = pre + small deterministic noise -> CUPED removes most variance
+    rows = []
+    for i in range(200):
+        pre = 1000 + (i * 37) % 500
+        post = pre + (i * 13) % 50
+        rows.append(("A" if i % 2 == 0 else "B", pre, post))
+    df = spark.createDataFrame(rows, "variant string, pre long, post long")
+    out = {r.variant: r for r in cuped_adjust(df, "variant", "pre", "post").collect()}
+    for v in ("A", "B"):
+        assert out[v].n == 100
+        assert out[v].var_adj < out[v].var_post * 0.2
+        assert out[v].var_reduction_pct > 80
+        # adjustment is mean-preserving up to quantization
+        assert abs(out[v].mean_adj - out[v].mean_post) < out[v].mean_post * 0.1
+
+
+def test_cuped_uncorrelated_covariate_harmless(spark):
+    from hybridbackend_spark.operators.analytics import cuped_adjust
+
+    rows = [("A", (i * 7919) % 100, (i * 104729) % 1000) for i in range(300)]
+    df = spark.createDataFrame(rows, "variant string, pre long, post long")
+    out = cuped_adjust(df, "variant", "pre", "post").collect()[0]
+    # theta ~ 0 -> variance roughly unchanged (never catastrophically worse)
+    assert out.var_adj <= out.var_post * 1.1
+
+
+def test_forecast_backtest_perfect_weekly_pattern(spark):
+    from hybridbackend_spark.operators.timeseries import forecast_backtest
+
+    # strict weekly pattern: seasonal-naive is perfect, naive is not
+    rows = []
+    for d in range(1, 29):
+        ts = _ts(f"2024-01-{d:02d} 00:00:00")
+        rows.append(("a", ts, float(10 + (d % 7) * 5)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {r.model: r for r in forecast_backtest(df, "g", "ts", "value").collect()}
+    assert out["seasonal_naive"].mae == 0.0
+    assert out["seasonal_naive"].smape_pct == 0.0
+    assert out["naive"].mae > 0
+    assert out["naive"].n_scored == 27
+    assert out["seasonal_naive"].n_scored == 21
