@@ -225,6 +225,8 @@ EXTRA = [
     "cuped_events",
     "forecast_backtest_events",
     "l_diversity_orders",
+    # wave 13
+    "golden_record_customers",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -787,6 +787,7 @@ _DRIVER_WINDOW_FIRST = [
     "cuped_events",
     "forecast_backtest_events",
     "l_diversity_orders",
+    "golden_record_customers",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -8351,4 +8352,151 @@ def l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("o_orderstatus").alias("l"),
         (F.count_distinct("o_orderstatus") >= 2).alias("diverse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 13: golden-record entity resolution (fuzzy match -> components ->
+# survivorship rules).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "golden_record_customers",
+    """
+    WITH RECURSIVE corr AS (
+      SELECT c_custkey + 1000000 AS rid,
+             substr(c_name, 1, (c_custkey % 8)::INT)
+               || substr(c_name, (c_custkey % 8)::INT + 2) AS name,
+             'DUP' AS seg,
+             CAST(floor(c_acctbal) AS BIGINT) * 100 AS bal
+      FROM customer
+    ),
+    recs AS (
+      SELECT c_custkey AS rid, c_name AS name, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+      UNION ALL SELECT rid, name, seg, bal FROM corr
+    ),
+    e0 AS (
+      SELECT c.c_custkey AS a, corr.rid AS b
+      FROM customer c, corr
+      WHERE levenshtein(c.c_name, corr.name) <= 1
+    ),
+    edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src),
+    cl AS (
+      SELECT recs.*, coalesce(comp.component, recs.rid) AS cluster
+      FROM recs LEFT JOIN comp ON comp.id = recs.rid
+    ),
+    base AS (
+      SELECT cluster, count(*) AS n_members, max(bal) AS mb
+      FROM cl GROUP BY cluster
+    ),
+    nm AS (
+      SELECT cluster, name FROM (
+        SELECT cluster, name,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY length(name) DESC, name) AS rn
+        FROM cl) WHERE rn = 1
+    ),
+    sg AS (
+      SELECT cluster, seg FROM (
+        SELECT cluster, seg,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY count(*) DESC, seg) AS rn
+        FROM cl GROUP BY cluster, seg) WHERE rn = 1
+    )
+    SELECT b.cluster, n_members, nm.name, sg.seg AS segment,
+           CAST(mb AS DOUBLE) / 100.0 AS max_bal
+    FROM base b JOIN nm USING (cluster) JOIN sg USING (cluster)
+    """,
+)
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end master-data entity resolution: a second 'source' of
+    deterministically corrupted customer records (one char deleted from
+    the constant name prefix — the digit suffix stays intact, so a
+    corrupt record matches ONLY its own original and clusters don't
+    chain) is fuzzy-matched (symmetric-delete blocking, exact recall)
+    against the originals,
+    match edges are closed into clusters (connected components), and
+    per-cluster survivorship rules produce the golden record — longest
+    name (ties lexicographic), plurality segment (ties lexicographic),
+    max balance. The oracle brute-forces the full distance matrix and a
+    recursive-CTE closure, so clusters AND survivorship are hash-proven.
+    Composition of `joins.fuzzy_join` + `graph.connected_components` —
+    every stage already scale-shaped (variant-hash equi-join; per-round
+    checkpointed propagation)."""
+    from .operators.graph import connected_components
+    from .operators.joins import fuzzy_join
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("rid_a"),
+        F.col("c_name").alias("name_a"),
+    )
+    corrupt = F.expr(
+        "concat(substring(c_name, 1, cast(c_custkey % 8 as int)),"
+        " substring(c_name, cast(c_custkey % 8 as int) + 2))"
+    )
+    b = c.select(
+        (F.col("c_custkey") + 1000000).alias("rid_b"),
+        corrupt.alias("name_b"),
+    )
+    edges = fuzzy_join(
+        a, b, "name_a", "name_b", max_distance=1,
+        left_id="rid_a", right_id="rid_b",
+    ).select("rid_a", "rid_b")
+    comp = connected_components(edges, "rid_a", "rid_b")
+
+    recs = c.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    ).unionByName(
+        c.select(
+            (F.col("c_custkey") + 1000000).alias("rid"),
+            corrupt.alias("name"),
+            F.lit("DUP").alias("seg"),
+            (F.floor("c_acctbal").cast("long") * 100).alias("bal"),
+        )
+    )
+    cl = recs.join(comp, recs.rid == comp.id, "left").select(
+        recs.rid,
+        "name",
+        "seg",
+        "bal",
+        F.coalesce(F.col("component"), recs.rid).alias("cluster"),
+    )
+    base = cl.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("bal").alias("_mb"),
+        F.min(
+            F.struct((-F.length("name")).alias("nl"), F.col("name").alias("nm"))
+        ).alias("_w"),
+    )
+    sg = (
+        cl.groupBy("cluster", "seg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(F.desc("_c"), "seg")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("cluster", F.col("seg").alias("segment"))
+    )
+    return base.join(sg, "cluster").select(
+        "cluster",
+        "n_members",
+        F.col("_w.nm").alias("name"),
+        "segment",
+        (F.col("_mb").cast("double") / 100.0).alias("max_bal"),
     )
