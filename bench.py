@@ -227,6 +227,9 @@ EXTRA = [
     "l_diversity_orders",
     # wave 13
     "golden_record_customers",
+    # wave 14
+    "embedding_outliers_labels",
+    "dp_counts_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -788,6 +788,8 @@ _DRIVER_WINDOW_FIRST = [
     "forecast_backtest_events",
     "l_diversity_orders",
     "golden_record_customers",
+    "embedding_outliers_labels",
+    "dp_counts_orders",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -8499,4 +8501,132 @@ def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_w.nm").alias("name"),
         "segment",
         (F.col("_mb").cast("double") / 100.0).alias("max_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 14: embedding mislabel screening, DP geometric-mechanism counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_outliers_labels",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    per AS (
+      SELECT label, pos, sum(xq) AS s, count(*) AS n
+      FROM e GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, pos, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS c FROM per
+    ),
+    terms AS (
+      SELECT e.vec_id, e.label,
+             CAST(round((CAST(xq AS DOUBLE) - c) * (CAST(xq AS DOUBLE) - c))
+                  AS BIGINT) AS t
+      FROM e JOIN cent ON cent.label = e.label AND cent.pos = e.pos
+    ),
+    d2 AS (SELECT vec_id, label, sum(t) AS s2 FROM terms GROUP BY 1, 2)
+    SELECT label, rank, vec_id,
+           round(sqrt(CAST(s2 AS DOUBLE)) / 1000000.0, 6) AS dist
+    FROM (
+      SELECT label, vec_id, s2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY s2 DESC, vec_id) AS rank
+      FROM d2
+    ) WHERE rank <= 5
+    """,
+)
+def embedding_outliers_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-sample screening: the 5 vectors FARTHEST from their
+    own label's centroid, per label — the curation question 'which
+    examples probably carry the wrong label'. Centroids from exact
+    integer sums; per-dimension squared deviations quantized to integer
+    units before the per-vector sum, so distances and ranks are engine-
+    exact. Shuffle volume: labels x dim cells for centroids (broadcast
+    back), one (vec, label) partial agg for distances."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).withColumn("xq", F.round(F.col("x") * 1000000).cast("long"))
+    per = e.groupBy("label", "pos").agg(
+        F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = per.select(
+        "label",
+        "pos",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("c"),
+    )
+    diff = F.col("xq").cast("double") - F.col("c")
+    terms = e.join(F.broadcast(cent), ["label", "pos"]).select(
+        "vec_id", "label", F.round(diff * diff).cast("long").alias("t")
+    )
+    d2 = terms.groupBy("vec_id", "label").agg(F.sum("t").alias("s2"))
+    w = Window.partitionBy("label").orderBy(F.desc("s2"), "vec_id")
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "label",
+            "rank",
+            "vec_id",
+            F.round(F.sqrt(F.col("s2").cast("double")) / 1000000.0, 6).alias(
+                "dist"
+            ),
+        )
+    )
+
+
+@register(
+    "dp_counts_orders",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, count(*) AS n_true FROM orders GROUP BY 1
+    ),
+    noise AS (
+      SELECT o_orderpriority, n_true,
+             ('0x' || substr(md5(o_orderpriority || ':42'), 1, 8))::BIGINT AS u
+      FROM c
+    )
+    SELECT o_orderpriority, n_true,
+           (CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END)
+             * (length(regexp_extract(bin(u), '^1*', 0)) - 1) AS noise,
+           n_true + (CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END)
+             * (length(regexp_extract(bin(u), '^1*', 0)) - 1) AS n_noisy
+    FROM noise
+    """,
+)
+def dp_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release via the GEOMETRIC mechanism
+    (Ghosh et al. 2009): two-sided geometric(1/2) noise — epsilon = ln 2
+    — added to each group count, built from pure integer arithmetic
+    (leading-ones of a hash's binary form; no transcendental sampling).
+    The noise here is SEEDED (md5 of the group key) so the release is
+    reproducible and oracle-checkable; production would draw the same
+    distribution from a real entropy source — the mechanism, sensitivity
+    (1 per count), and arithmetic are exactly what ships."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_true"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("o_orderpriority"), F.lit(":42"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    k = F.length(F.regexp_extract(F.bin(u), "^1*", 0)) - 1
+    sign = F.when(u % 2 == 0, 1).otherwise(-1)
+    noise = (sign * k).cast("long")
+    return c.select(
+        "o_orderpriority",
+        "n_true",
+        noise.alias("noise"),
+        (F.col("n_true") + noise).alias("n_noisy"),
     )

@@ -184,18 +184,25 @@ def stream_dedup(
 
 
 def run_available_now(
-    stream_df: DataFrame, name: str | None = None
+    stream_df: DataFrame, name: str | None = None, mode: str | None = None
 ) -> DataFrame:
     """Execute a streaming plan synchronously over all currently-available
     input (availableNow trigger -> memory sink) and return the bounded
     result. This is the replay/backfill path: identical code serves the
-    live stream and the batch catch-up."""
+    live stream and the batch catch-up.
+
+    ``mode`` overrides the inferred output mode. NOTE the semantics
+    difference for watermarked aggregations: in ``complete`` mode (the
+    inference for aggregates, so replays cover every window) the
+    watermark does NOT drop late rows; ``append``/``update`` enforce the
+    late-data drop and evict closed state — use those to exercise or
+    rely on drop semantics."""
     qname = name or f"hb_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"hbq_{qname}_ckpt_")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(qname)
-        .outputMode(_output_mode(stream_df))
+        .outputMode(mode or _output_mode(stream_df))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

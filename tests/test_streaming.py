@@ -2,6 +2,9 @@
 events parquet — batch result is the oracle (same engine guarantees the
 same window semantics)."""
 
+import datetime as dt
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -428,3 +431,62 @@ def test_streaming_incremental_cms_equals_batch(spark, tmp_path):
         )
     )
     assert merged == full
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """POSITIVE late-data test: with maxFilesPerTrigger=1 the second file
+    forms a second microbatch, by which time the watermark (1h behind
+    batch 1's max event time) has passed the late row's window — the
+    aggregation state must DROP it, while the fresh row still counts."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+        tumbling_agg,
+    )
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{d}/{fname}")
+
+    # batch 0 sets max event time 12:10; batch 1 advances it to 12:30.
+    # Spark applies a newly-advanced watermark from the NEXT batch after
+    # the commit, so the late row goes in a third file: by batch 2 the
+    # enforced watermark is 11:30 and the 09:30 row (window end 10:00)
+    # MUST be dropped.
+    write("1-early.parquet", [(1, "2024-03-01 10:15:00"), (2, "2024-03-01 12:10:00")])
+    _time.sleep(1.1)  # distinct modification times => deterministic file order
+    write("2-advance.parquet", [(3, "2024-03-01 12:30:00")])
+    _time.sleep(1.1)
+    write("3-late.parquet", [(4, "2024-03-01 09:30:00")])
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    agg = tumbling_agg(stream, "ts", "1 hour", watermark="1 hour")
+    # update mode enforces the drop (complete mode deliberately does not:
+    # replays must cover every window); the memory sink keeps each
+    # batch's updated rows, so the late row would surface as a 09:00
+    # window row if it survived
+    rows = run_available_now(agg, mode="update").collect()
+    hours = {r.window_start.hour for r in rows}
+
+    assert 9 not in hours  # late row dropped by the watermark
+    assert max(r.n_events for r in rows if r.window_start.hour == 12) == 2
