@@ -143,3 +143,45 @@ def test_fuzzy_join_streams_both_sides(spark, sf_dir):
         plan = physical_plan(fuzzy_join_customers(spark, sf_dir))
     assert "SortMergeJoin" in plan
     assert _broadcast_exchange_count(plan) == 0
+
+
+def test_equidepth_bins_no_global_window(spark, sf_dir):
+    """The equi-depth query must NOT plan a global window (the ntile()
+    trap that funnels the whole table through one partition): bin
+    assignment is a broadcast of the boundary row + a map-side CASE."""
+    from hybridbackend_spark.queries import equidepth_bins_lineitem
+
+    plan = physical_plan(equidepth_bins_lineitem(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_into_no_full_outer(spark, sf_dir):
+    """MERGE INTO plans as anti join + union — never a wide full-outer
+    row (which would carry both sides' payloads through the shuffle)."""
+    from hybridbackend_spark.queries import merge_upsert_orders
+
+    plan = physical_plan(merge_upsert_orders(spark, sf_dir))
+    assert "FullOuter" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_covariance_shuffles_cells_not_rows(spark, sf_dir):
+    """The covariance plan aggregates exploded (i, j, product) cells with
+    a partial_ stage (map-side combine), so the shuffle carries
+    d(d+1)/2 cells per partition, never row-proportional data; and the
+    whole computation stays expression-level (no Python in the plan)."""
+    from hybridbackend_spark.queries import covariance_embeddings
+
+    plan = physical_plan(covariance_embeddings(spark, sf_dir))
+    assert "partial_sum" in plan or "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark, sf_dir):
+    """Every wide op in the funnel is keyed on user_id; no per-user
+    history is collected (no collect_list in the plan)."""
+    from hybridbackend_spark.queries import funnel_unbounded_events
+
+    plan = physical_plan(funnel_unbounded_events(spark, sf_dir))
+    assert "collect_list" not in plan
