@@ -230,6 +230,8 @@ EXTRA = [
     # wave 14
     "embedding_outliers_labels",
     "dp_counts_orders",
+    # wave 15
+    "mips_topk_embeddings",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -790,6 +790,7 @@ _DRIVER_WINDOW_FIRST = [
     "golden_record_customers",
     "embedding_outliers_labels",
     "dp_counts_orders",
+    "mips_topk_embeddings",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
@@ -8629,4 +8630,87 @@ def dp_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         noise.alias("noise"),
         (F.col("n_true") + noise).alias("n_noisy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 15: maximum-inner-product search; SQL entry point.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mips_topk_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                      AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ),
+    c AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                      AS BIGINT)) AS cv
+      FROM embeddings
+    ),
+    qe AS (SELECT qid, unnest(qv) AS xq, generate_subscripts(qv, 1) AS i FROM q),
+    ce AS (SELECT vec_id, unnest(cv) AS yq, generate_subscripts(cv, 1) AS i
+           FROM c),
+    dots AS (
+      SELECT qe.qid, ce.vec_id, sum(xq * yq) AS dot
+      FROM qe JOIN ce ON ce.i = qe.i
+      GROUP BY qe.qid, ce.vec_id
+    )
+    SELECT qid, rank, vec_id,
+           round(CAST(dot AS DOUBLE) / 1099511627776.0, 6) AS score
+    FROM (
+      SELECT qid, vec_id, dot,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, vec_id) AS rank
+      FROM dots WHERE vec_id <> qid
+    ) WHERE rank <= 5
+    """,
+)
+def mips_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (the retrieval scoring used by
+    two-tower recommenders, where vector NORM carries popularity and
+    cosine is the wrong metric): brute-force exact top-5 by dot product
+    for three query vectors. Inner products on the 2^20 integer grid are
+    exact longs — scores and ranks hash-check bit-for-bit. The corpus
+    never shuffles (query side broadcast); for the sublinear path,
+    augment each vector with sqrt(M^2 - |x|^2) and reuse the cosine LSH
+    operators (Shrivastava & Li 2014) — the reduction, not a new index.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1048576).cast("long")
+    )
+    q = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("qid"), qv.alias("qv")
+    )
+    c = emb.select("vec_id", qv.alias("cv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    dots = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", dot.alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), "vec_id")
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "qid",
+            "rank",
+            "vec_id",
+            F.round(F.col("dot").cast("double") / 1099511627776.0, 6).alias(
+                "score"
+            ),
+        )
     )

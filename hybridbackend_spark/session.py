@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_session", "DEFAULT_CONF", "cluster_conf"]
+__all__ = ["get_session", "DEFAULT_CONF", "cluster_conf", "register_tables"]
 
 DEFAULT_CONF = {
     # Adaptive execution: coalesce small shuffle partitions, split skewed
@@ -114,3 +114,25 @@ def cluster_conf(
         "spark.executor.memory": f"{executor_mem_gb}g",
         "spark.memory.fraction": "0.6",
     }
+
+
+def register_tables(spark, sf_dir: str, names=None) -> list[str]:
+    """Register the engine's test tables as temp views so users can work
+    in RAW SQL (`spark.sql(...)`) instead of (or alongside) the
+    DataFrame API — the full query surface is available either way,
+    since every operator here compiles to the same Catalyst plans.
+    ``events.ts`` gets the same nanos/NTZ normalization as the
+    DataFrame loaders. Returns the registered view names.
+    """
+    from .queries import _t
+
+    names = list(
+        names
+        or [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+    )
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+    return names

@@ -257,3 +257,29 @@ def test_read_jsonl_roundtrip_write(spark, tmp_path):
     assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == [
         (1, "a"), (2, "b"),
     ]
+
+
+def test_raw_sql_interface_matches_dataframe(spark, sf_dir):
+    """Users can drive the engine in raw SQL: register_tables exposes the
+    tables as views, and a hand-written Spark SQL text produces exactly
+    the DataFrame API's rows (same Catalyst plans underneath)."""
+    from hybridbackend_spark.queries import q1_pricing_summary
+    from hybridbackend_spark.session import register_tables
+
+    register_tables(spark, sf_dir, ["lineitem"])
+    sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    df = q1_pricing_summary(spark, sf_dir).select(
+        "l_returnflag", "l_linestatus", "sum_qty", "count_order"
+    )
+    got = {tuple(r) for r in sql.collect()}
+    want = {tuple(r) for r in df.collect()}
+    assert got == want and len(got) > 0
