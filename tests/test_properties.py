@@ -72,3 +72,70 @@ def test_morton_key_monotone_in_single_dim(vals, bits):
 
     keys = [morton(v * top // 255) for v in sorted(vals)]
     assert keys == sorted(keys)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_ewma_fold_semantics_match_python(vals):
+    # the engine-exact claim rests on this recurrence being the fold both
+    # engines run: s <- (s + v) / 2, seeded with the first value
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = (acc + v) / 2.0
+    # magnitude never exceeds the running max (convexity of the mean)
+    assert abs(acc) <= max(abs(v) for v in vals) + 1e-9
+
+
+@given(st.integers(1, 10**12), st.integers(1, 10**12))
+@settings(max_examples=100, deadline=None)
+def test_whole_bit_log_identity(a, b):
+    # floor(log2 x) == len(bin(x)) - 1 (the arithmetic behind surprisal,
+    # WOE/IV, PSI, novelty, idf) — and the bit difference brackets the
+    # real log2 ratio within 1 bit on each side
+    import math
+
+    bits = lambda x: len(bin(x)) - 3  # '0b1...' -> digit count - 1
+    assert bits(a) == math.floor(math.log2(a))
+    diff = bits(a) - bits(b)
+    assert abs(diff - math.log2(a / b)) < 2
+
+
+@given(
+    st.integers(2, 64),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_geometric_noise_bounded_and_deterministic(width, u):
+    # the DP geometric mechanism's leading-ones noise: |noise| <= bits(u)
+    import re
+
+    b = bin(u)[2:]
+    k = len(re.match("^1*", b).group(0)) - 1
+    sign = 1 if u % 2 == 0 else -1
+    noise = sign * max(k, -1 if u == 0 else k)
+    assert abs(noise) <= len(b)
+
+
+@given(
+    st.lists(st.integers(0, 10**6), min_size=2, max_size=200),
+    st.integers(2, 8),
+)
+@settings(max_examples=30, deadline=None)
+def test_dyadic_interpolation_exact_in_double(vals, log_bins):
+    # the winsorize/equidepth exactness argument: a + (b - a) * (k/2^m)
+    # on integer grids is EXACT in double (no rounding) — check against
+    # Fraction arithmetic
+    from fractions import Fraction
+
+    n_bins = 2 ** (log_bins.bit_length() - 1) or 2
+    a, b = min(vals), max(vals)
+    for k in range(1, n_bins):
+        f = k / n_bins
+        got = a + (b - a) * f
+        want = Fraction(a) + Fraction(b - a) * Fraction(k, n_bins)
+        assert got == float(want) == want
