@@ -761,36 +761,36 @@ _DRIVER_WINDOW_FIRST = [
     "dq_audit_orders",
     "cohort_retention_events",
     "funnel_unbounded_events",
-    "chisq_events",
     "equidepth_bins_lineitem",
-    "corr_lineitem",
-    "ols_trend_orders",
     "stream_topk_types",
     "covariance_embeddings",
     "join_size_estimate_cms",
     "attribution_multitouch",
     "merge_upsert_orders",
     "provenance_lineitem",
-    "woe_orders",
-    "seasonal_dow_events",
-    "skew_report_lineitem",
     "winsorize_lineitem",
     "keywords_docs",
     "kcore_parts",
+    "golden_record_customers",
+    "mips_topk_embeddings",
+    "embedding_outliers_labels",
+    "cuped_events",
+    "psi_orders",
+    "forecast_backtest_events",
     "kmv_overlap_docs",
     "coverage_novelty_parts",
     "k_anonymize_customers",
     "changepoint_events",
     "kaplan_meier_users",
-    "psi_orders",
+    "chisq_events",
+    "corr_lineitem",
+    "ols_trend_orders",
+    "seasonal_dow_events",
+    "woe_orders",
+    "skew_report_lineitem",
     "benford_orders",
-    "cuped_events",
-    "forecast_backtest_events",
     "l_diversity_orders",
-    "golden_record_customers",
-    "embedding_outliers_labels",
     "dp_counts_orders",
-    "mips_topk_embeddings",
     "boilerplate_prune_docs",
     "q12_shipmode_priority",
     "lpa_communities_parts",
