@@ -232,6 +232,11 @@ EXTRA = [
     "dp_counts_orders",
     # wave 15
     "mips_topk_embeddings",
+    # wave 16
+    "stream_enrich_user_tier",
+    "slo_percentiles_events",
+    "mutual_info_orders",
+    "array_ops_embeddings",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -777,6 +777,8 @@ _DRIVER_WINDOW_FIRST = [
     "cuped_events",
     "psi_orders",
     "forecast_backtest_events",
+    "stream_enrich_user_tier",
+    "mutual_info_orders",
     "kmv_overlap_docs",
     "coverage_novelty_parts",
     "k_anonymize_customers",
@@ -8713,4 +8715,193 @@ def mips_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave 16: stream-static enrichment, SLO percentile bands, whole-bit mutual
+# information, ragged-array expression ops.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_enrich_user_tier",
+    """
+    WITH tiers AS (
+      SELECT user_id,
+             CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) >= 330000
+                  THEN 'high' ELSE 'standard' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT t.tier, e.event_type, count(*) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events e JOIN tiers t ON t.user_id = e.user_id
+    GROUP BY t.tier, e.event_type
+    """,
+)
+def stream_enrich_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (the third join mode next to the
+    batch and stream-stream joins): a static user-tier dimension (built
+    batch-side) enriches the live event stream row-by-row, then a
+    streaming aggregation rolls up per (tier, type). The static side is
+    broadcast into every microbatch — no stream-side state. Replayed
+    availableNow; the oracle is the equivalent batch join+agg."""
+    from .streaming.ops import read_event_stream, run_available_now
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.round(F.col("value") * 100).cast("long")) >= 330000, "high"
+        )
+        .otherwise("standard")
+        .alias("tier")
+    )
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = stream.join(F.broadcast(tiers), "user_id")
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)
+        ).alias("sum_value"),
+    )
+    return run_available_now(agg).select(
+        "tier", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "slo_percentiles_events",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(max(value), 4) AS p100
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def slo_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily latency-style SLO report: exact interpolated p50/p95 and
+    max of event value per (type, day) — the percentile-parity pattern
+    (proven by mad_outliers) applied to the ops-report shape. One
+    partial+final agg per (type, day); no global sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )
+
+
+@register(
+    "mutual_info_orders",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, sum(o) AS row_t FROM cells GROUP BY r),
+    ct AS (SELECT c, sum(o) AS col_t FROM cells GROUP BY c),
+    g AS (SELECT sum(o) AS grand FROM cells),
+    terms AS (
+      SELECT cells.o, g.grand,
+             (length(bin(cells.o)) - 1) + (length(bin(g.grand)) - 1)
+             - (length(bin(rt.row_t)) - 1) - (length(bin(ct.col_t)) - 1)
+               AS pmi_bits
+      FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN g
+    )
+    SELECT round(CAST(sum(o * pmi_bits) AS DOUBLE)
+                 / CAST(max(grand) AS DOUBLE), 6) AS mi_bits,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           max(grand) AS n
+    FROM terms
+    """,
+)
+def mutual_info_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between order priority and status in WHOLE
+    BITS: per-cell pointwise MI from exact binary digit counts
+    (bits(o) + bits(n) - bits(row) - bits(col)), weighted by exact
+    counts — the feature-relevance ranking signal, same integer-exact
+    log family as surprisal/WOE/PSI. One contingency agg bounded by the
+    category product."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"), F.col("o_orderstatus").alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("row_t"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("col_t"))
+    g = cells.agg(F.sum("o").alias("grand"))
+    bits = lambda col: F.length(F.bin(col)) - 1
+    terms = (
+        cells.join(rt, "r")
+        .join(ct, "c")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o",
+            "grand",
+            (
+                bits(F.col("o"))
+                + bits(F.col("grand"))
+                - bits(F.col("row_t"))
+                - bits(F.col("col_t"))
+            ).alias("pmi_bits"),
+        )
+    )
+    return terms.agg(
+        F.round(
+            F.sum(F.col("o") * F.col("pmi_bits")).cast("double")
+            / F.max("grand").cast("double"),
+            6,
+        ).alias("mi_bits"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("grand").alias("n"),
+    )
+
+
+@register(
+    "array_ops_embeddings",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                      AS BIGINT)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE))
+                 / 1048576.0, 6) AS l2_norm,
+           len(list_filter(v, x -> x > 0)) AS n_positive,
+           CAST(list_indexof(v, list_max(v)) - 1 AS BIGINT) AS argmax,
+           round(CAST(list_max(v) AS DOUBLE) / 1048576.0, 6) AS max_v
+    FROM q
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ragged/tensor expression surface (SURVEY §2.7 B5-B8 family, in
+    query form): per-row L2 norm, positive count, argmax index, and max
+    over the embedding array — all higher-order JVM expressions on the
+    2^20 integer grid (exact sums/comparisons; first-match argmax), no
+    explode, no shuffle, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1048576).cast("long")
+    )
+    q = emb.select("vec_id", v.alias("v"))
+    sumsq = F.aggregate(
+        F.transform("v", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    mx = F.array_max("v")
+    return q.select(
+        "vec_id",
+        F.round(F.sqrt(sumsq.cast("double")) / 1048576.0, 6).alias("l2_norm"),
+        F.size(F.filter("v", lambda x: x > 0)).alias("n_positive"),
+        (F.array_position("v", mx) - 1).cast("long").alias("argmax"),
+        F.round(mx.cast("double") / 1048576.0, 6).alias("max_v"),
     )
