@@ -490,3 +490,75 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
 
     assert 9 not in hours  # late row dropped by the watermark
     assert max(r.n_events for r in rows if r.window_start.hour == 12) == 2
+
+
+def test_streaming_cdc_merge_loop_equals_batch_merge(spark, tmp_path):
+    """Lakehouse CDC apply loop: a stream of change batches applied with
+    merge_into per microbatch (foreachBatch) must land on exactly the
+    state a single batch MERGE of all changes produces — the
+    exactly-once upsert contract that makes the streaming path safe to
+    restart from any batch boundary."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybridbackend_spark.operators.structural import merge_into
+
+    d = str(tmp_path / "cdc")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "v": pa.array([r[1] for r in rows]),
+                "_del": pa.array([r[2] for r in rows], pa.bool_()),
+            }
+        )
+        pq.write_table(tbl, f"{d}/{fname}")
+
+    # two change batches: updates, an insert, then a delete of the insert
+    write("1.parquet", [(1, "B1", False), (4, "new", False)])
+    _time.sleep(1.1)
+    write("2.parquet", [(4, None, True), (2, "B2", False)])
+
+    target0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    state_dir = str(tmp_path / "state")
+    target0.write.parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema("k long, v string, _del boolean")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+    def apply_batch(batch_df, epoch_id):
+        current = spark.read.parquet(state_dir)
+        merged = merge_into(current, batch_df, ["k"], delete_col="_del")
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        # atomic-enough swap for the test; real sinks use table formats
+        spark.read.parquet(state_dir + "_next").write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {r.k: r.v for r in spark.read.parquet(state_dir).collect()}
+
+    all_changes = spark.createDataFrame(
+        [(1, "B1", False), (4, None, True), (2, "B2", False)],
+        "k long, v string, _del boolean",
+    )
+    batch = {r.k: r.v
+             for r in merge_into(target0, all_changes, ["k"], "_del").collect()}
+
+    assert streamed == batch == {1: "B1", 2: "B2", 3: "c"}
