@@ -237,6 +237,7 @@ EXTRA = [
     "slo_percentiles_events",
     "mutual_info_orders",
     "array_ops_embeddings",
+    "rbo_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -779,6 +779,7 @@ _DRIVER_WINDOW_FIRST = [
     "forecast_backtest_events",
     "stream_enrich_user_tier",
     "mutual_info_orders",
+    "rbo_orders",
     "kmv_overlap_docs",
     "coverage_novelty_parts",
     "k_anonymize_customers",
@@ -8904,4 +8905,84 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("v", lambda x: x > 0)).alias("n_positive"),
         (F.array_position("v", mx) - 1).cast("long").alias("argmax"),
         F.round(mx.cast("double") / 1048576.0, 6).alias("max_v"),
+    )
+
+
+@register(
+    "rbo_orders",
+    """
+    WITH a AS (
+      SELECT o_custkey,
+             list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey) AS ra
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey,
+             list(o_orderkey ORDER BY o_orderdate DESC, o_orderkey) AS rb
+      FROM orders GROUP BY o_custkey
+    ),
+    ov AS (
+      SELECT a.o_custkey,
+             len(ra) AS n_orders,
+             len(list_intersect(ra[1:1], rb[1:1])) AS o1,
+             len(list_intersect(ra[1:2], rb[1:2])) AS o2,
+             len(list_intersect(ra[1:3], rb[1:3])) AS o3,
+             len(list_intersect(ra[1:4], rb[1:4])) AS o4,
+             len(list_intersect(ra[1:5], rb[1:5])) AS o5
+      FROM a JOIN b USING (o_custkey)
+    )
+    SELECT o_custkey, n_orders,
+           round(CAST(o1 AS DOUBLE) * 0.5
+                 + CAST(o2 AS DOUBLE) * 0.125
+                 + CAST(o3 AS DOUBLE) * 0.0416666666666666644
+                 + CAST(o4 AS DOUBLE) * 0.015625
+                 + CAST(o5 AS DOUBLE) * 0.00625, 8) AS rbo5
+    FROM ov
+    """,
+)
+def rbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) at depth 5 with
+    persistence p = 1/2 between each customer's price-ranked and
+    recency-ranked order lists — the metric for comparing two rankings
+    of the same items (e.g. exact vs LSH ANN results, yesterday's vs
+    today's feed). Per-depth weights (1-p) p^(d-1) / d are dyadic/d
+    LITERALS precomputed identically in both engines (0.5, 0.125,
+    1/24, 1/64, 1/160), the overlaps are exact integers, and the
+    5-term weighted sum evaluates left-to-right — identical doubles
+    everywhere. One shuffle per ranking on the customer key."""
+    o = _t(spark, sf_dir, "orders")
+    ra = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("o_totalprice")).alias("s"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            )
+        ),
+        lambda s: s["k"],
+    )
+    rb = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("s"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            )
+        ),
+        lambda s: s["k"],
+    )
+    lists = o.groupBy("o_custkey").agg(ra.alias("ra"), rb.alias("rb"))
+    ov = lambda d: F.size(
+        F.array_intersect(F.slice("ra", 1, d), F.slice("rb", 1, d))
+    ).cast("double")
+    weights = [0.5, 0.125, 0.0416666666666666644, 0.015625, 0.00625]
+    rbo = ov(1) * weights[0]
+    for d in range(2, 6):
+        rbo = rbo + ov(d) * weights[d - 1]
+    return lists.select(
+        "o_custkey",
+        F.size("ra").alias("n_orders"),
+        F.round(rbo, 8).alias("rbo5"),
     )
