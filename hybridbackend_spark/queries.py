@@ -7904,10 +7904,12 @@ def k_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "coverage_novelty_parts",
     """
-    WITH ui AS (
+    WITH ui0 AS (
       SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
+    ok AS (SELECT u FROM ui0 GROUP BY u HAVING count(*) <= 50),
+    ui AS (SELECT ui0.u, ui0.i FROM ui0 JOIN ok USING (u)),
     deg AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
     co AS (
       SELECT a.i AS ia, b.i AS ib, count(*) AS n_common
@@ -7961,7 +7963,17 @@ def coverage_novelty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
     )
-    ui = inter.distinct()
+    ui0 = inter.distinct()
+    # exercise the power-user guard: degree-capped interactions feed BOTH
+    # the similarity join and the popularity stats (oracle applies the
+    # identical HAVING cap)
+    ok = (
+        ui0.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .filter(F.col("_d") <= 50)
+        .select("u")
+    )
+    ui = ui0.join(ok, "u")
     recs = item_similarity(ui, "u", "i", k=2).select("item", "neighbor")
     deg = ui.groupBy(F.col("i")).agg(F.count(F.lit(1)).alias("n"))
     tot = ui.agg(F.count(F.lit(1)).alias("n_inter"))
