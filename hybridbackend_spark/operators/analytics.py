@@ -212,7 +212,9 @@ def ols_trend(
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    den = n * sxx - sx * sx
+    # constant-x group: slope is undefined -> NULL, never a /0 abort
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
     intercept = (sy - slope * sx) / n
     return stats.select(
         *group_cols,
@@ -226,7 +228,6 @@ def chi_square(
     df: DataFrame,
     row_col: str,
     col_col: Column,
-    col_alias: str = "col_key",
     dp: int = 6,
 ) -> DataFrame:
     """Chi-square test of independence over the ``row_col`` x ``col_col``
@@ -293,7 +294,9 @@ def corr_pairs(
     (``cols`` maps name -> integer-grid Column, e.g. cents). All
     sufficient statistics are exact DECIMAL(38,0) sums from ONE fused
     scan-agg; correlations are computed from the scalars in double.
-    Returns one row per pair (x, y, n, corr).
+    A CONSTANT column yields NULL corr for its pairs (undefined — and
+    never a divide-by-zero abort under ANSI mode). Returns one row per
+    pair (x, y, n, corr).
     """
     names = list(cols)
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -316,8 +319,12 @@ def corr_pairs(
         ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
         sp = F.col(f"sp_{a}_{b}").cast("double")
         num = n * sp - sa * sb
-        den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
-        return F.round(num / den, dp)
+        va = n * ssa - sa * sa
+        vb = n * ssb - sb * sb
+        # constant column: correlation undefined -> NULL, not a /0 abort
+        return F.round(
+            F.when((va > 0) & (vb > 0), num / (F.sqrt(va) * F.sqrt(vb))), dp
+        )
 
     rows = None
     for i, a in enumerate(names):
@@ -587,7 +594,10 @@ def cuped_adjust(
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    den = n * sxx - sx * sx
+    # zero-variance covariate (all-new users): fall back to theta = 0,
+    # i.e. the unadjusted readout, instead of a /0 abort
+    theta = F.when(den != 0, (n * sxy - sx * sy) / den).otherwise(F.lit(0.0))
     xbar = sx / n
     adj_micro = F.round(
         (post.cast("double") - F.col("_theta") * (pre.cast("double") - F.col("_xbar")))

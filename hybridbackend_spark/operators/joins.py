@@ -482,6 +482,8 @@ def bloom_filter_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError("bloom_filter_join supports inner/left_semi")
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
     n_words = m_bits // 64
     seeds = list(range(k_hashes))
 

@@ -19,7 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["profile_columns", "mad_outliers"]
+__all__ = ["profile_columns", "mad_outliers", "skew_report"]
 
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
 

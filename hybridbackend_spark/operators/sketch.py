@@ -216,7 +216,7 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     """
     a = cms_a.select("row", "bucket", F.col("cnt").alias("_ca"))
     b = cms_b.select("row", "bucket", F.col("cnt").alias("_cb"))
-    per_row = (
+    joined = (
         a.join(b, ["row", "bucket"])
         .groupBy("row")
         .agg(
@@ -224,6 +224,13 @@ def cms_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
                 (F.col("_ca") * F.col("_cb")).cast("decimal(38,0)")
             ).alias("_dot")
         )
+    )
+    # a depth row with NO shared bucket has dot 0 — it must win the min
+    # (disjoint key sets estimate 0), so rebuild the full row list and
+    # coalesce before taking the min
+    rows = cms_a.select("row").distinct()
+    per_row = rows.join(joined, "row", "left").select(
+        F.coalesce(F.col("_dot"), F.lit(0).cast("decimal(38,0)")).alias("_dot")
     )
     return per_row.agg(F.min("_dot").cast("long").alias("est_pairs"))
 

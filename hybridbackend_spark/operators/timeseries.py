@@ -413,7 +413,10 @@ def forecast_backtest(
     def score(fcol: str, model: str) -> DataFrame:
         y = F.col("_cents").cast("double")
         f = F.col(fcol).cast("double")
-        smape = F.abs(y - f) / ((F.abs(y) + F.abs(f)) / F.lit(2.0)) * 100.0
+        # a 0-actual/0-forecast day is a perfect forecast, not a 0/0
+        smape = F.when(F.abs(y) + F.abs(f) == 0, F.lit(0.0)).otherwise(
+            F.abs(y - f) / ((F.abs(y) + F.abs(f)) / F.lit(2.0)) * 100.0
+        )
         return (
             lagged.filter(F.col(fcol).isNotNull())
             .groupBy(F.col("_g").alias(group_col))

@@ -7077,9 +7077,7 @@ def chisq_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import chi_square
 
     ev = _t(spark, sf_dir, "events")
-    return chi_square(
-        ev, "event_type", F.floor(F.hour("ts") / 6).cast("int"), "tod_bucket"
-    )
+    return chi_square(ev, "event_type", F.floor(F.hour("ts") / 6).cast("int"))
 
 
 @register(
@@ -7171,10 +7169,13 @@ def corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM j GROUP BY c_mktsegment
     )
     SELECT c_mktsegment, n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS slope,
+           round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 8)
+             AS slope,
            round((CAST(sy AS DOUBLE)
                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -7359,9 +7360,13 @@ def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ca AS (SELECT row, bucket, count(*) AS cnt FROM (SELECT 0 AS row, (('0x' || substr(md5(o_orderkey || ':0'), 1, 8))::BIGINT % 256) AS bucket FROM orders UNION ALL SELECT 1 AS row, (('0x' || substr(md5(o_orderkey || ':1'), 1, 8))::BIGINT % 256) AS bucket FROM orders UNION ALL SELECT 2 AS row, (('0x' || substr(md5(o_orderkey || ':2'), 1, 8))::BIGINT % 256) AS bucket FROM orders) GROUP BY 1, 2),
     cb AS (SELECT row, bucket, count(*) AS cnt FROM (SELECT 0 AS row, (('0x' || substr(md5(l_orderkey || ':0'), 1, 8))::BIGINT % 256) AS bucket FROM lineitem UNION ALL SELECT 1 AS row, (('0x' || substr(md5(l_orderkey || ':1'), 1, 8))::BIGINT % 256) AS bucket FROM lineitem UNION ALL SELECT 2 AS row, (('0x' || substr(md5(l_orderkey || ':2'), 1, 8))::BIGINT % 256) AS bucket FROM lineitem) GROUP BY 1, 2),
-    dots AS (
+    dots0 AS (
       SELECT ca.row, sum(CAST(ca.cnt * cb.cnt AS DECIMAL(38,0))) AS dot
       FROM ca JOIN cb USING (row, bucket) GROUP BY ca.row
+    ),
+    dots AS (
+      SELECT r.row, coalesce(dots0.dot, 0) AS dot
+      FROM (SELECT DISTINCT row FROM ca) r LEFT JOIN dots0 USING (row)
     ),
     est AS (SELECT CAST(min(dot) AS BIGINT) AS est_pairs FROM dots),
     tr AS (SELECT count(*) AS true_pairs
@@ -8235,10 +8240,13 @@ def psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM subj
     ),
     th AS (
-      SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+      SELECT CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             ELSE 0.0 END AS theta,
              CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
       FROM s
     ),
@@ -8326,10 +8334,12 @@ def cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g AS event_type, model, count(*) AS n_scored,
            round(CAST(sum(abs(cents - f)) AS DOUBLE) / count(*) / 100.0, 4)
              AS mae,
-           round(CAST(sum(CAST(round(abs(CAST(cents AS DOUBLE)
-                                         - CAST(f AS DOUBLE))
+           round(CAST(sum(CAST(round(CASE
+                 WHEN abs(CAST(cents AS DOUBLE)) + abs(CAST(f AS DOUBLE)) = 0
+                 THEN 0.0
+                 ELSE abs(CAST(cents AS DOUBLE) - CAST(f AS DOUBLE))
                  / ((abs(CAST(cents AS DOUBLE)) + abs(CAST(f AS DOUBLE))) / 2.0)
-                 * 100.0 * 1000000) AS BIGINT)) AS DOUBLE)
+                 * 100.0 END * 1000000) AS BIGINT)) AS DOUBLE)
                  / count(*) / 1000000.0, 4) AS smape_pct
     FROM scored GROUP BY g, model
     """,

@@ -254,8 +254,15 @@ def write_compacted(
     """
     n_rows = df.count()
     n_files = max(1, -(-int(n_rows * row_bytes) // int(target_mb * 1024 * 1024)))
-    writer = df.repartition(n_files).write.mode("overwrite")
     if partition_by:
+        # round-robin would spread EVERY partition value across all tasks
+        # (values x tasks files — the small-files problem again); hash on
+        # the partition columns instead so each value is written by one
+        # task, giving ~one target-sized file per value per task
+        cols = [F.col(c) for c in partition_by]
+        writer = df.repartition(n_files, *cols).write.mode("overwrite")
         writer = writer.partitionBy(*list(partition_by))
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
     writer.option("compression", compression).parquet(path)
     return n_files

@@ -392,3 +392,46 @@ def test_forecast_backtest_perfect_weekly_pattern(spark):
     assert out["naive"].mae > 0
     assert out["naive"].n_scored == 27
     assert out["seasonal_naive"].n_scored == 21
+
+
+def test_ols_trend_constant_x_null_not_crash(spark):
+    from hybridbackend_spark.operators.analytics import ols_trend
+
+    df = spark.createDataFrame([("a", 5, 1), ("a", 5, 9)], "g string, x long, y long")
+    out = ols_trend(df, ["g"], F.col("x"), F.col("y")).collect()[0]
+    assert out.slope is None and out.intercept is None
+
+
+def test_cuped_zero_variance_covariate_falls_back(spark):
+    from hybridbackend_spark.operators.analytics import cuped_adjust
+
+    rows = [("A", 0, 10 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "variant string, pre long, post long")
+    out = cuped_adjust(df, "variant", "pre", "post").collect()[0]
+    assert out.mean_adj == out.mean_post  # theta=0 -> unadjusted
+    assert out.var_adj == out.var_post
+
+
+def test_corr_pairs_constant_column_null(spark):
+    from hybridbackend_spark.operators.analytics import corr_pairs
+
+    df = spark.createDataFrame([(i, 7) for i in range(20)], "a long, b long")
+    out = corr_pairs(df, {"a": F.col("a"), "b": F.col("b")}).collect()[0]
+    assert out.corr is None
+
+
+def test_forecast_backtest_all_zero_days_smape_zero(spark):
+    from hybridbackend_spark.operators.timeseries import forecast_backtest
+
+    rows = [("a", _ts(f"2024-01-{d:02d} 00:00:00"), 0.0) for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = {r.model: r for r in forecast_backtest(df, "g", "ts", "value").collect()}
+    assert out["naive"].smape_pct == 0.0 and out["naive"].mae == 0.0
+
+
+def test_bloom_join_rejects_bad_m_bits(spark):
+    from hybridbackend_spark.operators.joins import bloom_filter_join
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_join(df, df, "k", "k", m_bits=1000)

@@ -77,3 +77,14 @@ def test_cms_join_size_disjoint_keys(spark):
     est = cms_join_size(ca, cb).collect()[0].est_pairs
     # disjoint keys: only hash-collision mass remains
     assert est < 100 * 100 * 0.05
+
+
+def test_cms_join_size_zero_dot_row_wins_min(spark):
+    # keys chosen so SOME depth row shares no bucket: disjoint small sets
+    # with a wide sketch must estimate ~0, never NULL or a collision row
+    left = spark.range(0, 3).select(F.col("id").alias("k"))
+    right = spark.range(50000, 50003).select(F.col("id").alias("k"))
+    ca = cms_build(left, "k", width=65536, depth=4)
+    cb = cms_build(right, "k", width=65536, depth=4)
+    est = cms_join_size(ca, cb).collect()[0].est_pairs
+    assert est == 0
