@@ -132,9 +132,13 @@ def funnel(
             "step",
             "step_name",
             "n_users",
-            F.round(F.col("n_users") * 100.0 / F.col("_base"), 4).alias(
-                "conversion_pct"
-            ),
+            F.round(
+                F.when(
+                    F.col("_base") > 0,
+                    F.col("n_users") * 100.0 / F.col("_base"),
+                ),
+                4,
+            ).alias("conversion_pct"),
         )
     )
 
@@ -554,8 +558,8 @@ def psi_bits(
         "bin",
         "ref_n",
         "cur_n",
-        F.round(p_ref * 100.0, dp).alias("ref_pct"),
-        F.round(p_cur * 100.0, dp).alias("cur_pct"),
+        F.round(F.when(F.col("_rt") > 0, p_ref * 100.0), dp).alias("ref_pct"),
+        F.round(F.when(F.col("_ct") > 0, p_cur * 100.0), dp).alias("cur_pct"),
         F.when(defined, woe.cast("long")).alias("woe_bits"),
         F.round(term, dp).alias("psi_term"),
     )

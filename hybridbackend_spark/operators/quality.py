@@ -84,7 +84,7 @@ def dq_audit(df: DataFrame, check: Check, dp: int = 6) -> DataFrame:
 
     emit("row_count", "*", F.col("_n"), F.col("_n") >= check.min_rows)
     for c in check.not_null:
-        frac = F.col(f"_null_{c}") / F.col("_n")
+        frac = F.when(F.col("_n") > 0, F.col(f"_null_{c}") / F.col("_n"))
         emit("not_null", c, frac, F.col(f"_null_{c}") == 0)
     for c in check.ranges:
         emit("in_range", c, F.col(f"_rng_{c}"), F.col(f"_rng_{c}") == 0)
@@ -198,17 +198,23 @@ def benford_audit(df: DataFrame, value_col: str, dp: int = 6) -> DataFrame:
             "digit",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
             F.round(
-                F.coalesce(F.col("n"), F.lit(0)).cast("double")
-                * 100.0
-                / F.col("_t").cast("double"),
+                F.when(
+                    F.col("_t") > 0,
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                    * 100.0
+                    / F.col("_t").cast("double"),
+                ),
                 dp,
             ).alias("share_pct"),
             F.round(exp_map * 100.0, dp).alias("expected_pct"),
             F.round(
-                F.coalesce(F.col("n"), F.lit(0)).cast("double")
-                * 100.0
-                / F.col("_t").cast("double")
-                - exp_map * 100.0,
+                F.when(
+                    F.col("_t") > 0,
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                    * 100.0
+                    / F.col("_t").cast("double")
+                    - exp_map * 100.0,
+                ),
                 dp,
             ).alias("dev_pct"),
         )

@@ -289,6 +289,10 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
         "k_used",
         "n_shared",
         F.round(
-            F.col("n_shared").cast("double") / F.col("k_used").cast("double"), 6
+            F.when(
+                F.col("k_used") > 0,
+                F.col("n_shared").cast("double") / F.col("k_used").cast("double"),
+            ),
+            6,
         ).alias("est_jaccard"),
     )

@@ -8004,7 +8004,11 @@ def coverage_novelty_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("coverage_pct"),
         F.round(
-            F.col("bits_sum").cast("double") / F.col("n_recs").cast("double"), 6
+            F.when(
+                F.col("n_recs") > 0,
+                F.col("bits_sum").cast("double") / F.col("n_recs").cast("double"),
+            ),
+            6,
         ).alias("avg_novelty_bits"),
     )
 

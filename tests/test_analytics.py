@@ -435,3 +435,24 @@ def test_bloom_join_rejects_bad_m_bits(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_filter_join(df, df, "k", "k", m_bits=1000)
+
+
+def test_funnel_empty_first_step_no_crash(spark):
+    from hybridbackend_spark.operators.analytics import funnel
+
+    ev = spark.createDataFrame(
+        [(1, "click", _ts("2024-01-01 00:00:00"))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r.step_name: r for r in funnel(ev, ["view", "click"]).collect()}
+    assert out["view"].n_users == 0
+    assert out["view"].conversion_pct is None  # undefined, not a /0 abort
+
+
+def test_benford_no_positive_values_no_crash(spark):
+    from hybridbackend_spark.operators.quality import benford_audit
+
+    df = spark.createDataFrame([(0.0,), (-5.0,)], "price double")
+    out = benford_audit(df, "price").collect()
+    assert len(out) == 9
+    assert all(r.share_pct is None for r in out)
