@@ -238,6 +238,7 @@ EXTRA = [
     "mutual_info_orders",
     "array_ops_embeddings",
     "rbo_orders",
+    "stream_sessions_stateful",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

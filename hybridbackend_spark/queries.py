@@ -777,6 +777,7 @@ _DRIVER_WINDOW_FIRST = [
     "cuped_events",
     "psi_orders",
     "forecast_backtest_events",
+    "stream_sessions_stateful",
     "stream_enrich_user_tier",
     "mutual_info_orders",
     "rbo_orders",
@@ -9011,4 +9012,66 @@ def rbo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.size("ra").alias("n_orders"),
         F.round(rbo, 8).alias("rbo5"),
+    )
+
+
+@register(
+    "stream_sessions_stateful",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    agg AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) / 100.0
+               AS sum_value
+      FROM sess GROUP BY user_id, sid
+    ),
+    lastmark AS (
+      SELECT *, sid = max(sid) OVER (PARTITION BY user_id) AS is_last
+      FROM agg
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 SECOND AS w FROM events)
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM lastmark CROSS JOIN wm
+    WHERE NOT is_last OR session_end + INTERVAL 30 MINUTE < w
+    """,
+)
+def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL sessionization (applyInPandasWithState +
+    EventTimeTimeout) replayed availableNow: sessions close either when
+    later data proves the 30-minute gap elapsed or when the event-time
+    timer fires; sessions still open against the final watermark are
+    NOT emitted. The oracle reproduces exactly that contract in batch
+    SQL (gap sessionization + the emission predicate), so the custom
+    state machine's full output — boundaries, exact-cents sums, and the
+    open-session holdback — is hash-checked, which no rows-only check
+    would prove."""
+    from .streaming.ops import read_event_stream, run_available_now
+    from .streaming.stateful import session_emitter
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    sess = session_emitter(
+        stream.withWatermark("ts", "1 second"), gap="30 minutes"
+    )
+    out = run_available_now(sess, mode="append")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
     )

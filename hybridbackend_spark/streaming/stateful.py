@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_counter", "RUNNING_COUNTER_SCHEMA"]
+__all__ = ["running_counter", "RUNNING_COUNTER_SCHEMA", "session_emitter", "SESSION_EMIT_SCHEMA"]
 
 RUNNING_COUNTER_SCHEMA = "user_id long, n_events long, sum_value double"
 _STATE_SCHEMA = "n long, c long"
@@ -64,4 +64,107 @@ def running_counter(events: DataFrame, key: str = "user_id") -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_EMIT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+_SESSION_STATE_SCHEMA = "n long, c long, t0 long, t1 long"
+
+
+def _update_session_emitter(gap_ms: int):
+    gap_us = gap_ms * 1000
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def row(n, c, t0, t1):
+            return {
+                "user_id": key[0],
+                "session_start": pd.Timestamp(t0, unit="us"),
+                "session_end": pd.Timestamp(t1, unit="us"),
+                "n_events": n,
+                "sum_value": c / 100.0,
+            }
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap with no new data: the
+            # session is closed — emit once, evict the state (keeps
+            # memory O(active keys), not O(keys ever seen))
+            n, c, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame([row(n, c, t0, t1)])
+            return
+
+        import numpy as np
+
+        ts_all, cents_all = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            v = pdf["value"].fillna(0.0)
+            cents_all.append(
+                (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
+            )
+            ts_all.append(pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+        ts = np.concatenate(ts_all)
+        cents = np.concatenate(cents_all)
+        order = np.argsort(ts, kind="stable")
+        ts, cents = ts[order], cents[order]
+
+        closed: list[dict] = []
+        if state.exists:
+            n, c, t0, t1 = state.get
+        else:
+            n, c, t0, t1 = 0, 0, None, None
+        for t, cv in zip(ts.tolist(), cents.tolist()):
+            if t1 is not None and t - t1 > gap_us:
+                # the arriving data itself proves the gap elapsed:
+                # close the running session now (no need to wait for
+                # the watermark timer)
+                closed.append(row(n, c, t0, t1))
+                n, c, t0, t1 = 0, 0, None, None
+            n += 1
+            c += int(cv)
+            t0 = t if t0 is None else min(t0, t)
+            t1 = t if t1 is None else max(t1, t)
+        state.update((n, c, t0, t1))
+        # the still-open tail session closes by timer if no more data comes
+        state.setTimeoutTimestamp(t1 // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return update
+
+
+def session_emitter(
+    events: DataFrame, gap: str = "30 minutes", key: str = "user_id"
+) -> DataFrame:
+    """Custom stateful sessionizer with EVENT-TIME TIMEOUT eviction: per
+    key, accumulate (count, exact-cents sum, start, end); when the
+    watermark passes last-event + gap, the state times out, the session
+    summary is emitted ONCE, and the state is removed.
+
+    This is the escape-hatch counterpart of the built-in
+    ``session_agg`` (session_window): identical output contract, but
+    the state machine is explicit — the pattern to extend when a
+    session needs custom close conditions (cart abandoned, error burst
+    over) that ``session_window`` cannot express. Requires a watermark
+    on ``ts``; sessions still open when the stream ends are NOT emitted
+    (exactly the semantics a restartable job needs — they emit after
+    more data or a final punctuation arrives).
+    """
+    n = int(gap.split()[0])
+    unit = gap.split()[1].rstrip("s")
+    ms = {"second": 1000, "minute": 60000, "hour": 3600000}[unit] * n
+    return events.groupBy(key).applyInPandasWithState(
+        _update_session_emitter(ms),
+        outputStructType=SESSION_EMIT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -562,3 +562,69 @@ def test_streaming_cdc_merge_loop_equals_batch_merge(spark, tmp_path):
              for r in merge_into(target0, all_changes, ["k"], "_del").collect()}
 
     assert streamed == batch == {1: "B1", 2: "B2", 3: "c"}
+
+
+def test_session_emitter_timeout_and_data_closes(spark, tmp_path):
+    """Custom stateful sessionizer (EventTimeTimeout): a session closes
+    EITHER when later data proves the gap elapsed (same key) OR when the
+    watermark timer fires (key goes quiet); still-open sessions do not
+    emit. Exercises the timeout-eviction path running_counter leaves
+    unused."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+    )
+    from hybridbackend_spark.streaming.stateful import session_emitter
+
+    d = str(tmp_path / "sess")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([float(r[2]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{d}/{fname}")
+
+    # batch 0: user 1 session A (2 events), user 2 one event
+    write("1.parquet", [
+        (1, "2024-03-01 10:00:00", 1.0),
+        (1, "2024-03-01 10:10:00", 2.0),
+        (2, "2024-03-01 10:05:00", 7.5),
+    ])
+    _time.sleep(1.1)
+    # batch 1: user 1 again at 13:00 — the DATA proves session A's gap
+    # elapsed (close A); the watermark advance also expires user 2's
+    # timer (timeout-close); user 1's 13:00 session stays OPEN (no emit)
+    write("2.parquet", [(1, "2024-03-01 13:00:00", 5.0)])
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    sess = session_emitter(
+        stream.withWatermark("ts", "1 second"), gap="30 minutes"
+    )
+    out = run_available_now(sess, mode="append").collect()
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {1, 2}
+    a = by_user[1][0]
+    assert len(by_user[1]) == 1  # 13:00 session still open -> not emitted
+    assert a.n_events == 2 and a.sum_value == 3.0
+    assert a.session_start.minute == 0 and a.session_end.minute == 10
+    b = by_user[2][0]
+    assert b.n_events == 1 and b.sum_value == 7.5
