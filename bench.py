@@ -326,29 +326,46 @@ def main() -> None:
         scans[label] = round(n / min(times), 0)
 
     total = round(sum(t for t in per_query.values() if t > 0), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": per_query,
-            "extra_queries_sec": extra,
-            "baseline_ops_sec": baseline_ops,
-            "scans_rows_per_sec": scans,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "reps": REPS, "agg": "min",
-            "master": spark.sparkContext.master,
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-        }
+    common = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "scans_rows_per_sec": scans,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": REPS, "agg": "min",
+        "master": spark.sparkContext.master,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    full = json.dumps(
+        {**common,
+         "extra_queries_sec": extra,
+         "baseline_ops_sec": baseline_ops}
     )
-    # Durable copy for the driver/judge, then the SINGLE stdout JSON line
-    # as the very last thing printed (flushed so nothing interleaves).
+    # The stdout line must stay COMPACT: the driver keeps only a bounded
+    # tail of stdout, and round 3 proved that the full per-query map
+    # (198 queries, ~7 KB) overflows that buffer and parses as null. The
+    # stdout line therefore carries the headline contract fields plus
+    # summary stats of the extra surface; the complete per-query detail
+    # lives in BENCH.json for the judge.
+    n_extra_ok = sum(1 for t in extra.values() if t > 0)
+    compact = json.dumps(
+        {**common,
+         "extra_queries_total_sec": round(
+             sum(t for t in extra.values() if t > 0), 3),
+         "extra_queries_n": n_extra_ok,
+         "extra_queries_errors": len(extra) - n_extra_ok,
+         "baseline_ops_sec": baseline_ops,
+         "detail": "BENCH.json"}
+    )
+    # Durable full copy for the driver/judge, then the SINGLE stdout JSON
+    # line as the very last thing printed (flushed so nothing interleaves).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(full + "\n")
     sys.stderr.flush()
-    print(line, flush=True)
+    print(compact, flush=True)
 
 
 if __name__ == "__main__":

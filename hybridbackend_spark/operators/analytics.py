@@ -233,6 +233,7 @@ def chi_square(
     row_col: str,
     col_col: Column,
     dp: int = 6,
+    max_cells: int | None = 1_000_000,
 ) -> DataFrame:
     """Chi-square test of independence over the ``row_col`` x ``col_col``
     contingency table. Observed counts are exact integers; each cell's
@@ -242,11 +243,28 @@ def chi_square(
 
     100 TB shape: one partial+final count agg produces the contingency
     table (bounded by the category product, not the data); everything
-    after operates on that tiny table.
+    after operates on that tiny table. That bound is EXECUTABLE, not
+    assumed: the densified grid is ``|rows| x |cols|`` cells, so
+    ``max_cells`` (one cheap agg on the already-aggregated marginals)
+    raises on high-cardinality "categories" instead of silently
+    building a huge cross product.
     """
     cells = df.groupBy(F.col(row_col).alias("r"), col_col.alias("c")).agg(
         F.count(F.lit(1)).alias("o")
     )
+    if max_cells is not None:
+        # materialize the (tiny) contingency table once: the guard and
+        # the statistic both read it without re-scanning the input
+        cells = cells.localCheckpoint(eager=True)
+        nr, nc = cells.agg(
+            F.count_distinct("r"), F.count_distinct("c")
+        ).first()
+        if nr * nc > max_cells:
+            raise ValueError(
+                f"chi_square: contingency grid {nr} x {nc} = {nr * nc} "
+                f"cells exceeds max_cells={max_cells}; these columns are "
+                "not categorical at this cardinality — bin them first"
+            )
     # densify: ZERO cells still contribute (0-e)^2/e = e to the statistic,
     # so the grid is the full cross product of the (tiny) marginals
     row_t = cells.groupBy("r").agg(F.sum("o").alias("row_t"))
@@ -429,6 +447,7 @@ def kaplan_meier(
     duration_col: str,
     event_col: str,
     dp: int = 8,
+    max_durations: int | None = 100_000,
 ) -> DataFrame:
     """Kaplan-Meier survival curve from (duration, event) per subject
     (event=1 observed, 0 right-censored). Returns one row per distinct
@@ -443,13 +462,27 @@ def kaplan_meier(
 
     Scale shape: the risk table is one agg per distinct duration (tiny);
     n_risk comes from a reverse cumulative sum. The factor list is
-    bounded by distinct event times, never by subjects.
+    bounded by distinct event times, never by subjects — and that bound
+    is EXECUTABLE: the global window and broadcast factor list run over
+    one row per distinct duration, so ``max_durations`` raises (count on
+    the already-aggregated table) when durations are effectively
+    continuous; quantize them first (e.g. to days).
     """
     t, e = F.col(duration_col), F.col(event_col)
     counts = subjects.groupBy(t.alias("t")).agg(
         F.sum(F.when(e == 1, 1).otherwise(0)).alias("n_events"),
         F.sum(F.when(e == 1, 0).otherwise(1)).alias("n_censored"),
     )
+    if max_durations is not None:
+        # materialize the per-duration table once: guard + curve share it
+        counts = counts.localCheckpoint(eager=True)
+        n_dur = counts.count()
+        if n_dur > max_durations:
+            raise ValueError(
+                f"kaplan_meier: {n_dur} distinct durations exceed "
+                f"max_durations={max_durations}; the survival fold is "
+                "sequential by construction — quantize durations first"
+            )
     w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
     risk = counts.withColumn(
         "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
@@ -639,7 +672,9 @@ def cuped_adjust(
         F.round(ma / 100.0, dp).alias("mean_adj"),
         F.round(var_y / 10000.0, dp).alias("var_post"),
         F.round(var_a / 10000.0, dp).alias("var_adj"),
-        F.round((F.lit(1.0) - var_a / var_y) * 100.0, dp).alias(
-            "var_reduction_pct"
-        ),
+        # NULL (not a /0 abort under ANSI mode) when a variant's post
+        # metric is constant — var_y = 0 makes the reduction undefined
+        F.when(
+            var_y != 0, F.round((F.lit(1.0) - var_a / var_y) * 100.0, dp)
+        ).alias("var_reduction_pct"),
     )

@@ -45,7 +45,19 @@ def covariance_matrix(
     aggregated scalars in double and rescaled by the exact power of two
     2^(2*scale_bits). Returns (i, j, cov) for the upper triangle
     (i <= j), rounded to ``dp``.
+
+    A single-row input yields NULL cov (sample covariance is undefined
+    for n < 2) instead of an ANSI-mode DIVIDE_BY_ZERO abort. ``dim`` is
+    capped: the post-combine shuffle is d*(d+1)/2 cells per partition,
+    and consumers like :func:`pca_project` collect d^2 cells on the
+    driver, so dims past the cap need a blocked Gramian, not this path.
     """
+    if dim > 4096:
+        raise ValueError(
+            f"covariance_matrix: dim={dim} exceeds the supported bound "
+            "(4096); d*(d+1)/2 shuffle cells and driver-side d^2 "
+            "consumers stop being 'bounded by dimension' past that"
+        )
     scale = 1 << scale_bits
     q = df.select(
         F.transform(
@@ -82,6 +94,8 @@ def covariance_matrix(
         F.col("spp").cast("double")
         - F.col("si").cast("double") * F.col("sj").cast("double") / nd
     ) / (nd - 1) / F.lit(float(scale * scale))
+    # n <= 1: sample covariance undefined -> NULL, not an ANSI /0 abort
+    cov = F.when(nd > 1, cov)
     return (
         cells.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
@@ -107,9 +121,18 @@ def pca_project(
     as an expression dot product — no shuffle, no Python in the row
     path. Appends ``out_col`` (array<double> length k) and keeps all
     input columns.
+
+    ``dim`` is capped at 512 here (tighter than covariance_matrix's own
+    bound): this function collects dim^2 covariance cells on the driver
+    for the eigensolve; past ~512 use a randomized/blocked method.
     """
     import numpy as np
 
+    if dim > 512:
+        raise ValueError(
+            f"pca_project: dim={dim} exceeds the driver-eigensolve bound "
+            "(512): this path collects dim^2 covariance cells"
+        )
     cells = covariance_matrix(df, vec_col, dim, scale_bits, dp=12).collect()
     cov = np.zeros((dim, dim))
     for r in cells:

@@ -146,8 +146,14 @@ def skew_report(
     reducer gets that multiple of the average partition. One partial+
     final count agg over the data; ranking/cumulation run on the
     top-k rows only (the limit happens BEFORE the window, so no global
-    single-partition pass over all keys).
+    single-partition pass over all keys). ``top_k`` is the single-
+    partition bound, so it is validated instead of trusted.
     """
+    if not 0 < top_k <= 100_000:
+        raise ValueError(
+            f"skew_report: top_k={top_k} outside (0, 100000] — the ranked "
+            "readout is single-partition by design and top_k is its bound"
+        )
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
     )

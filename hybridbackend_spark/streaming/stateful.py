@@ -122,7 +122,11 @@ def _update_session_emitter(gap_ms: int):
         else:
             n, c, t0, t1 = 0, 0, None, None
         for t, cv in zip(ts.tolist(), cents.tolist()):
-            if t1 is not None and t - t1 > gap_us:
+            # >= gap: session_window treats windows as half-open
+            # [start, last + gap) — an event landing exactly at
+            # last + gap starts a NEW session. Matching it keeps the
+            # "identical output contract" claim below exact.
+            if t1 is not None and t - t1 >= gap_us:
                 # the arriving data itself proves the gap elapsed:
                 # close the running session now (no need to wait for
                 # the watermark timer)

@@ -305,6 +305,37 @@ def test_kaplan_meier_hand_computed(spark):
     assert out[3].n_risk == 2 and out[3].survival == 0.375
 
 
+def test_kaplan_meier_max_durations_guard_fires(spark):
+    """The sequential-fold bound is executable: too many distinct
+    durations raises instead of building an unbounded broadcast list."""
+    import pytest
+
+    from hybridbackend_spark.operators.analytics import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(50)], "dur long, ev int"
+    )
+    with pytest.raises(ValueError, match="distinct durations"):
+        kaplan_meier(df, "dur", "ev", max_durations=10).collect()
+    # and the same input passes with the bound raised
+    assert kaplan_meier(df, "dur", "ev", max_durations=100).count() == 50
+
+
+def test_chi_square_max_cells_guard_fires(spark):
+    """High-cardinality 'categories' raise instead of silently building
+    a huge densified cross product."""
+    import pytest
+
+    from hybridbackend_spark.operators.analytics import chi_square
+
+    df = spark.createDataFrame(
+        [(i, i * 7 % 40) for i in range(40)], "r long, c long"
+    )
+    with pytest.raises(ValueError, match="contingency grid"):
+        chi_square(df, "r", F.col("c"), max_cells=100).collect()
+    assert chi_square(df, "r", F.col("c"), max_cells=10_000).count() == 1
+
+
 def test_kaplan_meier_no_events_flat(spark):
     from hybridbackend_spark.operators.analytics import kaplan_meier
 
@@ -410,6 +441,18 @@ def test_cuped_zero_variance_covariate_falls_back(spark):
     out = cuped_adjust(df, "variant", "pre", "post").collect()[0]
     assert out.mean_adj == out.mean_post  # theta=0 -> unadjusted
     assert out.var_adj == out.var_post
+
+
+def test_cuped_constant_post_metric_null_reduction(spark):
+    """var_y = 0 (a variant whose post metric is constant) must yield
+    NULL var_reduction_pct, not an ANSI DIVIDE_BY_ZERO abort."""
+    from hybridbackend_spark.operators.analytics import cuped_adjust
+
+    rows = [("A", i, 50) for i in range(10)]  # constant post
+    df = spark.createDataFrame(rows, "variant string, pre long, post long")
+    out = cuped_adjust(df, "variant", "pre", "post").collect()[0]
+    assert out.var_post == 0.0
+    assert out.var_reduction_pct is None
 
 
 def test_corr_pairs_constant_column_null(spark):

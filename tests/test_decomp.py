@@ -57,6 +57,25 @@ def test_pca_variance_ordering(spark, vec_df):
     assert variances[0] > variances[1] > variances[2]
 
 
+def test_covariance_single_row_null_not_crash(spark):
+    """n = 1: sample covariance undefined -> NULL cells, not an ANSI
+    DIVIDE_BY_ZERO abort (the (n-1) denominator)."""
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, v array<double>")
+    out = covariance_matrix(df, "v", dim=2).collect()
+    assert len(out) == 3
+    assert all(r.cov is None for r in out)
+
+
+def test_covariance_and_pca_dim_bounds_raise(spark):
+    """Executable scale bounds: the d^2 driver collect (pca) and the
+    d(d+1)/2 shuffle-cell design (covariance) refuse oversized dims."""
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="4096"):
+        covariance_matrix(df, "v", dim=5000)
+    with pytest.raises(ValueError, match="512"):
+        pca_project(df, "v", dim=1024)
+
+
 def test_cms_join_size_upper_bound_and_tightness(spark):
     # two key streams with known join size: keys 0..99 each appearing
     # 3x on the left and 2x on the right -> true join size 100*6=600

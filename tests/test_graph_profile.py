@@ -135,6 +135,39 @@ def test_pagerank_random_graphs_match_reference(spark):
         ), f"seed {seed}"
 
 
+def test_connected_components_fast_pairwise_one_pass(spark):
+    """Pure 2-node components: the one-pass min-neighbor labeling is
+    exact and must match the iterative algorithm."""
+    from hybridbackend_spark.operators.graph import (
+        connected_components,
+        connected_components_fast,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13), (40, 4)], "id_a long, id_b long"
+    )
+    fast = {(r.id, r.component)
+            for r in connected_components_fast(edges).collect()}
+    slow = {(r.id, r.component)
+            for r in connected_components(edges).collect()}
+    assert fast == slow
+    assert (11, 1) in fast and (40, 4) in fast
+
+
+def test_connected_components_fast_chain_falls_back(spark):
+    """A 4-node chain breaks the one-pass labeling (label(4)=3 but
+    label(3)=2): the consistency check must detect it and fall back to
+    the full algorithm, labeling the whole chain 1."""
+    from hybridbackend_spark.operators.graph import connected_components_fast
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 19)], "id_a long, id_b long"
+    )
+    got = {(r.id, r.component)
+           for r in connected_components_fast(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9), (19, 9)}
+
+
 def test_star_contraction_matches_propagation_labels(spark):
     import random
 
@@ -262,6 +295,16 @@ def test_transitive_closure_cycle_min_distances(spark):
            for r in transitive_closure(cyc).collect()}
     assert out[(1, 2)] == 1 and out[(1, 3)] == 2 and out[(1, 1)] == 3
     assert len(out) == 9
+
+
+def test_skew_report_top_k_bound_validated(spark):
+    import pytest
+
+    from hybridbackend_spark.operators.profile import skew_report
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="top_k"):
+        skew_report(df, "k", top_k=1_000_000)
 
 
 def test_skew_report_shares(spark):

@@ -628,3 +628,61 @@ def test_session_emitter_timeout_and_data_closes(spark, tmp_path):
     assert a.session_start.minute == 0 and a.session_end.minute == 10
     b = by_user[2][0]
     assert b.n_events == 1 and b.sum_value == 7.5
+
+
+def test_session_emitter_exact_gap_boundary_splits(spark, tmp_path):
+    """An event arriving EXACTLY at last_event + gap starts a NEW
+    session — session_window's half-open [start, last + gap) contract,
+    which session_emitter claims to match."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+    )
+    from hybridbackend_spark.streaming.stateful import session_emitter
+
+    d = str(tmp_path / "sessb")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([float(r[2]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{d}/{fname}")
+
+    # 10:00 then EXACTLY 10:30 with a 30-minute gap: must split
+    write("1.parquet", [
+        (1, "2024-03-01 10:00:00", 1.0),
+        (1, "2024-03-01 10:30:00", 2.0),
+    ])
+    _time.sleep(1.1)
+    # advance the watermark far enough to timer-close the 10:30 session
+    write("2.parquet", [(1, "2024-03-01 14:00:00", 0.0)])
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    sess = session_emitter(
+        stream.withWatermark("ts", "1 second"), gap="30 minutes"
+    )
+    out = sorted(
+        run_available_now(sess, mode="append").collect(),
+        key=lambda r: r.session_start,
+    )
+    closed = [r for r in out if r.user_id == 1 and r.session_start.hour == 10]
+    assert len(closed) == 2  # two single-event sessions, not one merged
+    assert [r.n_events for r in closed] == [1, 1]
+    assert closed[0].session_end.minute == 0
+    assert closed[1].session_start.minute == 30
