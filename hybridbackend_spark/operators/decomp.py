@@ -27,7 +27,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["covariance_matrix", "pca_project"]
+__all__ = ["covariance_matrix", "pca_project", "power_pca_project"]
+
+
+def _round_half_away(x: float) -> int:
+    """Round-half-away-from-zero on the SHORTEST-DECIMAL representation
+    of the double — the exact semantics of Spark's round() (BigDecimal of
+    Double.toString, HALF_UP) and DuckDB's round(). Python's builtin
+    round() is banker's and would diverge at .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def covariance_matrix(
@@ -163,3 +173,145 @@ def pca_project(
     return df.withColumn(
         out_col, F.array(*[F.round(p, dp) for p in projections])
     )
+
+
+def power_pca_project(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 2,
+    iters: int = 5,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Dominant-subspace projection by FIXED-ROUND quantized power
+    iteration — the oracle-replayable variant of :func:`pca_project`.
+
+    The data-proportional work is one distributed pass building the
+    exact integer Gramian sufficient statistics (component sums s_i and
+    pairwise product sums spp_ij of the 2^scale_bits-quantized vectors;
+    shuffle bounded by d(d+1)/2 cells after map-side combine). The
+    scaled scatter matrix M = n*spp - s s^T (exact integers) then runs
+    ``iters`` power-iteration rounds per component on the DRIVER
+    (d x d, bounded by dimension): y = M v in exact integer arithmetic,
+    then requantize v <- round(y / max|y| * 1e6). The second component
+    comes from one deflation step (Rayleigh quotient in exact integers,
+    rank-1 subtraction in doubles, requantized to a 1e12 grid). Every
+    rounding is round-half-away on doubles — the shared semantics of
+    Spark round / DuckDB round / Decimal HALF_UP — so a SQL engine can
+    replay the whole computation bit-for-bit (see queries._pca_power_
+    oracle), which no LAPACK eigensolve allows.
+
+    Semantics: after enough rounds this IS the top-k PCA basis when the
+    spectrum has gaps (proven against numpy's eigh on anisotropic data
+    in tests); with a near-flat spectrum the fixed-round result is still
+    deterministic and engine-exact but the 'principal' label is weak —
+    use :func:`pca_project` offline when exact eigenvectors matter.
+
+    Returns one row per (row, component): (all input columns except the
+    vector replaced by) ``vec_id``-style id columns preserved via
+    select by the caller; output columns (comp INT, p BIGINT) where p is
+    the EXACT integer dot product of the quantized input vector with the
+    quantized component vector.
+    """
+    if dim > 512:
+        raise ValueError(
+            f"power_pca_project: dim={dim} exceeds the driver bound (512):"
+            " this path collects dim^2 Gramian cells"
+        )
+    scale = 1 << scale_bits
+    q = df.select(
+        "*",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("_xq"),
+    )
+    e = q.select(F.posexplode("_xq").alias("_i", "_x"))
+    prods = q.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), i -> "
+                    f"transform(sequence(i, {dim - 1}), j -> "
+                    "struct(i, j, _xq[i] * _xq[j] AS p)))"
+                )
+            )
+        ).alias("_c")
+    ).select("_c.i", "_c.j", "_c.p")
+    cells = prods.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("spp")
+    ).collect()
+    sums = (
+        e.groupBy("_i").agg(F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"))
+    ).collect()
+    n = q.count()
+    s = [0] * dim
+    for r in sums:
+        s[r["_i"]] = int(r["s"])
+    M = [[0] * dim for _ in range(dim)]
+    for r in cells:
+        m = n * int(r["spp"]) - s[r["i"]] * s[r["j"]]
+        M[r["i"]][r["j"]] = m
+        M[r["j"]][r["i"]] = m
+
+    def _power(mat: list[list[int]]) -> list[int]:
+        v = [10**6] * dim
+        for _ in range(iters):
+            y = [sum(mat[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+            mx = max(abs(t) for t in y)
+            if mx == 0:
+                raise ValueError(
+                    "power_pca_project: zero matvec (degenerate input)"
+                )
+            v = [
+                _round_half_away(float(y[i]) / float(mx) * 1000000.0)
+                for i in range(dim)
+            ]
+        return v
+
+    comps = [_power(M)]
+    cur = M
+    for _ in range(1, k):
+        v = comps[-1]
+        num = sum(
+            v[i] * cur[i][j] * v[j] for i in range(dim) for j in range(dim)
+        )
+        den = sum(t * t for t in v)
+        numd, dend = float(num), float(den)
+        d_mat = [
+            [
+                float(cur[i][j]) - numd / dend / dend * float(v[i]) * float(v[j])
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+        m2 = max(abs(d_mat[i][j]) for i in range(dim) for j in range(dim))
+        cur = [
+            [
+                _round_half_away(d_mat[i][j] / m2 * 1000000000000.0)
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+        comps.append(_power(cur))
+
+    # zero-shuffle projection: exact integer dot products as expressions
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("comp"),
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_xq"),
+                        F.array(*[F.lit(x) for x in comps[c]]),
+                        lambda a, b: a * b.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + t,
+                ).alias("p"),
+            )
+            for c in range(k)
+        ]
+    )
+    keep = [c for c in df.columns if c != vec_col]
+    return q.select(*keep, F.inline(structs))

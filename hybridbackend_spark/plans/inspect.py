@@ -25,7 +25,61 @@ __all__ = [
     "assert_filter_pushed",
     "assert_max_shuffles",
     "assert_broadcast_join",
+    "broadcast_fact_scan_violations",
 ]
+
+# Nodes that bound a subtree's output independently of input size: a
+# broadcast of an aggregate / top-k / limit of a fact table is a bounded
+# derived set (legitimate), not the fact table itself.
+_REDUCING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+)
+
+
+def _node_depth(line: str) -> int:
+    """Depth of a node in Spark's toString plan tree = count of leading
+    tree-drawing characters (':', ' ', '+', '-')."""
+    return len(line) - len(line.lstrip(":+- "))
+
+
+def broadcast_fact_scan_violations(
+    df: DataFrame, fact_tables: tuple[str, ...] = ("lineitem", "orders")
+) -> list[str]:
+    """Return one entry per BroadcastExchange subtree that contains a
+    raw scan of a fact table with NO size-reducing node (aggregate /
+    limit / top-k) between the exchange and the scan.
+
+    This is the generic 100 TB gate: an explicit broadcast of an
+    unreduced fact-proportional relation overrides Catalyst's size check
+    and OOMs executors at scale, while broadcasting a bounded aggregate
+    or top-k derived FROM a fact table is fine. Run it with
+    auto-broadcast disabled so only explicit hints produce exchanges.
+    """
+    lines = physical_plan(df).splitlines()
+    violations: list[str] = []
+    for idx, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _node_depth(line)
+        reduced_depths: list[int] = []
+        for sub in lines[idx + 1 :]:
+            sd = _node_depth(sub)
+            if sd <= d and sub.strip():
+                break  # left the exchange's subtree
+            reduced_depths = [r for r in reduced_depths if r < sd]
+            if any(n in sub for n in _REDUCING_NODES):
+                reduced_depths.append(sd)
+            if ("FileScan" in sub or "Scan parquet" in sub) and any(
+                t in sub for t in fact_tables
+            ):
+                if not reduced_depths:
+                    violations.append(sub.strip()[:160])
+    return violations
 
 
 def physical_plan(df: DataFrame) -> str:

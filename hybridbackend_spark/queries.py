@@ -840,7 +840,10 @@ _DRIVER_WINDOW_FIRST = [
     "value_deciles_by_priority",
     "order_value_histogram",
     "profile_lineitem",
-    # rows-only checks last among the never-verified
+    # last among the never-verified: the one remaining rows-only check
+    # (HLL, genuinely approximate) and the two formerly-rows-only
+    # queries that gained full hash oracles this round (BPE merge table,
+    # power-iteration PCA)
     "rolling_active_users_sketch",
     "bpe_merges_docs",
     "pca_project_embeddings",
@@ -6081,14 +6084,65 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_merges_docs")  # iterative trainer: no static SQL oracle;
-# correctness is the python-differential + layout-invariance tests
+def _bpe_oracle(iters: int = 8) -> str:
+    """Unrolled BPE training rounds in SQL — the merge TABLE is fully
+    deterministic, so it IS hash-checkable even though the trainer is a
+    loop. Each round: adjacent-pair counts over the distinct-word table
+    (weighted), argmax with (count desc, pair asc) tie-break, then the
+    greedy left-to-right merge applied via non-overlapping string
+    replace. Symbols are kept as a string with DOUBLE-space separators
+    (' a  b ' -> ' ab '): each match consumes one space from either
+    boundary, leaving adjacent pairs still matchable — exactly the fold
+    semantics of _bpe_apply_merge (tokens are whitespace-split so they
+    can never contain the separator)."""
+    parts = [
+        """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS _w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    s0 AS (
+      SELECT _w, count(*) AS _n,
+             '  ' || array_to_string(
+               list_transform(range(1, length(_w) + 1),
+                              i -> substring(_w, i, 1)), '  ') || '  ' AS _s
+      FROM toks GROUP BY _w
+    )"""
+    ]
+    for i in range(iters):
+        j = i + 1
+        parts.append(f""",
+    u{i} AS (SELECT _n, str_split(trim(_s), '  ') AS _sym FROM s{i}),
+    p{i} AS (
+      SELECT _sym[k] AS a, _sym[k + 1] AS b, sum(_n) AS c
+      FROM (SELECT _n, _sym, unnest(range(1, len(_sym))) AS k
+            FROM u{i} WHERE len(_sym) >= 2)
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+    s{j} AS (
+      SELECT _w, _n,
+             replace(_s, ' ' || t.a || '  ' || t.b || ' ',
+                     ' ' || t.a || t.b || ' ') AS _s
+      FROM s{i} CROSS JOIN t{i} t
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS rank, a AS left, b AS right FROM t{i}"
+        for i in range(iters)
+    )
+    parts.append("\n    " + sel)
+    return "".join(parts)
+
+
+@register("bpe_merges_docs", _bpe_oracle(8))
 def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges trained on the documents corpus (rank, left,
     right symbol) — tokenizer construction as an engine op. Rounds touch
     the vocabulary-sized distinct-word table only; exact weighted pair
     counts with lexicographic tie-breaks make training deterministic
-    (proven layout-invariant in tests)."""
+    (proven layout-invariant in tests). The oracle unrolls the SAME 8
+    rounds in SQL (see _bpe_oracle), so the merge table is hash-checked
+    — formerly a rows-only entry."""
     from .operators.corpus import bpe_train
 
     merges = bpe_train(_t(spark, sf_dir, "documents"), "text", num_merges=8)
@@ -7382,19 +7436,112 @@ def covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_matrix(emb, "embedding", dim=64, scale_bits=20)
 
 
-@register("pca_project_embeddings")  # eigensolve is LAPACK — no SQL oracle
-def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-4 PCA projection of the embeddings: distributed exact
-    covariance, driver-side eigh over the 64x64 matrix (bounded by
-    dimension, not data), sign-canonicalized components broadcast as
-    literals, expression-level dot-product projection (zero shuffle).
-    Differential-tested against numpy in tests/test_decomp.py; rows-only
-    for the driver gate."""
-    from .operators.decomp import pca_project
+def _pca_power_oracle(iters: int = 5) -> str:
+    """Unrolled quantized power iteration + one deflation in SQL,
+    replaying operators.decomp.power_pca_project bit-for-bit: exact
+    HUGEINT scatter matrix M = n*spp - s s^T, per-round integer matvec +
+    round-half-away requantization, Rayleigh-quotient deflation in
+    doubles requantized to a 1e12 grid, then exact integer projections.
+    MATERIALIZED CTEs keep DuckDB from re-inlining (and re-scanning the
+    parquet for) the base tables once per reference."""
 
-    emb = _t(spark, sf_dir, "embeddings")
-    out = pca_project(emb, "embedding", dim=64, k=4)
-    return out.select("vec_id", F.col("pc").alias("pc"))
+    def power(tag: str, mat: str) -> str:
+        out = [
+            f",\n    {tag}v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v"
+            " FROM dims)"
+        ]
+        for t in range(iters):
+            out.append(f""",
+    {tag}y{t} AS (
+      SELECT m.i, sum(m.m * v.v) AS y
+      FROM {mat} m JOIN {tag}v{t} v ON v.i = m.j GROUP BY m.i
+    ),
+    {tag}mx{t} AS (SELECT max(abs(y)) AS mx FROM {tag}y{t}),
+    {tag}v{t + 1} AS MATERIALIZED (
+      SELECT i, CAST(round(CAST(y AS DOUBLE) / CAST(mx AS DOUBLE)
+                           * 1000000.0) AS HUGEINT) AS v
+      FROM {tag}y{t} CROSS JOIN {tag}mx{t}
+    )""")
+        return "".join(out)
+
+    head = """
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0)
+                                      AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+      FROM q
+    ),
+    dims AS (SELECT DISTINCT i FROM e),
+    s AS (SELECT i, sum(x) AS s FROM e GROUP BY i),
+    n AS (SELECT count(*) AS n FROM q),
+    spp AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS spp
+      FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    m0 AS MATERIALIZED (
+      SELECT spp.i, spp.j,
+             CAST(n.n AS HUGEINT) * CAST(spp AS HUGEINT)
+             - CAST(si.s AS HUGEINT) * CAST(sj.s AS HUGEINT) AS m
+      FROM spp JOIN s si ON si.i = spp.i JOIN s sj ON sj.i = spp.j
+      CROSS JOIN n
+    )"""
+    mid = f""",
+    nm AS (
+      SELECT sum(va.v * m0.m * vb.v) AS num
+      FROM m0 JOIN av{iters} va ON va.i = m0.i
+              JOIN av{iters} vb ON vb.i = m0.j
+    ),
+    dn AS (SELECT sum(v * v) AS den FROM av{iters}),
+    d AS (
+      SELECT m0.i, m0.j,
+             CAST(m0.m AS DOUBLE)
+             - CAST(nm.num AS DOUBLE) / CAST(dn.den AS DOUBLE)
+               / CAST(dn.den AS DOUBLE)
+               * CAST(va.v AS DOUBLE) * CAST(vb.v AS DOUBLE) AS d
+      FROM m0 JOIN av{iters} va ON va.i = m0.i
+              JOIN av{iters} vb ON vb.i = m0.j
+      CROSS JOIN nm CROSS JOIN dn
+    ),
+    m2x AS (SELECT max(abs(d)) AS mx FROM d),
+    m2 AS MATERIALIZED (
+      SELECT i, j, CAST(round(d / mx * 1000000000000.0) AS HUGEINT) AS m
+      FROM d CROSS JOIN m2x
+    )"""
+    tail = f"""
+    SELECT e.vec_id, c.comp, CAST(sum(e.x * c.v) AS BIGINT) AS p
+    FROM e JOIN (
+      SELECT 0 AS comp, i, CAST(v AS BIGINT) AS v FROM av{iters}
+      UNION ALL
+      SELECT 1 AS comp, i, CAST(v AS BIGINT) AS v FROM bv{iters}
+    ) c ON c.i = e.i
+    GROUP BY e.vec_id, c.comp
+    """
+    return head + power("a", "m0") + mid + power("b", "m2") + tail
+
+
+@register("pca_project_embeddings", _pca_power_oracle(5))
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 dominant-subspace projection of the embeddings by quantized
+    FIXED-ROUND power iteration with one deflation — the oracle-
+    replayable decomposition (formerly rows-only: the eigh variant's
+    LAPACK solve has no SQL form; it remains available as
+    operators.decomp.pca_project, numpy-differential-tested). The
+    distributed part is one exact-integer Gramian pass (d(d+1)/2 shuffle
+    cells); iteration runs on the driver over the d x d matrix; the
+    projection is an exact integer dot product per (row, component), so
+    the whole pipeline is hash-checked end to end. On spectra with real
+    gaps this converges to PCA (proven vs numpy on anisotropic data in
+    tests); on near-flat spectra it is still deterministic and
+    engine-exact."""
+    from .operators.decomp import power_pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return power_pca_project(emb, "embedding", dim=64, k=2, iters=5)
 
 
 @register(

@@ -57,6 +57,41 @@ def test_pca_variance_ordering(spark, vec_df):
     assert variances[0] > variances[1] > variances[2]
 
 
+def test_power_pca_matches_eigh_on_gapped_spectrum(spark, vec_df):
+    """With real spectral gaps (5/2/0.5/0.1 axis scales) the fixed-round
+    power iteration IS PCA: its per-row projections must correlate
+    ~perfectly (up to sign and a constant mean offset) with numpy's
+    eigh-based projections for both components."""
+    from hybridbackend_spark.operators.decomp import power_pca_project
+
+    df, base = vec_df
+    out = power_pca_project(df, "v", dim=4, k=2, iters=8).collect()
+    got = {0: {}, 1: {}}
+    for r in out:
+        got[r.comp][r.vec_id] = float(r.p)
+    C = np.cov(base, rowvar=False, ddof=1)
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    for c in range(2):
+        ref = base @ V[:, order[c]]
+        mine = np.array([got[c][i] for i in range(len(base))])
+        corr = abs(np.corrcoef(ref, mine)[0, 1])
+        assert corr > 0.99, (c, corr)
+
+
+def test_power_pca_layout_invariant(spark, vec_df):
+    """Exact integer output: repartitioning cannot change a single p."""
+    from hybridbackend_spark.operators.decomp import power_pca_project
+
+    df, _ = vec_df
+    a = {(r.vec_id, r.comp): r.p
+         for r in power_pca_project(df, "v", dim=4, k=2).collect()}
+    b = {(r.vec_id, r.comp): r.p
+         for r in power_pca_project(
+             df.repartition(13), "v", dim=4, k=2).collect()}
+    assert a == b
+
+
 def test_covariance_single_row_null_not_crash(spark):
     """n = 1: sample covariance undefined -> NULL cells, not an ANSI
     DIVIDE_BY_ZERO abort (the (n-1) denominator)."""

@@ -134,6 +134,42 @@ def test_q12_no_broadcast_hint_on_facts(spark, sf_dir):
     assert _broadcast_exchange_count(plan) == 0
 
 
+def _fact_query_names() -> list[str]:
+    """Every registered BATCH query whose oracle touches a fact table
+    (lineitem / orders). Streaming queries are excluded: building them
+    executes the stream, and their only broadcasts are stream-static
+    dims."""
+    from hybridbackend_spark.queries import get_oracles
+
+    out = []
+    for name, sql in get_oracles().items():
+        if name.startswith("stream_"):
+            continue
+        if re.search(r"\b(lineitem|orders)\b", sql):
+            out.append(name)
+    return out
+
+
+@pytest.mark.parametrize("name", _fact_query_names())
+def test_no_unreduced_fact_broadcast_any_query(spark, sf_dir, name):
+    """THE generic 100 TB gate, over every registered fact query: with
+    auto-broadcast off (only explicit hints produce exchanges), no
+    BroadcastExchange subtree may contain a raw (unaggregated,
+    unlimited) scan of lineitem or orders. Broadcasting a bounded
+    aggregate / top-k DERIVED from a fact table remains legitimate."""
+    from hybridbackend_spark.plans.inspect import (
+        broadcast_fact_scan_violations,
+    )
+    from hybridbackend_spark.queries import get_queries
+
+    with _no_auto_broadcast(spark):
+        df = get_queries()[name](spark, sf_dir)
+        violations = broadcast_fact_scan_violations(df)
+    assert violations == [], (
+        f"{name}: fact table pinned under BroadcastExchange: {violations}"
+    )
+
+
 def test_fuzzy_join_streams_both_sides(spark, sf_dir):
     """The fuzzy join's variant-hash equi-join must shuffle both sides
     (stream-stream), never pin a corpus-proportional side as broadcast."""
