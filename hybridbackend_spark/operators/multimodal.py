@@ -101,6 +101,9 @@ _STRICT_MSG = (
 # ---------------------------------------------------------------------------
 
 _CODECS: dict[str, list[tuple[str, bytes, object]]] = {
+    # baseline JPEG ships built-in (pure Python + numpy, operators/
+    # jpeg.py) — registered below once _jpeg_decode exists; progressive/
+    # arithmetic JPEGs make it return None and fall through as before
     "image": [],
     "audio": [],
     "video": [],
@@ -149,6 +152,19 @@ def with_media_meta(
 # ---------------------------------------------------------------------------
 # Real codecs for container-decodable formats
 # ---------------------------------------------------------------------------
+
+
+def _jpeg_decode(payload: bytes):
+    """Built-in baseline JPEG decode (pure Python + numpy, operators/
+    jpeg.py) — module-level so it pickles by reference to executors."""
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
+# JPEG magic is FF D8 (SOI); decode_jpeg itself rejects non-baseline
+# frames by returning None, which falls through to fake/strict.
+register_codec("image", "baseline-jpeg", b"\xff\xd8", _jpeg_decode)
 
 _PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
 
