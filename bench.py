@@ -239,6 +239,15 @@ EXTRA = [
     "array_ops_embeddings",
     "rbo_orders",
     "stream_sessions_stateful",
+    # round 4 additions
+    "acf_events",
+    "sssp_suppliers",
+    "balance_sample_docs",
+    "association_rules_parts",
+    "halfsample_ci_orders",
+    "luhn_audit_orders",
+    "ttr_docs",
+    "funnel_ttc_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -9259,3 +9259,509 @@ def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 wave: time-series diagnostics, weighted graph paths, training-set
+# balancing, market-basket rules, replication-based uncertainty, checksum
+# audits, corpus vocabulary statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acf_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.v AS x, b.v AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+    ),
+    stats AS (
+      SELECT lag, count(*) AS n,
+             sum(CAST(x AS DECIMAL(38,0))) AS sx,
+             sum(CAST(y AS DECIMAL(38,0))) AS sy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+             sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6)
+           END AS acf
+    FROM stats
+    """,
+)
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags 1-7
+    (weekly structure diagnostic — the input to seasonal model choice).
+    Pairwise Pearson on (day, day+lag) from exact DECIMAL sufficient
+    statistics of the CENTS series; constant windows yield NULL, never
+    an ANSI /0 abort. The series is one partial+final day agg (tiny);
+    the lag join runs on the aggregated series, never on events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long"))
+        .alias("v")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a, b = daily.alias("a"), daily.alias("b")
+    dec = lambda c: c.cast("decimal(38,0)")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day") == F.expr("date_add(a.day, lag)"))
+        .select("lag", F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    )
+    st = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    return st.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("acf"),
+    )
+
+
+@register(
+    "sssp_suppliers",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey * 10 AS a, l_suppkey * 10 + 1 AS b,
+             1 + (o_custkey + l_suppkey) % 5 AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT a, b, w FROM e0 UNION SELECT b, a, w FROM e0),
+    seeds AS (SELECT c_custkey * 10 AS id FROM customer
+              WHERE c_custkey % 50 = 0),
+    reach (id, dist) AS (
+      SELECT id, CAST(0 AS BIGINT) FROM seeds
+      UNION
+      SELECT e.b, r.dist + e.w
+      FROM reach r JOIN edges e ON e.a = r.id
+      WHERE r.dist + e.w <= 30
+    )
+    SELECT id, min(dist) AS dist FROM reach GROUP BY id
+    """,
+)
+def sssp_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths (distributed Bellman-Ford)
+    over the customer-supplier trade graph with deterministic integer
+    edge weights: min total weight from the seed customers. Early-stops
+    at the fixed point, so distances are exact; the oracle is a true
+    recursive CTE bounded by the max possible shortest distance (30 =
+    diameter bound x max weight — any true shortest path is under it, so
+    the bound only prunes non-optimal walks and cycles)."""
+    from .operators.graph import shortest_paths
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 10).alias("a"),
+            (F.col("l_suppkey") * 10 + 1).alias("b"),
+            (1 + (F.col("o_custkey") + F.col("l_suppkey")) % 5).alias("w"),
+        )
+        .distinct()
+    )
+    seeds = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") * 10).alias("id")
+    )
+    return shortest_paths(edges, seeds, "a", "b", "w", "id", max_rounds=8)
+
+
+@register(
+    "balance_sample_docs",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS mn FROM c),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM r CROSS JOIN m WHERE rk <= mn
+    """,
+)
+def balance_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, membership decided by a deterministic
+    md5 rank (layout-invariant, reproducible — the property a training
+    pipeline needs so reruns produce the same training set). The rank
+    window is per-class (partition-bounded); the min count is one tiny
+    broadcast scalar."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        r.crossJoin(F.broadcast(mn))
+        .filter(F.col("rk") <= F.col("mn"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "association_rules_parts",
+    """
+    WITH ui0 AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    ok AS (SELECT u FROM ui0 GROUP BY u HAVING count(*) <= 50),
+    ui AS (SELECT ui0.u, ui0.i FROM ui0 JOIN ok USING (u)),
+    nb AS (SELECT count(DISTINCT u) AS n_users FROM ui),
+    deg AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+    co AS (
+      SELECT a.i AS ia, b.i AS ib, count(*) AS n_common
+      FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+      GROUP BY a.i, b.i
+    ),
+    sym AS (
+      SELECT ia AS ante, ib AS cons, n_common FROM co
+      UNION ALL
+      SELECT ib, ia, n_common FROM co
+    )
+    SELECT s.ante, s.cons, s.n_common,
+           (s.n_common * 1000000) // nb.n_users AS support_micro,
+           (s.n_common * 1000000) // da.n AS conf_micro,
+           (length(bin(s.n_common)) - 1) + (length(bin(nb.n_users)) - 1)
+           - (length(bin(da.n)) - 1) - (length(bin(db.n)) - 1) AS lift_bits
+    FROM sym s JOIN deg da ON da.i = s.ante JOIN deg db ON db.i = s.cons
+    CROSS JOIN nb
+    WHERE s.n_common >= 3
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts:
+    support / confidence in exact micro-units (integer division) and
+    lift in WHOLE BITS (binary digit counts — the surprisal/WOE/PMI
+    integer-log family), for every pair with co-count >= 3. Consumes
+    the SHARED materialized i2i interaction state (one co-occurrence
+    join per session, see _i2i_state_cached); the oracle recomputes
+    from scratch."""
+    ui, _sim = _i2i_state_cached(spark, sf_dir)
+    nb = ui.agg(F.count_distinct("u").alias("n_users"))
+    deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (
+        a.join(b, (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")))
+        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sym = co.select(
+        F.col("ia").alias("ante"), F.col("ib").alias("cons"), "n_common"
+    ).unionAll(
+        co.select(
+            F.col("ib").alias("ante"), F.col("ia").alias("cons"), "n_common"
+        )
+    )
+    da = deg.select(F.col("i").alias("ante"), F.col("n").alias("_na"))
+    db = deg.select(F.col("i").alias("cons"), F.col("n").alias("_nb"))
+    bits = lambda c: F.length(F.bin(c)) - 1
+    return (
+        sym.filter(F.col("n_common") >= 3)
+        .join(da, "ante")
+        .join(db, "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            "n_common",
+            F.expr("n_common * 1000000 div n_users").alias("support_micro"),
+            F.expr("n_common * 1000000 div _na").alias("conf_micro"),
+            (
+                bits(F.col("n_common")) + bits(F.col("n_users"))
+                - bits(F.col("_na")) - bits(F.col("_nb"))
+            ).alias("lift_bits"),
+        )
+    )
+
+
+@register(
+    "halfsample_ci_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               AS u
+      FROM orders
+    ),
+    reps AS (
+      SELECT b.b, count(*) AS n_b,
+             (sum(base.cents) * 1000000) // count(*) AS mean_micro
+      FROM base CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b
+      WHERE (base.u // CAST(power(2, b.b) AS BIGINT)) % 2 = 1
+      GROUP BY b.b
+    ),
+    agg AS (
+      SELECT count(*) AS nb,
+             sum(CAST(mean_micro AS DECIMAL(38,0))) AS sm,
+             sum(CAST(mean_micro AS DECIMAL(38,0))
+                 * CAST(mean_micro AS DECIMAL(38,0))) AS smm
+      FROM reps
+    ),
+    full_mean AS (
+      SELECT count(*) AS n, (sum(cents) * 1000000) // count(*) AS mean_micro
+      FROM base
+    )
+    SELECT f.n, f.mean_micro,
+           CAST(round(sqrt((CAST(a.nb AS DOUBLE) * CAST(a.smm AS DOUBLE)
+                            - CAST(a.sm AS DOUBLE) * CAST(a.sm AS DOUBLE))
+                           / CAST(a.nb AS DOUBLE)
+                           / (CAST(a.nb AS DOUBLE) - 1))) AS BIGINT)
+             AS rep_sd_micro
+    FROM full_mean f CROSS JOIN agg a
+    """,
+)
+def halfsample_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty for the mean order value WITHOUT distributional
+    assumptions: 32 deterministic HALF-SAMPLE replicates (row membership
+    in replicate b = bit b of a key hash), each replicate's mean in
+    exact micro-units by integer division, and the replicate standard
+    deviation from exact integer sufficient statistics (only the final
+    sqrt is floating point — identical doubles from identical integers).
+    This is resampling-based inference made reproducible and
+    oracle-checkable: classic bootstrap draws are random, half-sample
+    replication is the deterministic member of the family (document:
+    rep_sd over-estimates the SE of the full mean by ~sqrt(2) since
+    each replicate holds half the data). One pass over orders fanned
+    x32 by a broadcast range — map-side combined, no extra shuffle of
+    the table."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long").alias("u"),
+    )
+    bcol = spark.range(0, 32).select(F.col("id").cast("long").alias("b"))
+    reps = (
+        base.crossJoin(F.broadcast(bcol))
+        .filter(F.expr("(u div cast(pow(2, b) as bigint)) % 2 = 1"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.expr("sum(cents) * 1000000 div count(*)").alias("mean_micro"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = reps.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(dec(F.col("mean_micro"))).alias("sm"),
+        F.sum(dec(F.col("mean_micro")) * dec(F.col("mean_micro"))).alias("smm"),
+    )
+    full = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cents) * 1000000 div count(*)").alias("mean_micro"),
+    )
+    nbd = F.col("nb").cast("double")
+    var = (
+        (nbd * F.col("smm").cast("double")
+         - F.col("sm").cast("double") * F.col("sm").cast("double"))
+        / nbd / (nbd - 1)
+    )
+    return full.crossJoin(F.broadcast(agg)).select(
+        "n",
+        "mean_micro",
+        F.round(F.sqrt(var)).cast("long").alias("rep_sd_micro"),
+    )
+
+
+@register(
+    "luhn_audit_orders",
+    """
+    WITH pans AS (
+      SELECT o_orderpriority,
+             lpad(CAST((o_orderkey * 104729) % 10000000000000000
+                       AS VARCHAR), 16, '0') AS pan
+      FROM orders
+    ),
+    checked AS (
+      SELECT o_orderpriority,
+             list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN i % 2 = 0
+                    THEN CASE WHEN 2 * CAST(substring(pan, 17 - i, 1) AS INT) > 9
+                              THEN 2 * CAST(substring(pan, 17 - i, 1) AS INT) - 9
+                              ELSE 2 * CAST(substring(pan, 17 - i, 1) AS INT) END
+                    ELSE CAST(substring(pan, 17 - i, 1) AS INT) END)) AS s
+      FROM pans
+    )
+    SELECT o_orderpriority, count(*) AS n,
+           sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS n_luhn_valid
+    FROM checked GROUP BY o_orderpriority
+    """,
+)
+def luhn_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation as a pure codegen expression — the PII
+    audit primitive (card-number detection needs checksum validation,
+    not just a digit-run regex, to control false positives). The test
+    tables carry no real card numbers, so the audited strings are
+    deterministic key-derived 16-digit PANs; the CHECKSUM arithmetic
+    (right-to-left alternate doubling with 9-subtraction, mod 10) is
+    what this query proves engine-exact. Composes with redact_pii for
+    corpora that do contain digit runs."""
+    o = _t(spark, sf_dir, "orders")
+    pans = o.select(
+        "o_orderpriority",
+        F.lpad(
+            ((F.col("o_orderkey") * 104729) % F.lit(10_000_000_000_000_000))
+            .cast("string"),
+            16,
+            "0",
+        ).alias("pan"),
+    )
+    s = F.expr(
+        "aggregate(transform(sequence(1, 16), i -> CASE WHEN i % 2 = 0 "
+        "THEN CASE WHEN 2 * int(substring(pan, 17 - i, 1)) > 9 "
+        "THEN 2 * int(substring(pan, 17 - i, 1)) - 9 "
+        "ELSE 2 * int(substring(pan, 17 - i, 1)) END "
+        "ELSE int(substring(pan, 17 - i, 1)) END), 0, (a, x) -> a + x)"
+    )
+    return (
+        pans.select("o_orderpriority", s.alias("s"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("s") % 10 == 0, 1).otherwise(0)).alias(
+                "n_luhn_valid"
+            ),
+        )
+    )
+
+
+@register(
+    "ttr_docs",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           sum(c) AS n_tokens,
+           count(*) AS n_types,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           (count(*) * 1000000) // sum(c) AS ttr_micro
+    FROM tc GROUP BY lang
+    """,
+)
+def ttr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary statistics: token count, type (distinct
+    token) count, hapax legomena, and type-token ratio in exact
+    micro-units — the lexical-diversity signal corpus curation uses to
+    catch templated/machine-generated text (low TTR) and OCR noise
+    (high hapax share). Shuffle is bounded by vocabulary (one
+    partial-agg token count per lang), never corpus size."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    tc = (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tc.groupBy("lang").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.expr("count(*) * 1000000 div sum(c)").alias("ttr_micro"),
+    )
+
+
+@register(
+    "funnel_ttc_events",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT date_diff('second', s.s_ts, p.p_ts) AS delay_s
+      FROM s JOIN p ON p.user_id = s.user_id
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(CAST(delay_s AS DOUBLE), 0.5), 4) AS p50_s,
+           round(quantile_cont(CAST(delay_s AS DOUBLE), 0.9), 4) AS p90_s,
+           max(delay_s) AS max_s
+    FROM d
+    """,
+)
+def funnel_ttc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the signup -> purchase funnel: per user the
+    first purchase strictly after the first signup, then interpolated
+    p50/p90 of the delay — the funnel follow-up every growth team asks
+    for after conversion counts. Two per-user min aggs + one join on
+    user_id; percentiles run on the (tiny) per-user delay table using
+    the proven percentile-parity pattern."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    d = s.join(p, "user_id").select(
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")).alias("delay_s")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(cast(delay_s as double), 0.5)"), 4).alias(
+            "p50_s"
+        ),
+        F.round(F.expr("percentile(cast(delay_s as double), 0.9)"), 4).alias(
+            "p90_s"
+        ),
+        F.max("delay_s").alias("max_s"),
+    )

@@ -325,6 +325,39 @@ def test_skew_report_shares(spark):
     assert out[1].cum_share_pct == 81.0
 
 
+def test_shortest_paths_weighted_hand_computed(spark):
+    """Weighted Bellman-Ford on a graph where hop count and weight
+    disagree: the 2-hop path 1-2-4 (w=2) must beat the 1-hop edge 1-4
+    (w=9); unreachable nodes are absent."""
+    from hybridbackend_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 4, 1), (1, 4, 9), (4, 5, 2), (7, 8, 1)],
+        "id_a long, id_b long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.dist for r in shortest_paths(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 4: 2, 5: 4}
+
+
+def test_shortest_paths_matches_bfs_on_unit_weights(spark):
+    """With all weights 1 the result must equal bfs_distances."""
+    from hybridbackend_spark.operators.graph import (
+        bfs_distances,
+        shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(8)] + [(0, 5, 1)],
+        "id_a long, id_b long, w long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    sp = {r.id: r.dist for r in shortest_paths(edges, seeds).collect()}
+    bf = {r.id: r.dist
+          for r in bfs_distances(edges, seeds, max_hops=10).collect()}
+    assert sp == bf
+
+
 def test_kcore_triangle_plus_tail(spark):
     from hybridbackend_spark.operators.graph import kcore
 
