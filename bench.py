@@ -248,6 +248,12 @@ EXTRA = [
     "luhn_audit_orders",
     "ttr_docs",
     "funnel_ttc_events",
+    "isotonic_calibration_embeddings",
+    "markov_backtest_events",
+    "phrase_search_docs",
+    "dataset_shift_orders",
+    "stl_decompose_events",
+    "bandit_replay_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the
@@ -320,6 +326,27 @@ def main() -> None:
 
     extra = _time_set(EXTRA, max(1, REPS // 2))
     baseline_ops = _time_set(BASELINE_OPS, 1)
+
+    # item_similarity / coverage_novelty / association_rules consume a
+    # materialize-once similarity state (_i2i_state_cached), so their
+    # per-query timings above are steady-state reads of the persisted
+    # table — the honest deployment shape, but the ONE-TIME build cost
+    # must be visible too. Time one cold rebuild explicitly.
+    try:
+        from hybridbackend_spark.queries import _I2I_CACHE, _i2i_state_cached
+
+        key = (spark.sparkContext.applicationId, sf_dir)
+        cached = _I2I_CACHE.pop(key, None)
+        if cached is not None:
+            for df in cached:
+                df.unpersist(blocking=True)
+        t0 = time.perf_counter()
+        ui, sim = _i2i_state_cached(spark, sf_dir)
+        sim.count()  # materialize the persisted tables
+        ui.count()
+        baseline_ops["i2i_state_build"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:
+        print(f"bench error in i2i_state_build: {e}", file=sys.stderr)
 
     scans: dict[str, float] = {}
     for label, (table, cols) in SCANS.items():

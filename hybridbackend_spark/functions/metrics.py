@@ -525,3 +525,90 @@ def mrr_hitrate_at_k(
         ).alias("rr"),
         F.col("first_hit_rank").isNotNull().alias("hit_at_k"),
     )
+
+
+def isotonic_fit_bins(
+    df,
+    label: str = "y",
+    score: str = "p",
+    bins: int = 16,
+    dp: int = 6,
+):
+    """Isotonic (monotone non-decreasing) calibration over score bins —
+    the post-hoc calibrator actually shipped with ranking models.
+
+    The per-bin positive rates are pooled by the CLOSED-FORM min-max
+    characterization of the PAVA solution:
+    ``iso(k) = max over i <= k of ( min over j >= k of
+    pooled_rate(i..j) )`` where ``pooled_rate(i..j)`` is the exact
+    integer ratio sum(pos) / sum(n) over the bin range. This replaces
+    the sequential pool-adjacent-violators loop with set algebra, so it
+    runs as joins over the (tiny, parameter-bounded) bin table and a
+    SQL oracle can replay it verbatim. All ratios are doubles derived
+    from exact integer prefix sums — engine-identical.
+
+    Returns one row per non-empty bin:
+    (bin, n, pos, rate, iso_rate) with rates rounded to ``dp``.
+    Complexity: the triple (i, k, j) range join is bins^3 rows —
+    ``bins`` is validated <= 64 (the readout is parameter-bounded,
+    never data-bounded).
+    """
+    from pyspark.sql import Window, functions as F
+
+    if not 0 < bins <= 64:
+        raise ValueError(
+            f"isotonic_fit_bins: bins={bins} outside (0, 64] — the "
+            "min-max pooling is bins^3 on a single partition by design"
+        )
+    s = F.col(score).cast("double")
+    y = F.col(label).cast("double")
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    agg = (
+        df.select(b.alias("bin"), y.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("long").alias("pos"),
+        )
+    )
+    # prefix sums over the parameter-bounded bin table (<= bins rows)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("_cn"),
+        F.sum("pos").over(w).alias("_cp"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("_i"),
+        (F.col("_cn") - F.col("n")).alias("_cn_lo"),
+        (F.col("_cp") - F.col("pos")).alias("_cp_lo"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("_j"),
+        F.col("_cn").alias("_cn_hi"),
+        F.col("_cp").alias("_cp_hi"),
+    )
+    pair = lo.join(hi, F.col("_i") <= F.col("_j")).select(
+        "_i", "_j",
+        (
+            (F.col("_cp_hi") - F.col("_cp_lo")).cast("double")
+            / (F.col("_cn_hi") - F.col("_cn_lo")).cast("double")
+        ).alias("_avg"),
+    )
+    ks = agg.select(F.col("bin").alias("_k"))
+    inner = (
+        pair.join(ks, (F.col("_i") <= F.col("_k")) & (F.col("_j") >= F.col("_k")))
+        .groupBy("_k", "_i")
+        .agg(F.min("_avg").alias("_m"))
+    )
+    iso = inner.groupBy("_k").agg(F.max("_m").alias("_iso"))
+    return (
+        agg.join(iso, agg.bin == iso._k)
+        .select(
+            "bin", "n", "pos",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), dp
+            ).alias("rate"),
+            F.round(F.col("_iso"), dp).alias("iso_rate"),
+        )
+    )

@@ -9765,3 +9765,450 @@ def funnel_ttc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("delay_s").alias("max_s"),
     )
+
+
+@register(
+    "isotonic_calibration_embeddings",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN label >= 5 THEN 1.0 ELSE 0.0 END AS y,
+             least(greatest(embedding[1]::DOUBLE + 0.5, 0.0), 1.0) AS p
+      FROM embeddings
+    ),
+    agg AS (
+      SELECT least(CAST(floor(p * 16) AS INT), 15) AS bin,
+             count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n, pos,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+      FROM agg
+    ),
+    pair AS (
+      SELECT lo.bin AS i, hi.bin AS j,
+             CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+             / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg
+      FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+    ),
+    inner_min AS (
+      SELECT k.bin AS k, pair.i, min(pair.avg) AS m
+      FROM pair JOIN agg k ON pair.i <= k.bin AND pair.j >= k.bin
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT k, max(m) AS iso FROM inner_min GROUP BY k)
+    SELECT agg.bin, agg.n, agg.pos,
+           round(CAST(agg.pos AS DOUBLE) / CAST(agg.n AS DOUBLE), 6) AS rate,
+           round(iso.iso, 6) AS iso_rate
+    FROM agg JOIN iso ON iso.k = agg.bin
+    """,
+)
+def isotonic_calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the synthetic scorer via the CLOSED-FORM
+    min-max characterization of PAVA (iso(k) = max_{i<=k} min_{j>=k}
+    pooled_rate(i..j)) — the sequential pool-adjacent-violators loop
+    turned into set algebra over the parameter-bounded bin table, so
+    the full calibrator is hash-checked against a SQL oracle (which no
+    loop formulation would allow). The monotone fit is what serving
+    systems apply to ranking scores post-hoc; composes with
+    calibration_embeddings (reliability readout) and metric_auc."""
+    from .functions.metrics import isotonic_fit_bins
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).cast("double").alias("y"),
+        F.least(
+            F.greatest(F.element_at("embedding", 1).cast("double") + 0.5,
+                       F.lit(0.0)),
+            F.lit(1.0),
+        ).alias("p"),
+    )
+    return isotonic_fit_bins(emb, label="y", score="p", bins=16)
+
+
+@register(
+    "markov_backtest_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (SELECT prev, event_type AS next, ts FROM seq
+              WHERE prev IS NOT NULL),
+    train AS (
+      SELECT prev, next, count(*) AS c FROM trans
+      WHERE ts < TIMESTAMP '2024-01-21 00:00:00' GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT prev, next AS pred_next FROM (
+        SELECT prev, next,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY c DESC, next) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (SELECT prev, next FROM trans
+             WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'),
+    scored AS (
+      SELECT test.prev, test.next, pred.pred_next
+      FROM test LEFT JOIN pred USING (prev)
+    )
+    SELECT count(*) AS n_test,
+           CAST(sum(CASE WHEN pred_next IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN next = pred_next THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CASE WHEN sum(CASE WHEN pred_next IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN (sum(CASE WHEN next = pred_next THEN 1 ELSE 0 END)
+                      * 1000000)
+                     // sum(CASE WHEN pred_next IS NOT NULL THEN 1 ELSE 0 END)
+           END AS acc_micro
+    FROM scored
+    """,
+)
+def markov_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event model: transition
+    counts trained on the first 20 days predict (argmax with
+    deterministic ties) each later transition's next type; accuracy@1
+    in exact micro-units. Model training AND evaluation in the engine —
+    the sequence-model baseline every session-prediction system must
+    beat. One lag window per user + two bounded type-pair aggs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lag("event_type").over(w).alias("prev")
+    )
+    trans = seq.filter(F.col("prev").isNotNull()).select(
+        "prev", F.col("event_type").alias("next"), "ts"
+    )
+    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    train = (
+        trans.filter(F.col("ts") < split)
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = Window.partitionBy("prev").orderBy(F.col("c").desc(), "next")
+    pred = (
+        train.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("next").alias("pred_next"))
+    )
+    test = trans.filter(F.col("ts") >= split).select("prev", "next")
+    scored = test.join(F.broadcast(pred), "prev", "left")
+    covered = F.sum(F.when(F.col("pred_next").isNotNull(), 1).otherwise(0))
+    correct = F.sum(
+        F.when(F.col("next") == F.col("pred_next"), 1).otherwise(0)
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        covered.cast("long").alias("n_covered"),
+        correct.cast("long").alias("n_correct"),
+        F.when(covered > 0, F.expr(
+            "sum(CASE WHEN next = pred_next THEN 1 ELSE 0 END) * 1000000 "
+            "div sum(CASE WHEN pred_next IS NOT NULL THEN 1 ELSE 0 END)"
+        )).alias("acc_micro"),
+    )
+
+
+@register(
+    "phrase_search_docs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, u.i AS pos, toks[u.i] AS tok
+      FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+            WHERE length(trim(text)) > 0) t,
+           unnest(range(1, len(toks) + 1)) u(i)
+    )
+    SELECT a.doc_id, count(*) AS n_hits, min(a.pos) AS first_pos
+    FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'fast' AND b.tok = 'table'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search ('fast table'): adjacency join on
+    (doc, position) over the token postings — the exact-phrase
+    primitive BM25/keyword retrieval cannot express. The join is
+    pre-filtered to the two phrase terms BEFORE the shuffle, so the
+    matched postings stream is term-frequency-sized, never
+    corpus-sized. Returns (doc_id, n_hits, first_pos)."""
+    from .operators.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = w.filter(F.col("tok") == "fast").alias("a")
+    b = w.filter(F.col("tok") == "table").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min(F.col("a.pos")).alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "dataset_shift_orders",
+    """
+    WITH pre AS (SELECT * FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+    post AS (SELECT * FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+    m AS (
+      SELECT 'n_rows' AS metric,
+             (SELECT count(*) FROM pre) AS pre_v,
+             (SELECT count(*) FROM post) AS post_v
+      UNION ALL
+      SELECT 'mean_price_cents',
+             (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     // count(*) FROM pre),
+             (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     // count(*) FROM post)
+      UNION ALL
+      SELECT 'null_price',
+             (SELECT count(*) FROM pre WHERE o_totalprice IS NULL),
+             (SELECT count(*) FROM post WHERE o_totalprice IS NULL)
+      UNION ALL
+      SELECT 'distinct_priority',
+             (SELECT count(DISTINCT o_orderpriority) FROM pre),
+             (SELECT count(DISTINCT o_orderpriority) FROM post)
+      UNION ALL
+      SELECT 'distinct_status',
+             (SELECT count(DISTINCT o_orderstatus) FROM pre),
+             (SELECT count(DISTINCT o_orderstatus) FROM post)
+    )
+    SELECT metric, CAST(pre_v AS BIGINT) AS pre_v,
+           CAST(post_v AS BIGINT) AS post_v,
+           CAST(post_v AS BIGINT) - CAST(pre_v AS BIGINT) AS delta
+    FROM m
+    """,
+)
+def dataset_shift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot dataset shift report: row counts, exact-cents
+    mean price, null rates, and categorical cardinalities for orders
+    before/after a cut date, with deltas — the ops-level 'did the feed
+    change shape' check that runs before any model-level drift test
+    (psi_orders / embedding_drift are the statistical follow-ups). Both
+    periods aggregate in ONE fused conditional pass (no per-metric
+    re-scan: Spark computes every metric as conditional aggregates of a
+    single scan)."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    is_pre = F.col("o_orderdate") < cut
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    one = o.agg(
+        F.sum(F.when(is_pre, 1).otherwise(0)).alias("pre_n"),
+        F.sum(F.when(~is_pre, 1).otherwise(0)).alias("post_n"),
+        F.sum(F.when(is_pre, cents)).alias("pre_sc"),
+        F.sum(F.when(~is_pre, cents)).alias("post_sc"),
+        F.sum(F.when(is_pre & F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .alias("pre_nullc"),
+        F.sum(F.when(~is_pre & F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .alias("post_nullc"),
+        F.count_distinct(F.when(is_pre, F.col("o_orderpriority")))
+        .alias("pre_dp"),
+        F.count_distinct(F.when(~is_pre, F.col("o_orderpriority")))
+        .alias("post_dp"),
+        F.count_distinct(F.when(is_pre, F.col("o_orderstatus")))
+        .alias("pre_ds"),
+        F.count_distinct(F.when(~is_pre, F.col("o_orderstatus")))
+        .alias("post_ds"),
+    )
+    rows = [
+        ("n_rows", F.col("pre_n"), F.col("post_n")),
+        (
+            "mean_price_cents",
+            F.expr("pre_sc div pre_n"),
+            F.expr("post_sc div post_n"),
+        ),
+        ("null_price", F.col("pre_nullc"), F.col("post_nullc")),
+        ("distinct_priority", F.col("pre_dp"), F.col("post_dp")),
+        ("distinct_status", F.col("pre_ds"), F.col("post_ds")),
+    ]
+    out = None
+    for name, pv, qv in rows:
+        r = one.select(
+            F.lit(name).alias("metric"),
+            pv.cast("long").alias("pre_v"),
+            qv.cast("long").alias("post_v"),
+            (qv.cast("long") - pv.cast("long")).alias("delta"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+@register(
+    "stl_decompose_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    tr AS (
+      SELECT day, v,
+             (sum(v) OVER w * 1000000)
+               // count(*) OVER w AS trend_micro
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day, v, trend_micro,
+             v * 1000000 - trend_micro AS det_micro,
+             date_diff('day', DATE '2024-01-01', day) % 7 AS dow
+      FROM tr
+    ),
+    seas AS (
+      SELECT dow, sum(det_micro) // count(*) AS seasonal_micro
+      FROM det GROUP BY dow
+    )
+    SELECT det.day, det.v AS v_cents, det.trend_micro,
+           seas.seasonal_micro,
+           det.det_micro - seas.seasonal_micro AS resid_micro
+    FROM det JOIN seas USING (dow)
+    """,
+)
+def stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the daily revenue series: trend =
+    centered 7-day rolling mean (exact integer micro-units, partial
+    frames at the edges use the available window), seasonal = per
+    day-of-week mean of the detrended series (engine-neutral dow =
+    days-since-epoch-anchor mod 7 — Spark and DuckDB disagree on
+    dayofweek numbering), residual = remainder. Every value is an
+    exact BIGINT; the only window runs over the calendar-bounded daily
+    series, never over events."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long"))
+        .alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v",
+        F.expr(
+            "sum(v) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 "
+            "FOLLOWING) * 1000000 div count(*) OVER (ORDER BY day ROWS "
+            "BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+        ).alias("trend_micro"),
+    )
+    det = tr.select(
+        "day",
+        "v",
+        "trend_micro",
+        (F.col("v") * 1_000_000 - F.col("trend_micro")).alias("det_micro"),
+        (F.datediff("day", F.lit("2024-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+    )
+    seas = det.groupBy("dow").agg(
+        F.expr("sum(det_micro) div count(*)").alias("seasonal_micro")
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.col("v").alias("v_cents"),
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("det_micro") - F.col("seasonal_micro")).alias("resid_micro"),
+    )
+
+
+@register(
+    "bandit_replay_events",
+    """
+    WITH logged AS (
+      SELECT user_id % 3 AS segment, event_type AS arm,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS reward,
+             ts
+      FROM events
+    ),
+    train AS (
+      SELECT segment, arm, sum(reward) AS sr, count(*) AS n
+      FROM logged WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+      GROUP BY 1, 2
+    ),
+    policy AS (
+      SELECT segment, arm AS chosen FROM (
+        SELECT segment, arm,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY sr * 1000000 // n DESC, arm) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT l.segment, l.arm, l.reward, p.chosen
+      FROM logged l JOIN policy p USING (segment)
+      WHERE l.ts >= TIMESTAMP '2024-01-21 00:00:00'
+    )
+    SELECT segment, any_value(chosen) AS chosen_arm,
+           count(*) AS n_test,
+           CAST(sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CASE WHEN sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) > 0
+                THEN sum(CASE WHEN arm = chosen THEN reward ELSE 0 END)
+                     * 1000000
+                     // sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END)
+           END AS replay_value_micro
+    FROM test GROUP BY segment
+    """,
+)
+def bandit_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline policy evaluation by REPLAY (Li et al. 2011): the greedy
+    per-segment policy is fit on the first 20 days (argmax mean reward
+    in exact micro-units, deterministic ties), then evaluated on later
+    traffic using only the logged events whose action matches the
+    policy's choice — the unbiased counterfactual estimate when logging
+    is uniform. Everything is exact integer arithmetic with guarded
+    division; two bounded (segment x arm) aggs plus one broadcast
+    policy join."""
+    ev = _t(spark, sf_dir, "events")
+    logged = ev.select(
+        (F.col("user_id") % 3).alias("segment"),
+        F.col("event_type").alias("arm"),
+        F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long").alias(
+            "reward"
+        ),
+        "ts",
+    )
+    split = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    train = (
+        logged.filter(F.col("ts") < split)
+        .groupBy("segment", "arm")
+        .agg(F.sum("reward").alias("sr"), F.count(F.lit(1)).alias("n"))
+    )
+    rn = Window.partitionBy("segment").orderBy(
+        F.expr("sr * 1000000 div n").desc(), "arm"
+    )
+    policy = (
+        train.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("segment", F.col("arm").alias("chosen"))
+    )
+    test = logged.filter(F.col("ts") >= split).join(
+        F.broadcast(policy), "segment"
+    )
+    matched = F.sum(F.when(F.col("arm") == F.col("chosen"), 1).otherwise(0))
+    return test.groupBy("segment").agg(
+        F.any_value(F.col("chosen")).alias("chosen_arm"),
+        F.count(F.lit(1)).alias("n_test"),
+        matched.cast("long").alias("n_matched"),
+        F.when(
+            matched > 0,
+            F.expr(
+                "sum(CASE WHEN arm = chosen THEN reward ELSE 0 END) * "
+                "1000000 div sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END)"
+            ),
+        ).alias("replay_value_micro"),
+    )

@@ -328,3 +328,37 @@ def test_mrr_hitrate_semantics(spark):
     assert out["b"]["rr"] == 0.0 and out["b"]["hit_at_k"] is False
     assert out["c"]["rr"] == 1.0 and out["c"]["hit_at_k"] is True
     assert "d" not in out  # all rows filtered beyond k
+
+
+def test_isotonic_fit_bins_hand_computed(spark):
+    """PAVA on a known violator pattern: per-bin rates 0.8, 0.2 (bins 0,1)
+    must pool to 0.5, 0.5; an already-monotone tail stays untouched."""
+    from hybridbackend_spark.functions.metrics import isotonic_fit_bins
+
+    rows = []
+    # bin 0 (p in [0, .25)): 5 rows, 4 positive -> rate .8
+    rows += [(1.0, 0.1)] * 4 + [(0.0, 0.1)]
+    # bin 1 (p in [.25, .5)): 5 rows, 1 positive -> rate .2 (violation)
+    rows += [(1.0, 0.3)] + [(0.0, 0.3)] * 4
+    # bin 2: 5 rows, 3 positive -> rate .6 (monotone after pooling)
+    rows += [(1.0, 0.6)] * 3 + [(0.0, 0.6)] * 2
+    # bin 3: 5 rows, 5 positive -> rate 1.0
+    rows += [(1.0, 0.9)] * 5
+    df = spark.createDataFrame(rows, "y double, p double")
+    out = {r.bin: r for r in
+           isotonic_fit_bins(df, "y", "p", bins=4).collect()}
+    assert [out[b].rate for b in range(4)] == [0.8, 0.2, 0.6, 1.0]
+    assert [out[b].iso_rate for b in range(4)] == [0.5, 0.5, 0.6, 1.0]
+    # monotone non-decreasing by construction
+    iso = [out[b].iso_rate for b in range(4)]
+    assert iso == sorted(iso)
+
+
+def test_isotonic_fit_bins_bound_validated(spark):
+    import pytest
+
+    from hybridbackend_spark.functions.metrics import isotonic_fit_bins
+
+    df = spark.createDataFrame([(1.0, 0.5)], "y double, p double")
+    with pytest.raises(ValueError, match="bins"):
+        isotonic_fit_bins(df, "y", "p", bins=256)
