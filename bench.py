@@ -254,6 +254,9 @@ EXTRA = [
     "dataset_shift_orders",
     "stl_decompose_events",
     "bandit_replay_events",
+    "skyline_parts",
+    "feistel_pseudonymize_customers",
+    "bitmap_yearly_actives",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -10212,3 +10212,166 @@ def bandit_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("replay_value_micro"),
     )
+
+
+@register(
+    "skyline_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             p_size
+      FROM part
+    )
+    SELECT p_partkey, cents, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.p_size <= a.p_size
+        AND (b.cents < a.cents OR b.p_size < a.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier: no other part is both cheaper and
+    smaller) WITHOUT the quadratic dominance test: group to one
+    min-size row per distinct price (partial agg), then a strict-
+    preceding running min over the price-ordered group table — a part
+    is on the frontier iff its price group's min size beats every
+    cheaper group's. The window runs over DISTINCT PRICES (the cents
+    grid — domain-bounded, never row-proportional). The oracle is the
+    INDEPENDENT quadratic NOT EXISTS dominance definition, so the
+    linear-pass rewrite is proven equivalent, not assumed."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        "p_size",
+    )
+    g = p.groupBy("cents").agg(F.min("p_size").alias("_msize"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky_prices = g.select(
+        "cents", "_msize", F.min("_msize").over(w).alias("_prev")
+    ).filter(F.col("_prev").isNull() | (F.col("_msize") < F.col("_prev")))
+    return (
+        p.join(F.broadcast(sky_prices), "cents")
+        .filter(F.col("p_size") == F.col("_msize"))
+        .select("p_partkey", "cents", "p_size")
+    )
+
+
+def _feistel_sql(rounds: int = 3) -> str:
+    """Unrolled Feistel rounds in SQL (md5-derived 16-bit round
+    function), mirroring the Spark expression chain bit for bit."""
+    body = "SELECT c_custkey, c_custkey // 65536 AS l, c_custkey % 65536 AS r FROM customer"
+    parts = [f"WITH f0 AS ({body})"]
+    for i in range(rounds):
+        parts.append(f""",
+    f{i + 1} AS (
+      SELECT c_custkey, r AS l,
+             xor(l, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':{i + 1}'),
+                                    1, 4))::BIGINT) AS r
+      FROM f{i}
+    )""")
+    parts.append(f"""
+    SELECT c_custkey, l * 65536 + r AS pseudo_id FROM f{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("feistel_pseudonymize_customers", _feistel_sql(3))
+def feistel_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-preserving pseudonymization: a 3-round Feistel network on
+    the 32-bit key space with an md5-derived 16-bit round function —
+    deterministic, collision-free BY CONSTRUCTION (Feistel is a
+    bijection on the domain regardless of the round function), and
+    reversible by running the rounds backwards (proven in tests). The
+    privacy-ops primitive for releasing joinable-but-opaque ids:
+    unlike hashing, no birthday collisions; unlike a mapping table, no
+    state to store or shuffle. Pure codegen expressions; production
+    swaps the public md5-of-key round function for a keyed secret."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    l_col = F.expr("c_custkey div 65536")
+    r_col = F.col("c_custkey") % 65536
+    df = c.select("c_custkey", l_col.alias("l"), r_col.alias("r"))
+    for i in range(1, 4):
+        f = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("r").cast("string"), F.lit(f":{i}"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        df = df.select(
+            "c_custkey",
+            F.col("r").alias("l"),
+            F.col("l").bitwiseXOR(f).alias("r"),
+        )
+    return df.select(
+        "c_custkey", (F.col("l") * 65536 + F.col("r")).alias("pseudo_id")
+    )
+
+
+@register(
+    "bitmap_yearly_actives",
+    """
+    WITH act AS (
+      SELECT DISTINCT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+             o_custkey AS c
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.y AS y1, b.y AS y2, count(*) AS n_both
+      FROM act a JOIN act b ON a.c = b.c AND a.y < b.y
+      GROUP BY 1, 2
+    ),
+    singles AS (SELECT y, count(*) AS n FROM act GROUP BY y)
+    SELECT p.y1, p.y2, s1.n AS n_y1, s2.n AS n_y2, p.n_both
+    FROM pairs p JOIN singles s1 ON s1.y = p.y1
+                 JOIN singles s2 ON s2.y = p.y2
+    """,
+)
+def bitmap_yearly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via BITMAP INDEXES: each year's active
+    customers compress to one 63-bit word per key block (bit_or
+    partial agg), and every pairwise intersection is then
+    sum(bit_count(wa & wb)) over a block-aligned join of the tiny word
+    tables — the roaring-bitmap trick relationally: overlap counts for
+    ALL year pairs without ever joining or shuffling the underlying
+    membership lists again. The oracle computes the same counts by the
+    INDEPENDENT distinct-join definition, proving the bitmap algebra
+    correct rather than assuming it."""
+    o = _t(spark, sf_dir, "orders")
+    act = o.select(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.col("o_custkey").alias("c"),
+    ).distinct()
+    words = act.groupBy(
+        "y", F.expr("c div 63").alias("blk")
+    ).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(c % 63 as int)))")
+        .alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    singles = words.groupBy("y").agg(F.sum("n").alias("n_single"))
+    a = words.select(
+        F.col("y").alias("y1"), "blk", F.col("w").alias("wa")
+    )
+    b = words.select(
+        F.col("y").alias("y2"), "blk", F.col("w").alias("wb")
+    )
+    pairs = (
+        a.join(b, ["blk"])
+        .filter(F.col("y1") < F.col("y2"))
+        .groupBy("y1", "y2")
+        .agg(
+            F.sum(F.bit_count(F.expr("wa & wb"))).cast("long").alias("n_both")
+        )
+    )
+    s1 = singles.select(F.col("y").alias("y1"), F.col("n_single").alias("n_y1"))
+    s2 = singles.select(F.col("y").alias("y2"), F.col("n_single").alias("n_y2"))
+    return pairs.join(F.broadcast(s1), "y1").join(F.broadcast(s2), "y2").select(
+        "y1", "y2", "n_y1", "n_y2", "n_both"
+    )

@@ -499,3 +499,50 @@ def test_benford_no_positive_values_no_crash(spark):
     out = benford_audit(df, "price").collect()
     assert len(out) == 9
     assert all(r.share_pct is None for r in out)
+
+
+def test_feistel_pseudonymize_bijective_and_invertible(spark, sf_dir):
+    """A Feistel network is a bijection regardless of its round
+    function: no collisions on the full customer domain, and running
+    the rounds backwards recovers every original key."""
+    from hybridbackend_spark.queries import feistel_pseudonymize_customers
+
+    out = feistel_pseudonymize_customers(spark, sf_dir)
+    rows = out.collect()
+    pseudos = [r.pseudo_id for r in rows]
+    assert len(set(pseudos)) == len(pseudos)  # injective on the domain
+
+    def f(r, i):
+        import hashlib
+
+        h = hashlib.md5(f"{r}:{i}".encode()).hexdigest()[:4]
+        return int(h, 16)
+
+    for r in rows[:50]:
+        l, rr = r.pseudo_id // 65536, r.pseudo_id % 65536
+        for i in (3, 2, 1):  # invert: undo rounds in reverse order
+            l, rr = rr ^ f(l, i), l
+        assert l * 65536 + rr == r.c_custkey
+
+
+def test_skyline_parts_no_dominated_row(spark, sf_dir):
+    """Every returned part is Pareto-optimal and every excluded part is
+    dominated by some returned part (2-D frontier completeness)."""
+    from hybridbackend_spark.queries import skyline_parts
+
+    sky = [(r.cents, r.p_size) for r in skyline_parts(spark, sf_dir).collect()]
+    all_rows = [
+        (int(round(r.p_retailprice * 100)), r.p_size)
+        for r in spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_retailprice", "p_size")
+        .collect()
+    ]
+    dom = lambda a, b: (
+        a[0] <= b[0] and a[1] <= b[1] and (a[0] < b[0] or a[1] < b[1])
+    )
+    for s in sky:
+        assert not any(dom(o, s) for o in all_rows)
+    sky_set = set(sky)
+    for o in all_rows:
+        if o not in sky_set:
+            assert any(dom(s, o) for s in sky)
