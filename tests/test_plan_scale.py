@@ -170,6 +170,24 @@ def test_no_unreduced_fact_broadcast_any_query(spark, sf_dir, name):
     )
 
 
+def test_no_cartesian_product_in_any_batch_query(spark, sf_dir):
+    """Global gate: at normal thresholds, NO batch query may plan a
+    CartesianProduct (1-row scalar combines plan as
+    BroadcastNestedLoopJoin; a cartesian of data-proportional sides is
+    always a scale bug). One pass over every registered batch plan.
+    Only at normal thresholds: with auto-broadcast disabled, scalar
+    1-row crossJoins legitimately degrade to CartesianProduct."""
+    from hybridbackend_spark.queries import get_queries
+
+    offenders = []
+    for name, fn in get_queries().items():
+        if name.startswith("stream_"):
+            continue
+        if "CartesianProduct" in physical_plan(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert offenders == []
+
+
 def test_fuzzy_join_streams_both_sides(spark, sf_dir):
     """The fuzzy join's variant-hash equi-join must shuffle both sides
     (stream-stream), never pin a corpus-proportional side as broadcast."""
