@@ -19,7 +19,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_counter", "RUNNING_COUNTER_SCHEMA", "session_emitter", "SESSION_EMIT_SCHEMA"]
+__all__ = [
+    "running_counter", "RUNNING_COUNTER_SCHEMA",
+    "session_emitter", "SESSION_EMIT_SCHEMA",
+    "zscore_flags", "ZSCORE_EMIT_SCHEMA",
+]
 
 RUNNING_COUNTER_SCHEMA = "user_id long, n_events long, sum_value double"
 _STATE_SCHEMA = "n long, c long"
@@ -171,4 +175,81 @@ def session_emitter(
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+ZSCORE_EMIT_SCHEMA = "user_id long, event_id long, cents long, n_prior long"
+_ZSCORE_STATE_SCHEMA = "n long, s long, q long"
+
+
+def _update_zscore_flags(min_prior: int, k_sigma: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((n0, s0, q0))
+            return
+        pdf = pd.concat(frames)
+        # event-time order within the batch; state carries across batches
+        pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+        v = pdf["value"].fillna(0.0)
+        x = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
+        xs = x.to_numpy()
+        # PRIOR stats for row i = state + cumulative of rows < i
+        cn = n0 + np.arange(len(xs), dtype="int64")
+        cs = s0 + np.concatenate(([0], np.cumsum(xs)[:-1])).astype("int64")
+        cq = q0 + np.concatenate(
+            ([0], np.cumsum(xs * xs)[:-1])
+        ).astype("int64")
+        # exact integer z-test: |x - mean| > k*sd  <=>
+        # (n*x - s)^2 > k^2 * (n*q - s^2)   [both sides * n^2 var]
+        lhs = (cn * xs - cs) ** 2
+        rhs = (k_sigma * k_sigma) * (cn * cq - cs * cs)
+        flag = (cn >= min_prior) & (lhs > rhs)
+        state.update(
+            (
+                int(n0 + len(xs)),
+                int(s0 + xs.sum()),
+                int(q0 + (xs * xs).sum()),
+            )
+        )
+        if flag.any():
+            out = pdf.loc[flag.tolist(), ["user_id", "event_id"]].copy()
+            out["cents"] = xs[flag]
+            out["n_prior"] = cn[flag]
+            yield out[["user_id", "event_id", "cents", "n_prior"]]
+
+    return update
+
+
+def zscore_flags(
+    events: DataFrame,
+    key: str = "user_id",
+    min_prior: int = 8,
+    k_sigma: int = 3,
+) -> DataFrame:
+    """Streaming per-key anomaly flags: an event is flagged when its
+    value lies more than ``k_sigma`` standard deviations from the mean
+    of all PRIOR events of that key — evaluated as the exact integer
+    cross-multiplied inequality ``(n*x - s)^2 > k^2 (n*q - s^2)`` on
+    cents, so no floating point is involved and a batch SQL engine
+    reproduces every flag bit-for-bit (window sums over the strictly-
+    preceding frame). Events are processed in event-time order within
+    each micro-batch with (n, s, q) carried across batches; state is
+    three longs per key."""
+    return events.groupBy(key).applyInPandasWithState(
+        _update_zscore_flags(min_prior, k_sigma),
+        outputStructType=ZSCORE_EMIT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
