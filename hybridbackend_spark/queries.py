@@ -2495,7 +2495,8 @@ def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     WITH big AS (
-      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS BIGINT)) > 250
     )
@@ -3609,8 +3610,8 @@ def redact_pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT source, lang, count(*) AS n_docs,
-             sum(CAST(n_toks AS BIGINT)) AS total_tokens,
-             sum(n_chars) AS total_chars
+             CAST(sum(CAST(n_toks AS BIGINT)) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM t GROUP BY source, lang
     ),
     tot AS (SELECT sum(total_tokens) AS grand FROM agg)
@@ -4849,10 +4850,10 @@ def _shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHIPPING_SQL}
     SELECT s.l_shipmode,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM shipping s
     JOIN orders o ON o.o_orderkey = s.l_orderkey
     WHERE s.l_shipmode IN ('MAIL', 'SHIP')
@@ -5629,7 +5630,7 @@ def customer_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
                * ((greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
                    - (c - cnt))::DOUBLE / cnt::DOUBLE),
              4) AS q90_est,
-           n
+           CAST(n AS BIGINT) AS n
     FROM hit WHERE rn = 1
     """,
 )
@@ -5811,7 +5812,7 @@ def item_similarity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssb
       FROM t GROUP BY event_type
     )
-    SELECT event_type, na AS n_a, nb AS n_b,
+    SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            round((sa / 100.0) / na::DOUBLE, 6) AS mean_a,
            round((sb / 100.0) / nb::DOUBLE, 6) AS mean_b,
            round((sb / 100.0) / nb::DOUBLE - (sa / 100.0) / na::DOUBLE, 6)
@@ -7160,7 +7161,7 @@ def bfs_hops_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      * 1000000) AS BIGINT)) AS DOUBLE)
                  / 1000000.0, 6) AS statistic,
            CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof,
-           max(grand) AS n
+           CAST(max(grand) AS BIGINT) AS n
     FROM terms
     """,
 )
@@ -7768,7 +7769,8 @@ def provenance_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     ),
     t AS (SELECT sum(pos_c) AS pos_t, sum(neg_c) AS neg_t FROM c)
-    SELECT category, pos_c, neg_c,
+    SELECT category, CAST(pos_c AS BIGINT) AS pos_c,
+           CAST(neg_c AS BIGINT) AS neg_c,
            CASE WHEN pos_c > 0 AND neg_c > 0 THEN
              CAST((length(bin(pos_c)) - 1) + (length(bin(neg_t)) - 1)
                   - (length(bin(neg_c)) - 1) - (length(bin(pos_t)) - 1)
@@ -8259,7 +8261,9 @@ def changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fac
       FROM risk
     )
-    SELECT t, n_risk, n_events, n_censored,
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
            round((SELECT list_reduce([CAST(1.0 AS DOUBLE)]
                                      || list(fac ORDER BY f2.t),
                                      (a, b) -> a * b)
@@ -9029,7 +9033,7 @@ def slo_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(sum(o * pmi_bits) AS BIGINT) AS mi_bits_num,
            CAST(count(*) AS BIGINT) AS n_cells,
-           max(grand) AS n
+           CAST(max(grand) AS BIGINT) AS n
     FROM terms
     """,
 )
@@ -9540,7 +9544,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS n, (sum(cents) * 1000000) // count(*) AS mean_micro
       FROM base
     )
-    SELECT f.n, f.mean_micro,
+    SELECT f.n, CAST(f.mean_micro AS BIGINT) AS mean_micro,
            CAST(round(sqrt((CAST(a.nb AS DOUBLE) * CAST(a.smm AS DOUBLE)
                             - CAST(a.sm AS DOUBLE) * CAST(a.sm AS DOUBLE))
                            / CAST(a.nb AS DOUBLE)
@@ -9625,7 +9629,8 @@ def halfsample_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pans
     )
     SELECT o_orderpriority, count(*) AS n,
-           sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS n_luhn_valid
+           CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_luhn_valid
     FROM checked GROUP BY o_orderpriority
     """,
 )
@@ -9676,10 +9681,10 @@ def luhn_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2)
     SELECT lang,
-           sum(c) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
            count(*) AS n_types,
-           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
-           (count(*) * 1000000) // sum(c) AS ttr_micro
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro
     FROM tc GROUP BY lang
     """,
 )
@@ -9860,11 +9865,12 @@ def isotonic_calibration_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
                 AS BIGINT) AS n_covered,
            CAST(sum(CASE WHEN next = pred_next THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
-           CASE WHEN sum(CASE WHEN pred_next IS NOT NULL THEN 1 ELSE 0 END) > 0
+           CAST(CASE WHEN sum(CASE WHEN pred_next IS NOT NULL
+                                   THEN 1 ELSE 0 END) > 0
                 THEN (sum(CASE WHEN next = pred_next THEN 1 ELSE 0 END)
                       * 1000000)
                      // sum(CASE WHEN pred_next IS NOT NULL THEN 1 ELSE 0 END)
-           END AS acc_micro
+           END AS BIGINT) AS acc_micro
     FROM scored
     """,
 )
@@ -10074,9 +10080,10 @@ def dataset_shift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT dow, sum(det_micro) // count(*) AS seasonal_micro
       FROM det GROUP BY dow
     )
-    SELECT det.day, det.v AS v_cents, det.trend_micro,
-           seas.seasonal_micro,
-           det.det_micro - seas.seasonal_micro AS resid_micro
+    SELECT det.day, CAST(det.v AS BIGINT) AS v_cents,
+           CAST(det.trend_micro AS BIGINT) AS trend_micro,
+           CAST(seas.seasonal_micro AS BIGINT) AS seasonal_micro,
+           CAST(det.det_micro - seas.seasonal_micro AS BIGINT) AS resid_micro
     FROM det JOIN seas USING (dow)
     """,
 )
@@ -10156,11 +10163,11 @@ def stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_test,
            CAST(sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) AS BIGINT)
              AS n_matched,
-           CASE WHEN sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) > 0
+           CAST(CASE WHEN sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END) > 0
                 THEN sum(CASE WHEN arm = chosen THEN reward ELSE 0 END)
                      * 1000000
                      // sum(CASE WHEN arm = chosen THEN 1 ELSE 0 END)
-           END AS replay_value_micro
+           END AS BIGINT) AS replay_value_micro
     FROM test GROUP BY segment
     """,
 )

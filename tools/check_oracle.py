@@ -21,14 +21,27 @@ TABLES = [
 ]
 
 
+# DuckDB types that pandas cannot hold as int64 — the driver's pandas
+# canonicalization coerces them to float64, so an uncast sum(int) oracle
+# column renders "15000.0" against Spark's "15000" and flips the hash
+# even when values agree. Replicate that coercion locally so the gate
+# sees exactly what the driver sees.
+FLOAT_COERCED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL")
+
+
 def norm_value(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-style canonicalization: repr of rounded double
-        return f"{v:.9g}"
+        # TYPE-FAITHFUL float rendering: a float-typed integral value must
+        # keep its ".0" (pandas/driver renders float64 15000 as "15000.0";
+        # the old "%.9g" collapsed it to "15000" and masked type skew).
+        s = f"{v:.9g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (list, tuple)):
@@ -87,7 +100,24 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = res.columns
+            otypes = [str(t) for t in res.types]
             orows = [tuple(r) for r in res.fetchall()]
+            # Replicate the driver's pandas coercion: HUGEINT/DECIMAL etc.
+            # output columns arrive float64 driver-side; coerce here too so
+            # a type-skewed oracle fails locally, not in the round artifact.
+            coerce = [
+                i for i, t in enumerate(otypes)
+                if any(t.startswith(p) for p in FLOAT_COERCED_DUCK_TYPES)
+            ]
+            if coerce:
+                cset = set(coerce)
+                orows = [
+                    tuple(
+                        float(v) if i in cset and v is not None else v
+                        for i, v in enumerate(r)
+                    )
+                    for r in orows
+                ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
