@@ -724,73 +724,47 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness artifact verifies the FIRST ~50 registered
-# queries per round. The union of the r01/r02/r03 driver windows covered
-# 95 of the 199 registered queries; per the round-3 verdict the remaining
-# 104 never-driver-verified queries are rotated to the FRONT this round
-# (the two round-3 red rows first — both fixed, both must re-verify).
-# Names listed here come first (in this order); everything else keeps its
-# original registration order. Validated against the registry in
+# queries per round. The union of the r01-r04 driver windows covers 143
+# of the 216 registered queries; per the round-4 verdict the window is
+# reordered for round 5: the six r4 hash-red rows first (all were the
+# uncast-HUGEINT oracle defect, fixed this round — they must re-verify),
+# then the nine latent-HUGEINT queries fixed by the same sweep, then
+# every remaining never-driver-verified query in registration order.
+# Names listed here come first (in this order); everything else keeps
+# its original registration order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # round-3 red rows, fixed this round (scalar-only output / exact ints)
-    "ivf_train_centroids",
+    # round-4 red rows — oracle HUGEINT casts fixed, must re-verify
     "mutual_info_orders",
-    # array outputs flattened this round — prove the new shapes
-    "label_centroid_embeddings",
-    "quantize_embeddings_int8",
-    "vocab_encode_docs",
-    # never-driver-verified, complex operators first
     "q12_shipmode_priority",
-    "lpa_communities_parts",
-    "substring_dedup_docs",
-    "cms_token_counts",
-    "customer_hierarchy_closure",
-    "item_similarity_parts",
     "ab_ztest_events",
-    "pit_join_events",
-    "coverage_novelty_parts",
-    "minhash_dedup_keep_longest_docs",
-    "boilerplate_prune_docs",
-    "bigram_surprisal_docs",
-    "event_transition_matrix",
-    "table_diff_orders",
     "quantile_sketch_orders",
-    "zorder_key_lineitem",
-    "resample_events_hourly",
-    "standard_scale_lineitem",
-    "mad_outliers_events",
-    "target_encode_orders",
-    "k_anonymity_orders",
-    "attribution_last_touch",
-    "pareto_customers",
-    "percent_rank_orders",
-    "incremental_join_state",
-    "neyman_sample_orders",
-    "sequence_pattern_events",
-    "rolling_anomaly_events",
-    "hashing_vectorize_docs",
-    "calibration_embeddings",
-    "embedding_drift_labels",
-    "text_ann_pipeline",
-    "leakage_check_events",
-    "session_paths_events",
-    "kcenter_select_embeddings",
-    "ndcg_orders",
-    "mrr_hitrate_orders",
     "chisq_events",
-    "corr_lineitem",
-    "ols_trend_orders",
     "woe_orders",
-    "seasonal_dow_events",
-    "skew_report_lineitem",
-    "k_anonymize_customers",
-    "changepoint_events",
+    # latent-HUGEINT oracles fixed by the same sweep (never verified)
     "kaplan_meier_users",
-    "benford_orders",
-    "l_diversity_orders",
-    "dp_counts_orders",
-    "slo_percentiles_events",
-    "array_ops_embeddings",
+    "q18_large_orders",
+    "source_mix_report",
+    "halfsample_ci_orders",
+    "luhn_audit_orders",
+    "ttr_docs",
+    "markov_backtest_events",
+    "stl_decompose_events",
+    "bandit_replay_events",
+    # remaining never-driver-verified, round-4 additions first
+    "acf_events",
+    "sssp_suppliers",
+    "balance_sample_docs",
+    "association_rules_parts",
+    "funnel_ttc_events",
+    "isotonic_calibration_embeddings",
+    "phrase_search_docs",
+    "dataset_shift_orders",
+    "skyline_parts",
+    "feistel_pseudonymize_customers",
+    "bitmap_yearly_actives",
+    "bpe_merges_docs",
+    "pca_project_embeddings",
     # never-verified relational sweep
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -802,7 +776,6 @@ _DRIVER_WINDOW_FIRST = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q16_supplier_counts",
-    "q18_large_orders",
     "q19_bracket_predicates",
     "q21_sole_late_supplier",
     "q22_idle_rich_customers",
@@ -813,6 +786,11 @@ _DRIVER_WINDOW_FIRST = [
     "asof_next_purchase",
     "dataspec_transform",
     "salted_agg_events",
+    "benford_orders",
+    "l_diversity_orders",
+    "dp_counts_orders",
+    "slo_percentiles_events",
+    "array_ops_embeddings",
     # never-verified corpus / docs / state family
     "bm25_rank_docs",
     "chunk_documents_docs",
@@ -825,7 +803,6 @@ _DRIVER_WINDOW_FIRST = [
     "url_domains_docs",
     "unigram_surprisal_docs",
     "heavy_hitter_tokens",
-    "source_mix_report",
     "source_token_drift",
     "funnel_events",
     "order_date_gaps",
@@ -840,13 +817,8 @@ _DRIVER_WINDOW_FIRST = [
     "value_deciles_by_priority",
     "order_value_histogram",
     "profile_lineitem",
-    # last among the never-verified: the one remaining rows-only check
-    # (HLL, genuinely approximate) and the two formerly-rows-only
-    # queries that gained full hash oracles this round (BPE merge table,
-    # power-iteration PCA)
+    # last: the one remaining rows-only check (HLL, genuinely approximate)
     "rolling_active_users_sketch",
-    "bpe_merges_docs",
-    "pca_project_embeddings",
 ]
 
 
