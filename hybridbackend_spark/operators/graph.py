@@ -564,11 +564,24 @@ def shortest_paths(
     seed_col: str = "id",
     max_rounds: int = 10,
     directed: bool = False,
+    max_dist: int | None = None,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths (distributed Bellman-Ford):
     (id, dist) = minimum total edge weight from any seed, for every node
     reachable within ``max_rounds`` relaxation rounds. Weights must be
     non-negative integers; unreached nodes are absent.
+
+    ``max_dist`` makes the truncation EXACT instead of hop-bounded:
+    relaxations beyond ``max_dist`` are pruned each round (safe — with
+    non-negative weights no shortest path within the bound has an
+    over-bound prefix), and the result is exactly {node: true shortest
+    distance <= max_dist} PROVIDED ``max_rounds >= max_dist / min
+    positive weight`` (a distance-``max_dist`` path has at most that
+    many edges). With integer weights >= 1, ``max_rounds = max_dist``
+    suffices; the fixed-point early stop keeps actual rounds at the
+    graph's effective hop diameter. Without ``max_dist``, exhausting
+    ``max_rounds`` before the fixed point raises rather than returning
+    silently-stale distances.
 
     The weighted generalization of :func:`bfs_distances`: each round
     relaxes every edge once (frontier join + per-node min), so after r
@@ -618,6 +631,8 @@ def shortest_paths(
             .groupBy(F.col("_m").alias("id"))
             .agg(F.min(F.col("_d") + F.col("_w")).alias("dist"))
         )
+        if max_dist is not None:
+            relaxed = relaxed.filter(F.col("dist") <= max_dist)
         dist = (
             dist.unionByName(relaxed)
             .groupBy("id")
@@ -628,6 +643,13 @@ def shortest_paths(
         if cur == prev:
             return dist
         prev = cur
+    if max_dist is None:
+        raise ValueError(
+            f"shortest_paths: no fixed point after max_rounds={max_rounds} "
+            "relaxation rounds — distances would be stale for paths longer "
+            "than the round budget. Raise max_rounds, or pass max_dist for "
+            "an exact distance-bounded truncation."
+        )
     return dist
 
 

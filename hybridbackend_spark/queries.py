@@ -751,6 +751,8 @@ _DRIVER_WINDOW_FIRST = [
     "markov_backtest_events",
     "stl_decompose_events",
     "bandit_replay_events",
+    # round-5 additions — verify new surface the round it ships
+    "stream_anomaly_flags",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -5685,8 +5687,13 @@ def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Keyed by Spark application id so a new session never sees another
 # session's cached plan. Both consumers stay independently oracled —
 # the DuckDB SQL recomputes from scratch by construction; only the
-# ENGINE shares work.
+# ENGINE shares work. The cache holds AT MOST ONE entry (the most
+# recent (app, sf_dir)): a long-lived session sweeping many sf_dirs
+# unpersists the evicted state instead of accumulating executor
+# memory, and a lock serializes the first build so concurrent callers
+# can't double-build and orphan a persisted pair.
 _I2I_CACHE: dict = {}
+_I2I_LOCK = __import__("threading").Lock()
 _I2I_CAP, _I2I_K = 50, 5
 
 
@@ -5696,24 +5703,34 @@ def _i2i_state_cached(spark: SparkSession, sf_dir: str):
     from .operators.ranking import item_similarity
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    state = _I2I_CACHE.get(key)
-    if state is None:
-        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-        inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
-        )
-        ui0 = inter.distinct()
-        ok = (
-            ui0.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .filter(F.col("_d") <= _I2I_CAP)
-            .select("u")
-        )
-        ui = ui0.join(ok, "u").persist()
-        sim = item_similarity(ui, "u", "i", k=_I2I_K).persist()
-        state = (ui, sim)
-        _I2I_CACHE[key] = state
+    with _I2I_LOCK:
+        state = _I2I_CACHE.get(key)
+        if state is None:
+            for old_key in list(_I2I_CACHE):
+                old_ui, old_sim = _I2I_CACHE.pop(old_key)
+                for df in (old_ui, old_sim):
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass  # evicted state from a stopped session
+            o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+            li = _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            )
+            inter = li.join(o, li.l_orderkey == o.o_orderkey).select(
+                F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+            )
+            ui0 = inter.distinct()
+            ok = (
+                ui0.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") <= _I2I_CAP)
+                .select("u")
+            )
+            ui = ui0.join(ok, "u").persist()
+            sim = item_similarity(ui, "u", "i", k=_I2I_K).persist()
+            state = (ui, sim)
+            _I2I_CACHE[key] = state
     return state
 
 
@@ -9237,6 +9254,53 @@ def stream_sessions_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_anomaly_flags",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    pr AS (
+      SELECT user_id, event_id, cents,
+             count(*) OVER w AS n,
+             coalesce(sum(cents) OVER w, 0) AS s,
+             coalesce(sum(cents * cents) OVER w, 0) AS q
+      FROM x
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, cents, CAST(n AS BIGINT) AS n_prior
+    FROM pr
+    WHERE n >= 8
+      AND (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s)
+    """,
+)
+def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL anomaly detection (applyInPandasWithState +
+    ProcessingTimeTimeout state TTL) replayed availableNow: an event is
+    flagged when its cents value fails the exact integer z-inequality
+    (n*x - s)^2 > k^2 (n*q - s^2) against the (n, s, q) of all PRIOR
+    events of its user. Because the state machine is pure integer
+    arithmetic over the per-user (ts, event_id) order, batch SQL
+    replays every flag bit-for-bit — the strictly-preceding window
+    frame IS the streaming prior — so the custom operator's full
+    output is hash-checked, which a rows-only check would not prove.
+    State is three longs per ACTIVE user (idle keys evicted by an
+    event-time TTL; 30 days exceeds the replayed data's event-time
+    span, so no timer fires during the replay and the oracle needs no
+    eviction model)."""
+    from .streaming.ops import read_event_stream, run_available_now
+    from .streaming.stateful import zscore_flags
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    flags = zscore_flags(
+        stream.withWatermark("ts", "1 second"), min_prior=8, k_sigma=3
+    )
+    return run_available_now(flags, mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 wave: time-series diagnostics, weighted graph paths, training-set
 # balancing, market-basket rules, replication-based uncertainty, checksum
@@ -9288,13 +9352,10 @@ def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (weekly structure diagnostic — the input to seasonal model choice).
     Pairwise Pearson on (day, day+lag) from exact DECIMAL sufficient
     statistics of the CENTS series; constant windows yield NULL, never
-    an ANSI /0 abort. The series is one partial+final day agg (tiny);
-    the lag join runs on the aggregated series, never on events."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long"))
-        .alias("v")
-    )
+    an ANSI /0 abort. The series is one partial+final day agg, its
+    calendar bound enforced by _daily_cents_series; the lag join runs
+    on the aggregated series, never on events."""
+    daily = _daily_cents_series(spark, sf_dir)
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a, b = daily.alias("a"), daily.alias("b")
     dec = lambda c: c.cast("decimal(38,0)")
@@ -9351,10 +9412,13 @@ def sssp_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source WEIGHTED shortest paths (distributed Bellman-Ford)
     over the customer-supplier trade graph with deterministic integer
     edge weights: min total weight from the seed customers. Early-stops
-    at the fixed point, so distances are exact; the oracle is a true
-    recursive CTE bounded by the max possible shortest distance (30 =
-    diameter bound x max weight — any true shortest path is under it, so
-    the bound only prunes non-optimal walks and cycles)."""
+    at the fixed point, so distances are exact. Engine and oracle apply
+    the IDENTICAL truncation: both keep exactly the nodes whose true
+    shortest distance is <= 30 (the CTE prunes walks whose cumulative
+    weight exceeds 30; the engine prunes the same relaxations via
+    max_dist=30, with max_rounds=30 >= the worst-case edge count of a
+    weight-30 path since weights are integers >= 1 — the fixed-point
+    early stop keeps actual rounds at the graph's hop diameter)."""
     from .operators.graph import shortest_paths
 
     orders = _t(spark, sf_dir, "orders")
@@ -9372,7 +9436,9 @@ def sssp_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = c.filter(F.col("c_custkey") % 50 == 0).select(
         (F.col("c_custkey") * 10).alias("id")
     )
-    return shortest_paths(edges, seeds, "a", "b", "w", "id", max_rounds=8)
+    return shortest_paths(
+        edges, seeds, "a", "b", "w", "id", max_rounds=30, max_dist=30
+    )
 
 
 @register(
@@ -10027,6 +10093,33 @@ def dataset_shift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _daily_cents_series(
+    spark: SparkSession, sf_dir: str, max_days: int | None = 100_000
+) -> DataFrame:
+    """Daily revenue series in exact cents, with an EXECUTABLE bound on
+    its length: the series-decomposition queries run unpartitioned
+    windows / lag joins over this table, which is calendar-bounded by
+    construction — but that bound is enforced, not assumed. The agg
+    output is localCheckpoint'ed once so the guard count and the
+    downstream query share one materialization (no second events
+    scan), matching the chi_square/kaplan_meier guard discipline."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long"))
+        .alias("v")
+    )
+    if max_days is not None:
+        daily = daily.localCheckpoint(eager=True)
+        n = daily.limit(max_days + 1).count()
+        if n > max_days:
+            raise ValueError(
+                f"daily series has > {max_days} rows; a single-partition "
+                "window over it is no longer safe — partition the series "
+                "(e.g. by year) or raise max_days deliberately"
+            )
+    return daily
+
+
 @register(
     "stl_decompose_events",
     """
@@ -10067,12 +10160,9 @@ def stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     days-since-epoch-anchor mod 7 — Spark and DuckDB disagree on
     dayofweek numbering), residual = remainder. Every value is an
     exact BIGINT; the only window runs over the calendar-bounded daily
-    series, never over events."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum(F.round(F.coalesce("value", F.lit(0.0)) * 100).cast("long"))
-        .alias("v")
-    )
+    series (length guarded by _daily_cents_series), never over
+    events."""
+    daily = _daily_cents_series(spark, sf_dir)
     w = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",
@@ -10217,15 +10307,33 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding running min over the price-ordered group table — a part
     is on the frontier iff its price group's min size beats every
     cheaper group's. The window runs over DISTINCT PRICES (the cents
-    grid — domain-bounded, never row-proportional). The oracle is the
-    INDEPENDENT quadratic NOT EXISTS dominance definition, so the
-    linear-pass rewrite is proven equivalent, not assumed."""
+    grid — domain-bounded, never row-proportional; the bound is
+    EXECUTABLE via max_price_groups, same guard discipline as
+    chi_square). The oracle is the INDEPENDENT quadratic NOT EXISTS
+    dominance definition, so the linear-pass rewrite is proven
+    equivalent, not assumed."""
+    return _skyline_2d(spark, sf_dir)
+
+
+def _skyline_2d(
+    spark: SparkSession, sf_dir: str, max_price_groups: int | None = 1_000_000
+) -> DataFrame:
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
         "p_size",
     )
     g = p.groupBy("cents").agg(F.min("p_size").alias("_msize"))
+    if max_price_groups is not None:
+        g = g.localCheckpoint(eager=True)
+        n = g.limit(max_price_groups + 1).count()
+        if n > max_price_groups:
+            raise ValueError(
+                f"skyline price grid has > {max_price_groups} distinct "
+                "prices; the single-partition running-min window is no "
+                "longer safe — coarsen the price quantization or raise "
+                "max_price_groups deliberately"
+            )
     w = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, -1
     )

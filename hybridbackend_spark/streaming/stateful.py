@@ -182,7 +182,7 @@ ZSCORE_EMIT_SCHEMA = "user_id long, event_id long, cents long, n_prior long"
 _ZSCORE_STATE_SCHEMA = "n long, s long, q long"
 
 
-def _update_zscore_flags(min_prior: int, k_sigma: int):
+def _update_zscore_flags(min_prior: int, k_sigma: int, ttl_ms: int | None):
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -191,6 +191,8 @@ def _update_zscore_flags(min_prior: int, k_sigma: int):
         import numpy as np
 
         if state.hasTimedOut:
+            # key idle past the TTL horizon: drop its (n, s, q) so state
+            # size tracks ACTIVE keys, not every key ever seen
             state.remove()
             return
         n0, s0, q0 = state.get if state.exists else (0, 0, 0)
@@ -222,6 +224,14 @@ def _update_zscore_flags(min_prior: int, k_sigma: int):
                 int(q0 + (xs * xs).sum()),
             )
         )
+        if ttl_ms is not None:
+            # event-time retention: the key's state expires when the
+            # watermark passes its last event + TTL (timer re-armed on
+            # every batch that carries data for the key)
+            last_ms = int(
+                pd.to_datetime(pdf["ts"]).astype("int64").max() // 1_000_000
+            )
+            state.setTimeoutTimestamp(last_ms + ttl_ms)
         if flag.any():
             out = pdf.loc[flag.tolist(), ["user_id", "event_id"]].copy()
             out["cents"] = xs[flag]
@@ -236,6 +246,7 @@ def zscore_flags(
     key: str = "user_id",
     min_prior: int = 8,
     k_sigma: int = 3,
+    state_ttl: str | None = "30 days",
 ) -> DataFrame:
     """Streaming per-key anomaly flags: an event is flagged when its
     value lies more than ``k_sigma`` standard deviations from the mean
@@ -245,11 +256,33 @@ def zscore_flags(
     reproduces every flag bit-for-bit (window sums over the strictly-
     preceding frame). Events are processed in event-time order within
     each micro-batch with (n, s, q) carried across batches; state is
-    three longs per key."""
+    three longs per key.
+
+    ``state_ttl`` bounds the state store: a key whose last event falls
+    ``state_ttl`` behind the watermark is evicted (EventTimeTimeout,
+    same discipline as ``session_emitter``), so state tracks ACTIVE
+    keys rather than every key ever seen — with unbounded key
+    cardinality the store would otherwise grow without limit. Requires
+    a watermark on the input when set. A key returning after eviction
+    restarts its baseline (its first ``min_prior`` events are
+    unflagged again), the standard retention trade-off of a streaming
+    anomaly model. Pass ``None`` for the unbounded contract when key
+    cardinality is known-small."""
+    if state_ttl is None:
+        ttl_ms = None
+        timeout = GroupStateTimeout.NoTimeout
+    else:
+        n = int(state_ttl.split()[0])
+        unit = state_ttl.split()[1].rstrip("s")
+        ttl_ms = n * {
+            "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000,
+        }[unit]
+        timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy(key).applyInPandasWithState(
-        _update_zscore_flags(min_prior, k_sigma),
+        _update_zscore_flags(min_prior, k_sigma, ttl_ms),
         outputStructType=ZSCORE_EMIT_SCHEMA,
         stateStructType=_ZSCORE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

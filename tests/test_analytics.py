@@ -546,3 +546,30 @@ def test_skyline_parts_no_dominated_row(spark, sf_dir):
     for o in all_rows:
         if o not in sky_set:
             assert any(dom(s, o) for s in sky)
+
+
+def test_daily_series_max_days_guard_fires(spark):
+    """The unpartitioned windows in stl_decompose/acf run over the daily
+    series; its calendar bound is executable — an over-long series
+    raises instead of silently single-partitioning."""
+    import pytest
+
+    from hybridbackend_spark.queries import _daily_cents_series
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="daily series"):
+        _daily_cents_series(spark, sf, max_days=5).collect()
+    assert _daily_cents_series(spark, sf, max_days=100_000).count() > 5
+
+
+def test_skyline_max_price_groups_guard_fires(spark):
+    """The skyline running-min window runs over the distinct-price grid;
+    the grid bound is executable."""
+    import pytest
+
+    from hybridbackend_spark.queries import _skyline_2d
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="price grid"):
+        _skyline_2d(spark, sf, max_price_groups=3).collect()
+    assert _skyline_2d(spark, sf, max_price_groups=1_000_000).count() > 0

@@ -380,3 +380,44 @@ def test_kcore_rounds_monotone(spark):
     two = kcore(edges, k=2, rounds=2).count()
     assert one > two  # more rounds peel strictly deeper on a chain
     assert kcore(edges, k=2, rounds=4).count() == 0  # chain has no 2-core
+
+
+def test_shortest_paths_max_dist_exact_on_deep_chain(spark):
+    """A chain deeper than the old default round budget: with
+    max_dist=D the result is exactly {node: true dist <= D}, no stale
+    distances (the truncation the sssp oracle CTE applies)."""
+    from hybridbackend_spark.operators.graph import shortest_paths
+
+    n = 15
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(n)], "id_a long, id_b long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r.id: r.dist
+        for r in shortest_paths(
+            edges, seeds, max_rounds=10, max_dist=10
+        ).collect()
+    }
+    assert got == {i: i for i in range(11)}
+
+
+def test_shortest_paths_raises_on_exhausted_rounds(spark):
+    """Without max_dist, running out of rounds before the fixed point
+    raises instead of returning silently-truncated distances."""
+    import pytest
+
+    from hybridbackend_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(8)], "id_a long, id_b long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="no fixed point"):
+        shortest_paths(edges, seeds, max_rounds=3)
+    # enough rounds: exact and no raise
+    got = {
+        r.id: r.dist
+        for r in shortest_paths(edges, seeds, max_rounds=20).collect()
+    }
+    assert got == {i: i for i in range(9)}

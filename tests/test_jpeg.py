@@ -321,6 +321,30 @@ def _smooth(h, w, seed=0):
     return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
 
 
+def fixture_recipes():
+    """Source pixels + encode params for every committed fixture JPEG —
+    the single recipe shared by tools/make_jpeg_fixtures.py (generation)
+    and test_fixture_jpegs_pinned_hashes (verification), so the test can
+    compare decoded output against the ORIGINAL source pixels instead of
+    trusting the decoder that produced the pins."""
+    return {
+        "smooth_444_q90.jpg": (_smooth(32, 40, seed=1), dict(quality=90)),
+        "smooth_420_q85.jpg": (
+            _smooth(25, 33, seed=2), dict(quality=85, subsample=True)
+        ),
+        "gray_q90.jpg": (
+            _smooth(16, 16, seed=3), dict(quality=90, gray=True)
+        ),
+        "restart_dri2_q88.jpg": (
+            _smooth(24, 32, seed=4), dict(quality=88, restart_interval=2)
+        ),
+        "flat_teal_q75.jpg": (
+            np.full((12, 20, 3), (0, 128, 128), dtype=np.uint8),
+            dict(quality=75),
+        ),
+    }
+
+
 def test_flat_color_decodes_exactly():
     img = np.full((16, 24, 3), (200, 64, 130), dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=90))
@@ -402,9 +426,13 @@ def test_spark_strict_path_decodes_real_jpeg(spark):
 
 
 def test_fixture_jpegs_pinned_hashes():
-    """Committed fixture JPEGs decode to pinned pixel hashes — the
-    cross-session contract for the decoder (regenerate via
-    tools/make_jpeg_fixtures.py if the fixtures are ever rebuilt)."""
+    """Committed fixture JPEGs: (1) decoded output matches the SOURCE
+    pixels within JPEG-loss bounds — independent verification against
+    the recipe arrays, which do not pass through the decoder; (2) the
+    recipe still reproduces the pinned source hash (guards recipe
+    drift); (3) decoded bytes match the pinned decoder hash — a
+    REGRESSION pin only, since it was produced by the decoder itself
+    (regenerate via tools/make_jpeg_fixtures.py when rebuilding)."""
     import hashlib
     import json
     import os
@@ -413,9 +441,22 @@ def test_fixture_jpegs_pinned_hashes():
                         "jpeg")
     with open(os.path.join(fdir, "expected.json")) as f:
         expected = json.load(f)
-    assert expected
+    recipes = fixture_recipes()
+    assert expected and set(expected) == set(recipes)
     for name, want in expected.items():
+        src, kwargs = recipes[name]
+        src_sha = hashlib.sha256(src.tobytes()).hexdigest()[:16]
+        assert src_sha == want["source"], (name, "source recipe drifted")
         with open(os.path.join(fdir, name), "rb") as f:
             out = decode_jpeg(f.read())
+        # independent correctness: decoded pixels vs original source
+        if kwargs.get("gray"):
+            err = np.abs(out[..., 0].astype(int) - src[..., 0].astype(int))
+        else:
+            err = np.abs(out.astype(int) - src.astype(int))
+        assert out.shape[:2] == src.shape[:2], name
+        assert float(err.mean()) < 6.0, (name, err.mean())
+        assert int(err.max()) <= 40, (name, err.max())
+        # regression pin (decoder-derived)
         got = hashlib.sha256(out.tobytes()).hexdigest()[:16]
-        assert got == want, (name, got, want)
+        assert got == want["decoded"], (name, got, want["decoded"])

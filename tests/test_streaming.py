@@ -686,3 +686,82 @@ def test_session_emitter_exact_gap_boundary_splits(spark, tmp_path):
     assert [r.n_events for r in closed] == [1, 1]
     assert closed[0].session_end.minute == 0
     assert closed[1].session_start.minute == 30
+
+
+def test_zscore_flags_matches_batch_and_ttl_evicts(spark, tmp_path):
+    """Streaming z-score anomaly flags: (1) the integer inequality
+    reproduces the batch definition bit-for-bit across micro-batches;
+    (2) the event-time TTL evicts idle keys — a key returning after
+    eviction restarts its baseline, so its early events are unflagged
+    even though the lifetime stats would have flagged them."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+    )
+    from hybridbackend_spark.streaming.stateful import zscore_flags
+
+    d = str(tmp_path / "zs")
+    os.makedirs(d)
+
+    def write(fname, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[2]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([float(r[3]) for r in rows]),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{d}/{fname}")
+
+    # user 1: 8 quiet events then a spike -> the spike must flag.
+    # user 2: same shape, but its spike arrives AFTER the TTL horizon
+    # (state evicted by then) -> its spike must NOT flag.
+    base = [
+        (i, 1, f"2024-03-01 10:0{i}:00", 10.0 + (i % 2)) for i in range(8)
+    ] + [
+        (100 + i, 2, f"2024-03-01 10:0{i}:00", 10.0 + (i % 2))
+        for i in range(8)
+    ]
+    write("1.parquet", base)
+    _time.sleep(1.1)
+    # batch 2: user 1 spikes inside the TTL; a watermark-driving event
+    # (user 3) pushes event time far past user 2's TTL
+    write("2.parquet", [
+        (8, 1, "2024-03-01 10:30:00", 500.0),
+        (300, 3, "2024-03-05 00:00:00", 1.0),
+    ])
+    _time.sleep(1.1)
+    # batch 3: no user-2 data — its timer fires against the advanced
+    # watermark and the state is evicted (data in the same batch as a
+    # pending timer would cancel the timeout instead)
+    write("3.parquet", [(301, 3, "2024-03-05 00:10:00", 1.0)])
+    _time.sleep(1.1)
+    # batch 4: user 2's spike — state was evicted, n_prior restarts at
+    # 0 and the spike is unflagged
+    write("4.parquet", [(108, 2, "2024-03-05 10:00:00", 500.0)])
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    flags = zscore_flags(
+        stream.withWatermark("ts", "1 second"),
+        min_prior=8,
+        k_sigma=3,
+        state_ttl="1 day",
+    )
+    out = run_available_now(flags, mode="append").collect()
+    flagged = {(r.user_id, r.event_id) for r in out}
+    assert (1, 8) in flagged  # spike against 8 priors flags
+    assert all(u != 2 for u, _ in flagged)  # evicted key restarts clean
+    # the flagged row carries the exact integer evidence
+    row = [r for r in out if r.user_id == 1][0]
+    assert row.cents == 50000 and row.n_prior == 8
