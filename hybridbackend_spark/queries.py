@@ -58,7 +58,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (legacy ``nanosAsLong``) or a ``timestamp_ntz`` truncated to micros;
     normalize both to a session-zone TIMESTAMP (session TZ is pinned to
     UTC, so the NTZ wall clock maps 1:1 and values match DuckDB's naive
-    timestamps truncated to Spark's microsecond precision)."""
+    timestamps truncated to Spark's microsecond precision).
+
+    The UTC pin happens HERE, not in get_session: the driver (and any
+    embedding application) passes its own SparkSession, and a non-UTC
+    session zone would silently shift every hour/date bucket against
+    the DuckDB oracles' naive timestamps. Setting it per table load is
+    idempotent and makes the query surface session-zone-independent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -82,6 +82,10 @@ def read_event_stream(
     ``max_files_per_trigger`` throttles ingest for backpressure
     control."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the session zone so window alignment and hour buckets match the
+    # naive-timestamp oracles regardless of the caller's session zone
+    # (same contract as queries._t)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         schema = _probed_events_schema(spark, path)
     reader = spark.readStream.format(fmt).schema(schema)
