@@ -8,9 +8,11 @@ plumbing — schemas, partition sizing, UDF signatures, Arrow batch shapes —
 is real and tested.
 
 Codecs: formats decodable with container-available tooling are decoded
-FOR REAL — PPM (P6) images via numpy, PCM16 WAV audio via the stdlib
-``wave`` module, and a concatenated-PPM frame stream for video. Formats
-that genuinely require absent codec libraries (JPEG/PNG/MP3/MP4) fall
+FOR REAL — PPM (P6) images via numpy, baseline JPEG (operators/jpeg.py,
+pure Python + numpy), PNG (operators/png.py, stdlib zlib + numpy),
+PCM16 WAV audio via the stdlib ``wave`` module, and a concatenated-PPM
+frame stream for video. Formats that genuinely require absent codec
+libraries (MP3/MP4, progressive JPEG, interlaced/16-bit PNG) fall
 back per row to a deterministic hash fake when ``fake=True`` (keeps
 pipelines runnable end-to-end) or raise ``NotImplementedError`` in
 strict mode. Payload sniffing is by magic bytes, so one column can mix
@@ -39,6 +41,7 @@ __all__ = [
     "VIDEO_META_SCHEMA",
     "with_media_meta",
     "decode_image_features",
+    "image_pixel_stats",
     "resize_images",
     "sample_video_frames",
     "detect_scene_cuts",
@@ -165,6 +168,19 @@ def _jpeg_decode(payload: bytes):
 # JPEG magic is FF D8 (SOI); decode_jpeg itself rejects non-baseline
 # frames by returning None, which falls through to fake/strict.
 register_codec("image", "baseline-jpeg", b"\xff\xd8", _jpeg_decode)
+
+
+def _png_decode(payload: bytes):
+    """Built-in PNG decode (stdlib zlib + numpy, operators/png.py) —
+    module-level so it pickles by reference to executors."""
+    from .png import decode_png
+
+    return decode_png(payload)
+
+
+# 8-byte PNG signature; decode_png rejects interlaced/16-bit payloads by
+# returning None, which falls through to fake/strict.
+register_codec("image", "png", b"\x89PNG\r\n\x1a\n", _png_decode)
 
 _PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
 
@@ -317,6 +333,87 @@ def decode_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_decode_batch, out_schema)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Exact integer pixel statistics per image — the media-QA readout
+    (corrupt-payload triage, black/blank-frame detection, dedup
+    pre-screen) and the numerically-replayable proof that a decode path
+    is lossless. Output: (id_col, height, width, r_sum, g_sum, b_sum,
+    weighted) where ``weighted`` = sum over pixels of
+    (r + 2g + 3b) * (1 + (x + y) % 7) — position-sensitive, so any
+    pixel transposition or channel swap in a codec changes it.
+
+    Strict by default (``fake=False``): an undecodable payload raises
+    rather than contributing fabricated stats. All sums are int64 on
+    uint8 pixels (overflow needs > 2^44 pixels per image)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("weighted", T.LongType()),
+        ]
+    )
+    codecs = _codec_snapshot("image")
+
+    def _one(p):
+        import numpy as np
+
+        if p is None:
+            return None
+        raw = bytes(p)
+        img = _parse_ppm(raw)
+        if img is None:
+            img = _try_codecs(codecs, raw)
+        if img is None:
+            if not fake:
+                raise NotImplementedError(_STRICT_MSG.format(kind="image"))
+            d = hashlib.sha256(raw).digest()
+            v = int.from_bytes(d[:6], "big")
+            return (0, 0, v, v, v, v)
+        h, w = img.shape[:2]
+        px = img.astype(np.int64)
+        yy, xx = np.mgrid[0:h, 0:w]
+        wt = 1 + (xx + yy) % 7
+        lin = px[..., 0] + 2 * px[..., 1] + 3 * px[..., 2]
+        return (
+            h,
+            w,
+            int(px[..., 0].sum()),
+            int(px[..., 1].sum()),
+            int(px[..., 2].sum()),
+            int((lin * wt).sum()),
+        )
+
+    def _stats_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "height": [s and s[0] for s in stats],
+                    "width": [s and s[1] for s in stats],
+                    "r_sum": [s and s[2] for s in stats],
+                    "g_sum": [s and s[3] for s in stats],
+                    "b_sum": [s and s[4] for s in stats],
+                    "weighted": [s and s[5] for s in stats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats_batch, out_schema
+    )
 
 
 def resize_images(

@@ -760,6 +760,7 @@ _DRIVER_WINDOW_FIRST = [
     "bandit_replay_events",
     # round-5 additions — verify new surface the round it ships
     "stream_anomaly_flags",
+    "multimodal_png_stats",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -9306,6 +9307,85 @@ def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.withWatermark("ts", "1 second"), min_prior=8, k_sigma=3
     )
     return run_available_now(flags, mode="append")
+
+
+@register(
+    "multimodal_png_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    grid AS (
+      SELECT ids.doc_id, y.y, x.x
+      FROM ids
+      CROSS JOIN (SELECT unnest(range(0, 12)) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, 16)) AS x) x
+    ),
+    px AS (
+      SELECT doc_id,
+             (x * 7 + y * 3 + doc_id * 11) % 256 AS r,
+             (x * 5 + y * 13 + doc_id * 17) % 256 AS g,
+             (x * 2 + y * 23 + doc_id * 29) % 256 AS b,
+             1 + (x + y) % 7 AS wt
+      FROM grid
+    )
+    SELECT doc_id, CAST(12 AS BIGINT) AS height, CAST(16 AS BIGINT) AS width,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(sum((r + 2 * g + 3 * b) * wt) AS BIGINT) AS weighted
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode verified END TO END against a numeric oracle:
+    deterministic RGB images (pixel = linear function of x, y, doc_id
+    mod 256) are PNG-ENCODED inside the engine (operators/png.py
+    writer), pushed through the codec REGISTRY in strict mode, and
+    reduced to exact integer pixel statistics — which DuckDB replays by
+    pure arithmetic over the (x, y) grid, never touching PNG. Any
+    defect in the writer, the inflate/unfilter path, channel order, or
+    row order flips a sum. This is the driver-verifiable form of the
+    multimodal family: the binary payloads live only inside the query,
+    so no binary test table is needed. Scale: both the encode and the
+    stats are per-row mapInPandas over Arrow batches — embarrassingly
+    parallel, no shuffle until the final (tiny) stats table."""
+    import pandas as _pd
+
+    from .operators.multimodal import image_pixel_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        from .operators.png import encode_png_rgb
+
+        h, w = 12, 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.stack(
+                    [
+                        (xx * 7 + yy * 3 + did * 11) % 256,
+                        (xx * 5 + yy * 13 + did * 17) % 256,
+                        (xx * 2 + yy * 23 + did * 29) % 256,
+                    ],
+                    -1,
+                ).astype(np.uint8)
+                payloads.append(encode_png_rgb(img))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id long, payload binary")
+    return image_pixel_stats(
+        media, payload_col="payload", id_col="doc_id", fake=False
+    )
 
 
 # ---------------------------------------------------------------------------
