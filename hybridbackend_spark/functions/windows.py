@@ -230,6 +230,94 @@ def rolling_distinct_count(
     )
 
 
+def rolling_distinct_count_hll_md5(
+    df,
+    ts: str,
+    id_col: str,
+    window_days: int = 30,
+    day_col: str = "day",
+    m: int = 256,
+):
+    """Rolling distinct actives via an md5-register HLL whose every bit
+    is REPLAYABLE by any engine with md5 — the cross-engine-verifiable
+    counterpart of :func:`rolling_distinct_count_sketch` (which uses the
+    opaque Datasketches binary format). Register = first byte of
+    md5(id); rank rho = leading zeros of the next 16 bits + 1 (17 for
+    the all-zero pattern). Output per observed day: ``n_regs`` (hit
+    registers in the trailing window), ``zeros`` (empty registers),
+    ``harmonic_num`` = sum over all m registers of 2^(17 - rho) (an
+    EXACT integer — the HLL harmonic denominator scaled by 2^17), and
+    ``raw_est`` = alpha_m * m^2 * 2^17 / harmonic_num (the uncorrected
+    HLL estimate; pure rational arithmetic on integers, so it is
+    bit-identical across engines — consumers apply the small-range
+    ln-correction downstream where engine-exactness no longer
+    matters).
+
+    Scale shape: identical to the sketch path — each day collapses to
+    <= m register rows (shuffle independent of id cardinality), only
+    those tiny rows explode across the window. ``m=256`` gives ~6.5%
+    error; raise to 4096 for ~1.6%."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    if m != 256:
+        raise ValueError("m=256 is the replayable register layout")
+    daily = (
+        df.select(F.to_date(ts).alias("_d"), F.col(id_col).alias("_id"))
+        .withColumn("_hex", F.md5(F.col("_id").cast("string")))
+        .withColumn(
+            "_reg", F.conv(F.substring("_hex", 1, 2), 16, 10).cast("int")
+        )
+        .withColumn(
+            "_v16", F.conv(F.substring("_hex", 3, 4), 16, 10).cast("int")
+        )
+        .withColumn(
+            "_rho",
+            F.when(F.col("_v16") == 0, F.lit(17)).otherwise(
+                17 - F.length(F.bin("_v16"))
+            ),
+        )
+        .groupBy("_d", "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    days = daily.select(F.col("_d").alias(day_col)).distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("_d"), F.date_add(F.col("_d"), window_days - 1))
+        ).alias(day_col),
+        "_reg",
+        "_rho",
+    )
+    win_regs = (
+        contrib.join(days, day_col)
+        .groupBy(day_col, "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    return (
+        win_regs.groupBy(day_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 17 - _rho)"))
+            .alias("_hit_num"),
+        )
+        .select(
+            day_col,
+            "n_regs",
+            (256 - F.col("n_regs")).alias("zeros"),
+            (F.col("_hit_num")
+             + (256 - F.col("n_regs")).cast("long") * (1 << 17))
+            .alias("harmonic_num"),
+            F.round(
+                F.lit(alpha * 256.0 * 256.0 * (1 << 17))
+                / (F.col("_hit_num")
+                   + (256 - F.col("n_regs")).cast("long") * (1 << 17))
+                .cast("double"),
+                4,
+            ).alias("raw_est"),
+        )
+    )
+
+
 def rolling_distinct_count_sketch(
     df,
     ts: str,

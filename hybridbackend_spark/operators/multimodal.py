@@ -9,14 +9,15 @@ is real and tested.
 
 Codecs: formats decodable with container-available tooling are decoded
 FOR REAL — PPM (P6) images via numpy, baseline JPEG (operators/jpeg.py,
-pure Python + numpy), PNG (operators/png.py, stdlib zlib + numpy),
-PCM16 WAV audio via the stdlib ``wave`` module, and a concatenated-PPM
-frame stream for video. Formats that genuinely require absent codec
-libraries (MP3/MP4, progressive JPEG, interlaced/16-bit PNG) fall
-back per row to a deterministic hash fake when ``fake=True`` (keeps
-pipelines runnable end-to-end) or raise ``NotImplementedError`` in
-strict mode. Payload sniffing is by magic bytes, so one column can mix
-formats.
+pure Python + numpy), PNG (operators/png.py, stdlib zlib + numpy), GIF
+(operators/gif.py, pure-Python LZW), PCM16 WAV audio via the stdlib
+``wave`` module, IMA ADPCM WAV (operators/adpcm.py), and a
+concatenated-PPM frame stream for video. Formats that genuinely require
+absent codec libraries (MP3/MP4, progressive JPEG, interlaced/16-bit
+PNG) fall back per row to a deterministic hash fake when ``fake=True``
+(keeps pipelines runnable end-to-end) or raise ``NotImplementedError``
+in strict mode. Payload sniffing is by magic bytes, so one column can
+mix formats.
 
 Scale notes: decode is the canonical Python-boundary operator — Arrow
 batches amortize serde; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -42,6 +43,7 @@ __all__ = [
     "with_media_meta",
     "decode_image_features",
     "image_pixel_stats",
+    "audio_sample_stats",
     "resize_images",
     "sample_video_frames",
     "detect_scene_cuts",
@@ -181,6 +183,33 @@ def _png_decode(payload: bytes):
 # 8-byte PNG signature; decode_png rejects interlaced/16-bit payloads by
 # returning None, which falls through to fake/strict.
 register_codec("image", "png", b"\x89PNG\r\n\x1a\n", _png_decode)
+
+
+def _gif_decode(payload: bytes):
+    """Built-in GIF decode (pure Python LZW, operators/gif.py) —
+    module-level so it pickles by reference to executors."""
+    from .gif import decode_gif
+
+    return decode_gif(payload)
+
+
+# "GIF8" covers both GIF87a and GIF89a; decode_gif returns the FIRST
+# frame of animations and None on structural corruption.
+register_codec("image", "gif", b"GIF8", _gif_decode)
+
+
+def _adpcm_decode(payload: bytes):
+    """Built-in IMA ADPCM WAV decode (pure Python, operators/adpcm.py)
+    — module-level so it pickles by reference to executors."""
+    from .adpcm import decode_adpcm_wav
+
+    return decode_adpcm_wav(payload)
+
+
+# PCM WAVs are consumed upstream by _parse_wav (stdlib wave refuses
+# compressed format tags), so a RIFF payload reaching the registry is a
+# compressed WAV: decode IMA ADPCM (tag 0x0011), None for other tags.
+register_codec("audio", "ima-adpcm", b"RIFF", _adpcm_decode)
 
 _PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
 
@@ -408,6 +437,80 @@ def image_pixel_stats(
                     "g_sum": [s and s[3] for s in stats],
                     "b_sum": [s and s[4] for s in stats],
                     "weighted": [s and s[5] for s in stats],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats_batch, out_schema
+    )
+
+
+def audio_sample_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Exact integer sample statistics per audio payload — the audio
+    counterpart of :func:`image_pixel_stats` (clipping/silence QA, and
+    the numerically-replayable proof that a decode path is lossless for
+    PCM). The decoded mono float signal is requantized to int16 (exact
+    for PCM16: x/32768.0 is dyadic); output: (id_col, n_samples, rate,
+    sum_abs, weighted) with ``weighted`` = sum of s_i * (1 + i % 7) —
+    position-sensitive, so sample reordering or frame loss flips it.
+
+    Strict by default: an undecodable payload raises rather than
+    contributing fabricated stats."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rate", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("weighted", T.LongType()),
+        ]
+    )
+    codecs = _codec_snapshot("audio")
+
+    def _one(p):
+        import numpy as np
+
+        if p is None:
+            return None
+        raw = bytes(p)
+        wav = _parse_wav(raw)
+        if wav is None:
+            wav = _try_codecs(codecs, raw)
+        if wav is None:
+            if not fake:
+                raise NotImplementedError(_STRICT_MSG.format(kind="audio"))
+            d = hashlib.sha256(raw).digest()
+            v = int.from_bytes(d[:6], "big")
+            return (0, 0, v, v)
+        x, rate = wav
+        s = np.rint(np.asarray(x, dtype=np.float64) * 32768.0).astype(
+            np.int64
+        )
+        wt = 1 + np.arange(len(s), dtype=np.int64) % 7
+        return (
+            len(s),
+            int(rate),
+            int(np.abs(s).sum()),
+            int((s * wt).sum()),
+        )
+
+    def _stats_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            stats = [_one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_samples": [s and s[0] for s in stats],
+                    "rate": [s and s[1] for s in stats],
+                    "sum_abs": [s and s[2] for s in stats],
+                    "weighted": [s and s[3] for s in stats],
                 }
             )
 

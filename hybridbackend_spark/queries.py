@@ -761,6 +761,8 @@ _DRIVER_WINDOW_FIRST = [
     # round-5 additions — verify new surface the round it ships
     "stream_anomaly_flags",
     "multimodal_png_stats",
+    "multimodal_wav_stats",
+    "mau_hll_events",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -9385,6 +9387,139 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_synth, "doc_id long, payload binary")
     return image_pixel_stats(
         media, payload_col="payload", id_col="doc_id", fake=False
+    )
+
+
+@register(
+    "multimodal_wav_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+    grid AS (
+      SELECT ids.doc_id, i.i
+      FROM ids CROSS JOIN (SELECT unnest(range(0, 512)) AS i) i
+    ),
+    px AS (
+      SELECT doc_id,
+             ((i * i * 7 + i * 13 + doc_id * 101) % 65536) - 32768 AS s,
+             1 + i % 7 AS wt
+      FROM grid
+    )
+    SELECT doc_id,
+           CAST(512 AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * wt) AS BIGINT) AS weighted
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode verified END TO END against a numeric oracle — the
+    audio twin of multimodal_png_stats: deterministic int16 sample
+    trains (quadratic integer formula mod 2^16) are written as PCM16
+    WAV inside the engine (stdlib wave), decoded back through the audio
+    path in STRICT mode, and reduced to exact integer sample stats that
+    DuckDB replays by pure arithmetic. PCM16 round-trips exactly
+    (x/32768.0 is dyadic), so any sample loss, reorder, or scaling
+    defect flips a sum. Per-row mapInPandas both ways — embarrassingly
+    parallel, no shuffle until the final tiny stats table."""
+    import pandas as _pd
+
+    from .operators.multimodal import audio_sample_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        import io as _io
+        import wave as _wave
+
+        import numpy as np
+
+        n = 512
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = ((i * i * 7 + i * 13 + did * 101) % 65536) - 32768
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(s.astype("<i2").tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id long, payload binary")
+    return audio_sample_stats(
+        media, payload_col="payload", id_col="doc_id", fake=False
+    )
+
+
+@register(
+    "mau_hll_events",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    h AS (
+      SELECT d,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::INT AS reg,
+             ('0x' || substr(md5(user_id::VARCHAR), 3, 4))::INT AS v16
+      FROM ev
+    ),
+    daily AS (
+      SELECT d, reg,
+             max(CASE WHEN v16 = 0 THEN 17
+                      ELSE 17 - length(bin(v16)) END) AS rho
+      FROM h GROUP BY d, reg
+    ),
+    days AS (SELECT DISTINCT d AS day FROM daily),
+    contrib AS (
+      SELECT CAST(daily.d + to_days(CAST(x.x AS INT)) AS DATE) AS day,
+             reg, rho
+      FROM daily CROSS JOIN (SELECT unnest(range(0, 30)) AS x) x
+    ),
+    win AS (
+      SELECT c.day, c.reg, max(c.rho) AS rho
+      FROM contrib c JOIN days USING (day)
+      GROUP BY c.day, c.reg
+    )
+    SELECT day,
+           count(*) AS n_regs,
+           CAST(256 - count(*) AS BIGINT) AS zeros,
+           CAST(sum(1::BIGINT << (17 - rho))
+                + (256 - count(*)) * (1::BIGINT << 17) AS BIGINT)
+             AS harmonic_num,
+           round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 * 131072.0
+                 / CAST(sum(1::BIGINT << (17 - rho))
+                        + (256 - count(*)) * (1::BIGINT << 17) AS DOUBLE),
+                 4) AS raw_est
+    FROM win GROUP BY day
+    """,
+)
+def mau_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day distinct actives via an md5-register HLL whose
+    every bit is replayable cross-engine — the hash-verifiable
+    counterpart of rolling_active_users_sketch (Datasketches binary,
+    rows-only). Registers, ranks, the integer harmonic numerator, and
+    even the uncorrected double estimate (pure rational arithmetic) are
+    all engine-exact; the oracle replays the full pipeline from md5 up.
+    Scale: per-day <= 256 register rows shuffle (independent of id
+    cardinality), then |days| x 256 window explode — the long-window
+    MAU shape that never touches raw id pairs."""
+    from .functions.windows import rolling_distinct_count_hll_md5
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_distinct_count_hll_md5(
+        ev, ts="ts", id_col="user_id", window_days=30, day_col="day"
     )
 
 

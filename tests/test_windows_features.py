@@ -461,3 +461,46 @@ def test_corpus_spec_unknown_stage_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
     with pytest.raises(ValueError, match="unknown corpus stage"):
         CorpusSpec([{"op": "nope"}]).apply(df)
+
+
+def test_rolling_distinct_hll_md5_within_error_of_exact(spark):
+    """The md5-register HLL's raw estimate tracks the exact rolling
+    distinct count within the m=256 error regime (~6.5% + small-range
+    slack — raw_est carries no ln small-range correction by design)."""
+    import random
+
+    from hybridbackend_spark.functions.windows import (
+        rolling_distinct_count,
+        rolling_distinct_count_hll_md5,
+    )
+
+    rng = random.Random(29)
+    rows = []
+    for day in range(1, 29):
+        for _ in range(rng.randint(100, 500)):
+            rows.append(
+                (f"2024-01-{day:02d} 12:00:00", rng.randint(0, 5000))
+            )
+    df = spark.createDataFrame(rows, "ts: string, user_id: long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    exact = {
+        str(r["day"]): r["active_ids"]
+        for r in rolling_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    hll = {
+        str(r["day"]): r
+        for r in rolling_distinct_count_hll_md5(
+            df, "ts", "user_id", 7
+        ).collect()
+    }
+    assert set(exact) == set(hll)
+    for day, n in exact.items():
+        r = hll[day]
+        # integer invariants
+        assert r.n_regs + r.zeros == 256
+        assert r.harmonic_num >= 256  # every register contributes >= 1
+        # raw (uncorrected) estimate within the coarse-m error regime
+        assert abs(r.raw_est - n) <= max(30, 0.25 * n), (
+            f"{day}: exact {n} vs hll {r.raw_est}"
+        )
