@@ -257,6 +257,13 @@ EXTRA = [
     "skyline_parts",
     "feistel_pseudonymize_customers",
     "bitmap_yearly_actives",
+    # round 5 additions
+    "stream_anomaly_flags",
+    "multimodal_png_stats",
+    "multimodal_wav_stats",
+    "mau_hll_events",
+    "symspell_correct_docs",
+    "ewma_daily_revenue",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -31,6 +31,8 @@ __all__ = [
     "registrable_domain",
     "URL_PATTERN",
     "STOPWORDS",
+    "deletion_variants",
+    "symspell_match",
 ]
 
 
@@ -426,4 +428,60 @@ def top_keywords(
         weighted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "token", "weight")
+    )
+
+
+def deletion_variants(
+    df: DataFrame, token_col: str, out_col: str = "variant"
+) -> DataFrame:
+    """Each token plus its single-character-deletion neighborhood — the
+    SymSpell candidate-generation key set. |token|+1 rows per token,
+    bounded by token length; all codegen expressions (transform +
+    explode), no Python."""
+    tok = F.col(token_col)
+    base = df.withColumn(out_col, tok)
+    dels = df.withColumn(
+        out_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({token_col})), i -> "
+                f"concat(substring({token_col}, 1, i - 1), "
+                f"substring({token_col}, i + 1, length({token_col}) - i)))"
+            )
+        ),
+    )
+    return base.unionByName(dels)
+
+
+def symspell_match(
+    queries: DataFrame,
+    vocab: DataFrame,
+    query_col: str = "q",
+    vocab_col: str = "token",
+    max_distance: int = 1,
+) -> DataFrame:
+    """SymSpell-style fuzzy token match: candidates are generated by an
+    EQUI-JOIN on deletion variants (a query token and a vocab token can
+    be within edit distance 1 only if their deletion neighborhoods
+    intersect), then verified with an exact ``levenshtein`` check.
+
+    Scale shape: the naive approach is |Q| x |V| edit-distance pairs —
+    a cross product. Here both sides expand to (len+1) variant rows and
+    shuffle on the variant key; candidate pairs are the (rare) bucket
+    collisions, and only those pay the levenshtein verify. This is the
+    1000-executor spell-correction/entity-matching pattern. The
+    variant join admits some distance-2 pairs (one deletion on each
+    side); the verify filter removes them, so results are EXACTLY the
+    distance-<=``max_distance`` pairs."""
+    qv = deletion_variants(
+        queries.select(F.col(query_col)).distinct(), query_col
+    )
+    vv = deletion_variants(vocab, vocab_col)
+    cand = (
+        qv.join(vv, "variant")
+        .select(query_col, *[c for c in vocab.columns])
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col(query_col), F.col(vocab_col)) <= max_distance
     )

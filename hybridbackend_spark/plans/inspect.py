@@ -26,6 +26,7 @@ __all__ = [
     "assert_max_shuffles",
     "assert_broadcast_join",
     "broadcast_fact_scan_violations",
+    "has_unpartitioned_window",
 ]
 
 # Nodes that bound a subtree's output independently of input size: a
@@ -158,3 +159,23 @@ def assert_broadcast_join(df: DataFrame) -> None:
         raise AssertionError(
             f"expected a broadcast join; plan:\n{physical_plan(df)[:3000]}"
         )
+
+
+def has_unpartitioned_window(df: DataFrame) -> bool:
+    """True when the physical plan contains a window with an EMPTY
+    partition spec (WindowExec funnels the input through one task).
+    Catalyst constant-folds literal partition keys away, so the only
+    honest contract is: global windows are intentional, bounded by a
+    guarded upstream aggregate, and ALLOWLISTED in
+    tests/test_plan_scale.py — this detector powers that gate."""
+    import re
+
+    plan = physical_plan(df)
+    # windowspecdefinition(partExprs..., order ASC/DESC..., frame).
+    # Empty partition spec => first argument is either the frame itself
+    # (no ordering) or an ordering expression carrying ASC/DESC.
+    pat = re.compile(
+        r"windowspecdefinition\(\s*"
+        r"(specifiedwindowframe\(|[^,()]*#\d+[^,()]*\s(?:ASC|DESC))"
+    )
+    return bool(pat.search(plan))

@@ -763,6 +763,8 @@ _DRIVER_WINDOW_FIRST = [
     "multimodal_png_stats",
     "multimodal_wav_stats",
     "mau_hll_events",
+    "symspell_correct_docs",
+    "ewma_daily_revenue",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -9523,6 +9525,169 @@ def mau_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "symspell_correct_docs",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS cnt FROM toks
+      WHERE length(tok) BETWEEN 4 AND 12 AND regexp_matches(tok, '^[a-z]+$')
+      GROUP BY tok HAVING count(*) >= 10
+    ),
+    top AS (
+      SELECT tok, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+      FROM vocab
+    ),
+    typos AS (
+      SELECT tok AS src,
+             substr(tok, 1, length(tok) // 2 - 1)
+               || substr(tok, length(tok) // 2 + 1) AS q
+      FROM top WHERE rn <= 50
+    ),
+    qv AS (
+      SELECT q, q AS variant FROM typos
+      UNION
+      SELECT q, substr(q, 1, i.i - 1) || substr(q, i.i + 1) AS variant
+      FROM typos CROSS JOIN LATERAL
+        (SELECT unnest(range(1, length(q) + 1)) AS i) i
+    ),
+    vv AS (
+      SELECT tok, cnt, tok AS variant FROM vocab
+      UNION
+      SELECT tok, cnt,
+             substr(tok, 1, i.i - 1) || substr(tok, i.i + 1) AS variant
+      FROM vocab CROSS JOIN LATERAL
+        (SELECT unnest(range(1, length(tok) + 1)) AS i) i
+    ),
+    cand AS (
+      SELECT DISTINCT qv.q, vv.tok, vv.cnt
+      FROM qv JOIN vv USING (variant)
+      WHERE levenshtein(qv.q, vv.tok) <= 1
+    )
+    SELECT q AS typo, tok AS corrected, cnt
+    FROM (
+      SELECT q, tok, cnt,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY cnt DESC, tok) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def symspell_correct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell spell-correction over the corpus vocabulary: typo
+    tokens (a deterministic mid-character deletion of the 50 most
+    frequent words) are matched back to the vocabulary by a DELETION-
+    VARIANT equi-join + exact levenshtein verify, then ranked by corpus
+    frequency. Scale: the naive |Q| x |V| edit-distance cross product
+    becomes a shuffle on (len+1) variant keys per token — the entity-
+    matching / query-correction pattern at 100 TB. The oracle replays
+    variant generation, the join, the verify, and the ranking."""
+    from .operators.text import symspell_match, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.filter(F.length(F.trim("text")) > 0).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.filter(
+            F.length("tok").between(4, 12) & F.col("tok").rlike("^[a-z]+$")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+    typos = (
+        vocab.orderBy(F.col("cnt").desc(), "tok")
+        .limit(50)
+        .select(
+            F.concat(
+                F.expr("substring(tok, 1, length(tok) div 2 - 1)"),
+                F.expr(
+                    "substring(tok, length(tok) div 2 + 1, "
+                    "length(tok) - length(tok) div 2)"
+                ),
+            ).alias("q")
+        )
+    )
+    matched = symspell_match(
+        typos, vocab, query_col="q", vocab_col="tok", max_distance=1
+    )
+    rw = Window.partitionBy("q").orderBy(F.col("cnt").desc(), "tok")
+    return (
+        matched.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("q").alias("typo"),
+            F.col("tok").alias("corrected"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "ewma_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(0, 16)) AS k),
+    pairs AS (
+      SELECT a.day,
+             b.v * (1::BIGINT << (15 - CAST(l.k AS INT))) AS num_term,
+             (1::BIGINT << (15 - CAST(l.k AS INT))) AS den_term
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.day = CAST(a.day - to_days(CAST(l.k AS INT)) AS DATE)
+    )
+    SELECT day,
+           CAST(sum(num_term) AS BIGINT) AS ewma_num,
+           CAST(sum(den_term) AS BIGINT) AS ewma_den,
+           round(CAST(sum(num_term) AS DOUBLE)
+                 / CAST(sum(den_term) AS DOUBLE) / 100.0, 4) AS ewma
+    FROM pairs GROUP BY day
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with
+    alpha = 1/2, TRUNCATED at 16 days — so every weight is the exact
+    integer 2^(15-k) and the whole statistic is rational arithmetic
+    (bit-identical across engines; the untruncated tail weight < 2^-16
+    of the total). Gaps in the calendar weight 0 and the denominator
+    renormalizes over PRESENT days — the standard irregular-series
+    EWMA. The lag join runs on the guarded daily aggregate, never on
+    events; weights are codegen shifts."""
+    daily = _daily_cents_series(spark, sf_dir)
+    lags = spark.range(0, 16).select(F.col("id").cast("int").alias("k"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day") == F.expr("date_sub(a.day, k)"))
+        .select(
+            F.col("a.day").alias("day"),
+            (F.col("b.v") * F.expr("shiftleft(CAST(1 AS BIGINT), 15 - k)"))
+            .alias("num_term"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), 15 - k)").alias("den_term"),
+        )
+    )
+    return pairs.groupBy("day").agg(
+        F.sum("num_term").alias("ewma_num"),
+        F.sum("den_term").alias("ewma_den"),
+        F.round(
+            F.sum("num_term").cast("double")
+            / F.sum("den_term").cast("double")
+            / 100.0,
+            4,
+        ).alias("ewma"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 wave: time-series diagnostics, weighted graph paths, training-set
 # balancing, market-basket rules, replication-based uncertainty, checksum
@@ -10385,7 +10550,6 @@ def stl_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     series (length guarded by _daily_cents_series), never over
     events."""
     daily = _daily_cents_series(spark, sf_dir)
-    w = Window.orderBy("day").rowsBetween(-3, 3)
     tr = daily.select(
         "day",
         "v",

@@ -68,6 +68,20 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec's "No Partition Defined" warning fires per-task on the
+    # engine's INTENTIONAL bounded global windows (frontier/rank readouts
+    # whose inputs are guarded aggregates — see
+    # tests/test_plan_scale.py::test_global_windows_are_allowlisted,
+    # which is the real gate: any NEW unpartitioned window fails CI
+    # unless consciously allowlisted). Suppress the noise; keep the gate.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 builds: the warning is cosmetic
     return spark
 
 

@@ -239,3 +239,43 @@ def test_funnel_reuses_user_partitioning(spark, sf_dir):
 
     plan = physical_plan(funnel_unbounded_events(spark, sf_dir))
     assert "collect_list" not in plan
+
+
+# Queries whose plans INTENTIONALLY run an unpartitioned window: each
+# one's window input is a bounded, guard-checked aggregate (price grid,
+# daily series, top-k limit, score buckets, survival durations, vocab
+# head). Adding a new global window means adding it HERE with that
+# justification — otherwise this gate fails the build.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "pareto_customers",        # cumulative share needs a total order
+    "session_paths_events",    # rank over distinct path strings
+    "skyline_parts",           # running min over guarded price grid
+    "stl_decompose_events",    # rolling mean over guarded daily series
+    "kaplan_meier_users",      # reverse-cumulative risk set, guarded
+    "isotonic_calibration_embeddings",  # PAV over bounded score bins
+    "metric_auc_pr",           # trapezoid sweep over score buckets
+    "skew_report_lineitem",    # rank over top-k limited keys
+    "vocab_encode_docs",       # ids over top-V vocabulary head
+}
+
+
+def test_global_windows_are_allowlisted(spark, sf_dir):
+    """THE unpartitioned-window gate: scan every registered batch
+    query's physical plan; the set that funnels a window through one
+    task must be exactly the documented allowlist (bounded inputs by
+    construction + executable guards). Catalyst folds literal partition
+    keys, so plan inspection — not code convention — is the contract."""
+    from hybridbackend_spark.plans.inspect import has_unpartitioned_window
+    from hybridbackend_spark.queries import get_queries
+
+    offenders = set()
+    for name, fn in get_queries().items():
+        if name.startswith("stream_"):
+            continue
+        if has_unpartitioned_window(fn(spark, sf_dir)):
+            offenders.add(name)
+    assert offenders == _GLOBAL_WINDOW_ALLOWLIST, (
+        f"unexpected global-window queries: "
+        f"{sorted(offenders - _GLOBAL_WINDOW_ALLOWLIST)}; "
+        f"missing: {sorted(_GLOBAL_WINDOW_ALLOWLIST - offenders)}"
+    )

@@ -232,3 +232,47 @@ def test_top_keywords_rare_token_wins(spark):
     # 'rare' (df=1) outweighs 'common' (df=4, tf=2): idf bits win
     assert d1.token == "rare"
     assert all(r.rank == 1 for r in out)
+
+
+def test_symspell_match_exact_distance_semantics(spark):
+    """Deletion-variant candidates + levenshtein verify = exactly the
+    distance<=1 pairs: substitutions, insertions, deletions match;
+    distance-2 pairs generated by the variant join are filtered out."""
+    from hybridbackend_spark.operators.text import symspell_match
+
+    vocab = spark.createDataFrame(
+        [("hello", 100), ("help", 50), ("spark", 80), ("shark", 10)],
+        ["tok", "cnt"],
+    )
+    queries = spark.createDataFrame(
+        [("helo",),   # deletion of hello (d=1), substitution of help (d=1)
+         ("spork",),  # substitution of spark (d=1)
+         ("sparkle",),  # d=2 from spark -> no match
+         ("sprak",),  # transposition of spark: d=2, but deletion
+                      # variants intersect -> candidate that MUST be
+                      # filtered by the levenshtein verify
+         ("hello",)],  # exact
+        ["q"],
+    )
+    got = {
+        (r.q, r.tok)
+        for r in symspell_match(
+            queries, vocab, query_col="q", vocab_col="tok"
+        ).collect()
+    }
+    assert ("helo", "hello") in got
+    assert ("helo", "help") in got  # substitution o->p, d=1
+    assert ("spork", "spark") in got
+    assert ("hello", "hello") in got
+    assert all(q != "sparkle" for q, _ in got)
+    # the transposition candidate survives variant-join generation but
+    # fails the exact distance verify
+    assert all(q != "sprak" for q, _ in got)
+
+
+def test_deletion_variants_count_and_content(spark):
+    from hybridbackend_spark.operators.text import deletion_variants
+
+    df = spark.createDataFrame([("abc",)], ["tok"])
+    vs = {r.variant for r in deletion_variants(df, "tok").collect()}
+    assert vs == {"abc", "bc", "ac", "ab"}

@@ -504,3 +504,44 @@ def test_rolling_distinct_hll_md5_within_error_of_exact(spark):
         assert abs(r.raw_est - n) <= max(30, 0.25 * n), (
             f"{day}: exact {n} vs hll {r.raw_est}"
         )
+
+
+def test_ewma_daily_revenue_math(spark, tmp_path):
+    """Truncated alpha=1/2 EWMA: integer numerator/denominator follow
+    the exact 2^(15-k) weights, gaps weight zero, denominator
+    renormalizes over present days."""
+    from hybridbackend_spark.queries import ewma_daily_revenue
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    d = str(tmp_path)
+    rows = [
+        # three days with a gap: Jan 1 (v=100c), Jan 2 (200c), Jan 4 (400c)
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (2, "2024-01-02 10:00:00", 1, "a", 2.0),
+        (3, "2024-01-04 10:00:00", 1, "a", 4.0),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime.fromisoformat(r[1]) for r in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows]),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    got = {str(r.day): r for r in ewma_daily_revenue(spark, d).collect()}
+    # Jan 2: num = 200*2^15 + 100*2^14, den = 2^15 + 2^14
+    r2 = got["2024-01-02"]
+    assert r2.ewma_num == 200 * (1 << 15) + 100 * (1 << 14)
+    assert r2.ewma_den == (1 << 15) + (1 << 14)
+    # Jan 4: lags 0 (Jan4), 2 (Jan2), 3 (Jan1) present; lag 1 absent
+    r4 = got["2024-01-04"]
+    assert r4.ewma_num == (400 * (1 << 15) + 200 * (1 << 13)
+                           + 100 * (1 << 12))
+    assert r4.ewma_den == (1 << 15) + (1 << 13) + (1 << 12)

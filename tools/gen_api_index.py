@@ -25,6 +25,10 @@ MODS = [
     "hybridbackend_spark.operators.timeseries",
     "hybridbackend_spark.operators.layout",
     "hybridbackend_spark.operators.multimodal",
+    "hybridbackend_spark.operators.jpeg",
+    "hybridbackend_spark.operators.png",
+    "hybridbackend_spark.operators.gif",
+    "hybridbackend_spark.operators.adpcm",
     "hybridbackend_spark.functions.feature",
     "hybridbackend_spark.functions.windows",
     "hybridbackend_spark.functions.metrics",
