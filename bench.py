@@ -264,6 +264,8 @@ EXTRA = [
     "mau_hll_events",
     "symspell_correct_docs",
     "ewma_daily_revenue",
+    "ppr_customer_supplier",
+    "sort_advisor_lineitem",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -27,6 +27,7 @@ __all__ = [
     "connected_components_fast",
     "connected_components_star",
     "pagerank",
+    "personalized_pagerank",
     "triangle_count",
     "label_propagation",
     "transitive_closure",
@@ -310,6 +311,64 @@ def pagerank(
                 "node",
                 (
                     F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Personalized PageRank: identical exact-integer iteration scheme
+    to :func:`pagerank`, but restart mass teleports ONLY to the seed
+    set — ranks measure proximity to the seeds, the recommendation /
+    related-entity primitive (seeds = a user's items -> ranks =
+    candidates). Seeds start at ``scale``; non-seeds at 0; each update
+    adds the ``(100-d)%`` restart only on seed nodes. Same per-round
+    shuffle shape as pagerank; nodes never reached by seed mass keep
+    rank 0 (and are still emitted, making the output spine the full
+    node set)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    ed = e.join(deg, "_s").localCheckpoint(eager=True)
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .join(seed_nodes.select("node", F.lit(1).alias("_seed")), "node", "left")
+        .select("node", F.coalesce("_seed", F.lit(0)).alias("_seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select(
+        "node", (F.col("_seed").cast("long") * scale).alias("rank")
+    )
+    for _ in range(iterations):
+        contrib = ed.join(
+            ranks.select(F.col("node").alias("_s"), "rank"), "_s"
+        ).select(
+            F.col("_d").alias("node"), F.expr("rank div _deg").alias("_c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("_seed").cast("long") * base
                     + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
                 )
                 .cast("long")

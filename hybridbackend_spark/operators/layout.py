@@ -23,7 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["zorder_key", "cluster_by_zorder", "column_bounds"]
+__all__ = ["zorder_key", "cluster_by_zorder", "column_bounds", "sort_key_advisor"]
 
 
 def column_bounds(df: DataFrame, cols: Sequence[str]) -> list[tuple[float, float]]:
@@ -99,3 +99,52 @@ def cluster_by_zorder(
         else keyed.repartitionByRange("_zkey")
     )
     return parted.sortWithinPartitions("_zkey").drop("_zkey")
+
+
+def sort_key_advisor(
+    df: DataFrame,
+    candidates: Sequence[str],
+    measure_cols: Sequence[str],
+    dp: int = 6,
+) -> DataFrame:
+    """Rank candidate sort keys by how well they would cluster the other
+    columns — the decision input for choosing a table's sort/cluster
+    key at 100 TB (run-length compression and min/max data skipping
+    both improve with clustering).
+
+    For candidate ``c`` and measured column ``o``, ``min_runs`` =
+    sum over c-groups of distinct ``o`` values inside the group — an
+    EXACT lower bound on the number of value runs of ``o`` after
+    sorting by ``c`` (each group's rows become contiguous; within a
+    group, equal values can always be laid out adjacently). Lower is
+    better; ``runs_ratio`` = min_runs / n_rows (1.0 = no clustering
+    benefit). No global sort is performed: one partial+final agg per
+    candidate, shuffled on the candidate key.
+
+    Returns (candidate, column, n_rows, min_runs, runs_ratio).
+    """
+    out = None
+    for c in candidates:
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.count_distinct(F.col(o)).alias(f"_d_{o}")
+            for o in measure_cols
+        ]
+        g = df.groupBy(F.col(c).alias("_key")).agg(*aggs)
+        tot = g.agg(
+            F.sum("_n").alias("_rows"),
+            *[F.sum(f"_d_{o}").alias(f"_runs_{o}") for o in measure_cols],
+        )
+        for o in measure_cols:
+            row = tot.select(
+                F.lit(c).alias("candidate"),
+                F.lit(o).alias("column"),
+                F.col("_rows").cast("long").alias("n_rows"),
+                F.col(f"_runs_{o}").cast("long").alias("min_runs"),
+                F.round(
+                    F.col(f"_runs_{o}").cast("double")
+                    / F.col("_rows").cast("double"),
+                    dp,
+                ).alias("runs_ratio"),
+            )
+            out = row if out is None else out.unionByName(row)
+    return out

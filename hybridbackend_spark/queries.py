@@ -765,6 +765,8 @@ _DRIVER_WINDOW_FIRST = [
     "mau_hll_events",
     "symspell_correct_docs",
     "ewma_daily_revenue",
+    "ppr_customer_supplier",
+    "sort_advisor_lineitem",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -3961,6 +3963,128 @@ def _pagerank_oracle() -> str:
     return (
         "WITH " + ",".join(ctes)
         + f" SELECT node, r AS rank FROM r{_PR_ITER}"
+    )
+
+
+def _ppr_oracle() -> str:
+    """Unrolled integer-exact PERSONALIZED PageRank (identical arithmetic
+    to operators/graph.py::personalized_pagerank: seed-only restart,
+    rank div degree, 85/100 integer damping, scale 1e9)."""
+    ctes = [
+        """
+        edges AS (SELECT DISTINCT o_custkey * 10 AS a, l_suppkey * 10 + 1 AS b
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT a AS s, count(*) AS d FROM sym GROUP BY a),
+        allnodes AS (SELECT DISTINCT node FROM (
+            SELECT a AS node FROM sym UNION ALL SELECT b FROM sym)),
+        seedset AS (SELECT c_custkey * 10 AS node FROM customer
+                    WHERE c_custkey % 40 = 0),
+        nodes AS (SELECT allnodes.node,
+                         CASE WHEN seedset.node IS NULL THEN 0 ELSE 1 END
+                           AS seed
+                  FROM allnodes LEFT JOIN seedset USING (node)),
+        r0 AS (SELECT node, CAST(seed * 1000000000 AS BIGINT) AS r
+               FROM nodes)
+        """
+    ]
+    for i in range(1, _PR_ITER + 1):
+        ctes.append(
+            f"""
+        s{i} AS (SELECT e.b AS node, CAST(sum(r.r // d.d) AS BIGINT) AS m
+                 FROM sym e JOIN r{i - 1} r ON r.node = e.a
+                            JOIN deg d ON d.s = e.a
+                 GROUP BY e.b),
+        r{i} AS (SELECT n.node,
+                        CAST(n.seed * 150000000
+                             + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s{i} s ON s.node = n.node)
+            """
+        )
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node, r AS rank FROM r{_PR_ITER}"
+    )
+
+
+@register("ppr_customer_supplier", _ppr_oracle())
+def ppr_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed cohort (every 40th customer)
+    over the symmetrized trade graph: rank = proximity to the seeds,
+    the related-entity / recommendation primitive. 3 exact-integer
+    iterations; the oracle unrolls the identical seed-restart updates,
+    so every rank is bit-checked. Same per-round join+agg shuffle shape
+    as pagerank — |edges| bytes per round, node-key partitioned."""
+    from .operators.graph import personalized_pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 10).alias("a"),
+            (F.col("l_suppkey") * 10 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    seeds = c.filter(F.col("c_custkey") % 40 == 0).select(
+        (F.col("c_custkey") * 10).alias("id")
+    )
+    return personalized_pagerank(
+        sym, seeds, "a", "b", seed_col="id", iterations=_PR_ITER
+    )
+
+
+@register(
+    "sort_advisor_lineitem",
+    """
+    WITH li AS (
+      SELECT extract(month FROM l_shipdate) AS ship_month,
+             l_returnflag, l_linestatus, l_quantity
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT 'l_returnflag' AS candidate, count(*) AS n,
+             count(DISTINCT l_linestatus) AS d1,
+             count(DISTINCT l_quantity) AS d2
+      FROM li GROUP BY l_returnflag
+      UNION ALL
+      SELECT 'ship_month', count(*),
+             count(DISTINCT l_linestatus), count(DISTINCT l_quantity)
+      FROM li GROUP BY ship_month
+    ),
+    agg AS (
+      SELECT candidate, CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(d1) AS BIGINT) AS r1, CAST(sum(d2) AS BIGINT) AS r2
+      FROM stats GROUP BY candidate
+    )
+    SELECT candidate, col AS "column", n_rows,
+           CAST(CASE col WHEN 'l_linestatus' THEN r1
+                ELSE r2 END AS BIGINT) AS min_runs,
+           round(CAST(CASE col WHEN 'l_linestatus' THEN r1 ELSE r2 END
+                      AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS runs_ratio
+    FROM agg CROSS JOIN (SELECT unnest(['l_linestatus', 'l_quantity'])
+                         AS col) cols
+    """,
+)
+def sort_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisor readout over lineitem: for each candidate sort
+    key, the exact lower bound on post-sort value runs of the measured
+    columns (sum of per-group distincts) — the layout-decision input
+    for run-length compression and min/max skipping at 100 TB, computed
+    WITHOUT any global sort (one partial+final agg per candidate).
+    Complements zorder_key_lineitem on the physical-design surface."""
+    from .operators.layout import sort_key_advisor
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate").cast("long")
+    )
+    return sort_key_advisor(
+        li,
+        candidates=["l_returnflag", "ship_month"],
+        measure_cols=["l_linestatus", "l_quantity"],
     )
 
 

@@ -421,3 +421,45 @@ def test_shortest_paths_raises_on_exhausted_rounds(spark):
         for r in shortest_paths(edges, seeds, max_rounds=20).collect()
     }
     assert got == {i: i for i in range(9)}
+
+
+def test_personalized_pagerank_proximity_and_zero_mass(spark):
+    """PPR on a path graph a-b-c-d-e with seed {a}: rank decays with
+    distance from the seed; a disconnected component gets exactly 0."""
+    from hybridbackend_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "src long, dst long",
+    )
+    sym = edges.union(
+        edges.select(
+            edges.dst.alias("src"), edges.src.alias("dst")
+        )
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r.node: r["rank"]
+        for r in personalized_pagerank(
+            sym, seeds, iterations=4
+        ).collect()
+    }
+    # exact reference replay of the integer iteration
+    adj = {}
+    for s, d in [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    scale, base = 1_000_000_000, 150_000_000
+    r = {n: (scale if n == 1 else 0) for n in adj}
+    for _ in range(4):
+        sums = {n: 0 for n in adj}
+        for s, outs in adj.items():
+            c = r[s] // len(outs)
+            for d in outs:
+                sums[d] += c
+        r = {
+            n: (base if n == 1 else 0) + (85 * sums[n]) // 100
+            for n in adj
+        }
+    assert got == r
+    assert got[10] == 0 and got[11] == 0  # no seed mass reaches them

@@ -636,3 +636,26 @@ def test_cluster_conf_scales_with_size_and_cores():
     assert int(big["spark.sql.autoBroadcastJoinThreshold"]) == 64 * (1 << 20)
     # AQE stays on in every profile
     assert big["spark.sql.adaptive.enabled"] == "true"
+
+
+def test_sort_key_advisor_exact_run_bound(spark):
+    """min_runs equals the hand-computed sum of per-group distincts, and
+    sorting by the better candidate genuinely produces fewer runs."""
+    from hybridbackend_spark.operators.layout import sort_key_advisor
+
+    rows = [
+        # key k clusters v perfectly; key j does not
+        (1, "a", 10), (1, "a", 11), (2, "b", 10), (2, "b", 11),
+        (3, "c", 10), (3, "c", 11),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, j long")
+    got = {
+        (r.candidate, r["column"]): r.min_runs
+        for r in sort_key_advisor(
+            df, candidates=["k", "j"], measure_cols=["v"]
+        ).collect()
+    }
+    # by k: each of 3 groups holds 1 distinct v -> 3 runs minimum
+    assert got[("k", "v")] == 3
+    # by j: each of 2 groups holds all 3 v values -> 6 runs minimum
+    assert got[("j", "v")] == 6
