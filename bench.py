@@ -266,6 +266,8 @@ EXTRA = [
     "ewma_daily_revenue",
     "ppr_customer_supplier",
     "sort_advisor_lineitem",
+    "t_closeness_orders",
+    "conformal_interval_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -767,6 +767,8 @@ _DRIVER_WINDOW_FIRST = [
     "ewma_daily_revenue",
     "ppr_customer_supplier",
     "sort_advisor_lineitem",
+    "t_closeness_orders",
+    "conformal_interval_orders",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -6103,6 +6105,241 @@ def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("group_size"))
         .withColumn("below_k", F.col("group_size") < 5)
+    )
+
+
+@register(
+    "t_closeness_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    mx AS (SELECT max(cents) AS mc FROM base),
+    b AS (
+      SELECT grp, least(7, (cents * 8) // (mx.mc + 1)) AS bucket
+      FROM base CROSS JOIN mx
+    ),
+    gc AS (SELECT grp, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+    qc AS (SELECT bucket, sum(c) AS q FROM gc GROUP BY 1),
+    gn AS (SELECT grp, sum(c) AS n FROM gc GROUP BY 1),
+    tot AS (SELECT sum(q) AS nn FROM qc),
+    spine AS (
+      SELECT gn.grp, s.bucket FROM gn
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS bucket) s
+    ),
+    fixed AS (
+      SELECT sp.grp, sp.bucket,
+             CAST(coalesce((SELECT sum(gc.c) FROM gc
+                            WHERE gc.grp = sp.grp
+                              AND gc.bucket <= sp.bucket), 0) AS BIGINT)
+               AS cg,
+             CAST(coalesce((SELECT sum(qc.q) FROM qc
+                            WHERE qc.bucket <= sp.bucket), 0) AS BIGINT)
+               AS cq
+      FROM spine sp
+    )
+    SELECT f.grp AS o_orderpriority,
+           CAST(gn.n AS BIGINT) AS n_rows,
+           CAST(sum(abs(f.cg * tot.nn - f.cq * gn.n)) AS BIGINT)
+             AS emd_num,
+           round(CAST(sum(abs(f.cg * tot.nn - f.cq * gn.n)) AS DOUBLE)
+                 / (CAST(gn.n AS DOUBLE) * CAST(tot.nn AS DOUBLE) * 7.0),
+                 6) AS t_value
+    FROM fixed f JOIN gn ON gn.grp = f.grp CROSS JOIN tot
+    GROUP BY f.grp, gn.n, tot.nn
+    """,
+)
+def t_closeness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness audit (the third rung of the release-privacy ladder
+    after k-anonymity and l-diversity): per quasi-identifier group, the
+    earth-mover's distance between the group's distribution of the
+    SENSITIVE value (order total, 8 global equi-width buckets) and the
+    global distribution — ordered-bucket EMD = mean |cumulative
+    difference|, computed in exact cross-multiplied integers so the
+    hash cannot flip. A group whose value distribution stands out
+    (high t) leaks the sensitive attribute even when k and l pass.
+    Scale: one agg to (group x 8) cells; cumulative sums run on the
+    tiny densified spine via bounded self-joins — no window, no global
+    sort, nothing row-proportional past the first agg."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    mx = o.agg(F.max("cents").alias("mc"))
+    b = o.crossJoin(F.broadcast(mx)).select(
+        "grp",
+        F.least(F.lit(7), F.expr("(cents * 8) div (mc + 1)")).alias("bucket"),
+    )
+    gc = b.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    gc = gc.localCheckpoint(eager=True)  # tiny: |groups| x 8 cells
+    qc = gc.groupBy("bucket").agg(F.sum("c").alias("q"))
+    gn = gc.groupBy("grp").agg(F.sum("c").alias("n"))
+    tot = qc.agg(F.sum("q").alias("nn"))
+    spine = gn.select("grp", "n").crossJoin(
+        F.broadcast(
+            spark.range(0, 8).select(F.col("id").alias("bucket"))
+        )
+    )
+    cg = (
+        spine.join(gc.select("grp", F.col("bucket").alias("b2"), "c"), "grp")
+        .filter(F.col("b2") <= F.col("bucket"))
+        .groupBy("grp", "n", "bucket")
+        .agg(F.sum("c").alias("cg"))
+    )
+    # left join back so empty prefixes keep cg = 0
+    cg = spine.join(cg.select("grp", "bucket", "cg"), ["grp", "bucket"],
+                    "left").fillna({"cg": 0})
+    cq = (
+        spine.select("bucket").distinct()
+        .join(qc.select(F.col("bucket").alias("b2"), "q"))
+        .filter(F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("q").alias("cq"))
+    )
+    joined = (
+        cg.join(F.broadcast(cq), "bucket", "left")
+        .fillna({"cq": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.groupBy(F.col("grp").alias("o_orderpriority"), "n", "nn")
+        .agg(
+            F.sum(
+                F.abs(F.col("cg") * F.col("nn") - F.col("cq") * F.col("n"))
+            ).alias("emd_num")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("emd_num").cast("long").alias("emd_num"),
+            F.round(
+                F.col("emd_num").cast("double")
+                / (F.col("n").cast("double") * F.col("nn").cast("double")
+                   * 7.0),
+                6,
+            ).alias("t_value"),
+        )
+    )
+
+
+@register(
+    "conformal_interval_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 2
+               AS fold
+      FROM orders
+    ),
+    pred AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+             CAST((sum(cents) * 1000000) // count(*) AS BIGINT) AS p_micro
+      FROM base WHERE fold = 0 GROUP BY grp
+    ),
+    res AS (
+      SELECT b.grp, abs(b.cents * 1000000 - p.p_micro) AS r,
+             p.n_cal, p.p_micro
+      FROM base b JOIN pred p ON p.grp = b.grp
+      WHERE b.fold = 0
+    ),
+    ranked AS (
+      SELECT grp, r, n_cal, p_micro,
+             row_number() OVER (PARTITION BY grp ORDER BY r, r) AS rn
+      FROM res
+    ),
+    q AS (
+      SELECT grp, n_cal, p_micro, CAST(r AS BIGINT) AS q_micro
+      FROM ranked
+      WHERE rn = least(n_cal, CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+    )
+    SELECT q.grp AS o_orderpriority, q.n_cal,
+           CAST(q.q_micro // 10000 AS BIGINT) AS half_width_approx_cents,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(b.cents * 1000000 - q.p_micro)
+                              <= q.q_micro
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+    FROM base b JOIN q ON q.grp = b.grp
+    WHERE b.fold = 1
+    GROUP BY q.grp, q.n_cal, q.q_micro
+    """,
+)
+def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with finite-sample coverage
+    (Vovk et al.; the distribution-free uncertainty wrapper any model
+    gets for free): a deterministic md5 fold splits orders into
+    calibration/test; the per-priority mean (exact integer micro-cents)
+    is the point model; the 90% conformal half-width is the
+    ceil(0.9*(n+1))-th order statistic of calibration |residuals|; test
+    coverage is counted exactly. Everything is integer arithmetic, so
+    the oracle replays the full procedure bit-for-bit. Scale: residual
+    rank runs in a PER-GROUP window (partition-bounded); the only
+    fact-wide ops are two scans and two partial aggs."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                               1, 8), 16, 10).cast("long") % 2
+        ).alias("fold"),
+    )
+    pred = (
+        o.filter(F.col("fold") == 0)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.expr("(sum(cents) * 1000000) div count(*)")
+            .cast("long")
+            .alias("p_micro"),
+        )
+    )
+    res = (
+        o.filter(F.col("fold") == 0)
+        .join(F.broadcast(pred), "grp")
+        .select(
+            "grp",
+            "n_cal",
+            "p_micro",
+            F.abs(F.col("cents") * 1_000_000 - F.col("p_micro")).alias("r"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("r", "r")
+    q = (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.col("n_cal"),
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"),
+            )
+        )
+        .select("grp", "n_cal", "p_micro", F.col("r").alias("q_micro"))
+    )
+    test = o.filter(F.col("fold") == 1).join(F.broadcast(q), "grp")
+    return (
+        test.groupBy("grp", "n_cal", "q_micro", "p_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") * 1_000_000 - F.col("p_micro"))
+                    <= F.col("q_micro"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_cal",
+            F.expr("q_micro div 10000").cast("long")
+            .alias("half_width_approx_cents"),
+            "n_test",
+            "n_covered",
+        )
     )
 
 

