@@ -8,16 +8,16 @@ plumbing — schemas, partition sizing, UDF signatures, Arrow batch shapes —
 is real and tested.
 
 Codecs: formats decodable with container-available tooling are decoded
-FOR REAL — PPM (P6) images via numpy, baseline JPEG (operators/jpeg.py,
-pure Python + numpy), PNG (operators/png.py, stdlib zlib + numpy), GIF
-(operators/gif.py, pure-Python LZW), PCM16 WAV audio via the stdlib
-``wave`` module, IMA ADPCM WAV (operators/adpcm.py), and a
-concatenated-PPM frame stream for video. Formats that genuinely require
-absent codec libraries (MP3/MP4, progressive JPEG, interlaced/16-bit
-PNG) fall back per row to a deterministic hash fake when ``fake=True``
-(keeps pipelines runnable end-to-end) or raise ``NotImplementedError``
-in strict mode. Payload sniffing is by magic bytes, so one column can
-mix formats.
+FOR REAL — PPM (P6) images via numpy, JPEG baseline AND progressive
+(operators/jpeg.py, pure Python + numpy), PNG (operators/png.py,
+stdlib zlib + numpy), GIF (operators/gif.py, pure-Python LZW), PCM16
+WAV audio via the stdlib ``wave`` module, IMA ADPCM WAV
+(operators/adpcm.py), and a concatenated-PPM frame stream for video.
+Formats that genuinely require absent codec libraries (MP3/MP4,
+arithmetic-coded JPEG, interlaced/16-bit PNG) fall back per row to a
+deterministic hash fake when ``fake=True`` (keeps pipelines runnable
+end-to-end) or raise ``NotImplementedError`` in strict mode. Payload
+sniffing is by magic bytes, so one column can mix formats.
 
 Scale notes: decode is the canonical Python-boundary operator — Arrow
 batches amortize serde; ``spark.sql.execution.arrow.maxRecordsPerBatch``

@@ -306,6 +306,249 @@ def encode_jpeg(img, quality=90, subsample=False, gray=False,
     return buf.getvalue()
 
 
+def _plan_setup(img, quality, gray, subsample):
+    """Shared plane/quant/table setup + fully quantized zigzag
+    coefficient blocks per component (the progressive encoder codes
+    from these; independent of the decoder's math)."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img[:, :, 0]]
+        samp = [(1, 1)]
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                            mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    ql = _scaled_q(QL, quality)
+    qc = _scaled_q(QC, quality)
+    qt = [ql] + [qc] * (len(planes) - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []  # per comp: (grid_bh, grid_bw, 64) zigzag-ordered ints
+    for p, (hs, vs), q in zip(planes, samp, qt):
+        bh, bw_ = mcuy * vs, mcux * hs
+        pp = np.pad(
+            p,
+            ((0, bh * 8 - p.shape[0]), (0, bw_ * 8 - p.shape[1])),
+            mode="edge",
+        )
+        out = np.zeros((bh, bw_, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw_):
+                blk = _dct2(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0)
+                out[by, bx] = np.round(blk / q).astype(np.int64).reshape(-1)[ZZ]
+        coefs.append(out)
+    return h, w, planes, samp, qt, hmax, vmax, mcux, mcuy, coefs
+
+
+def encode_jpeg_progressive(img, quality=90, gray=False, subsample=False,
+                            successive=True):
+    """Minimal PROGRESSIVE JPEG encoder (tests only): spectral selection
+    (DC scan; AC bands 1-5 and 6-63 per component, non-interleaved) and
+    optional successive approximation (Al=1 first scans + Ah=1
+    refinement scans, including the AC correction-bit pass). Emission
+    follows T.81 G.1.2 directly — independent of the decoder's G.2
+    consumption logic."""
+    (h, w, planes, samp, qt, hmax, vmax, mcux, mcuy,
+     coefs) = _plan_setup(img, quality, gray, subsample)
+    al1 = 1 if successive else 0
+    buf = io.BytesIO()
+    buf.write(b"\xff\xd8")
+
+    def seg(marker, body):
+        buf.write(bytes([0xFF, marker]))
+        buf.write(struct.pack(">H", len(body) + 2))
+        buf.write(body)
+
+    def dqt(tid, tbl):
+        z = bytes(int(tbl.reshape(-1)[ZZ][k]) for k in range(64))
+        seg(0xDB, bytes([tid]) + z)
+
+    dqt(0, qt[0])
+    if len(planes) > 1:
+        dqt(1, qt[1])
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    seg(0xC2, bytes(sof))  # SOF2: progressive DCT, Huffman
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, DC_L)
+    dht(1, 0, AC_L)
+    if len(planes) > 1:
+        dht(0, 1, DC_C)
+        dht(1, 1, AC_C)
+    dcl, acl = _huff_codes(DC_L), _huff_codes(AC_L)
+    dcc, acc_ = _huff_codes(DC_C), _huff_codes(AC_C)
+
+    def sos(comp_ids, tdta, ss, se_, ah, al):
+        body = bytearray([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tdta):
+            body += bytes([cid, tt])
+        body += bytes([ss, se_, (ah << 4) | al])
+        seg(0xDA, bytes(body))
+
+    def putmag(bw, v, t):
+        if t:
+            bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    # --- scan 1: DC first (interleaved), Al = al1 ---
+    all_ids = list(range(1, len(planes) + 1))
+    sos(all_ids, [0x00 if i == 0 else 0x10 for i in range(len(planes))],
+        0, 0, 0, al1)
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(samp):
+                dc = dcl if ci == 0 else dcc
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(coefs[ci][my * vs + by, mx * hs + bx, 0])
+                        v >>= al1  # arithmetic shift per T.81 DC path
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t = 0 if diff == 0 else abs(diff).bit_length()
+                        c, ln = dc[t]
+                        bw.put(c, ln)
+                        putmag(bw, diff, t)
+    bw.pad()
+    buf.write(bytes(bw.out))
+
+    # --- scan 2: DC refinement (interleaved), Ah=1, Al=0 ---
+    if successive:
+        sos(all_ids, [0x00] * len(planes), 0, 0, 1, 0)
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hs, vs) in enumerate(samp):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            v = int(
+                                coefs[ci][my * vs + by, mx * hs + bx, 0]
+                            )
+                            bw.put(v & 1, 1)
+        bw.pad()
+        buf.write(bytes(bw.out))
+
+    # per-component non-interleaved grids
+    def ni_grid(ci):
+        hs, vs = samp[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    bands = [(1, 5), (6, 63)]
+
+    # --- AC first scans, Al = al1 ---
+    for ci in range(len(planes)):
+        ac = acl if ci == 0 else acc_
+        for (ss, se_) in bands:
+            sos([ci + 1], [0x00 if ci == 0 else 0x11], ss, se_, 0, al1)
+            bw = _BitWriter()
+            bh, bw_n = ni_grid(ci)
+            for by in range(bh):
+                for bx in range(bw_n):
+                    seq = coefs[ci][by, bx]
+                    run = 0
+                    for k in range(ss, se_ + 1):
+                        v = int(seq[k])
+                        m = abs(v) >> al1
+                        if m == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac[0xF0]
+                            bw.put(c, ln)
+                            run -= 16
+                        t = m.bit_length()
+                        c, ln = ac[(run << 4) | t]
+                        bw.put(c, ln)
+                        putmag(bw, m if v > 0 else -m, t)
+                        run = 0
+                    if run:
+                        c, ln = ac[0x00]  # EOB (eobrun = 1)
+                        bw.put(c, ln)
+            bw.pad()
+            buf.write(bytes(bw.out))
+
+    # --- AC refinement scans, Ah=1, Al=0 ---
+    if successive:
+        for ci in range(len(planes)):
+            ac = acl if ci == 0 else acc_
+            for (ss, se_) in bands:
+                sos([ci + 1], [0x00 if ci == 0 else 0x11], ss, se_, 1, 0)
+                bw = _BitWriter()
+                bh, bw_n = ni_grid(ci)
+                for by in range(bh):
+                    for bx in range(bw_n):
+                        seq = coefs[ci][by, bx]
+
+                        def hist(k):
+                            return (abs(int(seq[k])) >> 1) != 0
+
+                        newly = [
+                            k for k in range(ss, se_ + 1)
+                            if abs(int(seq[k])) == 1
+                        ]
+                        k = ss
+                        for kk in newly:
+                            r = sum(
+                                1 for j in range(k, kk)
+                                if int(seq[j]) == 0
+                            )
+                            while r > 15:
+                                c, ln = ac[0xF0]
+                                bw.put(c, ln)
+                                cnt = 0
+                                while cnt < 16:
+                                    if hist(k):
+                                        bw.put(abs(int(seq[k])) & 1, 1)
+                                    else:
+                                        cnt += 1
+                                    k += 1
+                                r -= 16
+                            c, ln = ac[(r << 4) | 1]
+                            bw.put(c, ln)
+                            bw.put(1 if int(seq[kk]) > 0 else 0, 1)
+                            while k < kk:
+                                if hist(k):
+                                    bw.put(abs(int(seq[k])) & 1, 1)
+                                k += 1
+                            k = kk + 1
+                        if k <= se_:
+                            c, ln = ac[0x00]  # EOB; then trailing bits
+                            bw.put(c, ln)
+                            while k <= se_:
+                                if hist(k):
+                                    bw.put(abs(int(seq[k])) & 1, 1)
+                                k += 1
+                bw.pad()
+                buf.write(bytes(bw.out))
+
+    buf.write(b"\xff\xd9")
+    return buf.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # decoder tests
 # ---------------------------------------------------------------------------
@@ -341,6 +584,9 @@ def fixture_recipes():
         "flat_teal_q75.jpg": (
             np.full((12, 20, 3), (0, 128, 128), dtype=np.uint8),
             dict(quality=75),
+        ),
+        "progressive_sa_q90.jpg": (
+            _smooth(24, 31, seed=6), dict(quality=90, progressive=True)
         ),
     }
 
@@ -395,11 +641,16 @@ def test_restart_markers_equal_no_restart():
 def test_not_mine_falls_through():
     assert decode_jpeg(b"P6\n1 1\n255\nabc") is None  # wrong magic
     assert decode_jpeg(b"\xff\xd8\xff\xe0 corrupt") is None  # truncated
-    # progressive frame type (SOF2) -> None, not a crash
+    # a baseline stream RELABELED as SOF2 is malformed progressive (its
+    # scan header says Ss=0, Se=63 — illegal for a DC scan) -> None,
+    # not garbage pixels
     img = _smooth(8, 8)
     blob = bytearray(encode_jpeg(img))
     i = blob.find(b"\xff\xc0")
     blob[i + 1] = 0xC2
+    assert decode_jpeg(bytes(blob)) is None
+    # arithmetic-coded frame type (SOF9) stays out of scope -> None
+    blob[i + 1] = 0xC9
     assert decode_jpeg(bytes(blob)) is None
 
 
@@ -460,3 +711,48 @@ def test_fixture_jpegs_pinned_hashes():
         # regression pin (decoder-derived)
         got = hashlib.sha256(out.tobytes()).hexdigest()[:16]
         assert got == want["decoded"], (name, got, want["decoded"])
+
+
+def test_progressive_equals_baseline_444():
+    """Progressive (spectral selection + successive approximation) and
+    baseline encodings of the same image carry IDENTICAL quantized
+    coefficients, so the decodes must match pixel-for-pixel."""
+    img = _smooth(32, 40, seed=21)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert prog is not None
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_spectral_selection_only():
+    """Al=0 everywhere (no refinement scans) — pure spectral selection
+    is also a legal progressive stream and must decode identically."""
+    img = _smooth(24, 17, seed=22)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, successive=False)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_grayscale_and_subsampled():
+    g = _smooth(16, 16, seed=23)
+    base = decode_jpeg(encode_jpeg(g, quality=90, gray=True))
+    prog = decode_jpeg(encode_jpeg_progressive(g, quality=90, gray=True))
+    assert np.array_equal(prog, base)
+    img = _smooth(25, 33, seed=24)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=85, subsample=True)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_roundtrip_error_bounded():
+    """Against the SOURCE pixels (not the baseline decode): the
+    progressive pipeline is still a faithful JPEG."""
+    img = _smooth(32, 48, seed=25)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=92))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert float(err.mean()) < 4.0
+    assert int(err.max()) <= 25

@@ -18,7 +18,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 from hybridbackend_spark.operators.jpeg import decode_jpeg
-from test_jpeg import encode_jpeg, fixture_recipes
+from test_jpeg import encode_jpeg, encode_jpeg_progressive, fixture_recipes
 
 
 def main() -> None:
@@ -26,7 +26,11 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     expected = {}
     for name, (src, kwargs) in fixture_recipes().items():
-        blob = encode_jpeg(src, **kwargs)
+        kwargs = dict(kwargs)
+        if kwargs.pop("progressive", False):
+            blob = encode_jpeg_progressive(src, **kwargs)
+        else:
+            blob = encode_jpeg(src, **kwargs)
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(blob)
         arr = decode_jpeg(blob)
