@@ -268,6 +268,7 @@ EXTRA = [
     "sort_advisor_lineitem",
     "t_closeness_orders",
     "conformal_interval_orders",
+    "media_probe_mixed",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -769,6 +769,7 @@ _DRIVER_WINDOW_FIRST = [
     "sort_advisor_lineitem",
     "t_closeness_orders",
     "conformal_interval_orders",
+    "media_probe_mixed",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -9822,6 +9823,116 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_synth, "doc_id long, payload binary")
     return audio_sample_stats(
         media, payload_col="payload", id_col="doc_id", fake=False
+    )
+
+
+@register(
+    "media_probe_mixed",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'png' WHEN 1 THEN 'wav-pcm'
+             WHEN 2 THEN 'mp4' ELSE 'mp3' END AS format,
+           CASE doc_id % 4
+             WHEN 0 THEN CAST(8 + doc_id % 5 AS BIGINT)
+             WHEN 2 THEN CAST(320 AS BIGINT) END AS width,
+           CASE doc_id % 4
+             WHEN 0 THEN CAST(6 + doc_id % 3 AS BIGINT)
+             WHEN 2 THEN CAST(240 AS BIGINT) END AS height,
+           CASE doc_id % 4
+             WHEN 1 THEN CAST((100 + doc_id % 50) // 8 AS BIGINT)
+             WHEN 2 THEN CAST(1000 + doc_id % 500 AS BIGINT)
+             WHEN 3 THEN CAST((417 * (5 + doc_id % 5)) * 8 // 128
+                              AS BIGINT)
+           END AS duration_ms,
+           CASE doc_id % 4
+             WHEN 2 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS n_tracks
+    FROM ids
+    """,
+)
+def media_probe_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata probing verified end to end: one binary
+    column mixing PNG / PCM-WAV / MP4 / MP3 payloads synthesized in the
+    engine from per-row integer formulas, probed STRUCTURALLY (no
+    decode) by operators/mediameta.py, and compared against an oracle
+    that derives every declared field (dimensions, durations, track
+    counts) by pure arithmetic — proving the parsers read the real
+    container structure, including the formats whose sample data the
+    engine does not decode (MP3/MP4). Per-row mapInPandas, no shuffle."""
+    import pandas as _pd
+
+    from .operators.mediameta import media_probe
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+
+        import numpy as np
+
+        from .operators.png import encode_png_rgb
+
+        def atom(typ, body):
+            return _struct.pack(">I", len(body) + 8) + typ + body
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 4
+                if kind == 0:
+                    w, h = 8 + did % 5, 6 + did % 3
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [(xx + did) % 256, (yy * 3) % 256,
+                         (xx + yy) % 256], -1
+                    ).astype(np.uint8)
+                    payloads.append(encode_png_rgb(img))
+                elif kind == 1:
+                    n = 100 + did % 50
+                    buf = _io.BytesIO()
+                    with _wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(8000)
+                        wf.writeframes(bytes(n * 2))
+                    payloads.append(buf.getvalue())
+                elif kind == 2:
+                    dur, traks = 1000 + did % 500, 1 + did % 2
+                    mvhd = bytes(4) + bytes(8) + _struct.pack(
+                        ">II", 1000, dur
+                    ) + bytes(80)
+                    tk = b""
+                    for i in range(traks):
+                        body = bytes(4) + bytes(72) + _struct.pack(
+                            ">II",
+                            (320 << 16) if i == 0 else 0,
+                            (240 << 16) if i == 0 else 0,
+                        )
+                        tk += atom(b"trak", atom(b"tkhd", body))
+                    payloads.append(
+                        atom(b"ftyp", b"isom\x00\x00\x02\x00")
+                        + atom(b"moov", atom(b"mvhd", mvhd) + tk)
+                        + atom(b"mdat", bytes(16))
+                    )
+                else:
+                    f = 5 + did % 5
+                    hdr = bytes([0xFF, 0xFB, (9 << 4) | 0, 0x00])
+                    payloads.append((hdr + bytes(417 - 4)) * f)
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id long, payload binary")
+    return media_probe(media, payload_col="payload", id_col="doc_id").select(
+        "doc_id", "format", "width", "height", "duration_ms", "n_tracks"
     )
 
 
