@@ -269,6 +269,7 @@ EXTRA = [
     "t_closeness_orders",
     "conformal_interval_orders",
     "media_probe_mixed",
+    "image_ahash_mixed",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

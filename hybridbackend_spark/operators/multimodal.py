@@ -722,19 +722,24 @@ def extract_audio_features(
 def _ahash64(img) -> int:
     """64-bit average hash: 8x8 nearest-neighbor luminance grid, bit i =
     cell_i > grid mean. Near-identical images differ in a few bits;
-    unrelated images differ in ~32."""
+    unrelated images differ in ~32.
+
+    EXACT integer arithmetic: cell > mean is evaluated as the
+    cross-multiplied 3*lum*64 > sum(3*lum) on integer channel sums, so
+    the hash is bit-stable across engines and platforms (a float mean
+    flips cells that sit exactly ON the mean)."""
     h, w, _ = img.shape
-    lum = img.mean(axis=2)
+    lum3 = img.astype(int).sum(axis=2)  # 3x luminance, exact int
     cells = []
     for gy in range(8):
         for gx in range(8):
             y = min(int((gy + 0.5) * h / 8), h - 1)
             x = min(int((gx + 0.5) * w / 8), w - 1)
-            cells.append(float(lum[y, x]))
-    mean = sum(cells) / 64.0
+            cells.append(int(lum3[y, x]))
+    total = sum(cells)
     bits = 0
     for i, c in enumerate(cells):
-        if c > mean:
+        if c * 64 > total:
             bits |= 1 << i
     # interpret as signed 64-bit for Spark LongType
     return bits - (1 << 64) if bits >= (1 << 63) else bits

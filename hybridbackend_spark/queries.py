@@ -770,6 +770,7 @@ _DRIVER_WINDOW_FIRST = [
     "t_closeness_orders",
     "conformal_interval_orders",
     "media_probe_mixed",
+    "image_ahash_mixed",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -6316,7 +6317,15 @@ def conformal_interval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"),
             )
         )
-        .select("grp", "n_cal", "p_micro", F.col("r").alias("q_micro"))
+        # exactly one row per group survives; the aggregate makes that
+        # bound VISIBLE to the plan (broadcasting an un-aggregated
+        # subtree over a fact scan fails the fact-broadcast gate)
+        .groupBy("grp")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("p_micro").alias("p_micro"),
+            F.max("r").alias("q_micro"),
+        )
     )
     test = o.filter(F.col("fold") == 1).join(F.broadcast(q), "grp")
     return (
@@ -9933,6 +9942,88 @@ def media_probe_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_synth, "doc_id long, payload binary")
     return media_probe(media, payload_col="payload", id_col="doc_id").select(
         "doc_id", "format", "width", "height", "duration_ms", "n_tracks"
+    )
+
+
+@register(
+    "image_ahash_mixed",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 15 = 0),
+    px AS (
+      SELECT ids.doc_id, y.y, x.x,
+             ((x.x * 31 + y.y * 7 + ids.doc_id * 11) % 256)
+             + ((x.x * 13 + y.y * 17 + ids.doc_id * 5) % 256)
+             + ((x.x * 3 + y.y * 29 + ids.doc_id * 23) % 256) AS lum3
+      FROM ids
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+    ),
+    tot AS (SELECT doc_id, sum(lum3) AS total3 FROM px GROUP BY doc_id)
+    SELECT px.doc_id,
+           CAST(sum(CASE WHEN px.lum3 * 64 > tot.total3
+                              AND y.y * 8 + x.x < 63
+                         THEN 1::BIGINT << (CAST(y.y AS INT) * 8
+                                            + CAST(x.x AS INT))
+                         ELSE 0 END)
+                + CASE WHEN max(CASE WHEN y.y * 8 + x.x = 63
+                                     AND px.lum3 * 64 > tot.total3
+                                THEN 1 ELSE 0 END) = 1
+                       THEN -9223372036854775808 ELSE 0 END
+                AS BIGINT) AS ahash
+    FROM px
+    JOIN tot USING (doc_id)
+    JOIN (SELECT unnest(range(0, 8)) AS y) y ON y.y = px.y
+    JOIN (SELECT unnest(range(0, 8)) AS x) x ON x.x = px.x
+    GROUP BY px.doc_id
+    """,
+)
+def image_ahash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash verified end to end: deterministic 8x8
+    RGB images (per-channel linear formulas mod 256) are PNG-encoded in
+    the engine, decoded through the codec registry in STRICT mode, and
+    hashed by image_ahash; the oracle recomputes every hash bit by pure
+    arithmetic (cell bit = 3*luminance*64 > total — the cross-multiplied
+    form of cell > grid mean; the 1/3 and 1/64 float roundings in the
+    engine sit ~1e-13 from values spaced >= 1/192 apart, so the
+    comparison cannot flip). Brings the perceptual-hash/near-dup family
+    under the driver's value-hash gate; the banded near-dup join over
+    these hashes is covered by pytest pigeonhole proofs."""
+    import pandas as _pd
+
+    from .operators.multimodal import image_ahash
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 15 == 0)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        from .operators.png import encode_png_rgb
+
+        yy, xx = np.mgrid[0:8, 0:8]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.stack(
+                    [
+                        (xx * 31 + yy * 7 + did * 11) % 256,
+                        (xx * 13 + yy * 17 + did * 5) % 256,
+                        (xx * 3 + yy * 29 + did * 23) % 256,
+                    ],
+                    -1,
+                ).astype(np.uint8)
+                payloads.append(encode_png_rgb(img))
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id long, payload binary")
+    return image_ahash(
+        media, payload_col="payload", id_col="doc_id", fake=False
     )
 
 

@@ -29,6 +29,7 @@ MODS = [
     "hybridbackend_spark.operators.png",
     "hybridbackend_spark.operators.gif",
     "hybridbackend_spark.operators.adpcm",
+    "hybridbackend_spark.operators.mediameta",
     "hybridbackend_spark.functions.feature",
     "hybridbackend_spark.functions.windows",
     "hybridbackend_spark.functions.metrics",
