@@ -270,6 +270,7 @@ EXTRA = [
     "conformal_interval_orders",
     "media_probe_mixed",
     "image_ahash_mixed",
+    "stream_hll_actives",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -771,6 +771,7 @@ _DRIVER_WINDOW_FIRST = [
     "conformal_interval_orders",
     "media_probe_mixed",
     "image_ahash_mixed",
+    "stream_hll_actives",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -10024,6 +10025,99 @@ def image_ahash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(_synth, "doc_id long, payload binary")
     return image_ahash(
         media, payload_col="payload", id_col="doc_id", fake=False
+    )
+
+
+@register(
+    "stream_hll_actives",
+    """
+    WITH h AS (
+      SELECT (floor(epoch(ts) / 21600) * 21600)::BIGINT AS w,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::INT AS reg,
+             ('0x' || substr(md5(user_id::VARCHAR), 3, 4))::INT AS v16
+      FROM events
+    ),
+    regs AS (
+      SELECT w, reg,
+             max(CASE WHEN v16 = 0 THEN 17
+                      ELSE 17 - length(bin(v16)) END) AS rho
+      FROM h GROUP BY w, reg
+    )
+    SELECT w AS window_start_sec,
+           count(*) AS n_regs,
+           CAST(256 - count(*) AS BIGINT) AS zeros,
+           CAST(sum(1::BIGINT << (17 - rho))
+                + (256 - count(*)) * (1::BIGINT << 17) AS BIGINT)
+             AS harmonic_num,
+           round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 * 131072.0
+                 / CAST(sum(1::BIGINT << (17 - rho))
+                        + (256 - count(*)) * (1::BIGINT << 17) AS DOUBLE),
+                 4) AS raw_est
+    FROM regs GROUP BY w
+    """,
+)
+def stream_hll_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mergeable sketch: per 6-hour tumbling window, distinct
+    active users via the replayable md5-register HLL — the streaming
+    state is one (window, register) -> max(rank) cell, <= 256 longs per
+    window regardless of user cardinality, exactly the bounded-state
+    shape a 100 TB live pipeline needs (a distinct-count agg would hold
+    every id). The heavy agg runs IN the stream (availableNow replay);
+    the per-window estimate readout is a batch agg over the tiny
+    register table. Every bit — registers, ranks, integer harmonic
+    numerator, rational-arithmetic estimate — is replayed by the batch
+    SQL oracle."""
+    from .streaming.ops import read_event_stream, run_available_now
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = (
+        stream.withColumn("_hex", F.md5(F.col("user_id").cast("string")))
+        .withColumn(
+            "reg", F.conv(F.substring("_hex", 1, 2), 16, 10).cast("int")
+        )
+        .withColumn(
+            "_v16", F.conv(F.substring("_hex", 3, 4), 16, 10).cast("int")
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("_v16") == 0, F.lit(17)).otherwise(
+                17 - F.length(F.bin("_v16"))
+            ),
+        )
+    )
+    regs = enriched.groupBy(
+        F.window("ts", "6 hours").alias("win"), F.col("reg")
+    ).agg(F.max("rho").alias("rho"))
+    out = run_available_now(regs)
+    per = out.select(
+        F.unix_timestamp("win.start").alias("window_start_sec"),
+        "reg",
+        "rho",
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    return (
+        per.groupBy("window_start_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 17 - rho)"))
+            .alias("_hit"),
+        )
+        .select(
+            "window_start_sec",
+            "n_regs",
+            (256 - F.col("n_regs")).alias("zeros"),
+            (F.col("_hit")
+             + (256 - F.col("n_regs")).cast("long") * (1 << 17))
+            .alias("harmonic_num"),
+            F.round(
+                F.lit(alpha * 256.0 * 256.0 * (1 << 17))
+                / (F.col("_hit")
+                   + (256 - F.col("n_regs")).cast("long") * (1 << 17))
+                .cast("double"),
+                4,
+            ).alias("raw_est"),
+        )
     )
 
 

@@ -765,3 +765,36 @@ def test_zscore_flags_matches_batch_and_ttl_evicts(spark, tmp_path):
     # the flagged row carries the exact integer evidence
     row = [r for r in out if r.user_id == 1][0]
     assert row.cents == 50000 and row.n_prior == 8
+
+
+def test_stream_hll_actives_tracks_exact_distinct(spark):
+    """The streaming HLL's per-window raw estimate tracks the exact
+    per-window distinct user count within the m=256 error regime, and
+    the integer invariants hold."""
+    from hybridbackend_spark.queries import _t, stream_hll_actives
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.window_start_sec: r
+           for r in stream_hll_actives(spark, sf).collect()}
+    ev = _t(spark, sf, "events")
+    exact = {
+        r.w: r.n
+        for r in ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 21600) * 21600)
+            .cast("long").alias("w")
+        ).agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    import math
+
+    for w, r in got.items():
+        assert r.n_regs + r.zeros == 256
+        # apply the standard small-range (linear counting) correction
+        # from the emitted exact integers — raw_est is uncorrected BY
+        # DESIGN (rational arithmetic keeps it hash-exact cross-engine)
+        est = r.raw_est
+        if r.zeros > 0 and est < 2.5 * 256:
+            est = 256.0 * math.log(256.0 / r.zeros)
+        assert abs(est - exact[w]) <= max(10, 0.25 * exact[w]), (
+            w, exact[w], est, r.raw_est
+        )
