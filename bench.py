@@ -271,6 +271,8 @@ EXTRA = [
     "media_probe_mixed",
     "image_ahash_mixed",
     "stream_hll_actives",
+    "multimodal_mp4_stats",
+    "multimodal_mp4_video_stats",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

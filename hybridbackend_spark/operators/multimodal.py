@@ -12,12 +12,14 @@ FOR REAL — PPM (P6) images via numpy, JPEG baseline AND progressive
 (operators/jpeg.py, pure Python + numpy), PNG (operators/png.py,
 stdlib zlib + numpy), GIF (operators/gif.py, pure-Python LZW), PCM16
 WAV audio via the stdlib ``wave`` module, IMA ADPCM WAV
-(operators/adpcm.py), and a concatenated-PPM frame stream for video.
-Formats that genuinely require absent codec libraries (MP3/MP4,
-arithmetic-coded JPEG, interlaced/16-bit PNG) fall back per row to a
-deterministic hash fake when ``fake=True`` (keeps pipelines runnable
-end-to-end) or raise ``NotImplementedError`` in strict mode. Payload
-sniffing is by magic bytes, so one column can mix formats.
+(operators/adpcm.py), a concatenated-PPM frame stream for video, and
+ISO-BMFF MP4/M4A/MOV containers (operators/mp4.py) carrying PCM/G.711
+audio tracks or PNG/motion-JPEG video tracks. Formats that genuinely
+require absent codec libraries (MP3, AAC, H.264, arithmetic-coded
+JPEG, interlaced/16-bit PNG) fall back per row to a deterministic hash
+fake when ``fake=True`` (keeps pipelines runnable end-to-end) or raise
+``NotImplementedError`` in strict mode. Payload sniffing is by magic
+bytes, so one column can mix formats.
 
 Scale notes: decode is the canonical Python-boundary operator — Arrow
 batches amortize serde; ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -44,6 +46,7 @@ __all__ = [
     "decode_image_features",
     "image_pixel_stats",
     "audio_sample_stats",
+    "video_frame_stats",
     "resize_images",
     "sample_video_frames",
     "detect_scene_cuts",
@@ -210,6 +213,35 @@ def _adpcm_decode(payload: bytes):
 # compressed format tags), so a RIFF payload reaching the registry is a
 # compressed WAV: decode IMA ADPCM (tag 0x0011), None for other tags.
 register_codec("audio", "ima-adpcm", b"RIFF", _adpcm_decode)
+
+
+def _mp4_audio_decode(payload: bytes):
+    """Built-in ISO-BMFF audio demux + uncompressed-codec decode
+    (operators/mp4.py): PCM16 sowt/twos, 8-bit raw, G.711 ulaw/alaw.
+    AAC stays a fall-through (None)."""
+    from .mp4 import decode_mp4_audio
+
+    return decode_mp4_audio(payload)
+
+
+# BMFF's magic ("ftyp") sits at offset 4 behind a variable box size, so
+# prefix matching can't select it; register with an empty prefix and let
+# the decoder's own offset-4 check reject non-BMFF payloads immediately.
+register_codec("audio", "mp4-audio", b"", _mp4_audio_decode)
+
+
+def _mp4_video_decode(payload: bytes):
+    """Built-in ISO-BMFF video demux + per-frame decode
+    (operators/mp4.py): QuickTime 'png ' and motion-JPEG
+    ('jpeg'/'mjpa') sample entries through the real PNG/JPEG decoders.
+    Entropy-coded video (avc1/hev1/mp4v) stays a fall-through (None)."""
+    from .mp4 import decode_mp4_video
+
+    return decode_mp4_video(payload)
+
+
+# Same empty-prefix registration as mp4-audio (magic at offset 4).
+register_codec("video", "mp4-video", b"", _mp4_video_decode)
 
 _PPM_HEADER = re.compile(rb"^P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
 
@@ -513,6 +545,83 @@ def audio_sample_stats(
                     "weighted": [s and s[3] for s in stats],
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _stats_batch, out_schema
+    )
+
+
+def video_frame_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Exact integer pixel statistics PER FRAME of a video payload —
+    the video counterpart of :func:`image_pixel_stats` (black/frozen
+    frame triage, and the replayable proof that a demux+decode path is
+    lossless). One output row per frame (explode shape):
+    (id_col, frame_idx, height, width, r_sum, g_sum, b_sum, weighted)
+    with the same position-sensitive ``weighted`` formula as
+    ``image_pixel_stats``, so a dropped, reordered, or corrupted frame
+    flips a row.
+
+    Decodes concatenated-PPM streams and registered video codecs (e.g.
+    PNG/MJPEG-in-MP4, operators/mp4.py). Strict by default."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+            T.StructField("weighted", T.LongType()),
+        ]
+    )
+    codecs = _codec_snapshot("video")
+
+    def _frames(raw: bytes):
+        import numpy as np
+
+        real = _split_ppm_stream(raw)
+        if real:
+            return [_parse_ppm(fr) for fr in real]
+        decoded = _try_codecs(codecs, raw)
+        if decoded is not None:
+            return list(decoded)
+        if not fake:
+            raise NotImplementedError(_STRICT_MSG.format(kind="video"))
+        d = hashlib.sha256(raw).digest()
+        return [
+            np.full((1, 1, 3), d[i] % 256, dtype=np.uint8) for i in range(2)
+        ]
+
+    def _stats_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in out_schema.fieldNames()}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                for fi, img in enumerate(_frames(bytes(p))):
+                    h, w = img.shape[:2]
+                    px = img.astype(np.int64)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    wt = 1 + (xx + yy) % 7
+                    lin = px[..., 0] + 2 * px[..., 1] + 3 * px[..., 2]
+                    rows[id_col].append(mid)
+                    rows["frame_idx"].append(fi)
+                    rows["height"].append(h)
+                    rows["width"].append(w)
+                    rows["r_sum"].append(int(px[..., 0].sum()))
+                    rows["g_sum"].append(int(px[..., 1].sum()))
+                    rows["b_sum"].append(int(px[..., 2].sum()))
+                    rows["weighted"].append(int((lin * wt).sum()))
+            yield pd.DataFrame(rows)
 
     return df.select(id_col, payload_col).mapInPandas(
         _stats_batch, out_schema

@@ -772,6 +772,8 @@ _DRIVER_WINDOW_FIRST = [
     "media_probe_mixed",
     "image_ahash_mixed",
     "stream_hll_actives",
+    "multimodal_mp4_stats",
+    "multimodal_mp4_video_stats",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -9832,6 +9834,166 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(_synth, "doc_id long, payload binary")
     return audio_sample_stats(
+        media, payload_col="payload", id_col="doc_id", fake=False
+    )
+
+
+@register(
+    "multimodal_mp4_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 3),
+    codes AS (
+      SELECT d.doc_id, t.i, (d.doc_id * 31 + t.i * 7) % 256 AS b
+      FROM ids d CROSS JOIN range(0, 81) t(i)
+      WHERE t.i < 64 + d.doc_id % 17
+    ),
+    dec AS (
+      SELECT doc_id, i,
+             CASE WHEN ((255 - b) & 128) != 0
+                  THEN 132 - ((((255 - b) & 15) * 8 + 132)
+                              << (((255 - b) >> 4) & 7))
+                  ELSE ((((255 - b) & 15) * 8 + 132)
+                        << (((255 - b) >> 4) & 7)) - 132
+             END AS s
+      FROM codes
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS rate,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * (1 + i % 7)) AS BIGINT) AS weighted
+    FROM dec GROUP BY doc_id
+    """,
+)
+def multimodal_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container audio decode verified end to end: per doc,
+    a deterministic G.711 mu-law code train is muxed into a real MP4
+    (ftyp/mdat/moov with stsd 'ulaw' sample entry and multi-chunk
+    stsc/stco layout, operators/mp4.py), then decoded back through the
+    strict audio registry — BMFF box walk, sample-table reassembly,
+    and the ITU-T G.711 expansion — into exact integer sample stats.
+    The DuckDB oracle replays the mu-law expansion by pure bit
+    arithmetic (complement / segment shift / 0x84 bias), so a wrong
+    table entry, a dropped chunk, or a sample reorder flips the
+    position-weighted sum. Per-row mapInPandas both ways — no shuffle
+    until the tiny final stats table."""
+    import pandas as _pd
+
+    from .operators.multimodal import audio_sample_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 3)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        from .operators.mp4 import encode_mp4_audio
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 17
+                codes = bytes((did * 31 + i * 7) % 256 for i in range(n))
+                payloads.append(
+                    encode_mp4_audio(
+                        codes, "ulaw", 8000, channels=1, chunk_frames=25
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id long, payload binary")
+    return audio_sample_stats(
+        media, payload_col="payload", id_col="doc_id", fake=False
+    )
+
+
+@register(
+    "multimodal_mp4_video_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 4),
+    fr AS (
+      SELECT d.doc_id, f.i AS frame_idx
+      FROM ids d CROSS JOIN range(0, 4) f(i)
+      WHERE f.i < 2 + d.doc_id % 3
+    ),
+    px AS (
+      SELECT doc_id, frame_idx, y.v AS y, x.v AS x,
+             (doc_id * 5 + frame_idx * 47 + y.v * 13 + x.v * 7) % 256 AS r,
+             (doc_id * 5 + frame_idx * 47 + y.v * 13 + x.v * 7 + 29) % 256
+               AS g,
+             (doc_id * 5 + frame_idx * 47 + y.v * 13 + x.v * 7 + 58) % 256
+               AS b
+      FROM fr CROSS JOIN range(0, 8) y(v) CROSS JOIN range(0, 8) x(v)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(8 AS BIGINT) AS height, CAST(8 AS BIGINT) AS width,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(sum((r + 2 * g + 3 * b) * (1 + (x + y) % 7)) AS BIGINT)
+             AS weighted
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def multimodal_mp4_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-container VIDEO decode verified end to end: per doc,
+    2-4 deterministic 8x8 gradient frames are PNG-encoded and muxed
+    into a real MP4 video track ('png ' VisualSampleEntry, multi-chunk
+    non-uniform sample table, operators/mp4.py), then pulled back
+    through the strict video registry — BMFF box walk, per-sample
+    reassembly, per-frame PNG decode — into exact per-FRAME integer
+    pixel stats (video_frame_stats). The DuckDB oracle replays every
+    pixel by pure grid arithmetic, so a dropped frame, frame reorder,
+    chunk-offset slip, or filter bug flips a row. Per-row mapInPandas
+    both ways — no shuffle until the tiny final stats table."""
+    import pandas as _pd
+
+    from .operators.multimodal import video_frame_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 4)
+        .select("doc_id")
+    )
+
+    def _synth(batches):
+        import numpy as _np
+
+        from .operators.mp4 import encode_mp4_video
+        from .operators.png import encode_png_rgb
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for f in range(2 + did % 3):
+                    base = (
+                        did * 5
+                        + f * 47
+                        + _np.arange(8)[:, None, None] * 13
+                        + _np.arange(8)[None, :, None] * 7
+                        + _np.arange(3)[None, None, :] * 29
+                    )
+                    frames.append((base % 256).astype(_np.uint8))
+                payloads.append(
+                    encode_mp4_video(
+                        [encode_png_rgb(im) for im in frames],
+                        8,
+                        8,
+                        "png ",
+                        chunk_samples=2,
+                    )
+                )
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(_synth, "doc_id long, payload binary")
+    return video_frame_stats(
         media, payload_col="payload", id_col="doc_id", fake=False
     )
 
