@@ -273,6 +273,9 @@ EXTRA = [
     "stream_hll_actives",
     "multimodal_mp4_stats",
     "multimodal_mp4_video_stats",
+    "bloom_semijoin_orders",
+    "zorder_advisor_lineitem",
+    "ranking_metrics_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -774,6 +774,9 @@ _DRIVER_WINDOW_FIRST = [
     "stream_hll_actives",
     "multimodal_mp4_stats",
     "multimodal_mp4_video_stats",
+    "bloom_semijoin_orders",
+    "zorder_advisor_lineitem",
+    "ranking_metrics_orders",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -11666,4 +11669,215 @@ def bitmap_yearly_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = singles.select(F.col("y").alias("y2"), F.col("n_single").alias("n_y2"))
     return pairs.join(F.broadcast(s1), "y1").join(F.broadcast(s2), "y2").select(
         "y1", "y2", "n_y1", "n_y2", "n_both"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 5, batch 2: Bloom-filter semi-join audit, Z-order layout advisor,
+# grouped ranking metrics (NDCG/MAP/MRR)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_semijoin_orders",
+    """
+    WITH dim AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_acctbal > 5000 AND c_nationkey < 10
+    ),
+    pos AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5('b' || s.i || '|'
+                                 || CAST(c_custkey AS VARCHAR)), 1, 15)
+             )::BIGINT % 4096 AS p
+      FROM dim CROSS JOIN range(0, 4) s(i)
+    ),
+    words AS (
+      SELECT p // 32 AS word_idx,
+             CAST(bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS BIGINT)
+               AS word
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority,
+             ('0x' || substr(md5('b' || s.i || '|'
+                                 || CAST(o.o_custkey AS VARCHAR)), 1, 15)
+             )::BIGINT % 4096 AS p
+      FROM orders o CROSS JOIN range(0, 4) s(i)
+    ),
+    tested AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             min(coalesce((w.word >> CAST(p % 32 AS INT)) & 1, 0))
+               AS passed
+      FROM probe LEFT JOIN words w ON w.word_idx = p // 32
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(passed) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM dim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+           CAST(sum(CASE WHEN passed = 1 AND o_custkey NOT IN
+                              (SELECT c_custkey FROM dim)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM tested GROUP BY o_orderpriority
+    """,
+)
+def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, audited: build a 4096-bit / 4-hash
+    filter over a customer segment (operators/bloom.py — salted-md5
+    positions, so the filter CONTENT is engine-independent), probe every
+    order with a row-local broadcast-map expression (no explode, no
+    shuffle on the fact side), and report per-priority pass counts
+    beside EXACT membership and the false-positive count. At 100 TB the
+    probe prunes the fact scan before the join shuffle; the FP columns
+    are the operating-cost readout for sizing m and k. The oracle
+    replays positions, packed words, and probes bit-for-bit in SQL."""
+    from .operators.bloom import bloom_build, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = cust.filter(
+        (F.col("c_acctbal") > 5000) & (F.col("c_nationkey") < 10)
+    ).select("c_custkey")
+    filt = bloom_build(dim, "c_custkey", m_bits=4096, k=4)
+    probed = bloom_probe(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+        "o_custkey",
+        filt,
+        m_bits=4096,
+        k=4,
+    )
+    member = dim.distinct().withColumn("_is_member", F.lit(1))
+    audited = probed.join(
+        F.broadcast(member),
+        probed["o_custkey"] == member["c_custkey"],
+        "left",
+    )
+    return audited.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_pass"),
+        F.sum(F.coalesce(F.col("_is_member"), F.lit(0)).cast("long")).alias(
+            "n_member"
+        ),
+        F.sum(
+            (
+                F.col("maybe_member") & F.col("_is_member").isNull()
+            ).cast("long")
+        ).alias("n_false_pos"),
+    )
+
+
+@register(
+    "zorder_advisor_lineitem",
+    """
+    WITH b AS (
+      SELECT l_partkey % 1024 AS xb, l_suppkey % 1024 AS yb
+      FROM lineitem
+    ),
+    z AS (SELECT xb, yb, ((((xb) >> 0) & 1) * 1 + (((yb) >> 0) & 1) * 2 + (((xb) >> 1) & 1) * 4 + (((yb) >> 1) & 1) * 8 + (((xb) >> 2) & 1) * 16 + (((yb) >> 2) & 1) * 32 + (((xb) >> 3) & 1) * 64 + (((yb) >> 3) & 1) * 128 + (((xb) >> 4) & 1) * 256 + (((yb) >> 4) & 1) * 512 + (((xb) >> 5) & 1) * 1024 + (((yb) >> 5) & 1) * 2048 + (((xb) >> 6) & 1) * 4096 + (((yb) >> 6) & 1) * 8192 + (((xb) >> 7) & 1) * 16384 + (((yb) >> 7) & 1) * 32768 + (((xb) >> 8) & 1) * 65536 + (((yb) >> 8) & 1) * 131072 + (((xb) >> 9) & 1) * 262144 + (((yb) >> 9) & 1) * 524288) AS zkey FROM b)
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN xb BETWEEN 96 AND 223
+                          AND yb BETWEEN 320 AND 447
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_box,
+           CAST(sum(CASE WHEN zkey BETWEEN 144384 AND 187391
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zrange,
+           CAST(sum(CASE WHEN xb BETWEEN 96 AND 223
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_xrange
+    FROM z
+    """,
+)
+def zorder_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout advisor (operators/zorder.py): for the 2-D box
+    predicate part-bucket in [96, 223] x supp-bucket in [320, 447],
+    count the rows an exact scan, a contiguous Morton-range scan, and a
+    linear x-leading sort-key range scan would each read. Morton
+    monotonicity makes the single-range bound exact integer arithmetic
+    (shift/mask JVM expressions, no UDF); the ratio n_zrange/n_box vs
+    n_xrange/n_box is the physical-layout decision number OPTIMIZE
+    ZORDER answers at 100 TB. Pairs with sort_key_advisor (1-D runs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from .operators.zorder import zorder_advisor
+
+    return zorder_advisor(
+        li.select(
+            (F.col("l_partkey") % 1024).alias("xb"),
+            (F.col("l_suppkey") % 1024).alias("yb"),
+        ),
+        "xb",
+        "yb",
+        box=(96, 223, 320, 447),
+        bits=10,
+    )
+
+
+@register(
+    "ranking_metrics_orders",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             list(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rl,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM orders GROUP BY o_custkey
+    ),
+    pos AS (
+      SELECT o_custkey, CAST(t.i AS INT) AS p, rl[CAST(t.i AS INT)] AS r
+      FROM g CROSS JOIN range(1, 11) t(i) WHERE t.i <= len(rl)
+    ),
+    cum AS (
+      SELECT o_custkey, p, r,
+             sum(r) OVER (PARTITION BY o_custkey ORDER BY p) AS hits
+      FROM pos
+    ),
+    agg AS (
+      SELECT o_custkey,
+             CAST(coalesce(min(CASE WHEN r = 1 THEN p END), 0) AS BIGINT)
+               AS first_rank,
+             CAST(sum(r * hits * ([2520, 1260, 840, 630, 504, 420, 360, 315, 280, 252])[p]) AS BIGINT) AS ap_num,
+             CAST(sum(r * ([1048576, 661578, 524288, 451597, 405645, 373510, 349525, 330789, 315653, 303106])[p]) AS BIGINT) AS dcg_num
+      FROM cum GROUP BY o_custkey
+    )
+    SELECT g.o_custkey, n_items, n_rel, first_rank, ap_num, dcg_num,
+           CAST(CASE WHEN n_rel > 0
+                     THEN ([1048576, 1710154, 2234442, 2686039, 3091684, 3465194, 3814719, 4145508, 4461161, 4764267])[CAST(least(n_rel, 10) AS INT)]
+                     ELSE 0 END AS BIGINT) AS idcg_num,
+           CASE WHEN first_rank > 0
+                THEN CAST(1 AS DOUBLE) / first_rank ELSE 0.0 END AS mrr,
+           CASE WHEN n_rel > 0
+                THEN CAST(ap_num AS DOUBLE)
+                     / CAST(least(n_rel, 10) * 2520 AS DOUBLE)
+                ELSE 0.0 END AS map_k,
+           CASE WHEN n_rel > 0
+                THEN CAST(dcg_num AS DOUBLE)
+                     / CAST(([1048576, 1710154, 2234442, 2686039, 3091684, 3465194, 3814719, 4145508, 4461161, 4764267])[CAST(least(n_rel, 10) AS INT)]
+                            AS DOUBLE)
+                ELSE 0.0 END AS ndcg_k
+    FROM g JOIN agg USING (o_custkey)
+    """,
+)
+def ranking_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-10 ranking metrics (functions/rankmetrics.py):
+    per customer, orders ranked by price (the "model score") are scored
+    against priority relevance — NDCG@10 / MAP@10 / MRR@10 beside their
+    integer sufficient statistics (LCM-scaled AP numerator, literal
+    dyadic-weight DCG), so every double is a SINGLE division of exact
+    integers and the whole row hash-checks cross-engine. Completes the
+    eval family next to AUC/GAUC (reference metrics/{auc,gauc}.py).
+    One shuffle on the group key; the per-group fold is a bounded JVM
+    higher-order expression — no window, no explode, no UDF."""
+    from .functions.rankmetrics import ranking_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    rel = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return ranking_metrics(
+        o,
+        "o_custkey",
+        score=F.col("o_totalprice"),
+        rel=rel,
+        tiebreak=F.col("o_orderkey"),
+        k=10,
     )

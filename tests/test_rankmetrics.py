@@ -1,0 +1,79 @@
+"""Grouped ranking-metric (NDCG/MAP/MRR) tests — hand-computed oracles
+using the SAME literal integer weights the operator embeds."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybridbackend_spark.functions.rankmetrics import (
+    dcg_weights,
+    ranking_metrics,
+)
+
+
+def _rows(group, rels):
+    """Items with descending score = list order; rel per position."""
+    return [
+        (group, float(len(rels) - i), i, int(r)) for i, r in enumerate(rels)
+    ]
+
+
+def _run(spark, data, k=10):
+    df = spark.createDataFrame(data, "g long, score double, tb long, rel long")
+    out = ranking_metrics(
+        df, "g", score=F.col("score"), rel=F.col("rel"),
+        tiebreak=F.col("tb"), k=k,
+    )
+    return {r.g: r for r in out.collect()}
+
+
+def test_hand_computed_metrics(spark):
+    # group 1: rel pattern 0,1,0,1 -> first=2, AP=(1/2 + 2/4)/2 = 0.5
+    res = _run(spark, _rows(1, [0, 1, 0, 1]) + _rows(2, [1, 1, 1]))
+    w = dcg_weights(10)
+    cw = [sum(w[: i + 1]) for i in range(10)]
+    r1 = res[1]
+    assert r1.n_items == 4 and r1.n_rel == 2 and r1.first_rank == 2
+    lcm = math.lcm(*range(1, 11))
+    assert r1.ap_num == 1 * (lcm // 2) + 2 * (lcm // 4)
+    assert r1.dcg_num == w[1] + w[3]
+    assert r1.idcg_num == cw[1]
+    assert r1.mrr == 1.0 / 2
+    assert r1.map_k == r1.ap_num / (2 * lcm)
+    assert r1.ndcg_k == (w[1] + w[3]) / cw[1]
+    assert abs(r1.map_k - 0.5) < 1e-12
+    # group 2: perfect ranking -> ndcg exactly 1.0, map exactly 1.0
+    r2 = res[2]
+    assert r2.ndcg_k == 1.0 and r2.map_k == 1.0 and r2.mrr == 1.0
+
+
+def test_zero_relevant_group_is_zero_not_error(spark):
+    r = _run(spark, _rows(5, [0, 0, 0]))[5]
+    assert r.n_rel == 0 and r.first_rank == 0
+    assert r.mrr == 0.0 and r.map_k == 0.0 and r.ndcg_k == 0.0
+    assert r.idcg_num == 0
+
+
+def test_cutoff_ignores_items_past_k(spark):
+    # relevant item at position 5 with k=4 contributes nothing
+    r = _run(spark, _rows(9, [0, 0, 0, 0, 1]), k=4)[9]
+    assert r.first_rank == 0 and r.dcg_num == 0 and r.ap_num == 0
+    # but n_rel counts the whole group, and IDCG@k stays bounded by k
+    assert r.n_rel == 1 and r.idcg_num == dcg_weights(4)[0]
+    assert r.ndcg_k == 0.0
+
+
+def test_tiebreak_makes_order_deterministic(spark):
+    # two items with the same score: tiebreak ascending decides ranks
+    data = [(3, 1.0, 2, 1), (3, 1.0, 1, 0)]
+    r = _run(spark, data)[3]
+    # tb=1 (rel 0) ranks first, tb=2 (rel 1) second
+    assert r.first_rank == 2
+
+
+def test_k_validation():
+    with pytest.raises(ValueError):
+        ranking_metrics(None, "g", F.lit(1), F.lit(1), F.lit(1), k=0)
