@@ -276,6 +276,7 @@ EXTRA = [
     "bloom_semijoin_orders",
     "zorder_advisor_lineitem",
     "ranking_metrics_orders",
+    "target_encode_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

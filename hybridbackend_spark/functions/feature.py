@@ -259,3 +259,66 @@ def winsorize(
         )
         .drop("_b")
     )
+
+
+def target_encode_loo(
+    df,
+    cat_col: str,
+    label_col: str,
+    alpha: int = 20,
+    out_prefix: str = "te",
+):
+    """Leave-one-out target encoding with additive smoothing — the
+    high-cardinality categorical encoder of gradient-boosting / CTR
+    training pipelines (reference parity: the embedding-lookup family
+    solves the same high-cardinality problem with learned vectors;
+    target encoding is its closed-form statistical sibling).
+
+    For row i in category c with binary label y_i:
+
+        enc_i = (pos_c - y_i + alpha * prior) / (n_c - 1 + alpha),
+        prior = pos_total / n_total
+
+    Leaving the row's own label out kills the single-row leakage that
+    makes naive target encoding overfit; ``alpha`` shrinks rare
+    categories toward the prior.
+
+    Exact by construction: with integer ``alpha`` the encode is the
+    single division of two int64s
+
+        num_i = (pos_c - y_i) * n_total + alpha * pos_total
+        den_i = (n_c - 1 + alpha) * n_total
+
+    both emitted alongside the double, so the result hash-checks
+    cross-engine. Plan shape: one groupBy on the category (partial
+    aggs), one 1-row global agg broadcast, one co-partitioned join back
+    on the category key — no window, no per-row state. At 100 TB the
+    category agg is the only shuffle and it is map-combined.
+    """
+    from pyspark.sql import functions as F
+
+    y = F.col(label_col).cast("long")
+    cat_stats = df.groupBy(cat_col).agg(
+        F.count(F.lit(1)).alias(f"{out_prefix}_n_cat"),
+        F.sum(y).alias(f"{out_prefix}_pos_cat"),
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).alias("_n_total"),
+        F.sum(y).alias("_pos_total"),
+    )
+    n_cat = F.col(f"{out_prefix}_n_cat")
+    pos_cat = F.col(f"{out_prefix}_pos_cat")
+    num = (pos_cat - y) * F.col("_n_total") + alpha * F.col("_pos_total")
+    den = (n_cat - 1 + alpha) * F.col("_n_total")
+    return (
+        df.join(cat_stats, cat_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn(f"{out_prefix}_num", num.cast("long"))
+        .withColumn(f"{out_prefix}_den", den.cast("long"))
+        .withColumn(
+            out_prefix,
+            F.col(f"{out_prefix}_num").cast("double")
+            / F.col(f"{out_prefix}_den").cast("double"),
+        )
+        .drop("_n_total", "_pos_total")
+    )

@@ -777,6 +777,7 @@ _DRIVER_WINDOW_FIRST = [
     "bloom_semijoin_orders",
     "zorder_advisor_lineitem",
     "ranking_metrics_orders",
+    "target_encode_orders",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -11880,4 +11881,55 @@ def ranking_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel=rel,
         tiebreak=F.col("o_orderkey"),
         k=10,
+    )
+
+
+@register(
+    "target_encode_orders",
+    """
+    WITH y AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    c AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS te_n_cat,
+             CAST(sum(y) AS BIGINT) AS te_pos_cat
+      FROM y GROUP BY o_custkey
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(y) AS BIGINT) AS pt
+      FROM y
+    )
+    SELECT o_orderkey, te_n_cat, te_pos_cat,
+           CAST((te_pos_cat - y.y) * nt + 20 * pt AS BIGINT) AS te_num,
+           CAST((te_n_cat - 1 + 20) * nt AS BIGINT) AS te_den,
+           CAST((te_pos_cat - y.y) * nt + 20 * pt AS DOUBLE)
+             / CAST((te_n_cat - 1 + 20) * nt AS DOUBLE) AS te
+    FROM y JOIN c USING (o_custkey) CROSS JOIN g
+    """,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding of the high-cardinality
+    customer key against urgent-priority labels
+    (functions/feature.py::target_encode_loo) — the closed-form sibling
+    of the reference's learned embedding lookup for high-cardinality
+    categoricals. Integer numerator/denominator emitted beside the
+    single-division double, so the whole encode hash-checks
+    cross-engine. One map-combined groupBy + a broadcast global + a
+    co-partitioned join back — no window, no leakage."""
+    from .functions.feature import target_encode_loo
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .cast("long")
+        .alias("y"),
+    )
+    enc = target_encode_loo(o, "o_custkey", "y", alpha=20)
+    return enc.select(
+        "o_orderkey", "te_n_cat", "te_pos_cat", "te_num", "te_den", "te"
     )

@@ -77,3 +77,23 @@ def test_tiebreak_makes_order_deterministic(spark):
 def test_k_validation():
     with pytest.raises(ValueError):
         ranking_metrics(None, "g", F.lit(1), F.lit(1), F.lit(1), k=0)
+
+
+def test_target_encode_loo_leakage_and_shrinkage(spark):
+    from hybridbackend_spark.functions.feature import target_encode_loo
+
+    # cat A: labels 1,1,0 ; cat B: 0 ; global: n=4, pos=2, prior=1/2
+    data = [(1, "A", 1), (2, "A", 1), (3, "A", 0), (4, "B", 0)]
+    df = spark.createDataFrame(data, "rid long, cat string, y long")
+    out = {r.rid: r for r in
+           target_encode_loo(df, "cat", "y", alpha=2).collect()}
+    # row 1 (A, y=1): LOO pos = 1, enc = (1*4 + 2*2) / ((3-1+2)*4) = 8/16
+    assert out[1].te_num == 8 and out[1].te_den == 16
+    assert out[1].te == 0.5
+    # row 3 (A, y=0): LOO pos = 2, enc = (2*4 + 4)/16 = 12/16
+    assert out[3].te == 0.75
+    # row 4 (B, y=0): n_c=1 -> pure prior: (0 + 4)/((0+2)*4) = 4/8
+    assert out[4].te == 0.5
+    # leakage check: rows 1 and 3 in the same category differ ONLY via
+    # their own label exclusion
+    assert out[1].te != out[3].te
