@@ -29,10 +29,14 @@ MODS = [
     "hybridbackend_spark.operators.png",
     "hybridbackend_spark.operators.gif",
     "hybridbackend_spark.operators.adpcm",
+    "hybridbackend_spark.operators.mp4",
     "hybridbackend_spark.operators.mediameta",
+    "hybridbackend_spark.operators.bloom",
+    "hybridbackend_spark.operators.zorder",
     "hybridbackend_spark.functions.feature",
     "hybridbackend_spark.functions.windows",
     "hybridbackend_spark.functions.metrics",
+    "hybridbackend_spark.functions.rankmetrics",
     "hybridbackend_spark.functions.spec",
     "hybridbackend_spark.functions.udf",
     "hybridbackend_spark.streaming.ops",
