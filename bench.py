@@ -277,6 +277,7 @@ EXTRA = [
     "zorder_advisor_lineitem",
     "ranking_metrics_orders",
     "target_encode_orders",
+    "intra_doc_repetition_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -110,6 +110,31 @@ def char_shingles(col: Column | str, n: int = 5) -> Column:
     )
 
 
+def ngram_repetition(col: Column | str, n: int = 3) -> dict[str, Column]:
+    """Intra-document repetition signals: total and distinct word
+    n-gram counts (NON-distinct shingling, unlike :func:`word_shingles`)
+    — the Gopher-rule "fraction of duplicate n-grams" quality filter
+    for LLM corpus curation. Expression-only (same let-binding trick as
+    word_shingles); the duplicate fraction is the single division
+    (total - distinct) / total, exact cross-engine."""
+    bound = F.transform(
+        F.array(tokens(col)),
+        lambda toks: F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    )
+    grams = F.element_at(bound, 1)
+    return {
+        f"ngram{n}_total": F.size(grams).cast("long"),
+        f"ngram{n}_distinct": F.size(F.array_distinct(grams)).cast("long"),
+    }
+
+
 def quality_signals(col: Column | str) -> dict[str, Column]:
     """Gopher/C4-style quality signals as named expressions: length,
     token count, mean token length, punctuation/digit/space ratios,

@@ -778,6 +778,7 @@ _DRIVER_WINDOW_FIRST = [
     "zorder_advisor_lineitem",
     "ranking_metrics_orders",
     "target_encode_orders",
+    "intra_doc_repetition_docs",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -11932,4 +11933,67 @@ def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = target_encode_loo(o, "o_custkey", "y", alpha=20)
     return enc.select(
         "o_orderkey", "te_n_cat", "te_pos_cat", "te_num", "te_den", "te"
+    )
+
+
+@register(
+    "intra_doc_repetition_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> concat_ws(' ', w[i], w[i + 1])) AS bi,
+             list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])) AS tri
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(len(bi) AS BIGINT) AS ngram2_total,
+           CAST(len(list_distinct(bi)) AS BIGINT) AS ngram2_distinct,
+           CAST(len(tri) AS BIGINT) AS ngram3_total,
+           CAST(len(list_distinct(tri)) AS BIGINT) AS ngram3_distinct,
+           CASE WHEN len(tri) > 0
+                THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+                     / CAST(len(tri) AS DOUBLE)
+                ELSE 0.0 END AS dup3_frac
+    FROM g
+    """,
+)
+def intra_doc_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filter
+    (operators/text.py::ngram_repetition): per doc, total vs distinct
+    word 2-/3-gram counts and the duplicate-trigram fraction — the
+    standard LLM-corpus quality rule for boilerplate/spam ("fraction of
+    characters in duplicate n-grams", Rae et al. 2021 §A1.1), here in
+    exact integers with a single-division fraction. Expression-only
+    shingling (let-bound token array, no explode, no shuffle); the scan
+    is the whole cost at 100 TB."""
+    from .operators.text import ngram_repetition, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    bi = ngram_repetition("text", 2)
+    tri = ngram_repetition("text", 3)
+    tri_total = tri["ngram3_total"]
+    tri_distinct = tri["ngram3_distinct"]
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        bi["ngram2_total"].alias("ngram2_total"),
+        bi["ngram2_distinct"].alias("ngram2_distinct"),
+        tri_total.alias("ngram3_total"),
+        tri_distinct.alias("ngram3_distinct"),
+        F.when(
+            tri_total > 0,
+            (tri_total - tri_distinct).cast("double")
+            / tri_total.cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("dup3_frac"),
     )

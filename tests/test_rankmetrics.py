@@ -97,3 +97,28 @@ def test_target_encode_loo_leakage_and_shrinkage(spark):
     # leakage check: rows 1 and 3 in the same category differ ONLY via
     # their own label exclusion
     assert out[1].te != out[3].te
+
+
+def test_ngram_repetition_counts(spark):
+    from hybridbackend_spark.operators.text import ngram_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # trigrams: aba bab aba bab -> 2 distinct
+            (2, "x y"),              # too short for trigrams
+            (3, "one two three"),    # exactly one trigram
+        ],
+        "doc_id long, text string",
+    )
+    cols = ngram_repetition("text", 3)
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            cols["ngram3_total"].alias("t"),
+            cols["ngram3_distinct"].alias("d"),
+        ).collect()
+    }
+    assert (out[1].t, out[1].d) == (4, 2)
+    assert (out[2].t, out[2].d) == (0, 0)
+    assert (out[3].t, out[3].d) == (1, 1)
