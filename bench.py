@@ -278,6 +278,7 @@ EXTRA = [
     "ranking_metrics_orders",
     "target_encode_orders",
     "intra_doc_repetition_docs",
+    "join_cardinality_advisor",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -779,6 +779,7 @@ _DRIVER_WINDOW_FIRST = [
     "ranking_metrics_orders",
     "target_encode_orders",
     "intra_doc_repetition_docs",
+    "join_cardinality_advisor",
     # remaining never-driver-verified, round-4 additions first
     "acf_events",
     "sssp_suppliers",
@@ -11996,4 +11997,115 @@ def intra_doc_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0.0)
         .alias("dup3_frac"),
+    )
+
+
+@register(
+    "join_cardinality_advisor",
+    """
+    WITH pairs AS (
+      SELECT 'orders_lineitem' AS join_name,
+             (SELECT count(*) FROM orders) AS n_left,
+             (SELECT count(*) FROM lineitem) AS n_right,
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS ndv_left,
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS ndv_right,
+             (SELECT sum(c1 * c2) FROM
+                (SELECT o_orderkey AS k, count(*) AS c1 FROM orders
+                 GROUP BY 1) a
+                JOIN
+                (SELECT l_orderkey AS k, count(*) AS c2 FROM lineitem
+                 GROUP BY 1) b USING (k)) AS true_rows
+      UNION ALL
+      SELECT 'part_lineitem',
+             (SELECT count(*) FROM part),
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(DISTINCT p_partkey) FROM part),
+             (SELECT count(DISTINCT l_partkey) FROM lineitem),
+             (SELECT sum(c1 * c2) FROM
+                (SELECT p_partkey AS k, count(*) AS c1 FROM part
+                 GROUP BY 1) a
+                JOIN
+                (SELECT l_partkey AS k, count(*) AS c2 FROM lineitem
+                 GROUP BY 1) b USING (k))
+      UNION ALL
+      SELECT 'supplier_lineitem',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(DISTINCT s_suppkey) FROM supplier),
+             (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+             (SELECT sum(c1 * c2) FROM
+                (SELECT s_suppkey AS k, count(*) AS c1 FROM supplier
+                 GROUP BY 1) a
+                JOIN
+                (SELECT l_suppkey AS k, count(*) AS c2 FROM lineitem
+                 GROUP BY 1) b USING (k))
+    )
+    SELECT join_name,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(ndv_left AS BIGINT) AS ndv_left,
+           CAST(ndv_right AS BIGINT) AS ndv_right,
+           CAST(n_left * n_right AS DOUBLE)
+             / CAST(greatest(ndv_left, ndv_right) AS DOUBLE) AS est_rows,
+           CAST(true_rows AS BIGINT) AS true_rows
+    FROM pairs
+    """,
+)
+def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation audit — the optimizer-statistics readout a
+    physical designer runs before choosing join strategies at 100 TB:
+    for three TPC-H join keys, the textbook containment estimate
+    |L><R| ~ n_l * n_r / max(ndv_l, ndv_r) (System R / Selinger 1979)
+    beside the EXACT join cardinality (sum over keys of count products
+    — computed from per-key count tables, never materializing the
+    join). All counts exact integers; the estimate is one division, so
+    every row hash-checks. At scale the same plan runs with
+    approx_count_distinct and sampled count tables; exact values keep
+    the oracle gate meaningful at test SF."""
+
+    def one(name, left, lkey, right, rkey):
+        lc = left.groupBy(F.col(lkey).alias("k")).agg(
+            F.count(F.lit(1)).alias("c1")
+        )
+        rc = right.groupBy(F.col(rkey).alias("k")).agg(
+            F.count(F.lit(1)).alias("c2")
+        )
+        truth = lc.join(rc, "k").agg(
+            F.sum(F.col("c1") * F.col("c2")).alias("true_rows")
+        )
+        stats = left.agg(
+            F.count(F.lit(1)).alias("n_left"),
+            F.countDistinct(lkey).alias("ndv_left"),
+        ).crossJoin(
+            right.agg(
+                F.count(F.lit(1)).alias("n_right"),
+                F.countDistinct(rkey).alias("ndv_right"),
+            )
+        )
+        return (
+            stats.crossJoin(truth)
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                F.col("ndv_left").cast("long").alias("ndv_left"),
+                F.col("ndv_right").cast("long").alias("ndv_right"),
+                (
+                    (F.col("n_left") * F.col("n_right")).cast("double")
+                    / F.greatest("ndv_left", "ndv_right").cast("double")
+                ).alias("est_rows"),
+                F.col("true_rows").cast("long").alias("true_rows"),
+            )
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        one("orders_lineitem", o, "o_orderkey", li, "l_orderkey")
+        .unionByName(one("part_lineitem", pt, "p_partkey", li, "l_partkey"))
+        .unionByName(
+            one("supplier_lineitem", sup, "s_suppkey", li, "l_suppkey")
+        )
     )
