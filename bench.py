@@ -276,7 +276,7 @@ EXTRA = [
     "bloom_semijoin_orders",
     "zorder_advisor_lineitem",
     "ranking_metrics_orders",
-    "target_encode_orders",
+    "target_encode_binary_custkey",
     "intra_doc_repetition_docs",
     "join_cardinality_advisor",
 ]

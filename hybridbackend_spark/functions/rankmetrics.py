@@ -1,10 +1,14 @@
 """Top-k ranking-quality metrics: NDCG@k, MAP@k, MRR@k.
 
-Completes the evaluation family next to the classification metrics
-(``functions/metrics.py`` — AUC/PR-AUC/GAUC, reference parity
-``hybridbackend/tensorflow/metrics/{auc,gauc}.py``): the reference
-evaluates rankers with grouped AUC; these are the grouped *ranking*
-metrics a recommender/retrieval pipeline reports beside it.
+Extends the evaluation family of ``functions/metrics.py`` (AUC/PR-AUC/
+GAUC/calibration, reference parity
+``hybridbackend/tensorflow/metrics/{auc,gauc}.py``, plus the
+graded-relevance ``ndcg_at_k`` / ``mrr_hitrate_at_k`` variants): this
+module is the BINARY-relevance ladder — NDCG, MAP (which the graded
+variants don't cover), and MRR in one pass — computed without a window
+(one bounded higher-order fold per group instead of a row_number sort)
+and with integer sufficient statistics exposed, so results hash-check
+as exact integers plus single divisions rather than rounded doubles.
 
 Oracle-exact by construction (the repo's discipline for hash-checked
 cross-engine metrics):

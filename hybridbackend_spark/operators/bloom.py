@@ -10,6 +10,16 @@ engine-surfaced form (reference parity: the reference's dedup-before-
 shuffle lookup family, ``hybridbackend/tensorflow/embedding/sharding.py``
 — same motivation, membership pruning ahead of the expensive exchange).
 
+Companion to ``operators/joins.py::bloom_filter_join``, which fuses a
+throwaway xxhash64 bitmap (driver-collected, inlined as a literal)
+into one join and lets the join resolve false positives. This module
+instead makes the filter a FIRST-CLASS ARTIFACT: built distributed
+(never driver-collected), addressable as rows, shippable between jobs
+(write the word table, probe it elsewhere), and — because positions
+come from md5 — bit-replayable in any engine, so both the filter
+content and its false-positive rate are auditable under the oracle
+gate.
+
 Design for exact cross-engine replay (the repo's oracle discipline):
 
 - Hash family: the k probe positions are 60-bit integers from salted

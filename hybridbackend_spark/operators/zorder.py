@@ -5,9 +5,16 @@ The multi-dimensional data-layout primitive for 100 TB tables: sorting
 of two filter columns gives every 2-D box predicate a CONTIGUOUS key
 range whose over-read is bounded, where a linear sort key serves only
 its leading column. Delta/Iceberg expose the same idea as OPTIMIZE
-ZORDER; here it is an engine operator plus an exact advisor readout
-(pairs with ``operators/layout.py::sort_key_advisor``, which answers
-the 1-D question).
+ZORDER.
+
+Companion to ``operators/layout.py``: ``layout.zorder_key`` is the
+WRITER-side key (normalizes double columns into a fixed-point grid
+before interleaving — feeds ``cluster_by_zorder``), and
+``layout.sort_key_advisor`` answers the 1-D sort-key question. This
+module is the ADVISOR side for 2-D box predicates: it works on
+pre-bucketized non-negative ints, where the Morton monotonicity bound
+(below) is exactly provable — the double-normalizing path cannot make
+that guarantee because ``floor(x / range * top)`` rounds.
 
 Correctness facts used (and oracle-replayed):
 

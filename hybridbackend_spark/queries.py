@@ -44,6 +44,11 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # A duplicate name silently REPLACES an already-verified query
+        # (and resets its driver-verification history) — fail loudly at
+        # import time instead.
+        if name in QUERIES:
+            raise ValueError(f"query name already registered: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -777,7 +782,7 @@ _DRIVER_WINDOW_FIRST = [
     "bloom_semijoin_orders",
     "zorder_advisor_lineitem",
     "ranking_metrics_orders",
-    "target_encode_orders",
+    "target_encode_binary_custkey",
     "intra_doc_repetition_docs",
     "join_cardinality_advisor",
     # remaining never-driver-verified, round-4 additions first
@@ -11887,7 +11892,7 @@ def ranking_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "target_encode_orders",
+    "target_encode_binary_custkey",
     """
     WITH y AS (
       SELECT o_orderkey, o_custkey,
@@ -11912,7 +11917,7 @@ def ranking_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM y JOIN c USING (o_custkey) CROSS JOIN g
     """,
 )
-def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def target_encode_binary_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out smoothed target encoding of the high-cardinality
     customer key against urgent-priority labels
     (functions/feature.py::target_encode_loo) — the closed-form sibling
