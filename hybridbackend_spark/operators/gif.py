@@ -62,8 +62,9 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int):
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            if len(table) < 4096:  # spec: dictionary freezes at 12 bits
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
             entry = prev + prev[:1]
             table.append(entry)
         else:

@@ -702,14 +702,29 @@ def shortest_paths(
         if cur == prev:
             return dist
         prev = cur
-    if max_dist is None:
-        raise ValueError(
-            f"shortest_paths: no fixed point after max_rounds={max_rounds} "
-            "relaxation rounds — distances would be stale for paths longer "
-            "than the round budget. Raise max_rounds, or pass max_dist for "
-            "an exact distance-bounded truncation."
+    if max_dist is not None:
+        # Exhausted max_rounds without a fixed point. The result is
+        # still EXACT iff every distance-<=max_dist path fits in the
+        # round budget: a path of total weight <= max_dist has at most
+        # max_dist / w_min edges, so max_rounds * w_min >= max_dist
+        # certifies exactness. Otherwise raising is the only honest
+        # outcome — returning would silently drop in-bound nodes
+        # (round-6 advisor item: this branch previously returned
+        # unconditionally, making the guarantee asymmetric).
+        wmin = sym.agg(F.min("_w")).collect()[0][0]
+        if wmin is not None and wmin >= 1 and max_rounds * wmin >= max_dist:
+            return dist
+    raise ValueError(
+        f"shortest_paths: no fixed point after max_rounds={max_rounds} "
+        "relaxation rounds — distances would be stale for paths longer "
+        "than the round budget. Raise max_rounds"
+        + (
+            f" (need max_rounds * min_weight >= max_dist={max_dist})."
+            if max_dist is not None
+            else ", or pass max_dist for an exact distance-bounded "
+            "truncation."
         )
-    return dist
+    )
 
 
 def kcore(

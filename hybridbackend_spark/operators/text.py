@@ -33,6 +33,7 @@ __all__ = [
     "STOPWORDS",
     "deletion_variants",
     "symspell_match",
+    "ngram_repetition",
 ]
 
 
@@ -456,26 +457,36 @@ def top_keywords(
     )
 
 
-def deletion_variants(
-    df: DataFrame, token_col: str, out_col: str = "variant"
-) -> DataFrame:
-    """Each token plus its single-character-deletion neighborhood — the
-    SymSpell candidate-generation key set. |token|+1 rows per token,
-    bounded by token length; all codegen expressions (transform +
-    explode), no Python."""
-    tok = F.col(token_col)
-    base = df.withColumn(out_col, tok)
-    dels = df.withColumn(
-        out_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({token_col})), i -> "
-                f"concat(substring({token_col}, 1, i - 1), "
-                f"substring({token_col}, i + 1, length({token_col}) - i)))"
-            )
-        ),
+def _one_deletions(col: str) -> Column:
+    """Array of all single-character deletions of ``col`` (empty array for
+    the empty string — Spark's ``sequence(1, 0)`` would otherwise run
+    DOWNWARD and fabricate variants)."""
+    return F.expr(
+        f"if(length({col}) = 0, array(), "
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col}) - i))))"
     )
-    return base.unionByName(dels)
+
+
+def deletion_variants(
+    df: DataFrame, token_col: str, out_col: str = "variant", depth: int = 1
+) -> DataFrame:
+    """Each token plus its deletion neighborhood up to ``depth``
+    characters removed — the SymSpell candidate-generation key set.
+    Depth 1 yields |token|+1 rows per token; depth d is bounded by
+    C(len, d) distinct variants (deduped per token before the join).
+    All codegen expressions (transform + explode), no Python."""
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    out = df.withColumn(out_col, F.col(token_col))
+    frontier = out
+    for _ in range(depth):
+        frontier = frontier.withColumn(
+            out_col, F.explode(_one_deletions(out_col))
+        )
+        out = out.unionByName(frontier)
+    return out.distinct()
 
 
 def symspell_match(
@@ -494,14 +505,23 @@ def symspell_match(
     a cross product. Here both sides expand to (len+1) variant rows and
     shuffle on the variant key; candidate pairs are the (rare) bucket
     collisions, and only those pay the levenshtein verify. This is the
-    1000-executor spell-correction/entity-matching pattern. The
-    variant join admits some distance-2 pairs (one deletion on each
-    side); the verify filter removes them, so results are EXACTLY the
-    distance-<=``max_distance`` pairs."""
+    1000-executor spell-correction/entity-matching pattern.
+
+    Completeness (the SymSpell theorem): if edit_distance(a, b) <= d,
+    then deleting at most d characters from each brings them to a common
+    string, so depth-``max_distance`` deletion neighborhoods intersect
+    for EVERY qualifying pair. The variant join over-generates (e.g.
+    distance-2 pairs at depth 1 via one deletion per side); the exact
+    ``levenshtein`` verify removes them, so results are EXACTLY the
+    distance-<=``max_distance`` pairs at any ``max_distance``."""
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
     qv = deletion_variants(
-        queries.select(F.col(query_col)).distinct(), query_col
+        queries.select(F.col(query_col)).distinct(),
+        query_col,
+        depth=max_distance,
     )
-    vv = deletion_variants(vocab, vocab_col)
+    vv = deletion_variants(vocab, vocab_col, depth=max_distance)
     cand = (
         qv.join(vv, "variant")
         .select(query_col, *[c for c in vocab.columns])

@@ -150,6 +150,65 @@ def test_dictionary_growth_across_code_sizes():
     assert np.array_equal(out, pal[rng_idx])
 
 
+def test_frozen_dictionary_at_4096():
+    """Spec-conformant encoders may FREEZE the dictionary at 4096
+    entries instead of emitting a clear code; the decoder must stop
+    growing its table in lockstep (round-6 advisor item: previously the
+    table grew without bound and out-of-range codes were accepted
+    leniently)."""
+    from hybridbackend_spark.operators.gif import _lzw_decode
+
+    import random
+
+    rng = random.Random(7)
+    min_cs = 8
+    clear = 1 << min_cs
+    end = clear + 1
+    # incompressible data long enough to exhaust 4096 - 258 entries
+    data = bytes(rng.randrange(256) for _ in range(40000))
+    # independent FROZEN-dictionary encoder (no clear at 4095)
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_cs + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = b""
+    frozen = False
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code <= 4095:
+            table[cur] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            frozen = True
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    assert frozen, "test must actually exercise the frozen state"
+    assert _lzw_decode(min_cs, bytes(out), len(data)) == data
+
+
 def test_interlaced_roundtrip():
     pal = _pal(8)
     idx = _idx(19, 11, 8, seed=2)

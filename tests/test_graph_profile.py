@@ -423,6 +423,40 @@ def test_shortest_paths_raises_on_exhausted_rounds(spark):
     assert got == {i: i for i in range(9)}
 
 
+def test_shortest_paths_max_dist_insufficient_rounds_raises(spark):
+    """max_dist with too few rounds must RAISE, not silently return the
+    hop-truncated prefix (round-6 advisor item: max_dist=100 with
+    max_rounds=10 previously returned stale/missing distances). With a
+    certifying budget (max_rounds * min_weight >= max_dist) the
+    exhausted loop still returns, and returns exact distances."""
+    import pytest
+
+    from hybridbackend_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(40)], "id_a long, id_b long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    with pytest.raises(ValueError, match="no fixed point"):
+        shortest_paths(edges, seeds, max_rounds=10, max_dist=100)
+    # budget certifies exactness: 30 rounds x weight-1 covers dist 30
+    # even though the loop exhausts without a fixed point (the chain
+    # continues past the bound)
+    got = {
+        r.id: r.dist
+        for r in shortest_paths(
+            edges, seeds, max_rounds=30, max_dist=30
+        ).collect()
+    }
+    assert got == {i: i for i in range(31)}
+    # zero-weight edges void the certificate -> raise on exhaustion
+    zedges = spark.createDataFrame(
+        [(i, i + 1, 0) for i in range(40)], "id_a long, id_b long, w long"
+    )
+    with pytest.raises(ValueError, match="no fixed point"):
+        shortest_paths(zedges, seeds, max_rounds=5, max_dist=3)
+
+
 def test_personalized_pagerank_proximity_and_zero_mass(spark):
     """PPR on a path graph a-b-c-d-e with seed {a}: rank decays with
     distance from the seed; a disconnected component gets exactly 0."""

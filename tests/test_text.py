@@ -276,3 +276,63 @@ def test_deletion_variants_count_and_content(spark):
     df = spark.createDataFrame([("abc",)], ["tok"])
     vs = {r.variant for r in deletion_variants(df, "tok").collect()}
     assert vs == {"abc", "bc", "ac", "ab"}
+
+
+def test_deletion_variants_depth2_and_empty_guard(spark):
+    from hybridbackend_spark.operators.text import deletion_variants
+
+    df = spark.createDataFrame([("abc",)], ["tok"])
+    vs = {
+        r.variant for r in deletion_variants(df, "tok", depth=2).collect()
+    }
+    # depth 0..2: original, 3 single deletions, 3 double deletions
+    assert vs == {"abc", "bc", "ac", "ab", "a", "b", "c"}
+    # empty / single-char tokens must not fabricate variants via Spark's
+    # DOWNWARD sequence(1, 0) (which yields [1, 0], not [])
+    df2 = spark.createDataFrame([("x",), ("",)], ["tok"])
+    vs2 = {
+        (r.tok, r.variant)
+        for r in deletion_variants(df2, "tok", depth=2).collect()
+    }
+    assert vs2 == {("x", "x"), ("x", ""), ("", "")}
+
+
+def test_symspell_match_depth2_true_symspell(spark):
+    """max_distance=2 finds pairs whose depth-1 deletion neighborhoods
+    are DISJOINT (the round-5 advisor's counterexamples): two
+    substitutions ('abcd'/'axcy') and two deletions ('abcd'/'ab'),
+    while d=3 pairs stay excluded."""
+    from hybridbackend_spark.operators.text import symspell_match
+
+    vocab = spark.createDataFrame(
+        [("abcd", 1), ("spark", 2)], ["tok", "cnt"]
+    )
+    queries = spark.createDataFrame(
+        [("axcy",),   # 2 substitutions -> d=2
+         ("ab",),     # 2 deletions -> d=2
+         ("sprak",),  # transposition -> d=2, matches at depth 2
+         ("a",),      # d=3 from abcd -> candidate via deletions but
+                      # must fail the levenshtein verify
+         ("sparkles",)],  # d=3 from spark -> no match
+        ["q"],
+    )
+    got = {
+        (r.q, r.tok)
+        for r in symspell_match(
+            queries, vocab, query_col="q", vocab_col="tok", max_distance=2
+        ).collect()
+    }
+    assert ("axcy", "abcd") in got
+    assert ("ab", "abcd") in got
+    assert ("sprak", "spark") in got
+    assert all(q not in ("a", "sparkles") for q, _ in got)
+
+
+def test_symspell_match_rejects_bad_distance(spark):
+    from hybridbackend_spark.operators.text import symspell_match
+
+    df = spark.createDataFrame([("a", 1)], ["tok", "cnt"])
+    q = spark.createDataFrame([("a",)], ["q"])
+    with pytest.raises(ValueError):
+        symspell_match(q, df, query_col="q", vocab_col="tok",
+                       max_distance=0)
