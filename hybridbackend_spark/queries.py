@@ -13,6 +13,7 @@ Conventions (driver contract):
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -57,20 +58,33 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+_UTC_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _pin_utc(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone=UTC`` ONCE per session. The
+    driver (and any embedding application) passes its own SparkSession,
+    and a non-UTC session zone would silently shift every hour/date
+    bucket against the DuckDB oracles' naive timestamps — so the query
+    surface pins it itself rather than trusting get_session. Memoized
+    per session (round-6 A/B item: the round-5 per-table-load
+    ``conf.set`` added a py4j round trip to every load across all
+    queries); callers that re-set the zone mid-session are out of
+    contract."""
+    if spark not in _UTC_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _UTC_PINNED.add(spark)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a test table. ``events.ts`` is written as Parquet TIMESTAMP(NANOS).
     Depending on the Spark build that arrives as either a long of nanos
     (legacy ``nanosAsLong``) or a ``timestamp_ntz`` truncated to micros;
     normalize both to a session-zone TIMESTAMP (session TZ is pinned to
-    UTC, so the NTZ wall clock maps 1:1 and values match DuckDB's naive
-    timestamps truncated to Spark's microsecond precision).
-
-    The UTC pin happens HERE, not in get_session: the driver (and any
-    embedding application) passes its own SparkSession, and a non-UTC
-    session zone would silently shift every hour/date bucket against
-    the DuckDB oracles' naive timestamps. Setting it per table load is
-    idempotent and makes the query surface session-zone-independent."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    UTC via :func:`_pin_utc`, so the NTZ wall clock maps 1:1 and values
+    match DuckDB's naive timestamps truncated to Spark's microsecond
+    precision)."""
+    _pin_utc(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -736,71 +750,23 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness artifact verifies the FIRST ~50 registered
-# queries per round. The union of the r01-r04 driver windows covers 143
-# of the 216 registered queries; per the round-4 verdict the window is
-# reordered for round 5: the six r4 hash-red rows first (all were the
-# uncast-HUGEINT oracle defect, fixed this round — they must re-verify),
-# then the nine latent-HUGEINT queries fixed by the same sweep, then
-# every remaining never-driver-verified query in registration order.
-# Names listed here come first (in this order); everything else keeps
-# its original registration order. Validated against the registry in
+# queries per round. The union of the r01-r05 driver artifacts covers
+# 187 of the 237 registered queries (computed from the artifacts); per
+# the round-5 verdict the round-6 window is EXACTLY the 50 queries no
+# driver round has ever verified, so the driver-verified union closes
+# to 237/237. All 50 are green in the local gate
+# (tools/check_oracle.py); rolling_active_users_sketch leads because it
+# gained its value oracle this round (md5-register HLL — the last
+# rows-only query retired). The round-5 stateful-streaming pair follows
+# at positions 51-52 (re-proof after the TTL changes, per verdict item
+# 6) in case the driver window exceeds 50. Names listed here come first
+# (in this order); everything else keeps its original registration
+# order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # round-4 red rows — oracle HUGEINT casts fixed, must re-verify
-    "mutual_info_orders",
-    "q12_shipmode_priority",
-    "ab_ztest_events",
-    "quantile_sketch_orders",
-    "chisq_events",
-    "woe_orders",
-    # latent-HUGEINT oracles fixed by the same sweep (never verified)
-    "kaplan_meier_users",
-    "q18_large_orders",
-    "source_mix_report",
-    "halfsample_ci_orders",
-    "luhn_audit_orders",
-    "ttr_docs",
-    "markov_backtest_events",
-    "stl_decompose_events",
-    "bandit_replay_events",
-    # round-5 additions — verify new surface the round it ships
-    "stream_anomaly_flags",
-    "multimodal_png_stats",
-    "multimodal_wav_stats",
-    "mau_hll_events",
-    "symspell_correct_docs",
-    "ewma_daily_revenue",
-    "ppr_customer_supplier",
-    "sort_advisor_lineitem",
-    "t_closeness_orders",
-    "conformal_interval_orders",
-    "media_probe_mixed",
-    "image_ahash_mixed",
-    "stream_hll_actives",
-    "multimodal_mp4_stats",
-    "multimodal_mp4_video_stats",
-    "bloom_semijoin_orders",
-    "zorder_advisor_lineitem",
-    "ranking_metrics_orders",
-    "target_encode_binary_custkey",
-    "intra_doc_repetition_docs",
-    "join_cardinality_advisor",
-    # remaining never-driver-verified, round-4 additions first
-    "acf_events",
-    "sssp_suppliers",
-    "balance_sample_docs",
-    "association_rules_parts",
-    "funnel_ttc_events",
-    "isotonic_calibration_embeddings",
-    "phrase_search_docs",
-    "dataset_shift_orders",
-    "skyline_parts",
-    "feistel_pseudonymize_customers",
-    "bitmap_yearly_actives",
-    "bpe_merges_docs",
-    "pca_project_embeddings",
-    # never-verified relational sweep
-    "q4_order_priority",
+    # newly oracled this round — was the one rows-only query
+    "rolling_active_users_sketch",
+    # never-verified relational sweep (TPC-H remainder + grouping)
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
@@ -825,7 +791,7 @@ _DRIVER_WINDOW_FIRST = [
     "dp_counts_orders",
     "slo_percentiles_events",
     "array_ops_embeddings",
-    # never-verified corpus / docs / state family
+    # never-verified corpus / docs family
     "bm25_rank_docs",
     "chunk_documents_docs",
     "stratified_sample_docs",
@@ -838,6 +804,7 @@ _DRIVER_WINDOW_FIRST = [
     "unigram_surprisal_docs",
     "heavy_hitter_tokens",
     "source_token_drift",
+    # never-verified events / state family
     "funnel_events",
     "order_date_gaps",
     "retention_cohorts",
@@ -851,8 +818,11 @@ _DRIVER_WINDOW_FIRST = [
     "value_deciles_by_priority",
     "order_value_histogram",
     "profile_lineitem",
-    # last: the one remaining rows-only check (HLL, genuinely approximate)
-    "rolling_active_users_sketch",
+    # --- 50 above = the never-driver-verified set ---
+    # stateful-streaming re-proof after round-5 TTL changes (verdict
+    # item 6; verified r3, re-verify if the window allows)
+    "stream_click_purchase_join",
+    "stream_sessions_stateful",
 ]
 
 
@@ -4191,20 +4161,68 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rolling_active_users_sketch")  # approximate: no SQL oracle
+@register(
+    "rolling_active_users_sketch",
+    """
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    h AS (
+      SELECT d,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::INT AS reg,
+             ('0x' || substr(md5(user_id::VARCHAR), 3, 4))::INT AS v16
+      FROM ev
+    ),
+    daily AS (
+      SELECT d, reg,
+             max(CASE WHEN v16 = 0 THEN 17
+                      ELSE 17 - length(bin(v16)) END) AS rho
+      FROM h GROUP BY d, reg
+    ),
+    days AS (SELECT DISTINCT d AS day FROM daily),
+    contrib AS (
+      SELECT CAST(daily.d + to_days(CAST(x.x AS INT)) AS DATE) AS day,
+             reg, rho
+      FROM daily CROSS JOIN (SELECT unnest(range(0, 90)) AS x) x
+    ),
+    win AS (
+      SELECT c.day, c.reg, max(c.rho) AS rho
+      FROM contrib c JOIN days USING (day)
+      GROUP BY c.day, c.reg
+    )
+    SELECT day,
+           count(*) AS n_regs,
+           CAST(256 - count(*) AS BIGINT) AS zeros,
+           CAST(sum(1::BIGINT << (17 - rho))
+                + (256 - count(*)) * (1::BIGINT << 17) AS BIGINT)
+             AS harmonic_num,
+           round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 * 131072.0
+                 / CAST(sum(1::BIGINT << (17 - rho))
+                        + (256 - count(*)) * (1::BIGINT << 17) AS DOUBLE),
+                 4) AS raw_est
+    FROM win GROUP BY day
+    """,
+)
 def rolling_active_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based rolling 90-day distinct active users — the scale
-    path for long windows: one HLL sketch per day (shuffle independent
-    of id cardinality), then trailing-window sketch union. Approximate
-    (~1.6% HLL error), so it carries no hash oracle; the accuracy bound
-    versus the exact operator is pinned in
+    path for long windows: each day collapses to <= 256 HLL register
+    rows (shuffle independent of id cardinality), then a trailing-window
+    register-max merge. Rebuilt in round 6 on the md5-register
+    replayable-HLL design that `mau_hll_events` proved out: registers,
+    ranks, the integer harmonic numerator, and the uncorrected double
+    estimate (pure rational arithmetic — a sum of 2^(17-rho) terms is a
+    dyadic rational, exact in double) are all hash-verifiable
+    cross-engine, so the LAST rows-only query of the surface now
+    carries a full value oracle. The opaque Datasketches variant
+    remains available as functions/windows.py:
+    rolling_distinct_count_sketch with its accuracy bound pinned in
     tests/test_windows_features.py."""
-    from .functions.windows import rolling_distinct_count_sketch
+    from .functions.windows import rolling_distinct_count_hll_md5
 
     ev = _t(spark, sf_dir, "events")
-    return rolling_distinct_count_sketch(
-        ev, ts="ts", id_col="user_id", window_days=90,
-        day_col="day", out_col="active_ids",
+    return rolling_distinct_count_hll_md5(
+        ev, ts="ts", id_col="user_id", window_days=90, day_col="day"
     )
 
 

@@ -84,8 +84,10 @@ def read_event_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # pin the session zone so window alignment and hour buckets match the
     # naive-timestamp oracles regardless of the caller's session zone
-    # (same contract as queries._t)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (same once-per-session contract as queries._pin_utc)
+    from ..queries import _pin_utc
+
+    _pin_utc(spark)
     if schema is None:
         schema = _probed_events_schema(spark, path)
     reader = spark.readStream.format(fmt).schema(schema)
