@@ -1,12 +1,14 @@
 """Pure-Python PNG decoder (stdlib ``zlib`` + numpy unfiltering).
 
 Built-in real codec #2 for the multimodal column family (after
-``operators/jpeg.py``): decodes non-interlaced 8-bit-per-sample PNGs —
-grayscale (color type 0), RGB (2), palette (3), gray+alpha (4), and
-RGBA (6) — to an ``(h, w, 3)`` uint8 array, the same output contract
-as :func:`~hybridbackend_spark.operators.jpeg.decode_jpeg`. Alpha is
-composited over black (the deterministic choice — no configuration
-surface); palette entries resolve through PLTE.
+``operators/jpeg.py``): decodes 8- and 16-bit-per-sample PNGs, both
+sequential and Adam7-interlaced — grayscale (color type 0), RGB (2),
+palette (3, 8-bit only per spec), gray+alpha (4), and RGBA (6) — to an
+``(h, w, 3)`` uint8 array, the same output contract as
+:func:`~hybridbackend_spark.operators.jpeg.decode_jpeg`. 16-bit
+samples downsample by round(v / 257) (exact — 65535 = 255 * 257);
+alpha is composited over black (the deterministic choice — no
+configuration surface); palette entries resolve through PLTE.
 
 PNG is lossless, so unlike the JPEG tests the fixture tests assert
 EXACT pixel equality against the independently-encoded source arrays.
@@ -79,6 +81,33 @@ def _unfilter(raw: bytes, h: int, w: int, bpp: int):
     return out
 
 
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step). Each pass is
+# an independent sub-image with its own scanline filter bytes; empty
+# passes contribute zero bytes.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _rows_to_samples(rows, h: int, w: int, ch: int, depth: int):
+    """(h, w*bpp) filtered-byte rows -> (h, w, ch) uint8 samples.
+    16-bit samples are big-endian pairs; downsampled to 8-bit by
+    round(v / 257) = (v + 128) // 257 (exact: 65535 = 255 * 257)."""
+    import numpy as np
+
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    u = rows.reshape(h, w, ch, 2).astype(np.uint32)
+    v16 = (u[..., 0] << 8) | u[..., 1]
+    return ((v16 + 128) // 257).astype(np.uint8)
+
+
 def _decode_png_strict(payload: bytes):
     import numpy as np
 
@@ -115,17 +144,39 @@ def _decode_png_strict(payload: bytes):
     w, h, depth, ctype_n, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
-    if depth != 8 or ctype_n not in _CHANNELS:
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
+    if depth not in (8, 16) or ctype_n not in _CHANNELS:
         raise ValueError(f"unsupported depth/color {depth}/{ctype_n}")
+    if depth == 16 and ctype_n == 3:
+        raise ValueError("16-bit palette images are invalid PNG")
     if w == 0 or h == 0 or w > 1 << 15 or h > 1 << 15:
         raise ValueError("bad dimensions")
     ch = _CHANNELS[ctype_n]
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + w * ch):
-        raise ValueError("decompressed size mismatch")
-    px = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if interlace == 0:
+        if len(raw) != h * (1 + w * bpp):
+            raise ValueError("decompressed size mismatch")
+        px = _rows_to_samples(_unfilter(raw, h, w, bpp), h, w, ch, depth)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        px = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (1 + pw * bpp)
+            sub = raw[off : off + n]
+            if len(sub) != n:
+                raise ValueError("decompressed size mismatch")
+            off += n
+            px[y0::dy, x0::dx] = _rows_to_samples(
+                _unfilter(sub, ph, pw, bpp), ph, pw, ch, depth
+            )
+        if off != len(raw):
+            raise ValueError("decompressed size mismatch")
     if ctype_n == 0:  # grayscale -> replicate
         return np.repeat(px, 3, axis=2)
     if ctype_n == 2:  # RGB
@@ -185,8 +236,8 @@ def encode_png_rgb(img) -> bytes:
 
 def decode_png(payload: bytes):
     """Decode a PNG to an (h, w, 3) uint8 ndarray, or None when the
-    payload is not a PNG this decoder handles (wrong magic, interlaced,
-    16-bit, structural corruption, CRC mismatch) — the codec-registry
+    payload is not a PNG this decoder handles (wrong magic, depth 1/2/4
+    bits, structural corruption, CRC mismatch) — the codec-registry
     fall-through contract, mirroring decode_jpeg."""
     try:
         return _decode_png_strict(payload)

@@ -107,7 +107,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0   AS sum_base_price,
            sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100.0
                                                                        AS sum_disc_price,
            round(avg(l_quantity), 4)                                   AS avg_qty,
@@ -126,7 +126,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
@@ -253,7 +253,7 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_sales",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_price,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -265,7 +265,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1378,7 +1378,7 @@ def pivot_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start_sec,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -3062,7 +3062,8 @@ def latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT l_returnflag,
              round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_price
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
@@ -3079,7 +3080,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_price"),
         )
     )
     return wide.selectExpr(
@@ -4556,7 +4557,7 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (floor(epoch(e.ts) / 86400) * 86400)::BIGINT AS window_start_sec,
            c.c_mktsegment AS segment,
            count(*) AS n_events,
-           round(sum(e.value), 2) AS sum_value
+           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2
     """,

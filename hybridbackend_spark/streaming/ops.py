@@ -118,9 +118,14 @@ def tumbling_agg(
 ) -> DataFrame:
     """Tumbling event-time window aggregation with late-data watermark.
     Defaults to count + sum(value)."""
+    # exact-cents sum: per-row cents quantization then an integer sum,
+    # so the result is order-independent and engine-exact (a double sum
+    # rounded at 2 dp is order-dependent in the last ulp — the oracle
+    # hazard gate in tests/test_oracle_hazards.py forbids it)
     aggs = aggs or {
         "n_events": F.count(F.lit(1)),
-        "sum_value": F.round(F.sum("value"), 2),
+        "sum_value": F.sum(F.round(F.col("value") * 100).cast("long"))
+        / F.lit(100.0),
     }
     return (
         events.withWatermark(ts, watermark)

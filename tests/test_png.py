@@ -59,29 +59,62 @@ def _filter_line(ftype, line, prev, bpp):
     return bytes(out)
 
 
+# Adam7 pass geometry, restated independently from the decoder
+# (x_start, y_start, x_step, y_step).
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def encode_png(img, color_type=2, filters=None, palette=None,
                interlace=0, depth=8):
     """Minimal PNG encoder (tests only). ``img`` shape by color type:
     0 -> (h, w), 2 -> (h, w, 3), 3 -> (h, w) palette indices (requires
     ``palette`` (n, 3)), 4 -> (h, w, 2), 6 -> (h, w, 4). ``filters``
-    picks the per-scanline filter type (int or list cycling 0-4)."""
-    img = np.asarray(img, dtype=np.uint8)
+    picks the per-scanline filter type (int or list cycling 0-4).
+    ``depth=16`` takes uint16 samples (written big-endian);
+    ``interlace=1`` writes Adam7 passes, each filtered independently."""
+    img = np.asarray(img, dtype=np.uint16 if depth == 16 else np.uint8)
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
-    flat = img.reshape(h, w * ch)
-    raw = bytearray()
-    prev = bytes(w * ch)
-    for y in range(h):
+    px = img.reshape(h, w, ch)
+    bpp = ch * (depth // 8)
+
+    def pick(y):
         if filters is None:
-            ftype = 0
-        elif isinstance(filters, int):
-            ftype = filters
-        else:
-            ftype = filters[y % len(filters)]
-        line = flat[y].tobytes()
-        raw.append(ftype)
-        raw.extend(_filter_line(ftype, line, prev, ch))
-        prev = line
+            return 0
+        if isinstance(filters, int):
+            return filters
+        return filters[y % len(filters)]
+
+    def emit_sub(sub, raw):
+        ph, pw = sub.shape[:2]
+        prev = bytes(pw * bpp)
+        for y in range(ph):
+            row = sub[y]
+            line = (
+                row.astype(">u2").tobytes() if depth == 16
+                else row.astype(np.uint8).tobytes()
+            )
+            ftype = pick(y)
+            raw.append(ftype)
+            raw.extend(_filter_line(ftype, line, prev, bpp))
+            prev = line
+
+    raw = bytearray()
+    if interlace == 0:
+        emit_sub(px, raw)
+    else:
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                emit_sub(sub, raw)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     blob = _MAGIC + _chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -202,12 +235,97 @@ def test_not_mine_falls_through():
     good = encode_png(img)
     assert decode_png(b"\xff\xd8\xff\xe0 not png") is None  # wrong magic
     assert decode_png(good[:20]) is None  # truncated
-    assert decode_png(encode_png(img, interlace=1)) is None  # Adam7
-    assert decode_png(encode_png(img, depth=16)) is None  # 16-bit
     # flip one IDAT byte -> CRC mismatch -> None, not garbage pixels
     bad = bytearray(good)
     bad[len(bad) - 20] ^= 0xFF
     assert decode_png(bytes(bad)) is None
+    # sub-byte depths remain out of scope -> registry fall-through
+    # (hand-built header: the test encoder doesn't pack sub-byte rows)
+    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    blob4 = (
+        _MAGIC
+        + _chunk(b"IHDR", ihdr4)
+        + _chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 2))))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(blob4) is None
+
+
+@pytest.mark.parametrize("dims", [(13, 17), (8, 8), (7, 5), (1, 1),
+                                  (2, 9), (9, 2)])
+def test_adam7_interlaced_roundtrip_exact(dims):
+    """Adam7 across shapes that exercise empty passes (1x1 has five
+    empty passes), ragged pass widths, and per-pass filter chains."""
+    h, w = dims
+    img = _grad(h, w, seed=h * 31 + w)
+    out = decode_png(encode_png(img, interlace=1, filters=[0, 1, 2, 3, 4]))
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_adam7_grayscale_and_rgba():
+    g = _grad(11, 13, seed=5)[:, :, 1]
+    out = decode_png(encode_png(g, color_type=0, interlace=1, filters=4))
+    assert np.array_equal(out[..., 0], g)
+    assert np.array_equal(out[..., 0], out[..., 2])
+    rgb = _grad(10, 6, seed=6)
+    a = ((np.arange(60).reshape(10, 6) * 37) % 256).astype(np.uint8)
+    rgba = np.dstack([rgb, a])
+    out = decode_png(encode_png(rgba, color_type=6, interlace=1,
+                                filters=[2, 4]))
+    want = (
+        (rgb.astype(np.uint16) * a[..., None].astype(np.uint16) + 127)
+        // 255
+    ).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def _down16(v16):
+    """The decoder's documented 16->8 downsample: round(v/257)."""
+    return ((v16.astype(np.uint32) + 128) // 257).astype(np.uint8)
+
+
+def test_16bit_rgb_roundtrip_each_filter():
+    yy, xx = np.mgrid[0:9, 0:12]
+    img16 = np.stack(
+        [(xx * 5387 + yy * 911) % 65536,
+         (xx * 257 + yy * 65321) % 65536,
+         (xx * 40961 + yy * 13) % 65536], -1
+    ).astype(np.uint16)
+    for ftype in range(5):
+        out = decode_png(encode_png(img16, depth=16, filters=ftype))
+        assert out is not None and np.array_equal(out, _down16(img16))
+    # boundary values: 0 -> 0, 65535 -> 255, 128 -> 0, 129 -> 1
+    edge = np.array([[[0, 65535, 128], [129, 32767, 32896]]], np.uint16)
+    out = decode_png(encode_png(edge, depth=16))
+    assert np.array_equal(
+        out, np.array([[[0, 255, 0], [1, 127, 128]]], np.uint8)
+    )
+
+
+def test_16bit_gray_alpha_and_interlaced_16bit():
+    g16 = ((np.arange(88).reshape(8, 11) * 5387) % 65536).astype(np.uint16)
+    a16 = ((np.arange(88).reshape(8, 11) * 911 + 7) % 65536).astype(
+        np.uint16
+    )
+    ga = np.dstack([g16, a16])
+    out = decode_png(encode_png(ga, color_type=4, depth=16, filters=4))
+    g8, a8 = _down16(g16).astype(np.uint16), _down16(a16).astype(np.uint16)
+    want = ((g8 * a8 + 127) // 255).astype(np.uint8)
+    assert np.array_equal(out[..., 0], want)
+    # 16-bit + Adam7 together
+    img16 = np.stack([g16, a16, (g16 ^ a16)], -1).astype(np.uint16)
+    out = decode_png(
+        encode_png(img16, depth=16, interlace=1, filters=[1, 3])
+    )
+    assert np.array_equal(out, _down16(img16))
+
+
+def test_16bit_palette_rejected():
+    pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+    idx = np.zeros((4, 4), np.uint16)
+    assert decode_png(
+        encode_png(idx, color_type=3, palette=pal, depth=16)
+    ) is None
 
 
 def test_spark_strict_path_decodes_real_png(spark):
