@@ -14,12 +14,15 @@ stdlib zlib + numpy), GIF (operators/gif.py, pure-Python LZW), PCM16
 WAV audio via the stdlib ``wave`` module, IMA ADPCM WAV
 (operators/adpcm.py), a concatenated-PPM frame stream for video, and
 ISO-BMFF MP4/M4A/MOV containers (operators/mp4.py) carrying PCM/G.711
-audio tracks or PNG/motion-JPEG video tracks. Formats that genuinely
-require absent codec libraries (MP3, AAC, H.264, arithmetic-coded
-JPEG, interlaced/16-bit PNG) fall back per row to a deterministic hash
-fake when ``fake=True`` (keeps pipelines runnable end-to-end) or raise
-``NotImplementedError`` in strict mode. Payload sniffing is by magic
-bytes, so one column can mix formats.
+audio tracks or PNG/motion-JPEG video tracks. PNG covers all five
+filters, palette/gray/alpha variants, Adam7 interlace, and 16-bit
+depth (round-6). Formats that genuinely require absent codec libraries
+(MP3, AAC, H.264, arithmetic-coded JPEG) fall back per row to a
+deterministic hash fake when ``fake=True`` (keeps pipelines runnable
+end-to-end) or raise ``NotImplementedError`` in strict mode. The full
+format x behavior matrix is pinned in COVERAGE.md ("Codec boundary")
+and asserted by tests/test_codec_boundary.py. Payload sniffing is by
+magic bytes, so one column can mix formats.
 
 Scale notes: decode is the canonical Python-boundary operator — Arrow
 batches amortize serde; ``spark.sql.execution.arrow.maxRecordsPerBatch``
