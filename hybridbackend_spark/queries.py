@@ -4311,13 +4311,21 @@ def _semantic_dedup_oracle() -> str:
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
     ),
-    a AS (
+    a0 AS (
       SELECT vec_id, v, (list_sort({_ivf_dist_structs()}))[1].i AS cell
       FROM e
     ),
+    cn AS (SELECT cell, count(*) AS cnt FROM a0 GROUP BY cell),
+    a AS (
+      SELECT a0.vec_id, a0.v, a0.cell,
+             ('0x' || substr(md5(a0.vec_id::VARCHAR), 1, 4))::INT
+               % CAST((cn.cnt + 249) // 250 AS INT) AS shard
+      FROM a0 JOIN cn USING (cell)
+    ),
     p AS (
       SELECT x.vec_id AS ia, y.vec_id AS ib
-      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      FROM a x JOIN a y
+        ON x.cell = y.cell AND x.shard = y.shard AND x.vec_id < y.vec_id
       WHERE round({cos}, 6) >= 0.35
     ),
     ed AS (SELECT ia AS ea, ib AS eb FROM p UNION ALL SELECT ib, ia FROM p),
@@ -4335,15 +4343,21 @@ def _semantic_dedup_oracle() -> str:
 @register("semantic_dedup_docs", _semantic_dedup_oracle())
 def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embeddings clustered to the 8 fixed
-    IVF centroids, cosine>=0.35 pairs found ONLY within a cell, true
-    connected components, smallest id survives. The oracle replicates
-    assignment (identical centroid constants), in-cell pair scoring, and
-    the closure as a recursive CTE — survivors are hash-checked."""
+    IVF centroids, cosine>=0.35 pairs found ONLY within a cell (cells
+    over 250 rows sub-split by a replayable md5 shard hash — the
+    round-6 linearity bound added after the scale sweep measured 3.1x
+    super-linear growth at 10x data; work is now <= n * 250 / 2 pair
+    scores), true connected components, smallest id survives. The
+    oracle replicates assignment (identical centroid constants), the
+    shard split, in-cell pair scoring, and the closure as a recursive
+    CTE — survivors are hash-checked. At sf0.01 every cell is under
+    the bound (shards == 1), so the split is also a no-op there."""
     from .operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "embedding", "vec_id", centroids=_ivf_centroids(), threshold=0.35
+        emb, "embedding", "vec_id", centroids=_ivf_centroids(),
+        threshold=0.35, max_cell_rows=250,
     )
 
 

@@ -687,3 +687,58 @@ def test_prefix_setsim_join_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, ["a"])], "id long, toks array<string>")
     with pytest.raises(ValueError):
         prefix_setsim_join(df, "id", "toks", tau_num=3, tau_den=2)
+
+
+def test_semantic_dedup_max_cell_rows_bounds_and_noop(spark):
+    """Below the bound the shard split is a NO-OP (same survivors as
+    unbounded); an oversized cell is sub-split deterministically and
+    still dedups within shards."""
+    from hybridbackend_spark.operators.dedup import semantic_dedup
+
+    # one centroid -> everything lands in one cell
+    cents = [[1.0, 0.0]]
+    vecs = [(i, [1.0, 0.001 * i]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    unbounded = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", cents, threshold=0.9999
+        ).collect()
+    }
+    noop = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", cents, threshold=0.9999,
+            max_cell_rows=100,
+        ).collect()
+    }
+    assert noop == unbounded  # bound not hit -> identical
+    # bound hit: 40 rows, max_cell_rows=10 -> 4 shards; survivors are
+    # deterministic and a superset of the unbounded survivors (pairs
+    # across shards go uncompared, so fewer ids are dropped)
+    capped1 = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", cents, threshold=0.9999,
+            max_cell_rows=10,
+        ).collect()
+    }
+    capped2 = {
+        r.vec_id
+        for r in semantic_dedup(
+            df.repartition(7), "embedding", "vec_id", cents,
+            threshold=0.9999, max_cell_rows=10,
+        ).collect()
+    }
+    assert capped1 == capped2  # layout-invariant determinism
+    assert capped1 >= unbounded
+    # threshold so tight only near-identical vectors pair: each shard
+    # still finds its internal near-dups (not a degenerate keep-all)
+    assert len(capped1) < 40 or len(unbounded) == 40
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        semantic_dedup(
+            df, "embedding", "vec_id", cents, max_cell_rows=0
+        )
