@@ -290,6 +290,8 @@ EXTRA = [
     # round 6 additions
     "setsim_join_docs",
     "hyperball_reach_suppliers",
+    "mannwhitney_events",
+    "ks_test_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -37,6 +37,8 @@ __all__ = [
     "kaplan_meier",
     "psi_bits",
     "cuped_adjust",
+    "mann_whitney_u",
+    "ks_two_sample",
 ]
 
 
@@ -677,4 +679,180 @@ def cuped_adjust(
         F.when(
             var_y != 0, F.round((F.lit(1.0) - var_a / var_y) * 100.0, dp)
         ).alias("var_reduction_pct"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per experiment group —
+    the non-parametric companion to :func:`~hybridbackend_spark.
+    functions.metrics.ab_ztest` for heavy-tailed metrics where a mean
+    difference is the wrong readout (revenue, latency).
+
+    Engine-exact rank arithmetic: values quantize to an integer grid
+    (``round(value*scale)``), then for each distinct value the *doubled*
+    average tie rank is the integer ``2b + c + 1`` (``b`` = count of
+    strictly smaller values, ``c`` = tie count: the tied ranks are
+    ``b+1 .. b+c``), so the doubled control rank sum ``r1x2`` and the
+    doubled U statistic ``u_x2 = r1x2 - n1*(n1+1)`` are exact integers —
+    no float ranks, no summation-order drift. The tie-corrected normal
+    approximation ``z = (U - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) -
+    T/(n*(n-1))))`` with ``T = sum(c^3 - c)`` is a fixed-shape scalar
+    expression of those integers, identical across engines.
+
+    Scale shape: one (group, value) partial+final aggregation compresses
+    the fact table to the distinct-value histogram, a window partitioned
+    by ``group_col`` walks that histogram (never the raw rows), and the
+    final per-group fold is tiny. ``c^3`` and rank products accumulate
+    as DECIMAL(38,0); ``u_x2`` is returned as BIGINT (exact while
+    ``2*R1 < 2^63``, i.e. group sizes < ~2^31 rows — beyond that read
+    ``z`` only). Groups missing a variant return NULL ``z``.
+    """
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(variant_col).alias("_v"),
+        q.alias("_q"),
+    )
+    per_val = base.groupBy("_g", "_q").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias("c1"),
+    )
+    w_below = (
+        Window.partitionBy("_g")
+        .orderBy("_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.withColumn(
+        "b", F.coalesce(F.sum("c").over(w_below), F.lit(0))
+    )
+    agg = ranked.groupBy("_g").agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum(
+            _dec(F.col("c1")) * _dec(2 * F.col("b") + F.col("c") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            _dec(F.col("c")) * _dec(F.col("c")) * _dec(F.col("c"))
+            - _dec(F.col("c"))
+        ).alias("ties"),
+    )
+    u_x2 = (F.col("r1x2") - _dec(F.col("n1") * (F.col("n1") + 1))).cast(
+        "long"
+    )
+    stats = agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        u_x2.alias("u_x2"),
+        # decimal -> double directly (no long hop): sum(c^3) can pass
+        # 2^63 for mega-row tie groups while still being float-exact
+        # enough for the correction term; the oracle mirrors ::DOUBLE
+        F.col("ties").cast("double").alias("_tiesd"),
+    )
+    n1d = F.col("n_a").cast("double")
+    n2d = F.col("n_b").cast("double")
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    tiesd = F.col("_tiesd")
+    var = (
+        n1d * n2d / F.lit(12.0)
+        * ((nd + F.lit(1.0)) - tiesd / (nd * (nd - F.lit(1.0))))
+    )
+    du = (F.col("u_x2").cast("double") - n1d * n2d) / F.lit(2.0)
+    return stats.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "u_x2",
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & ((F.col("n_a") + F.col("n_b")) > 1)
+            & (var > 0),
+            F.round(du / F.sqrt(var), dp),
+        ).alias("z"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance per group: the maximum
+    gap between the two variants' empirical CDFs — the standard
+    whole-distribution shift detector (vs the mean-only z-test and the
+    binned-only PSI).
+
+    Engine-exact: values quantize to an integer grid; per distinct value
+    the cumulative variant counts ``fa, fb`` come from one ordered
+    window over the (group, value) histogram, and the KS numerator
+    ``d_num = max|fa*n_b - fb*n_a|`` is pure BIGINT (the true distance
+    is the rational ``d_num / (n_a*n_b)`` — reported both as the exact
+    integer and as a rounded double, plus the asymptotic test statistic
+    ``lambda = d * sqrt(n_a*n_b/(n_a+n_b))``). Exact while
+    ``n_a*n_b < 2^63`` (~3e9 rows per variant per group).
+
+    Scale shape: the raw table compresses to the per-group distinct-
+    value histogram in one partial+final agg; the window walks the
+    histogram partitioned by group (never a global sort); the final
+    per-group max is tiny.
+    """
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(variant_col).alias("_v"),
+        q.alias("_q"),
+    )
+    per_val = base.groupBy("_g", "_q").agg(
+        F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_v") == treatment, 1).otherwise(0)).alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = per_val.select(
+        "_g",
+        F.sum("ca").over(w_cum).alias("fa"),
+        F.sum("cb").over(w_cum).alias("fb"),
+        F.sum("ca").over(w_all).alias("n1"),
+        F.sum("cb").over(w_all).alias("n2"),
+    )
+    agg = cum.groupBy("_g").agg(
+        F.max("n1").alias("n_a"),
+        F.max("n2").alias("n_b"),
+        F.max(
+            F.abs(F.col("fa") * F.col("n2") - F.col("fb") * F.col("n1"))
+        ).alias("d_num"),
+    )
+    n1d = F.col("n_a").cast("double")
+    n2d = F.col("n_b").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.when(ok, F.round(d, dp)).alias("d"),
+        F.when(
+            ok,
+            F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), dp),
+        ).alias("lam"),
     )

@@ -47,6 +47,8 @@ __all__ = [
     "bpe_encode",
     "unigram_surprisal",
     "bigram_surprisal",
+    "pmi_bigrams",
+    "kneser_ney_bigram",
     "temperature_sample",
     "vocab_encode",
     "distribution_drift",
@@ -1081,4 +1083,129 @@ def neyman_sample(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
+    )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str) -> DataFrame:
+    """Exploded adjacent token pairs (_w1, _w2) — shared by the bigram
+    LM family (surprisal / PMI / Kneser-Ney)."""
+    toks = tokens(_c(text_col))
+    return df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    dp: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs — the
+    classic collocation / phrase-mining signal (Church & Hanks '90):
+    ``pmi = ln(c_xy * N / (c_x * c_y))`` over the corpus bigram stream,
+    with the marginals taken over bigram FIRST/SECOND positions so the
+    three counts share one event space.
+
+    All counts are exact integers from gram-keyed partial+final aggs
+    (shuffle volume ~ distinct grams, never corpus bytes); the marginals
+    are group-bys of the already-compressed bigram table; the grand
+    total joins back as a broadcast single row. Each PMI value is one
+    fixed-shape ``ln`` of an integer ratio — deterministic across
+    engines, no float accumulation anywhere.
+
+    Returns (w1, w2, c_xy, c_x, c_y, pmi) for pairs with
+    ``c_xy >= min_count`` (marginals still count ALL pairs).
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    bi = _bigram_pairs(df, text_col).groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    left = bi.groupBy("_w1").agg(F.sum("c_xy").alias("c_x"))
+    right = bi.groupBy("_w2").agg(F.sum("c_xy").alias("c_y"))
+    total = bi.agg(F.sum("c_xy").alias("_n"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(left, "_w1")
+        .join(right, "_w2")
+        .crossJoin(F.broadcast(total))
+    )
+    ratio = (F.col("c_xy").cast("double") * F.col("_n").cast("double")) / (
+        F.col("c_x").cast("double") * F.col("c_y").cast("double")
+    )
+    return scored.select(
+        F.col("_w1").alias("w1"),
+        F.col("_w2").alias("w2"),
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("c_x").cast("long").alias("c_x"),
+        F.col("c_y").cast("long").alias("c_y"),
+        F.round(F.log(ratio), dp).alias("pmi"),
+    )
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    discount_num: int = 3,
+    discount_den: int = 4,
+    dp: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney '95,
+    the workhorse smoothing of KenLM-style n-gram LMs used for
+    perplexity-based corpus filtering):
+
+        P(w2|w1) = (c(w1,w2) - d) / c(w1.)
+                 + d * N1+(w1.) / c(w1.) * N1+(.w2) / B
+
+    with discount ``d = discount_num/discount_den`` (default 3/4),
+    ``N1+(w1.)`` = distinct continuations of w1, ``N1+(.w2)`` = distinct
+    left contexts of w2 (the continuation probability — counting TYPES,
+    not tokens, is the Kneser-Ney insight), and ``B`` = total distinct
+    bigram types.
+
+    Every sufficient statistic is an exact integer over the compressed
+    bigram-type table (type counts are group-by count(*)s — no distinct
+    explosion beyond the bigram agg itself); the probability is one
+    fixed-shape scalar expression of them, so both engines produce
+    identical doubles. Returns (w1, w2, c_xy, n_follow, n_prec, p_kn)
+    for pairs with ``c_xy >= min_count`` (statistics still use ALL
+    pairs; c >= 1 > d keeps the discounted term positive).
+    """
+    if not (0 < discount_num < discount_den):
+        raise ValueError("discount must be in (0, 1)")
+    bi = _bigram_pairs(df, text_col).groupBy("_w1", "_w2").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    left = bi.groupBy("_w1").agg(
+        F.sum("c_xy").alias("c_tot"),
+        F.count(F.lit(1)).alias("n_follow"),
+    )
+    right = bi.groupBy("_w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    types = bi.agg(F.count(F.lit(1)).alias("_b"))
+    scored = (
+        bi.filter(F.col("c_xy") >= min_count)
+        .join(left, "_w1")
+        .join(right, "_w2")
+        .crossJoin(F.broadcast(types))
+    )
+    d = F.lit(discount_num).cast("double") / F.lit(discount_den).cast("double")
+    ctot = F.col("c_tot").cast("double")
+    p_kn = (F.col("c_xy").cast("double") - d) / ctot + (
+        d * F.col("n_follow").cast("double") / ctot
+    ) * (F.col("n_prec").cast("double") / F.col("_b").cast("double"))
+    return scored.select(
+        F.col("_w1").alias("w1"),
+        F.col("_w2").alias("w2"),
+        F.col("c_xy").cast("long").alias("c_xy"),
+        F.col("n_follow").cast("long").alias("n_follow"),
+        F.col("n_prec").cast("long").alias("n_prec"),
+        F.round(p_kn, dp).alias("p_kn"),
     )

@@ -12274,3 +12274,201 @@ def hyperball_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hyperball_reach(edges, "id_a", "id_b", k=2, directed=False)
+
+
+@register(
+    "mannwhitney_events",
+    """
+    WITH t AS (
+      SELECT event_type AS g,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isa,
+             CAST(round(value * 100) AS BIGINT) AS q
+      FROM events
+    ),
+    pv AS (
+      SELECT g, q, count(*)::BIGINT AS c, sum(isa)::BIGINT AS c1
+      FROM t GROUP BY g, q
+    ),
+    r AS (
+      SELECT g, c, c1,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      FROM pv
+    ),
+    a AS (
+      SELECT g,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c - c1) AS BIGINT) AS n2,
+             sum(CAST(c1 AS DECIMAL(38,0)) * (2 * b + c + 1)) AS r1x2,
+             sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS ties
+      FROM r GROUP BY g
+    ),
+    s AS (
+      SELECT g, n1 AS n_a, n2 AS n_b,
+             CAST(r1x2 - CAST(n1 * (n1 + 1) AS DECIMAL(38,0)) AS BIGINT)
+               AS u_x2,
+             ties::DOUBLE AS tiesd
+      FROM a
+    )
+    SELECT g AS event_type, n_a, n_b, u_x2,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                     AND n_a::DOUBLE * n_b::DOUBLE / 12.0
+                         * (((n_a + n_b)::DOUBLE + 1.0)
+                            - tiesd / ((n_a + n_b)::DOUBLE
+                                       * ((n_a + n_b)::DOUBLE - 1.0))) > 0
+                THEN round(
+                  ((u_x2::DOUBLE - n_a::DOUBLE * n_b::DOUBLE) / 2.0)
+                  / sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0
+                         * (((n_a + n_b)::DOUBLE + 1.0)
+                            - tiesd / ((n_a + n_b)::DOUBLE
+                                       * ((n_a + n_b)::DOUBLE - 1.0)))),
+                  6)
+           END AS z
+    FROM s
+    """,
+)
+def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test per event type, user-parity
+    variant split: the non-parametric A/B readout for heavy-tailed
+    `value` where ab_ztest's mean difference misleads. Doubled tie-rank
+    arithmetic keeps U an exact BIGINT (no float ranks); the tie-
+    corrected z is a fixed scalar expression of those integers, so the
+    oracle replays every statistic bit-for-bit (see
+    operators/analytics.py::mann_whitney_u for the rank identity)."""
+    from .operators.analytics import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return mann_whitney_u(ev, "event_type", "variant", "value")
+
+
+@register(
+    "ks_test_orders",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS g,
+             CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS isa,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS q
+      FROM orders
+    ),
+    pv AS (
+      SELECT g, q,
+             sum(isa)::BIGINT AS ca,
+             sum(1 - isa)::BIGINT AS cb
+      FROM t GROUP BY g, q
+    ),
+    c AS (
+      SELECT g,
+             sum(ca) OVER (PARTITION BY g ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+             sum(cb) OVER (PARTITION BY g ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+             sum(ca) OVER (PARTITION BY g) AS n1,
+             sum(cb) OVER (PARTITION BY g) AS n2
+      FROM pv
+    ),
+    a AS (
+      SELECT g,
+             CAST(max(n1) AS BIGINT) AS n_a,
+             CAST(max(n2) AS BIGINT) AS n_b,
+             CAST(max(abs(fa * n2 - fb * n1)) AS BIGINT) AS d_num
+      FROM c GROUP BY g
+    )
+    SELECT g AS o_orderpriority, n_a, n_b, d_num,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6)
+           END AS d,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             round(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+                   * sqrt(n_a::DOUBLE * n_b::DOUBLE
+                          / (n_a::DOUBLE + n_b::DOUBLE)), 6)
+           END AS lam
+    FROM a
+    """,
+)
+def ks_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance of the order-value
+    distribution between customer-parity cohorts, per order priority —
+    the whole-distribution shift detector (vs mean-only ab_ztest and
+    binned-only psi_orders). The KS numerator max|fa*n_b - fb*n_a| is
+    pure BIGINT over the per-group value histogram, so the exact
+    distance (and the asymptotic statistic lambda) hash-checks; see
+    operators/analytics.py::ks_two_sample for the scale shape."""
+    from .operators.analytics import ks_two_sample
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "variant",
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return ks_two_sample(o, "o_orderpriority", "variant", "o_totalprice")
+
+
+@register(
+    "pmi_bigrams_docs",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS w FROM documents),
+    p AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(w) - 1)) u(i)
+    ),
+    bi AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM p GROUP BY w1, w2),
+    l AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bi GROUP BY w1),
+    r AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM bi GROUP BY w2),
+    n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS total FROM bi)
+    SELECT bi.w1, bi.w2, c_xy, c_x, c_y,
+           round(ln((c_xy::DOUBLE * total::DOUBLE)
+                    / (c_x::DOUBLE * c_y::DOUBLE)), 6) AS pmi
+    FROM bi JOIN l USING (w1) JOIN r USING (w2), n
+    WHERE c_xy >= 5
+    """,
+)
+def pmi_bigrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI of adjacent token pairs over the corpus
+    (Church-Hanks), marginals over bigram first/second positions. Counts
+    are gram-keyed partial aggs of the compressed bigram table; each PMI
+    is one fixed-shape ln of an integer ratio, replayed exactly by the
+    oracle. See operators/corpus.py::pmi_bigrams."""
+    from .operators.corpus import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), "text", min_count=5)
+
+
+@register(
+    "kneser_ney_bigram_docs",
+    f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS w FROM documents),
+    p AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(w) - 1)) u(i)
+    ),
+    bi AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM p GROUP BY w1, w2),
+    l AS (
+      SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_tot,
+             count(*)::BIGINT AS n_follow
+      FROM bi GROUP BY w1
+    ),
+    r AS (SELECT w2, count(*)::BIGINT AS n_prec FROM bi GROUP BY w2),
+    b AS (SELECT count(*)::BIGINT AS types FROM bi)
+    SELECT bi.w1, bi.w2, c_xy, n_follow, n_prec,
+           round((c_xy::DOUBLE - (3::DOUBLE / 4::DOUBLE)) / c_tot::DOUBLE
+                 + ((3::DOUBLE / 4::DOUBLE) * n_follow::DOUBLE
+                    / c_tot::DOUBLE)
+                   * (n_prec::DOUBLE / types::DOUBLE), 6) AS p_kn
+    FROM bi JOIN l USING (w1) JOIN r USING (w2), b
+    WHERE c_xy >= 5
+    """,
+)
+def kneser_ney_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus — the KenLM-
+    style smoothing whose perplexity is the standard corpus-quality
+    filter; continuation probabilities count bigram TYPES, not tokens.
+    All sufficient statistics are exact integers on the bigram-type
+    table; the oracle replays the probability expression bit-for-bit.
+    See operators/corpus.py::kneser_ney_bigram."""
+    from .operators.corpus import kneser_ney_bigram
+
+    return kneser_ney_bigram(
+        _t(spark, sf_dir, "documents"), "text", min_count=5
+    )

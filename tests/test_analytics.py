@@ -604,3 +604,97 @@ def test_t_closeness_bounds_and_degenerate_group(spark):
     for r in rows:
         assert 0.0 <= r.t_value <= 1.0
         assert r.emd_num >= 0
+
+
+def _mwu_brute(xs_a, xs_b):
+    """Brute-force tie-averaged rank U and tie-corrected z."""
+    import math
+
+    allv = sorted(xs_a + xs_b)
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # ranks i+1..j
+        ranks[allv[i]] = avg
+        i = j
+    r1 = sum(ranks[v] for v in xs_a)
+    n1, n2 = len(xs_a), len(xs_b)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n = n1 + n2
+    from collections import Counter
+
+    ties = sum(c**3 - c for c in Counter(allv).values())
+    var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else None
+    return u1, z
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    from hybridbackend_spark.operators.analytics import mann_whitney_u
+
+    xs_a = [1.0, 2.5, 2.5, 4.0, 10.0, 3.0]
+    xs_b = [2.5, 5.0, 6.0, 1.0, 1.0, 7.5, 8.0]
+    rows = [("g1", "A", v) for v in xs_a] + [("g1", "B", v) for v in xs_b]
+    df = spark.createDataFrame(rows, "g string, v string, x double")
+    r = mann_whitney_u(df, "g", "v", "x").collect()[0]
+    u1, z = _mwu_brute([int(v * 100) for v in xs_a], [int(v * 100) for v in xs_b])
+    assert r.n_a == 6 and r.n_b == 7
+    assert r.u_x2 == int(2 * u1)
+    assert abs(r.z - round(z, 6)) < 1e-9
+
+
+def test_mann_whitney_single_variant_null_z(spark):
+    from hybridbackend_spark.operators.analytics import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("g1", "A", 1.0), ("g1", "A", 2.0)], "g string, v string, x double"
+    )
+    r = mann_whitney_u(df, "g", "v", "x").collect()[0]
+    assert r.n_b == 0 and r.z is None
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from hybridbackend_spark.operators.analytics import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("g1", "A", 3.0), ("g1", "B", 3.0), ("g1", "A", 3.0), ("g1", "B", 3.0)],
+        "g string, v string, x double",
+    )
+    r = mann_whitney_u(df, "g", "v", "x").collect()[0]
+    # every value tied -> rank variance 0 -> z undefined
+    assert r.z is None
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    from hybridbackend_spark.operators.analytics import ks_two_sample
+
+    xs_a = [1.0, 2.0, 2.0, 3.5, 9.0]
+    xs_b = [2.0, 4.0, 4.5, 5.0, 6.0, 9.5]
+    rows = [("g1", "A", v) for v in xs_a] + [("g1", "B", v) for v in xs_b]
+    df = spark.createDataFrame(rows, "g string, v string, x double")
+    r = ks_two_sample(df, "g", "v", "x").collect()[0]
+    qa = sorted(int(v * 100) for v in xs_a)
+    qb = sorted(int(v * 100) for v in xs_b)
+    n1, n2 = len(qa), len(qb)
+    support = sorted(set(qa + qb))
+    d_num = max(
+        abs(
+            sum(1 for v in qa if v <= x) * n2
+            - sum(1 for v in qb if v <= x) * n1
+        )
+        for x in support
+    )
+    assert (r.n_a, r.n_b, r.d_num) == (n1, n2, d_num)
+    assert abs(r.d - round(d_num / (n1 * n2), 6)) < 1e-12
+
+
+def test_ks_identical_samples_zero_distance(spark):
+    from hybridbackend_spark.operators.analytics import ks_two_sample
+
+    rows = [("g1", v, x) for v in ("A", "B") for x in (1.0, 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v string, x double")
+    r = ks_two_sample(df, "g", "v", "x").collect()[0]
+    assert r.d_num == 0 and r.d == 0.0

@@ -1,6 +1,7 @@
 """Corpus-prep operators: hash splits, repetition signals, sequence
 packing, document chunking (operators/corpus.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from hybridbackend_spark.operators.corpus import (
@@ -567,3 +568,103 @@ def test_neyman_sample_variance_proportional_quotas(spark):
         ).collect()
     )
     assert a == b
+
+
+def _py_bigrams(texts):
+    from collections import Counter
+
+    bi = Counter()
+    for t in texts:
+        ws = t.lower().split()
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] += 1
+    return bi
+
+
+def test_pmi_bigrams_matches_python(spark):
+    import math
+
+    from hybridbackend_spark.operators.corpus import pmi_bigrams
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog sat on the rug",
+        "the cat sat again",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r.w1, r.w2): r
+        for r in pmi_bigrams(df, "text", min_count=2).collect()
+    }
+    bi = _py_bigrams(texts)
+    n = sum(bi.values())
+    cx, cy = {}, {}
+    for (a, b), c in bi.items():
+        cx[a] = cx.get(a, 0) + c
+        cy[b] = cy.get(b, 0) + c
+    want = {k: c for k, c in bi.items() if c >= 2}
+    assert set(got) == set(want)
+    for (a, b), c in want.items():
+        r = got[(a, b)]
+        assert (r.c_xy, r.c_x, r.c_y) == (c, cx[a], cy[b])
+        exp = math.log((c * n) / (cx[a] * cy[b]))
+        assert abs(r.pmi - round(exp, 6)) < 1e-9
+
+
+def test_pmi_bigrams_bad_min_count_raises(spark):
+    from hybridbackend_spark.operators.corpus import pmi_bigrams
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        pmi_bigrams(df, "text", min_count=0)
+
+
+def test_kneser_ney_matches_python(spark):
+    from hybridbackend_spark.operators.corpus import kneser_ney_bigram
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "a dog sat on the rug",
+        "the cat sat again",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r.w1, r.w2): r
+        for r in kneser_ney_bigram(df, "text", min_count=2).collect()
+    }
+    bi = _py_bigrams(texts)
+    types = len(bi)
+    ctot, nfollow, nprec = {}, {}, {}
+    for (a, b), c in bi.items():
+        ctot[a] = ctot.get(a, 0) + c
+        nfollow[a] = nfollow.get(a, 0) + 1
+        nprec[b] = nprec.get(b, 0) + 1
+    d = 0.75
+    for (a, b), c in bi.items():
+        if c < 2:
+            continue
+        r = got[(a, b)]
+        assert (r.c_xy, r.n_follow, r.n_prec) == (c, nfollow[a], nprec[b])
+        exp = (c - d) / ctot[a] + (d * nfollow[a] / ctot[a]) * (
+            nprec[b] / types
+        )
+        assert abs(r.p_kn - round(exp, 6)) < 1e-9
+    # sanity: P(.|w1) over ALL continuations of w1 sums to <= 1 and the
+    # discounted mass is redistributed (probability-like output)
+    full = {
+        (r.w1, r.w2): r.p_kn
+        for r in kneser_ney_bigram(df, "text", min_count=1).collect()
+    }
+    for a in ctot:
+        s = sum(p for (x, _), p in full.items() if x == a)
+        assert s <= 1.0 + 1e-6
+
+
+def test_kneser_ney_bad_discount_raises(spark):
+    from hybridbackend_spark.operators.corpus import kneser_ney_bigram
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        kneser_ney_bigram(df, "text", discount_num=5, discount_den=4)
