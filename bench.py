@@ -292,6 +292,9 @@ EXTRA = [
     "hyperball_reach_suppliers",
     "mannwhitney_events",
     "ks_test_orders",
+    "pmi_bigrams_docs",
+    "kneser_ney_bigram_docs",
+    "clustering_coeff_parts",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

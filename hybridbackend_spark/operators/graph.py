@@ -35,6 +35,7 @@ __all__ = [
     "shortest_paths",
     "kcore",
     "hyperball_reach",
+    "clustering_coefficient",
 ]
 
 
@@ -864,4 +865,73 @@ def hyperball_reach(
                 4,
             ).alias("raw_est"),
         )
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected simple
+    graph: ``lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1))`` — the standard
+    "how clique-like is this node's neighborhood" readout (Watts &
+    Strogatz '98), the per-node refinement of :func:`triangle_count`'s
+    global numerator.
+
+    Edges canonicalize to the oriented ``a < b`` form, the ordered
+    wedge join enumerates each triangle exactly once as ``x < y < z``,
+    and each triangle credits all three corners (one explode of 3 rows
+    per triangle + a node-keyed partial agg). Degrees come from the
+    deduped edge list. Both statistics are exact integers; the
+    coefficient is one fixed-shape division, NULL for degree < 2
+    (undefined, and guarded so ANSI mode cannot abort).
+
+    Scale shape: two equi-joins on single node keys (the same
+    compact-forward wedge plan as ``triangle_count``) plus two
+    node-keyed aggs — no cross join, no per-node neighbor lists
+    materialized. Returns (id, degree, triangles, lcc).
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .join(e3, (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")))
+        .select("x", "y", "z")
+    )
+    contrib = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
+    )
+    tcount = contrib.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    out = deg.join(tcount, "id", "left")
+    degd = F.col("degree").cast("double")
+    trid = F.coalesce(F.col("triangles"), F.lit(0)).cast("double")
+    return out.select(
+        "id",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias(
+            "triangles"
+        ),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(F.lit(2.0) * trid / (degd * (degd - F.lit(1.0))), dp),
+        ).alias("lcc"),
     )

@@ -1,12 +1,14 @@
 """Pure-Python PNG decoder (stdlib ``zlib`` + numpy unfiltering).
 
 Built-in real codec #2 for the multimodal column family (after
-``operators/jpeg.py``): decodes 8- and 16-bit-per-sample PNGs, both
-sequential and Adam7-interlaced — grayscale (color type 0), RGB (2),
-palette (3, 8-bit only per spec), gray+alpha (4), and RGBA (6) — to an
-``(h, w, 3)`` uint8 array, the same output contract as
+``operators/jpeg.py``): decodes every spec-valid depth/color
+combination — 1/2/4/8/16-bit grayscale (color type 0), 8/16-bit RGB
+(2), 1/2/4/8-bit palette (3), 8/16-bit gray+alpha (4) and RGBA (6) —
+both sequential and Adam7-interlaced, to an ``(h, w, 3)`` uint8 array,
+the same output contract as
 :func:`~hybridbackend_spark.operators.jpeg.decode_jpeg`. 16-bit
 samples downsample by round(v / 257) (exact — 65535 = 255 * 257);
+sub-byte grayscale rescales by the exact factor 255/(2^depth - 1);
 alpha is composited over black (the deterministic choice — no
 configuration surface); palette entries resolve through PLTE.
 
@@ -34,15 +36,16 @@ _MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _unfilter(raw: bytes, h: int, w: int, bpp: int):
-    """Reverse PNG scanline filtering (types 0-4). ``bpp`` is bytes per
-    pixel; each scanline is 1 filter byte + w*bpp data bytes. Rows are
-    sequentially dependent, so the loop is per row; Sub/Paeth are also
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering (types 0-4). ``stride`` is the
+    scanline payload width in bytes (``w*bpp`` at 8/16-bit depths,
+    ``ceil(w*depth/8)`` packed bytes at sub-byte depths); ``bpp`` is the
+    filter distance in bytes (1 for sub-byte, per spec). Each scanline
+    is 1 filter byte + stride data bytes. Rows are sequentially
+    dependent, so the loop is per row; Sub/Paeth are also
     byte-sequential within a row (fine at fixture scale — the batch
     parallelism lives at the payload level, not inside one image)."""
     import numpy as np
-
-    stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
     for y in range(h):
@@ -108,6 +111,19 @@ def _rows_to_samples(rows, h: int, w: int, ch: int, depth: int):
     return ((v16 + 128) // 257).astype(np.uint8)
 
 
+def _subbyte_pixels(rows, h: int, w: int, depth: int):
+    """(h, stride) unfiltered packed bytes -> (h, w, 1) raw sample
+    values (0 .. 2^depth - 1). Bits are big-endian within each byte
+    (leftmost pixel first, per spec); trailing pad bits are dropped."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(
+        np.uint8
+    )[..., None]
+
+
 def _decode_png_strict(payload: bytes):
     import numpy as np
 
@@ -146,19 +162,33 @@ def _decode_png_strict(payload: bytes):
         raise ValueError("unknown compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown interlace method {interlace}")
-    if depth not in (8, 16) or ctype_n not in _CHANNELS:
+    if depth not in (1, 2, 4, 8, 16) or ctype_n not in _CHANNELS:
         raise ValueError(f"unsupported depth/color {depth}/{ctype_n}")
     if depth == 16 and ctype_n == 3:
         raise ValueError("16-bit palette images are invalid PNG")
+    if depth < 8 and ctype_n not in (0, 3):
+        raise ValueError("sub-byte depth valid only for gray/palette")
     if w == 0 or h == 0 or w > 1 << 15 or h > 1 << 15:
         raise ValueError("bad dimensions")
     ch = _CHANNELS[ctype_n]
-    bpp = ch * (depth // 8)
+    # filter distance is a whole byte even when a byte packs several
+    # pixels (spec: bpp rounds up to 1); stride is the packed row width
+    bpp = max(1, ch * depth // 8)
+
+    def _stride(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    def _pixels(sub: bytes, ph: int, pw: int):
+        rows = _unfilter(sub, ph, _stride(pw), bpp)
+        if depth < 8:
+            return _subbyte_pixels(rows, ph, pw, depth)
+        return _rows_to_samples(rows, ph, pw, ch, depth)
+
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        if len(raw) != h * (1 + w * bpp):
+        if len(raw) != h * (1 + _stride(w)):
             raise ValueError("decompressed size mismatch")
-        px = _rows_to_samples(_unfilter(raw, h, w, bpp), h, w, ch, depth)
+        px = _pixels(raw, h, w)
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
         px = np.zeros((h, w, ch), np.uint8)
         off = 0
@@ -167,17 +197,17 @@ def _decode_png_strict(payload: bytes):
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            n = ph * (1 + pw * bpp)
+            n = ph * (1 + _stride(pw))
             sub = raw[off : off + n]
             if len(sub) != n:
                 raise ValueError("decompressed size mismatch")
             off += n
-            px[y0::dy, x0::dx] = _rows_to_samples(
-                _unfilter(sub, ph, pw, bpp), ph, pw, ch, depth
-            )
+            px[y0::dy, x0::dx] = _pixels(sub, ph, pw)
         if off != len(raw):
             raise ValueError("decompressed size mismatch")
     if ctype_n == 0:  # grayscale -> replicate
+        if depth < 8:  # exact: 255 = 85*3 = 17*15 = 255*1
+            px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
         return np.repeat(px, 3, axis=2)
     if ctype_n == 2:  # RGB
         return px
@@ -236,9 +266,10 @@ def encode_png_rgb(img) -> bytes:
 
 def decode_png(payload: bytes):
     """Decode a PNG to an (h, w, 3) uint8 ndarray, or None when the
-    payload is not a PNG this decoder handles (wrong magic, depth 1/2/4
-    bits, structural corruption, CRC mismatch) — the codec-registry
-    fall-through contract, mirroring decode_jpeg."""
+    payload is not a valid PNG (wrong magic, structural corruption, CRC
+    mismatch, spec-invalid depth/color combination) — the
+    codec-registry fall-through contract, mirroring decode_jpeg. All
+    spec-valid depth/color combinations decode: 1/2/4/8/16-bit."""
     try:
         return _decode_png_strict(payload)
     except (ValueError, IndexError, KeyError, struct.error, zlib.error):

@@ -12472,3 +12472,64 @@ def kneser_ney_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigram(
         _t(spark, sf_dir, "documents"), "text", min_count=5
     )
+
+
+@register(
+    "clustering_coeff_parts",
+    """
+    WITH pp AS (
+      SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS a, pb AS b FROM pp GROUP BY pa, pb
+          HAVING count(DISTINCT ok) >= 2),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    contrib AS (
+      SELECT x AS id FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ),
+    tc AS (SELECT id, count(*)::BIGINT AS triangles FROM contrib GROUP BY id),
+    deg AS (
+      SELECT id, count(*)::BIGINT AS degree
+      FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+      GROUP BY id
+    )
+    SELECT deg.id, deg.degree,
+           coalesce(tc.triangles, 0)::BIGINT AS triangles,
+           CASE WHEN deg.degree >= 2 THEN
+             round(2.0 * coalesce(tc.triangles, 0)::DOUBLE
+                   / (deg.degree::DOUBLE * (deg.degree::DOUBLE - 1.0)), 6)
+           END AS lcc
+    FROM deg LEFT JOIN tc USING (id)
+    """,
+)
+def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of every part in the co-purchase
+    graph (edge = two parts co-occurring in >= 2 orders) — the per-node
+    refinement of triangle_count_parts: exact integer degree + triangle
+    credit from the ordered wedge join, one guarded division. See
+    operators/graph.py::clustering_coefficient."""
+    from .operators.graph import clustering_coefficient
+
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("pa", "pb")
+    )
+    return clustering_coefficient(pairs, "pa", "pb")

@@ -151,7 +151,9 @@ def test_structural_probe_only_formats():
 
 
 def test_excluded_variants_fall_through():
-    # sub-byte-depth PNG
+    # sub-byte-depth PNG is now a REAL decode (all spec-valid PNG
+    # depth/color combinations are in scope): a 4x4 4-bit grayscale
+    # zero image decodes to black, it does not fall through
     ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
 
     def chunk(ct, d):
@@ -164,7 +166,16 @@ def test_excluded_variants_fall_through():
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(12))) + chunk(b"IEND", b"")
     )
-    assert decode_png(png4) is None
+    out4 = decode_png(png4)
+    assert out4 is not None and out4.shape == (4, 4, 3)
+    assert not out4.any()
+    # spec-INVALID depth (3-bit) still falls through
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
+    png3 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr3)
+        + chunk(b"IDAT", zlib.compress(bytes(12))) + chunk(b"IEND", b"")
+    )
+    assert decode_png(png3) is None
     # arithmetic-coded JPEG: SOI + SOF9 (extended sequential,
     # arithmetic) header — decoder must refuse, not garble
     sof9 = b"\xff\xd8" + b"\xff\xc9" + struct.pack(

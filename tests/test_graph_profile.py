@@ -553,3 +553,30 @@ def test_hyperball_reach_k0_is_self_only(spark):
     edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     out = {r.id: r.n_regs for r in hyperball_reach(edges, k=0).collect()}
     assert out == {1: 1, 2: 1}
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from hybridbackend_spark.operators.graph import clustering_coefficient
+
+    # triangle 1-2-3, pendant 4 on node 1, square 10-11-12-13 (no tris)
+    edges = [
+        (1, 2), (2, 3), (3, 1), (1, 4),
+        (10, 11), (11, 12), (12, 13), (13, 10),
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r for r in clustering_coefficient(df, "id_a", "id_b").collect()}
+    assert (got[1].degree, got[1].triangles) == (3, 1)
+    assert got[1].lcc == round(2 * 1 / (3 * 2), 6)
+    assert got[2].lcc == 1.0 and got[3].lcc == 1.0
+    assert got[4].degree == 1 and got[4].lcc is None  # undefined
+    for n in (10, 11, 12, 13):
+        assert (got[n].degree, got[n].triangles, got[n].lcc) == (2, 0, 0.0)
+
+
+def test_clustering_coefficient_dedupes_and_ignores_self_loops(spark):
+    from hybridbackend_spark.operators.graph import clustering_coefficient
+
+    edges = [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r for r in clustering_coefficient(df, "id_a", "id_b").collect()}
+    assert all(got[n].lcc == 1.0 and got[n].degree == 2 for n in (1, 2, 3))

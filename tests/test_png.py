@@ -72,19 +72,36 @@ _ADAM7_PASSES = (
 )
 
 
+def _pack_subbyte_row(row, depth):
+    """Pack one scanline of sub-byte samples big-endian-first into
+    bytes, zero-padding the tail (spec bit order) — written directly
+    from the spec, independent of the decoder's unpackbits path."""
+    bits = []
+    for v in row:
+        for k in range(depth - 1, -1, -1):
+            bits.append((int(v) >> k) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    return bytes(
+        sum(b << (7 - i) for i, b in enumerate(bits[j : j + 8]))
+        for j in range(0, len(bits), 8)
+    )
+
+
 def encode_png(img, color_type=2, filters=None, palette=None,
                interlace=0, depth=8):
     """Minimal PNG encoder (tests only). ``img`` shape by color type:
     0 -> (h, w), 2 -> (h, w, 3), 3 -> (h, w) palette indices (requires
     ``palette`` (n, 3)), 4 -> (h, w, 2), 6 -> (h, w, 4). ``filters``
     picks the per-scanline filter type (int or list cycling 0-4).
-    ``depth=16`` takes uint16 samples (written big-endian);
+    ``depth=16`` takes uint16 samples (written big-endian); depths
+    1/2/4 pack samples big-endian-first within each byte;
     ``interlace=1`` writes Adam7 passes, each filtered independently."""
     img = np.asarray(img, dtype=np.uint16 if depth == 16 else np.uint8)
     h, w = img.shape[:2]
     ch = 1 if img.ndim == 2 else img.shape[2]
     px = img.reshape(h, w, ch)
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * depth // 8)
 
     def pick(y):
         if filters is None:
@@ -95,13 +112,15 @@ def encode_png(img, color_type=2, filters=None, palette=None,
 
     def emit_sub(sub, raw):
         ph, pw = sub.shape[:2]
-        prev = bytes(pw * bpp)
+        prev = bytes((pw * ch * depth + 7) // 8)
         for y in range(ph):
             row = sub[y]
-            line = (
-                row.astype(">u2").tobytes() if depth == 16
-                else row.astype(np.uint8).tobytes()
-            )
+            if depth == 16:
+                line = row.astype(">u2").tobytes()
+            elif depth == 8:
+                line = row.astype(np.uint8).tobytes()
+            else:
+                line = _pack_subbyte_row(row.reshape(-1), depth)
             ftype = pick(y)
             raw.append(ftype)
             raw.extend(_filter_line(ftype, line, prev, bpp))
@@ -239,16 +258,15 @@ def test_not_mine_falls_through():
     bad = bytearray(good)
     bad[len(bad) - 20] ^= 0xFF
     assert decode_png(bytes(bad)) is None
-    # sub-byte depths remain out of scope -> registry fall-through
-    # (hand-built header: the test encoder doesn't pack sub-byte rows)
-    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
-    blob4 = (
+    # spec-invalid depth (3 bits) -> fall-through, not garbage
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
+    blob3 = (
         _MAGIC
-        + _chunk(b"IHDR", ihdr4)
+        + _chunk(b"IHDR", ihdr3)
         + _chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 2))))
         + _chunk(b"IEND", b"")
     )
-    assert decode_png(blob4) is None
+    assert decode_png(blob3) is None
 
 
 @pytest.mark.parametrize("dims", [(13, 17), (8, 8), (7, 5), (1, 1),
@@ -407,3 +425,66 @@ def test_image_pixel_stats_mixed_codecs_and_strict(spark):
     )
     with _pytest.raises(PythonException, match="not a format decodable"):
         image_pixel_stats(bad, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# sub-byte depths (1/2/4-bit gray + palette)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_subbyte_gray_roundtrip_each_filter(depth, ftype):
+    rng = np.random.RandomState(depth * 10 + ftype)
+    # width chosen so rows need tail padding (w*depth % 8 != 0)
+    img = rng.randint(0, 1 << depth, size=(6, 5)).astype(np.uint8)
+    out = decode_png(encode_png(img, color_type=0, depth=depth,
+                                filters=ftype))
+    scale = 255 // ((1 << depth) - 1)
+    want = np.repeat((img * scale).astype(np.uint8)[..., None], 3, axis=2)
+    assert np.array_equal(out, want)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_subbyte_palette_roundtrip(depth):
+    rng = np.random.RandomState(depth)
+    n = 1 << depth
+    palette = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+    idx = rng.randint(0, n, size=(5, 7)).astype(np.uint8)
+    out = decode_png(encode_png(idx, color_type=3, palette=palette,
+                                depth=depth, filters=[0, 1, 2, 3, 4]))
+    assert np.array_equal(out, palette[idx])
+
+
+def test_subbyte_adam7_interlaced_roundtrip():
+    rng = np.random.RandomState(7)
+    for dims in [(9, 11), (1, 1), (3, 2)]:
+        img = rng.randint(0, 2, size=dims).astype(np.uint8)
+        out = decode_png(encode_png(img, color_type=0, depth=1,
+                                    interlace=1, filters=[0, 2, 1]))
+        want = np.repeat((img * 255)[..., None], 3, axis=2)
+        assert np.array_equal(out, want), dims
+
+
+def test_subbyte_full_value_range_exact_scaling():
+    # every representable sample value at each depth maps to the exact
+    # 255/(2^d - 1) grid (1-bit: {0,255}; 2-bit: x85; 4-bit: x17)
+    for depth in (1, 2, 4):
+        vals = np.arange(1 << depth, dtype=np.uint8)[None, :]
+        out = decode_png(encode_png(vals, color_type=0, depth=depth))
+        assert list(out[0, :, 0]) == [
+            v * (255 // ((1 << depth) - 1)) for v in range(1 << depth)
+        ]
+
+
+def test_subbyte_rgb_is_spec_invalid():
+    # depths 1/2/4 are only legal for gray (0) and palette (3)
+    img = np.zeros((2, 2, 3), np.uint8)
+    assert decode_png(encode_png(img, color_type=2, depth=4)) is None
+
+
+def test_subbyte_palette_index_out_of_range_falls_through():
+    palette = np.zeros((2, 3), np.uint8)  # 2 entries, but idx 3 used
+    idx = np.array([[3]], np.uint8)
+    assert decode_png(encode_png(idx, color_type=3, palette=palette,
+                                 depth=2)) is None
