@@ -295,6 +295,7 @@ EXTRA = [
     "pmi_bigrams_docs",
     "kneser_ney_bigram_docs",
     "clustering_coeff_parts",
+    "dsir_select_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

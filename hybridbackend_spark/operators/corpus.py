@@ -49,6 +49,7 @@ __all__ = [
     "bigram_surprisal",
     "pmi_bigrams",
     "kneser_ney_bigram",
+    "dsir_importance",
     "temperature_sample",
     "vocab_encode",
     "distribution_drift",
@@ -1208,4 +1209,77 @@ def kneser_ney_bigram(
         F.col("n_follow").cast("long").alias("n_follow"),
         F.col("n_prec").cast("long").alias("n_prec"),
         F.round(p_kn, dp).alias("p_kn"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    '23, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    hashed-n-gram features are under a TARGET domain (rows matching
+    ``target_pred``) than under the raw corpus, then keep documents
+    that look more target-like than corpus-average.
+
+    Engine-exact adaptation: tokens hash into ``n_buckets`` md5 buckets
+    (:func:`hash_bucket` — replayable in any engine); both the target
+    and raw bucket LMs use Laplace-smoothed WHOLE-BIT log2 integer
+    surprisal (``length(bin(x))`` — the same zero-float trick as
+    :func:`unigram_surprisal`), so each bucket's log-ratio weight
+
+        w_b = (bits(t_b+1) - bits(r_b+1)) + (bits(R+B) - bits(T+B))
+
+    is an exact integer and every per-doc sum is BIGINT — immune to
+    float summation order. ``selected = dsir_bits > 0`` (more
+    target-like than average), the deterministic analog of DSIR's
+    Gumbel resampling.
+
+    Scale shape: one conditional-agg pass builds BOTH bucket LMs
+    (<= n_buckets rows, broadcast back to the token stream — never a
+    fact-side shuffle for the weights); totals ride along as one
+    broadcast row; one doc-keyed partial agg scores. Documents with
+    zero tokens carry no evidence and are omitted.
+
+    Returns (id, n_toks, dsir_bits, selected).
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(tokens(_c(text_col))).alias("_tok"),
+    ).select(
+        id_col, "_is_t", hash_bucket(F.col("_tok"), n_buckets).alias("_b")
+    )
+    lm = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_r"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t"),
+    )
+    # distinct names (not _R/_T): Spark resolves case-insensitively
+    totals = lm.agg(
+        F.sum("_r").alias("_rtot"), F.sum("_t").alias("_ttot")
+    )
+
+    def bits(c: Column) -> Column:
+        return F.length(F.bin(c))
+
+    weights = lm.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            (bits(F.col("_t") + 1) - bits(F.col("_r") + 1))
+            + (
+                bits(F.col("_rtot") + n_buckets)
+                - bits(F.col("_ttot") + n_buckets)
+            )
+        ).alias("_w"),
+    )
+    scored = toks.join(F.broadcast(weights), "_b").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("_w").cast("long").alias("dsir_bits"),
+    )
+    return scored.select(
+        id_col, "n_toks", "dsir_bits", (F.col("dsir_bits") > 0).alias("selected")
     )

@@ -12533,3 +12533,56 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return clustering_coefficient(pairs, "pa", "pb")
+
+
+@register(
+    "dsir_select_docs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_t,
+             ('0x' || substr(md5(u.t || ':0'), 1, 8))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents) d,
+           unnest(w) u(t)
+    ),
+    lm AS (
+      SELECT b, count(*)::BIGINT AS r,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t
+      FROM tk GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(r) AS BIGINT) AS rr, CAST(sum(t) AS BIGINT) AS tt
+      FROM lm
+    ),
+    wt AS (
+      SELECT b,
+             (length(bin(t + 1)) - length(bin(r + 1)))
+             + (length(bin(rr + 4096)) - length(bin(tt + 4096))) AS w
+      FROM lm, tot
+    )
+    SELECT tk.doc_id, count(*)::BIGINT AS n_toks,
+           CAST(sum(w) AS BIGINT) AS dsir_bits,
+           CAST(sum(w) AS BIGINT) > 0 AS selected
+    FROM tk JOIN wt USING (b)
+    GROUP BY tk.doc_id
+    """,
+)
+def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: score every document's hashed-unigram
+    stream against a target-domain LM (sources src0-src4 as the target
+    proxy) vs the raw-corpus LM, in exact whole-bit integer log2
+    (Laplace-smoothed); keep documents more target-like than corpus
+    average. The bucket LM is <= 4096 rows broadcast back to the token
+    stream — no fact-side shuffle for the weights. Oracle replays the
+    md5 bucketing and bit arithmetic exactly. See
+    operators/corpus.py::dsir_importance."""
+    from .operators.corpus import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs,
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        "doc_id",
+        "text",
+        n_buckets=4096,
+    )

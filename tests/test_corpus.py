@@ -668,3 +668,52 @@ def test_kneser_ney_bad_discount_raises(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError):
         kneser_ney_bigram(df, "text", discount_num=5, discount_den=4)
+
+
+def test_dsir_importance_matches_python_replay(spark):
+    import hashlib
+
+    from hybridbackend_spark.operators.corpus import dsir_importance
+
+    rows = [
+        (1, "alpha beta gamma", "tgt"),
+        (2, "alpha alpha delta", "tgt"),
+        (3, "omega psi chi", "raw"),
+        (4, "alpha omega beta", "raw"),
+        (5, "", "raw"),  # zero tokens -> omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    B = 64
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(
+            df, F.col("src") == "tgt", "doc_id", "text", n_buckets=B
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+
+    def bucket(tok):
+        return int(hashlib.md5(f"{tok}:0".encode()).hexdigest()[:8], 16) % B
+
+    r_cnt, t_cnt = {}, {}
+    for _, text, src in rows:
+        for tok in text.lower().split():
+            b = bucket(tok)
+            r_cnt[b] = r_cnt.get(b, 0) + 1
+            if src == "tgt":
+                t_cnt[b] = t_cnt.get(b, 0) + 1
+    R, T = sum(r_cnt.values()), sum(t_cnt.values())
+    bits = lambda x: len(bin(x)) - 2
+    for doc_id, text, _ in rows:
+        tk = text.lower().split()
+        if not tk:
+            continue
+        score = sum(
+            (bits(t_cnt.get(bucket(w), 0) + 1) - bits(r_cnt[bucket(w)] + 1))
+            + (bits(R + B) - bits(T + B))
+            for w in tk
+        )
+        r = got[doc_id]
+        assert (r.n_toks, r.dsir_bits, r.selected) == (
+            len(tk), score, score > 0
+        )
