@@ -296,6 +296,7 @@ EXTRA = [
     "kneser_ney_bigram_docs",
     "clustering_coeff_parts",
     "dsir_select_docs",
+    "rrf_hybrid_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

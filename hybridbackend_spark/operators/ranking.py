@@ -24,8 +24,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_topk"    "item_similarity",
-]
+__all__ = ["bm25_topk", "item_similarity", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -186,4 +185,65 @@ def item_similarity(
     return (
         both.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def rrf_fuse(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    id_col: str,
+    score_a: str = "score",
+    score_b: str = "score",
+    k: int = 20,
+    c: int = 60,
+    dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (Cormack et al.
+    '09) — the standard hybrid-search combiner for a lexical (BM25) and
+    a dense (embedding-cosine) ranker:
+
+        rrf(d) = sum over rankers of 1 / (c + rank_r(d))
+
+    over each ranker's top ``k``, with the conventional ``c = 60``.
+    Ranks are (score desc, id) — fully deterministic under ties.
+
+    Scale shape: each input reduces to its global top-k FIRST
+    (TakeOrderedAndProject — no full sort), and ranks come from
+    collapsing those k rows into ONE sorted array + posexplode — a
+    bounded readout with no unpartitioned window, so the global-window
+    plan gate stays clean. The fusion itself is a k-vs-k full join; the
+    RRF sum is two terms in fixed order (engine-identical doubles).
+
+    Returns (id, rank_a, rank_b, rrf_score); a NULL rank means the
+    document appeared in only one ranker's top-k.
+    """
+
+    def ranked(df: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+        top = df.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
+        arr = top.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(score_col)).alias("_neg"),
+                        F.col(id_col).alias("_id"),
+                    )
+                )
+            ).alias("_l")
+        )
+        return arr.select(
+            F.posexplode("_l").alias("_pos", "_s")
+        ).select(
+            F.col("_s._id").alias(id_col),
+            (F.col("_pos") + 1).cast("long").alias(rank_name),
+        )
+
+    a = ranked(list_a, score_a, "rank_a")
+    b = ranked(list_b, score_b, "rank_b")
+    one = F.lit(1.0)
+    cd = F.lit(float(c))
+    rrf = F.coalesce(
+        one / (cd + F.col("rank_a").cast("double")), F.lit(0.0)
+    ) + F.coalesce(one / (cd + F.col("rank_b").cast("double")), F.lit(0.0))
+    return a.join(b, id_col, "full").select(
+        id_col, "rank_a", "rank_b", F.round(rrf, dp).alias("rrf_score")
     )

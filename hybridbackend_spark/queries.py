@@ -12586,3 +12586,85 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n_buckets=4096,
     )
+
+
+@register(
+    "rrf_hybrid_docs",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM toked),
+    post AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toked
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM post WHERE term IN ('hash', 'join', 'spark', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bm AS (
+      SELECT t.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl
+                                / (s.sum_dl::DOUBLE / s.n_docs)))
+             ), 6) AS score
+      FROM tf t JOIN dfreq d USING (term), stats s
+      GROUP BY t.doc_id
+      ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+      FROM bm
+    ),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    cs AS (
+      SELECT c.vec_id AS doc_id,
+             round(
+               list_sum(list_transform(list_zip(q.qv, c.v),
+                                       p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(q.qv, z -> z * z)))
+                  * sqrt(list_sum(list_transform(c.v, z -> z * z)))),
+               6) AS cos
+      FROM e c, q WHERE c.vec_id != 0
+      ORDER BY cos DESC, doc_id LIMIT 20
+    ),
+    csr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_b
+      FROM cs
+    )
+    SELECT coalesce(bmr.doc_id, csr.doc_id) AS doc_id, rank_a, rank_b,
+           round(coalesce(1.0::DOUBLE / (60.0 + rank_a), 0.0)
+                 + coalesce(1.0::DOUBLE / (60.0 + rank_b), 0.0), 6)
+             AS rrf_score
+    FROM bmr FULL JOIN csr ON bmr.doc_id = csr.doc_id
+    """,
+)
+def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of a lexical
+    BM25 top-20 (4-term query) and a dense embedding-cosine top-20
+    (probe = vec 0, doc_id aligned with vec_id in the synthetic
+    corpus). Each ranker reduces to its top-k before fusion; ranks are
+    derived from a bounded one-row sorted array (no global window);
+    the fused score is two fixed-order terms, replayed exactly by the
+    oracle. See operators/ranking.py::rrf_fuse."""
+    from .operators.ranking import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(
+        docs, "doc_id", "text", ["hash", "join", "spark", "vector"], k=20
+    )
+    probe = emb.filter(F.col("vec_id") == 0)
+    dense = cosine_topk(
+        probe, emb, "vec_id", "vec_id", "embedding", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), "cos")
+    return rrf_fuse(bm, dense, "doc_id", score_a="score", score_b="cos", k=20)

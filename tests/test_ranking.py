@@ -86,3 +86,47 @@ def test_item_similarity_degree_cap_drops_power_user(spark):
     capped = item_similarity(df, "u", "i", k=10, max_user_degree=4)
     pairs = {(r["item"], r["neighbor"]) for r in capped.collect()}
     assert pairs == {("a", "b"), ("b", "a")}  # only user 1's signal remains
+
+
+def test_rrf_fuse_ranks_and_nulls(spark):
+    from hybridbackend_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 8.0), (4, 1.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "doc_id long, cos double"
+    )
+    got = {
+        r.doc_id: r
+        for r in rrf_fuse(a, b, "doc_id", "score", "cos", k=3, c=60).collect()
+    }
+    # top-3 of a: 1 (rank 1), then 8.0-tie broken by id: 2 (2), 3 (3);
+    # doc 4 cut by k. top-3 of b: 3, 5, 1.
+    assert (got[1].rank_a, got[1].rank_b) == (1, 3)
+    assert (got[2].rank_a, got[2].rank_b) == (2, None)
+    assert (got[3].rank_a, got[3].rank_b) == (3, 1)
+    assert (got[5].rank_a, got[5].rank_b) == (None, 2)
+    assert 4 not in got
+    assert got[1].rrf_score == round(1 / 61 + 1 / 63, 6)
+    assert got[2].rrf_score == round(1 / 62, 6)
+    assert got[3].rrf_score == round(1 / 63 + 1 / 61, 6)
+    # fused order puts the double-hit docs first
+    ordered = sorted(got.values(), key=lambda r: -r.rrf_score)
+    assert {ordered[0].doc_id, ordered[1].doc_id} == {1, 3}
+
+
+def test_rrf_fuse_no_unpartitioned_window(spark):
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.ranking import rrf_fuse
+    from hybridbackend_spark.plans.inspect import has_unpartitioned_window
+
+    a = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("score")
+    )
+    b = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).cast("double").alias("cos")
+    )
+    out = rrf_fuse(a, b, "doc_id", "score", "cos", k=10)
+    assert not has_unpartitioned_window(out)
