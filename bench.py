@@ -297,6 +297,7 @@ EXTRA = [
     "clustering_coeff_parts",
     "dsir_select_docs",
     "rrf_hybrid_docs",
+    "link_predict_parts",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

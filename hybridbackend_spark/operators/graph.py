@@ -36,6 +36,7 @@ __all__ = [
     "kcore",
     "hyperball_reach",
     "clustering_coefficient",
+    "link_prediction",
 ]
 
 
@@ -934,4 +935,74 @@ def clustering_coefficient(
             F.col("degree") >= 2,
             F.round(F.lit(2.0) * trid / (degd * (degd - F.lit(1.0))), dp),
         ).alias("lcc"),
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_common: int = 1,
+    max_degree: int | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Link prediction scores for NON-adjacent node pairs at distance 2
+    (Liben-Nowell & Kleinberg '03): common-neighbor count, Jaccard
+    overlap of neighborhoods, and preferential attachment — the three
+    classic integer-exact predictors (Adamic-Adar is deliberately
+    omitted: its 1/ln(deg) sum accumulates floats in engine-dependent
+    order; these three are exact BIGINT/single-division statistics).
+
+    Scale shape: candidate pairs come from the wedge self-join on the
+    shared-neighbor key (fan-out deg(z)^2 per hub z — ``max_degree``
+    drops hubs above the cap BEFORE the join, the same guard as
+    ``item_similarity``'s ``max_user_degree``; a node everyone touches
+    predicts nothing and costs quadratic work). Existing edges leave
+    via an anti-join; two tiny degree joins finish. No neighbor LISTS
+    are ever materialized — everything is (pair, count) rows.
+
+    Returns (id_a, id_b, common, jaccard, pref_attach) for non-edges
+    with ``common >= min_common``.
+    """
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy(F.col("n").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select(
+            F.col("id").alias("z")
+        )
+        adj = adj.join(keep, "z")
+    l, r = adj.alias("l"), adj.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.z") == F.col("r.z")) & (F.col("l.n") < F.col("r.n")),
+        )
+        .groupBy(F.col("l.n").alias("a"), F.col("r.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+        .join(e, ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("_db"))
+    out = cand.join(da, "a").join(db, "b")
+    union_sz = F.col("_da") + F.col("_db") - F.col("common")
+    return out.select(
+        F.col("a").alias(src),
+        F.col("b").alias(dst),
+        F.col("common").cast("long").alias("common"),
+        F.round(
+            F.col("common").cast("double") / union_sz.cast("double"), dp
+        ).alias("jaccard"),
+        (F.col("_da") * F.col("_db")).cast("long").alias("pref_attach"),
     )

@@ -12668,3 +12668,59 @@ def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe, emb, "vec_id", "vec_id", "embedding", "embedding", k=20
     ).select(F.col("neighbor_id").alias("doc_id"), "cos")
     return rrf_fuse(bm, dense, "doc_id", score_a="score", score_b="cos", k=20)
+
+
+@register(
+    "link_predict_parts",
+    """
+    WITH pp AS (
+      SELECT a.l_orderkey AS ok, a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT pa AS a, pb AS b FROM pp GROUP BY pa, pb
+          HAVING count(DISTINCT ok) >= 2),
+    adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+    deg AS (SELECT n AS id, count(*)::BIGINT AS deg FROM adj GROUP BY n),
+    cand AS (
+      SELECT l.n AS a, r.n AS b, count(*)::BIGINT AS common
+      FROM adj l JOIN adj r ON r.z = l.z AND l.n < r.n
+      GROUP BY l.n, r.n HAVING count(*) >= 2
+    ),
+    ne AS (
+      SELECT cand.a, cand.b, cand.common FROM cand
+      ANTI JOIN e ON e.a = cand.a AND e.b = cand.b
+    )
+    SELECT ne.a AS pa, ne.b AS pb, common,
+           round(common::DOUBLE / (da.deg + db.deg - common)::DOUBLE, 6)
+             AS jaccard,
+           CAST(da.deg * db.deg AS BIGINT) AS pref_attach
+    FROM ne JOIN deg da ON da.id = ne.a JOIN deg db ON db.id = ne.b
+    """,
+)
+def link_predict_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for every
+    NON-adjacent part pair sharing >= 2 neighbors, the three classic
+    integer-exact predictors (common neighbors, neighborhood Jaccard,
+    preferential attachment). Wedge self-join on the shared-neighbor
+    key, existing edges removed by anti-join; Adamic-Adar deliberately
+    omitted (float-order-dependent sum). See
+    operators/graph.py::link_prediction."""
+    from .operators.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("pa", "pb")
+    )
+    return link_prediction(pairs, "pa", "pb", min_common=2)

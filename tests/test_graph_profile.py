@@ -580,3 +580,35 @@ def test_clustering_coefficient_dedupes_and_ignores_self_loops(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r for r in clustering_coefficient(df, "id_a", "id_b").collect()}
     assert all(got[n].lcc == 1.0 and got[n].degree == 2 for n in (1, 2, 3))
+
+
+def test_link_prediction_hand_graph(spark):
+    from hybridbackend_spark.operators.graph import link_prediction
+
+    # path 1-2-3 plus 1-4, 3-4: non-edges at distance 2:
+    #   (1,3): common {2,4}; (2,4): common {1,3}
+    edges = [(1, 2), (2, 3), (1, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in link_prediction(df, "id_a", "id_b").collect()
+    }
+    assert set(got) == {(1, 3), (2, 4)}
+    r13 = got[(1, 3)]
+    # deg(1)=deg(3)=2, common=2 -> jaccard 2/(2+2-2)=1.0
+    assert (r13.common, r13.jaccard, r13.pref_attach) == (2, 1.0, 4)
+    # adjacency pairs are excluded even when they share neighbors
+    assert (1, 2) not in got and (3, 4) not in got
+
+
+def test_link_prediction_max_degree_drops_hub_evidence(spark):
+    from hybridbackend_spark.operators.graph import link_prediction
+
+    # star: hub 100 connects 1..5; every leaf pair shares only the hub
+    edges = [(100, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    assert link_prediction(df, "id_a", "id_b").count() == 10
+    # capping below the hub degree removes all wedge evidence
+    assert (
+        link_prediction(df, "id_a", "id_b", max_degree=4).count() == 0
+    )
