@@ -298,6 +298,7 @@ EXTRA = [
     "dsir_select_docs",
     "rrf_hybrid_docs",
     "link_predict_parts",
+    "holt_trend_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear"]
 
 
 def resample_fill(
@@ -442,3 +442,69 @@ def forecast_backtest(
         )
 
     return score("_naive", "naive").unionByName(score("_snaive", "seasonal_naive"))
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    horizon: int = 7,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key Holt linear-trend (double exponential) smoothing with
+    alpha = 1/2, beta = 1/4 — the level+trend upgrade of :func:`ewma`
+    and the simplest genuine forecaster:
+
+        l_t = a*v_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}
+        forecast(h) = l_n + h * b_n
+
+    initialized l_1 = v_1, b_1 = 0.
+
+    Engine-exact the same way as :func:`ewma`: the fold runs STRICTLY
+    in ``ts_col`` order in both engines (Spark ``aggregate`` over a
+    sorted struct array == DuckDB ``list_reduce`` over an ORDER BY
+    list), with the state pair carried as a struct and the combine
+    expression written with the identical operation tree — so every
+    IEEE step, and therefore every output bit, matches regardless of
+    partitioning. Dyadic coefficients (1/2, 1/4, 3/4) are exact binary.
+
+    Scale shape: one shuffle on the key; each key's series is folded as
+    one array. Per-key histories must be bounded (daily/hourly
+    aggregates — the calendar bounds them); resample/aggregate first
+    for raw event streams.
+
+    Returns (key, n_obs, level, trend, forecast) rounded to ``dp``.
+    """
+    k, t, v = F.col(key_col), F.col(ts_col), F.col(value_col)
+    rows = df.select(
+        k.alias("_k"),
+        F.struct(t.alias("_t"), v.cast("double").alias("_v")).alias("_s"),
+    )
+    fold = (
+        "aggregate("
+        "slice(_hist, 2, greatest(size(_hist) - 1, 0)), "
+        "named_struct('l', _hist[0]._v, 'b', 0.0D), "
+        "(acc, x) -> named_struct("
+        "'l', 0.5D * x._v + 0.5D * (acc.l + acc.b), "
+        "'b', 0.25D * ((0.5D * x._v + 0.5D * (acc.l + acc.b)) - acc.l)"
+        " + 0.75D * acc.b))"
+    )
+    folded = (
+        rows.groupBy("_k")
+        .agg(F.array_sort(F.collect_list("_s")).alias("_hist"))
+        .select(
+            F.col("_k").alias(key_col),
+            F.size("_hist").cast("long").alias("n_obs"),
+            F.expr(fold).alias("_st"),
+        )
+    )
+    h = F.lit(float(horizon))
+    return folded.select(
+        key_col,
+        "n_obs",
+        F.round(F.col("_st.l"), dp).alias("level"),
+        F.round(F.col("_st.b"), dp).alias("trend"),
+        F.round(F.col("_st.l") + h * F.col("_st.b"), dp).alias("forecast"),
+    )

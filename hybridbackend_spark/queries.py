@@ -12724,3 +12724,67 @@ def link_predict_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     return link_prediction(pairs, "pa", "pb", min_common=2)
+
+
+@register(
+    "holt_trend_events",
+    # NB: NOT a list_reduce fold — DuckDB 1.0 evaluates struct-literal
+    # lambda fields sequentially and mutates the accumulator in place,
+    # so the second field's expression sees the FIRST field's NEW value
+    # (verified: 3-step Holt fold diverges from the hand recursion by
+    # exactly that substitution). The recursive CTE below has clean
+    # one-step-at-a-time semantics and replays Spark's aggregate() fold
+    # with an identical operation tree.
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT)) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+      SELECT event_type, vc::DOUBLE / 100.0 AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    n AS (SELECT event_type, max(i)::BIGINT AS n_obs FROM ord GROUP BY 1),
+    fold (event_type, i, l, b) AS (
+      SELECT event_type, 1, CAST(v AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM ord WHERE i = 1
+      UNION ALL
+      SELECT f.event_type, f.i + 1,
+             0.5 * o.v + 0.5 * (f.l + f.b),
+             0.25 * ((0.5 * o.v + 0.5 * (f.l + f.b)) - f.l) + 0.75 * f.b
+      FROM fold f JOIN ord o
+        ON o.event_type = f.event_type AND o.i = f.i + 1
+    )
+    SELECT f.event_type, n.n_obs,
+           round(f.l, 6) AS level,
+           round(f.b, 6) AS trend,
+           round(f.l + 7.0 * f.b, 6) AS forecast
+    FROM fold f JOIN n ON n.event_type = f.event_type AND f.i = n.n_obs
+    """,
+)
+def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of each event type's daily revenue
+    (alpha=1/2, beta=1/4; 7-day-ahead forecast). The fold runs in
+    strict day order in both engines with an identical operation tree,
+    so level/trend/forecast are bit-checked — a genuinely recursive
+    statistic under a full value oracle. Daily pre-aggregation bounds
+    each key's series by the calendar. See
+    operators/timeseries.py::holt_linear."""
+    from .operators.timeseries import holt_linear
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                    "long"
+                )
+            )
+            / F.lit(100.0)
+        ).alias("v")
+    )
+    return holt_linear(daily, "event_type", "day", "v", horizon=7)

@@ -545,3 +545,41 @@ def test_ewma_daily_revenue_math(spark, tmp_path):
     assert r4.ewma_num == (400 * (1 << 15) + 200 * (1 << 13)
                            + 100 * (1 << 12))
     assert r4.ewma_den == (1 << 15) + (1 << 13) + (1 << 12)
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    import datetime as dt
+
+    from hybridbackend_spark.operators.timeseries import holt_linear
+
+    vals = [3.0, 7.0, 2.0, 9.5, 4.25, 8.0]
+    rows = [
+        ("k1", dt.date(2024, 1, 1) + dt.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    # shuffled input + repartition: the fold must still run in ts order
+    rows = [rows[i] for i in (3, 0, 5, 2, 4, 1)]
+    df = spark.createDataFrame(rows, "k string, d date, v double").repartition(5)
+    r = holt_linear(df, "k", "d", "v", horizon=7).collect()[0]
+    l, b = vals[0], 0.0
+    for v in vals[1:]:
+        nl = 0.5 * v + 0.5 * (l + b)
+        nb = 0.25 * (nl - l) + 0.75 * b
+        l, b = nl, nb
+    assert r.n_obs == 6
+    assert r.level == round(l, 6)
+    assert r.trend == round(b, 6)
+    assert r.forecast == round(l + 7 * b, 6)
+
+
+def test_holt_linear_single_observation(spark):
+    import datetime as dt
+
+    from hybridbackend_spark.operators.timeseries import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", dt.date(2024, 1, 1), 5.0)], "k string, d date, v double"
+    )
+    r = holt_linear(df, "k", "d", "v").collect()[0]
+    # l = v1, b = 0 -> flat forecast
+    assert (r.n_obs, r.level, r.trend, r.forecast) == (1, 5.0, 0.0, 5.0)
