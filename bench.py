@@ -299,6 +299,7 @@ EXTRA = [
     "rrf_hybrid_docs",
     "link_predict_parts",
     "holt_trend_events",
+    "theilsen_trend_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

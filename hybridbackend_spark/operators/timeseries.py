@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear", "theil_sen"]
 
 
 def resample_fill(
@@ -507,4 +507,84 @@ def holt_linear(
         F.round(F.col("_st.l"), dp).alias("level"),
         F.round(F.col("_st.b"), dp).alias("trend"),
         F.round(F.col("_st.l") + h * F.col("_st.b"), dp).alias("forecast"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    max_obs: int | None = 2000,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes ``(y_j - y_i) / (x_j - x_i)`` over ``x_i < x_j`` — up to
+    ~29% outlier breakdown vs least-squares' zero, the standard robust
+    companion to :func:`~..operators.analytics.ols_trend`. Pairs with
+    equal x are excluded (vertical slopes), per the estimator's
+    definition.
+
+    Engine-exact: each slope is ONE double division of exact inputs;
+    the median is selected POSITIONALLY (rows ``floor((n+1)/2)`` and
+    ``floor(n/2)+1`` of the per-key slope order, averaged) rather than
+    through an interpolating percentile whose arithmetic differs
+    between engines. Ties in slope value cannot change the selected
+    VALUES, so the result is partitioning- and engine-independent.
+
+    Scale shape: pairwise slopes are O(m^2) per key — intended for
+    CALENDAR-BOUNDED series (daily/hourly aggregates), and the bound is
+    enforced, not assumed: ``max_obs`` raises if any key's series
+    exceeds it (the `_daily_cents_series` guard discipline). The
+    median window partitions by key — no global window.
+
+    Returns (key, n_pairs, slope); keys with < 2 distinct x drop out.
+    """
+    pts = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    if max_obs is not None:
+        pts = pts.localCheckpoint(eager=True)
+        biggest = (
+            pts.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .agg(F.max("_m").alias("_mx"))
+            .collect()[0]["_mx"]
+        )
+        if biggest is not None and biggest > max_obs:
+            raise ValueError(
+                f"a key has {biggest} observations > max_obs={max_obs}; "
+                "pairwise slopes are quadratic per key — aggregate the "
+                "series coarser or raise max_obs deliberately"
+            )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a._k") == F.col("b._k")) & (F.col("a._x") < F.col("b._x")),
+    ).select(
+        F.col("a._k").alias("_k"),
+        (
+            (F.col("b._y") - F.col("a._y")) / (F.col("b._x") - F.col("a._x"))
+        ).alias("_s"),
+    )
+    w = Window.partitionBy("_k").orderBy("_s")
+    wk = Window.partitionBy("_k")
+    ranked = slopes.select(
+        "_k",
+        "_s",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+    )
+    lo = F.floor((F.col("_n") + 1) / 2)
+    hi = F.floor(F.col("_n") / 2) + 1
+    return (
+        ranked.filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        .groupBy("_k")
+        .agg(
+            F.max("_n").cast("long").alias("n_pairs"),
+            F.round(F.sum("_s") / F.count(F.lit(1)), dp).alias("slope"),
+        )
+        .select(F.col("_k").alias(key_col), "n_pairs", "slope")
     )

@@ -12788,3 +12788,63 @@ def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v")
     )
     return holt_linear(daily, "event_type", "day", "v", horizon=7)
+
+
+@register(
+    "theilsen_trend_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))::DOUBLE
+               / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type AS g,
+             (b.y - a.y) / (b.x::DOUBLE - a.x::DOUBLE) AS s
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND a.x < b.x
+    ),
+    ranked AS (
+      SELECT g, s,
+             row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM slopes
+    )
+    SELECT g AS event_type,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           round(sum(s) / count(*), 6) AS slope
+    FROM ranked
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY g
+    """,
+)
+def theilsen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend per event type (cents/day
+    as dollars): median of all pairwise slopes over the calendar-
+    bounded daily series, selected positionally so no interpolating
+    percentile arithmetic can differ between engines — the
+    outlier-robust companion to ols_trend_orders. See
+    operators/timeseries.py::theil_sen (quadratic-per-key bound is
+    ENFORCED via max_obs)."""
+    from .operators.timeseries import theil_sen
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("y")
+    ).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    return theil_sen(daily, "event_type", "x", "y", max_obs=5000)

@@ -583,3 +583,43 @@ def test_holt_linear_single_observation(spark):
     r = holt_linear(df, "k", "d", "v").collect()[0]
     # l = v1, b = 0 -> flat forecast
     assert (r.n_obs, r.level, r.trend, r.forecast) == (1, 5.0, 0.0, 5.0)
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark):
+    from hybridbackend_spark.operators.timeseries import theil_sen
+
+    # y = 2x + noise with one gross outlier; robust slope stays ~2
+    pts = [(0, 0.0), (1, 2.1), (2, 3.9), (3, 6.0), (4, 100.0), (5, 10.1)]
+    rows = [("k", float(x), y) for x, y in pts]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = theil_sen(df, "k", "x", "y", max_obs=100).collect()[0]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    n = len(slopes)
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    med = (slopes[lo - 1] + slopes[hi - 1]) / 2
+    assert r.n_pairs == n
+    assert r.slope == round(med, 6)
+    assert 1.8 <= r.slope <= 2.2  # the outlier does not drag the trend
+
+
+def test_theil_sen_max_obs_guard_fires(spark):
+    import pytest
+
+    from hybridbackend_spark.operators.timeseries import theil_sen
+
+    df = spark.range(50).selectExpr(
+        "'k' AS k", "CAST(id AS DOUBLE) AS x", "CAST(id AS DOUBLE) AS y"
+    )
+    with pytest.raises(ValueError, match="max_obs"):
+        theil_sen(df, "k", "x", "y", max_obs=10)
+    # and equal-x pairs are excluded, not divided by zero
+    dup = spark.createDataFrame(
+        [("k", 1.0, 5.0), ("k", 1.0, 9.0), ("k", 2.0, 6.0)],
+        "k string, x double, y double",
+    )
+    out = theil_sen(dup, "k", "x", "y", max_obs=10).collect()[0]
+    assert out.n_pairs == 2  # (1,5)-(2,6) and (1,9)-(2,6); not the x-tie
