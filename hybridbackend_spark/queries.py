@@ -12685,7 +12685,7 @@ def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT l.n AS a, r.n AS b, count(*)::BIGINT AS common
       FROM adj l JOIN adj r ON r.z = l.z AND l.n < r.n
-      GROUP BY l.n, r.n HAVING count(*) >= 2
+      GROUP BY l.n, r.n
     ),
     ne AS (
       SELECT cand.a, cand.b, cand.common FROM cand
@@ -12700,7 +12700,7 @@ def rrf_hybrid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def link_predict_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction on the part co-purchase graph: for every
-    NON-adjacent part pair sharing >= 2 neighbors, the three classic
+    NON-adjacent part pair sharing a neighbor, the three classic
     integer-exact predictors (common neighbors, neighborhood Jaccard,
     preferential attachment). Wedge self-join on the shared-neighbor
     key, existing edges removed by anti-join; Adamic-Adar deliberately
@@ -12723,7 +12723,7 @@ def link_predict_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") >= 2)
         .select("pa", "pb")
     )
-    return link_prediction(pairs, "pa", "pb", min_common=2)
+    return link_prediction(pairs, "pa", "pb", min_common=1)
 
 
 @register(
