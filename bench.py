@@ -300,6 +300,7 @@ EXTRA = [
     "link_predict_parts",
     "holt_trend_events",
     "theilsen_trend_events",
+    "nelson_aalen_users",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

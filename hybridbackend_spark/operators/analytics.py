@@ -35,6 +35,7 @@ __all__ = [
     "corr_pairs",
     "touch_attribution",
     "kaplan_meier",
+    "nelson_aalen",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -855,4 +856,85 @@ def ks_two_sample(
             ok,
             F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), dp),
         ).alias("lam"),
+    )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    dp: int = 8,
+    max_durations: int | None = 100_000,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve from (duration, event) per
+    subject — the non-parametric hazard companion to
+    :func:`kaplan_meier` (H(t) rises where churn concentrates; its
+    increments are per-time hazard rates):
+
+        H(t)   = sum over event times u <= t of d_u / n_u
+        Var(t) = sum over event times u <= t of d_u / n_u^2
+
+    Same engine-exactness contract as ``kaplan_meier``: each increment
+    is one identical double division, and the cumulative sum folds the
+    time-ordered increment list left-to-right (Spark ``aggregate`` ==
+    DuckDB ``list_reduce``), so every value is bit-identical across
+    engines and partitionings. Same EXECUTABLE bound: the fold list is
+    one row per distinct duration, and ``max_durations`` raises when
+    durations are effectively continuous (quantize first).
+
+    Returns (t, n_risk, n_events, n_censored, cum_hazard, var_hazard).
+    """
+    t, e = F.col(duration_col), F.col(event_col)
+    counts = subjects.groupBy(t.alias("t")).agg(
+        F.sum(F.when(e == 1, 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(e == 1, 0).otherwise(1)).alias("n_censored"),
+    )
+    if max_durations is not None:
+        counts = counts.localCheckpoint(eager=True)
+        n_dur = counts.count()
+        if n_dur > max_durations:
+            raise ValueError(
+                f"nelson_aalen: {n_dur} distinct durations exceed "
+                f"max_durations={max_durations}; the hazard fold is "
+                "sequential by construction — quantize durations first"
+            )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    risk = counts.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    )
+    nd = F.col("n_events").cast("double")
+    nr = F.col("n_risk").cast("double")
+    with_i = risk.withColumn("_h", nd / nr).withColumn(
+        "_v", nd / (nr * nr)
+    )
+    folded = with_i.select(
+        F.struct(
+            F.col("t").alias("u"), F.col("_h").alias("h"), F.col("_v").alias("v")
+        ).alias("_s")
+    ).agg(F.array_sort(F.collect_list("_s")).alias("_is"))
+    out = (
+        with_i.crossJoin(F.broadcast(folded))
+        .withColumn(
+            "cum_hazard",
+            F.round(
+                F.expr(
+                    "aggregate(filter(_is, s -> s.u <= t), "
+                    "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.h)"
+                ),
+                dp,
+            ),
+        )
+        .withColumn(
+            "var_hazard",
+            F.round(
+                F.expr(
+                    "aggregate(filter(_is, s -> s.u <= t), "
+                    "CAST(0.0 AS DOUBLE), (acc, s) -> acc + s.v)"
+                ),
+                dp,
+            ),
+        )
+    )
+    return out.select(
+        "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
     )

@@ -12848,3 +12848,71 @@ def theilsen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return theil_sen(daily, "event_type", "x", "y", max_obs=5000)
+
+
+@register(
+    "nelson_aalen_users",
+    """
+    WITH pu AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT max(CAST(ts AS DATE)) AS gm FROM events),
+    subj AS (
+      SELECT date_diff('day', fd, ld) AS t,
+             CASE WHEN ld < gm - INTERVAL 7 DAY THEN 1 ELSE 0 END AS e
+      FROM pu CROSS JOIN g
+    ),
+    counts AS (
+      SELECT t, sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS n_events,
+             sum(CASE WHEN e = 1 THEN 0 ELSE 1 END) AS n_censored
+      FROM subj GROUP BY t
+    ),
+    risk AS (
+      SELECT t, n_events, n_censored,
+             sum(n_events + n_censored)
+               OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+      FROM counts
+    ),
+    f AS (
+      SELECT t, n_risk, n_events, n_censored,
+             CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h,
+             CAST(n_events AS DOUBLE)
+               / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS v
+      FROM risk
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           round((SELECT list_reduce([CAST(0.0 AS DOUBLE)]
+                                     || list(h ORDER BY f2.t),
+                                     (a, b) -> a + b)
+                  FROM f f2 WHERE f2.t <= f.t), 8) AS cum_hazard,
+           round((SELECT list_reduce([CAST(0.0 AS DOUBLE)]
+                                     || list(v ORDER BY f2.t),
+                                     (a, b) -> a + b)
+                  FROM f f2 WHERE f2.t <= f.t), 8) AS var_hazard
+    FROM f
+    """,
+)
+def nelson_aalen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve over user lifetimes (same
+    subjects as kaplan_meier_users): hazard increments d/n and their
+    variance d/n^2 summed left-to-right over the time-ordered increment
+    list in both engines — every value bit-matches. See
+    operators/analytics.py::nelson_aalen."""
+    from .operators.analytics import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("fd"),
+        F.max(F.col("ts").cast("date")).alias("ld"),
+    )
+    g = ev.agg(F.max(F.col("ts").cast("date")).alias("gm"))
+    subj = pu.crossJoin(F.broadcast(g)).select(
+        F.datediff("ld", "fd").alias("t"),
+        F.when(F.col("ld") < F.date_sub(F.col("gm"), 7), 1)
+        .otherwise(0)
+        .alias("e"),
+    )
+    return nelson_aalen(subj, "t", "e")

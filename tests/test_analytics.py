@@ -698,3 +698,33 @@ def test_ks_identical_samples_zero_distance(spark):
     df = spark.createDataFrame(rows, "g string, v string, x double")
     r = ks_two_sample(df, "g", "v", "x").collect()[0]
     assert r.d_num == 0 and r.d == 0.0
+
+
+def test_nelson_aalen_matches_python(spark):
+    from hybridbackend_spark.operators.analytics import nelson_aalen
+
+    # durations with censoring: (t, event)
+    subj = [(2, 1), (2, 1), (3, 0), (5, 1), (5, 0), (8, 1), (8, 1), (9, 0)]
+    df = spark.createDataFrame(subj, "t int, e int")
+    got = {r.t: r for r in nelson_aalen(df, "t", "e", max_durations=10).collect()}
+    # python replay
+    from collections import Counter
+
+    times = sorted({t for t, _ in subj})
+    d = Counter(t for t, e in subj if e == 1)
+    c = Counter(t for t, e in subj if e == 0)
+    H = V = 0.0
+    for t in times:
+        n_risk = sum(1 for u, _ in subj if u >= t)
+        H += d[t] / n_risk
+        V += d[t] / (n_risk * n_risk)
+        r = got[t]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, d[t], c[t])
+        assert r.cum_hazard == round(H, 8)
+        assert r.var_hazard == round(V, 8)
+    # hazard is monotone nondecreasing; censor-only times add 0
+    assert got[3].cum_hazard == got[2].cum_hazard
+    # guard fires on too many distinct durations
+    big = spark.range(50).selectExpr("CAST(id AS INT) t", "1 e")
+    with pytest.raises(ValueError, match="max_durations"):
+        nelson_aalen(big, "t", "e", max_durations=10)

@@ -252,6 +252,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "skyline_parts",           # running min over guarded price grid
     "stl_decompose_events",    # rolling mean over guarded daily series
     "kaplan_meier_users",      # reverse-cumulative risk set, guarded
+    "nelson_aalen_users",      # same guarded risk-set table as KM
     "isotonic_calibration_embeddings",  # PAV over bounded score bins
     "metric_auc_pr",           # trapezoid sweep over score buckets
     "skew_report_lineitem",    # rank over top-k limited keys
