@@ -301,6 +301,7 @@ EXTRA = [
     "holt_trend_events",
     "theilsen_trend_events",
     "nelson_aalen_users",
+    "mann_kendall_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear", "theil_sen"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear", "theil_sen", "mann_kendall"]
 
 
 def resample_fill(
@@ -587,4 +587,94 @@ def theil_sen(
             F.round(F.sum("_s") / F.count(F.lit(1)), dp).alias("slope"),
         )
         .select(F.col("_k").alias(key_col), "n_pairs", "slope")
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    max_obs: int | None = 2000,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key Mann-Kendall trend test — the non-parametric significance
+    companion to :func:`theil_sen` (which gives the magnitude):
+
+        S      = sum over x_i < x_j of sign(y_j - y_i)
+        Var(S) = (n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)) / 18
+        z      = (S - sign(S)) / sqrt(Var)   (continuity-corrected)
+
+    Engine-exact: S and both variance terms are pure BIGINT (sign of a
+    difference of identical doubles is exact; the tie correction counts
+    equal y values), so only the final z division touches floats, in a
+    fixed expression. Cubic terms bound n per key to ~1.6e6 before
+    BIGINT overflow — far above any calendar-bounded series, and
+    ``max_obs`` enforces the same quadratic-pairs bound as
+    :func:`theil_sen` anyway. Equal-x pairs are excluded (undefined
+    order), matching ``theil_sen``'s convention.
+
+    Returns (key, n_obs, s_stat, var_s, z); z is NULL when the
+    variance degenerates (all values tied or n < 2), 0.0 when S = 0.
+    """
+    pts = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    if max_obs is not None:
+        pts = pts.localCheckpoint(eager=True)
+        biggest = (
+            pts.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .agg(F.max("_m").alias("_mx"))
+            .collect()[0]["_mx"]
+        )
+        if biggest is not None and biggest > max_obs:
+            raise ValueError(
+                f"a key has {biggest} observations > max_obs={max_obs}; "
+                "Mann-Kendall pairs are quadratic per key — aggregate "
+                "the series coarser or raise max_obs deliberately"
+            )
+    a, b = pts.alias("a"), pts.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a._k") == F.col("b._k")) & (F.col("a._x") < F.col("b._x")),
+        )
+        .groupBy(F.col("a._k").alias("_k"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b._y") - F.col("a._y")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    n_per = pts.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+    ties = (
+        pts.groupBy("_k", "_y")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("_k")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tc")
+        )
+    )
+    out = n_per.join(ties, "_k").join(s, "_k", "left")
+    n = F.col("_n")
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("_tc")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    sv = F.col("s_stat")
+    z = F.when(var_num > 0,
+        F.when(sv != 0,
+            (sv.cast("double") - F.signum(sv.cast("double")))
+            / F.sqrt(var_s),
+        ).otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        n.cast("long").alias("n_obs"),
+        F.coalesce(sv, F.lit(0)).cast("long").alias("s_stat"),
+        F.round(var_s, dp).alias("var_s"),
+        F.round(z, dp).alias("z"),
     )

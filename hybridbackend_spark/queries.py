@@ -12916,3 +12916,69 @@ def nelson_aalen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("e"),
     )
     return nelson_aalen(subj, "t", "e")
+
+
+@register(
+    "mann_kendall_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))::DOUBLE
+               / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type AS g,
+             CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND a.x < b.x
+      GROUP BY 1
+    ),
+    np AS (SELECT event_type AS g, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+    tc AS (
+      SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tcv
+      FROM (SELECT event_type AS g, y, count(*)::BIGINT AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY g
+    )
+    SELECT np.g AS event_type, n AS n_obs,
+           coalesce(s_stat, 0) AS s_stat,
+           round((n * (n - 1) * (2 * n + 5) - tcv)::DOUBLE / 18.0, 6)
+             AS var_s,
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tcv > 0 THEN
+             CASE WHEN s_stat != 0 THEN
+               round((s_stat::DOUBLE - sign(s_stat::DOUBLE))
+                     / sqrt((n * (n - 1) * (2 * n + 5) - tcv)::DOUBLE
+                            / 18.0), 6)
+             ELSE 0.0 END
+           END AS z
+    FROM np JOIN tc USING (g) LEFT JOIN s USING (g)
+    """,
+)
+def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on each event type's daily
+    revenue — the significance companion to theilsen_trend_events: S
+    and the tie-corrected variance are pure BIGINT; only the
+    continuity-corrected z divides. See
+    operators/timeseries.py::mann_kendall."""
+    from .operators.timeseries import mann_kendall
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("y")
+    ).select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"),
+        "y",
+    )
+    return mann_kendall(daily, "event_type", "x", "y", max_obs=5000)

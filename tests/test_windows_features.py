@@ -623,3 +623,44 @@ def test_theil_sen_max_obs_guard_fires(spark):
     )
     out = theil_sen(dup, "k", "x", "y", max_obs=10).collect()[0]
     assert out.n_pairs == 2  # (1,5)-(2,6) and (1,9)-(2,6); not the x-tie
+
+
+def test_mann_kendall_matches_python(spark):
+    import math
+
+    from hybridbackend_spark.operators.timeseries import mann_kendall
+
+    ys = [3.0, 5.0, 4.0, 7.0, 7.0, 9.0, 8.0, 12.0]
+    rows = [("k", float(i), y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = mann_kendall(df, "k", "x", "y", max_obs=100).collect()[0]
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tc = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+    var = (n * (n - 1) * (2 * n + 5) - tc) / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var)
+    assert (r.n_obs, r.s_stat) == (n, s)
+    assert r.var_s == round(var, 6)
+    assert r.z == round(z, 6)
+    assert r.z > 1.96  # the planted upward trend is significant
+
+
+def test_mann_kendall_degenerate_cases(spark):
+    from hybridbackend_spark.operators.timeseries import mann_kendall
+
+    # all tied -> variance 0 -> z NULL; s = 0
+    tied = spark.createDataFrame(
+        [("k", float(i), 5.0) for i in range(4)], "k string, x double, y double"
+    )
+    r = mann_kendall(tied, "k", "x", "y").collect()[0]
+    assert (r.s_stat, r.var_s, r.z) == (0, 0.0, None)
+    # single observation -> no pairs
+    one = spark.createDataFrame([("k", 1.0, 2.0)], "k string, x double, y double")
+    r1 = mann_kendall(one, "k", "x", "y").collect()[0]
+    assert (r1.n_obs, r1.s_stat, r1.z) == (1, 0, None)
