@@ -728,3 +728,61 @@ def test_nelson_aalen_matches_python(spark):
     big = spark.range(50).selectExpr("CAST(id AS INT) t", "1 e")
     with pytest.raises(ValueError, match="max_durations"):
         nelson_aalen(big, "t", "e", max_durations=10)
+
+
+def test_mann_whitney_randomized_multigroup_differential(spark):
+    import random
+
+    from hybridbackend_spark.operators.analytics import mann_whitney_u
+
+    rng = random.Random(42)
+    rows, want = [], {}
+    for g in range(8):
+        # heavy ties: values drawn from a small grid
+        xs_a = [rng.randrange(0, 12) / 2 for _ in range(rng.randrange(3, 40))]
+        xs_b = [rng.randrange(0, 12) / 2 for _ in range(rng.randrange(3, 40))]
+        gname = f"g{g}"
+        rows += [(gname, "A", v) for v in xs_a]
+        rows += [(gname, "B", v) for v in xs_b]
+        want[gname] = _mwu_brute(
+            [int(v * 100) for v in xs_a], [int(v * 100) for v in xs_b]
+        )
+    df = spark.createDataFrame(rows, "g string, v string, x double").repartition(7)
+    got = {r.g: r for r in mann_whitney_u(df, "g", "v", "x").collect()}
+    for gname, (u1, z) in want.items():
+        assert got[gname].u_x2 == int(2 * u1), gname
+        if z is None:
+            assert got[gname].z is None, gname
+        else:
+            assert abs(got[gname].z - round(z, 6)) < 1e-9, gname
+
+
+def test_ks_randomized_multigroup_differential(spark):
+    import random
+
+    from hybridbackend_spark.operators.analytics import ks_two_sample
+
+    rng = random.Random(7)
+    rows, want = [], {}
+    for g in range(8):
+        xs_a = [rng.randrange(0, 20) / 4 for _ in range(rng.randrange(3, 40))]
+        xs_b = [rng.randrange(0, 20) / 4 for _ in range(rng.randrange(3, 40))]
+        gname = f"g{g}"
+        rows += [(gname, "A", v) for v in xs_a]
+        rows += [(gname, "B", v) for v in xs_b]
+        qa = [int(v * 100) for v in xs_a]
+        qb = [int(v * 100) for v in xs_b]
+        n1, n2 = len(qa), len(qb)
+        d_num = max(
+            abs(
+                sum(1 for v in qa if v <= x) * n2
+                - sum(1 for v in qb if v <= x) * n1
+            )
+            for x in sorted(set(qa + qb))
+        )
+        want[gname] = (n1, n2, d_num)
+    df = spark.createDataFrame(rows, "g string, v string, x double").repartition(5)
+    got = {r.g: r for r in ks_two_sample(df, "g", "v", "x").collect()}
+    for gname, (n1, n2, d_num) in want.items():
+        r = got[gname]
+        assert (r.n_a, r.n_b, r.d_num) == (n1, n2, d_num), gname
