@@ -302,6 +302,7 @@ EXTRA = [
     "theilsen_trend_events",
     "nelson_aalen_users",
     "mann_kendall_events",
+    "image_neardup_mixed",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

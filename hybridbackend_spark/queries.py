@@ -12982,3 +12982,113 @@ def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
     )
     return mann_kendall(daily, "event_type", "x", "y", max_obs=5000)
+
+
+@register(
+    "image_neardup_mixed",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 15 = 0),
+    m AS (
+      SELECT doc_id * 2 + p.p AS media_id, doc_id, p.p AS pert
+      FROM ids CROSS JOIN (SELECT unnest(range(0, 2)) AS p) p
+    ),
+    px AS (
+      SELECT m.media_id, y.y, x.x,
+             ((x.x * 31 + y.y * 7 + m.doc_id * 11
+               + CASE WHEN m.pert = 1 AND x.x = 0 AND y.y = 0
+                      THEN 8 ELSE 0 END) % 256)
+             + ((x.x * 13 + y.y * 17 + m.doc_id * 5) % 256)
+             + ((x.x * 3 + y.y * 29 + m.doc_id * 23) % 256) AS lum3
+      FROM m
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS y) y
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS x) x
+    ),
+    tot AS (SELECT media_id, sum(lum3) AS total3 FROM px GROUP BY media_id),
+    h AS (
+      SELECT px.media_id,
+             CAST(sum(CASE WHEN px.lum3 * 64 > tot.total3
+                                AND px.y * 8 + px.x < 63
+                           THEN 1::BIGINT << CAST(px.y * 8 + px.x AS INT)
+                           ELSE 0 END)
+                  + CASE WHEN max(CASE WHEN px.y * 8 + px.x = 63
+                                       AND px.lum3 * 64 > tot.total3
+                                  THEN 1 ELSE 0 END) = 1
+                         THEN -9223372036854775808 ELSE 0 END
+                  AS BIGINT) AS ahash
+      FROM px JOIN tot USING (media_id)
+      GROUP BY px.media_id
+    ),
+    banded AS (
+      SELECT media_id, ahash, b.b AS band,
+             (ahash >> (CAST(b.b AS INT) * 16)) & 65535 AS bucket
+      FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+             a.ahash AS ha, c.ahash AS hb
+      FROM banded a JOIN banded c
+        ON c.band = a.band AND c.bucket = a.bucket
+       AND a.media_id < c.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 6
+    """,
+)
+def image_neardup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection end-to-end: every base image
+    gets a PLANTED variant (one pixel's red channel +8), both are
+    PNG-encoded in the engine, decoded through the codec registry in
+    STRICT mode, average-hashed, and joined via the 4x16-bit
+    Hamming-band pigeonhole (a pair within 6 bits MUST share a band) —
+    the multimodal mirror of the simhash family, now under the driver's
+    value gate: the oracle recomputes every hash bit, band bucket, and
+    exact Hamming distance by pure arithmetic. Candidate volume is
+    band-bucket bounded, never all pairs. See
+    operators/multimodal.py::image_near_dup_pairs."""
+    import pandas as _pd
+
+    from .operators.multimodal import image_near_dup_pairs
+
+    media_ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 15 == 0)
+        .select(
+            F.explode(
+                F.array(F.col("doc_id") * 2, F.col("doc_id") * 2 + 1)
+            ).alias("media_id")
+        )
+    )
+
+    def _synth(batches):
+        import numpy as np
+
+        from .operators.png import encode_png_rgb
+
+        yy, xx = np.mgrid[0:8, 0:8]
+        for pdf in batches:
+            payloads = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                d, pert = m // 2, m % 2
+                r = (xx * 31 + yy * 7 + d * 11) % 256
+                if pert:
+                    r = r.copy()
+                    r[0, 0] = (r[0, 0] + 8) % 256
+                img = np.stack(
+                    [
+                        r,
+                        (xx * 13 + yy * 17 + d * 5) % 256,
+                        (xx * 3 + yy * 29 + d * 23) % 256,
+                    ],
+                    -1,
+                ).astype(np.uint8)
+                payloads.append(encode_png_rgb(img))
+            yield _pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = media_ids.mapInPandas(_synth, "media_id long, payload binary")
+    return image_near_dup_pairs(
+        media, "payload", "media_id", max_hamming=6, bands=4, fake=False
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
