@@ -303,6 +303,7 @@ EXTRA = [
     "nelson_aalen_users",
     "mann_kendall_events",
     "image_neardup_mixed",
+    "gini_by_priority_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

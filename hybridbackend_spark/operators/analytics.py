@@ -40,6 +40,7 @@ __all__ = [
     "cuped_adjust",
     "mann_whitney_u",
     "ks_two_sample",
+    "gini_coefficient",
 ]
 
 
@@ -937,4 +938,65 @@ def nelson_aalen(
     )
     return out.select(
         "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value — the
+    standard concentration/inequality readout (revenue concentration,
+    data-source share skew):
+
+        G = (2 * S1 - (n + 1) * S0) / (n * S0)
+
+    with ``S0 = sum(x)`` and ``S1 = sum(rank_i * x_i)`` over the
+    ascending sort. Ties make S1 well-defined without a tie rule: a
+    tied block contributes (sum of its ranks) * x, which no intra-block
+    permutation can change.
+
+    Engine-exact: values quantize to the integer grid; the fact table
+    compresses to the per-group distinct-value histogram, where a tied
+    block's rank sum is the exact integer ``c*b + c*(c+1)/2`` (``b`` =
+    count of strictly smaller values), so S0/S1 and the Gini numerator
+    are pure DECIMAL(38,0) — one final division. The cumulative window
+    partitions by group over the histogram, never the raw rows.
+
+    Returns (group, n, total, gini); gini is NULL when n = 0 or
+    S0 = 0 (all-zero values — undefined share distribution).
+    """
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(F.col(group_col).alias("_g"), q.alias("_q"))
+    per_val = base.groupBy("_g", "_q").agg(F.count(F.lit(1)).alias("c"))
+    w_below = (
+        Window.partitionBy("_g")
+        .orderBy("_q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_val.withColumn(
+        "b", F.coalesce(F.sum("c").over(w_below), F.lit(0))
+    )
+    # rank sum of the tied block: c*b + c*(c+1)/2; doubled to stay integral
+    rs2 = _dec(F.col("c")) * _dec(2 * F.col("b") + F.col("c") + 1)
+    agg = ranked.groupBy("_g").agg(
+        F.sum("c").alias("n"),
+        F.sum(_dec(F.col("c")) * _dec(F.col("_q"))).alias("s0"),
+        F.sum(rs2 * _dec(F.col("_q"))).alias("s1x2"),
+    )
+    n = F.col("n")
+    s0d = F.col("s0").cast("double")
+    # G = (S1x2 - (n+1)*S0) / (n*S0)   [S1x2 = 2*S1]
+    num = (F.col("s1x2") - _dec(n + 1) * F.col("s0")).cast("double")
+    gini = num / (n.cast("double") * s0d)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        n.cast("long").alias("n"),
+        (s0d / F.lit(float(scale))).alias("total"),
+        F.when((n > 0) & (F.col("s0") != 0), F.round(gini, dp)).alias(
+            "gini"
+        ),
     )

@@ -13092,3 +13092,44 @@ def image_neardup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(
         media, "payload", "media_id", max_hamming=6, bands=4, fake=False
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register(
+    "gini_by_priority_orders",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS q
+      FROM orders
+    ),
+    pv AS (SELECT g, q, count(*)::BIGINT AS c FROM t GROUP BY g, q),
+    r AS (
+      SELECT g, q, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b
+      FROM pv
+    ),
+    a AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(c AS DECIMAL(38,0)) * q) AS s0,
+             sum(CAST(c AS DECIMAL(38,0)) * (2 * b + c + 1) * q) AS s1x2
+      FROM r GROUP BY g
+    )
+    SELECT g AS o_orderpriority, n, s0::DOUBLE / 100.0 AS total,
+           CASE WHEN n > 0 AND s0 != 0 THEN
+             round(CAST(s1x2 - CAST(n + 1 AS DECIMAL(38,0)) * s0 AS DOUBLE)
+                   / (n::DOUBLE * s0::DOUBLE), 6)
+           END AS gini
+    FROM a
+    """,
+)
+def gini_by_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order values within each priority class:
+    exact rank-sum identity on the per-group distinct-cents histogram
+    (tied blocks contribute c*b + c*(c+1)/2 ranks — tie-rule-free), all
+    sufficient statistics DECIMAL-exact, one final division. See
+    operators/analytics.py::gini_coefficient."""
+    from .operators.analytics import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    return gini_coefficient(o, "o_orderpriority", "o_totalprice")

@@ -786,3 +786,44 @@ def test_ks_randomized_multigroup_differential(spark):
     for gname, (n1, n2, d_num) in want.items():
         r = got[gname]
         assert (r.n_a, r.n_b, r.d_num) == (n1, n2, d_num), gname
+
+
+def test_gini_matches_python_and_edge_cases(spark):
+    from hybridbackend_spark.operators.analytics import gini_coefficient
+
+    # known values: perfect equality -> 0; one-holder extreme -> (n-1)/n
+    eq = [("eq", 5.0)] * 4
+    ext = [("ext", 0.0)] * 3 + [("ext", 10.0)]
+    mixed = [("mix", v) for v in (1.0, 2.0, 2.0, 5.0, 10.0)]
+    zeros = [("zero", 0.0)] * 3
+    df = spark.createDataFrame(eq + ext + mixed + zeros, "g string, x double")
+    got = {r.g: r for r in gini_coefficient(df, "g", "x").collect()}
+    assert got["eq"].gini == 0.0
+    assert got["ext"].gini == round((4 - 1) / 4, 6)
+    # python reference: G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    xs = sorted(int(v * 100) for _, v in mixed)
+    n, s0 = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    assert got["mix"].gini == round((2 * s1 - (n + 1) * s0) / (n * s0), 6)
+    assert got["mix"].total == s0 / 100.0
+    assert got["zero"].gini is None  # all-zero -> undefined, not a /0 abort
+
+
+def test_gini_tie_rule_free(spark):
+    import random
+
+    from hybridbackend_spark.operators.analytics import gini_coefficient
+
+    rng = random.Random(3)
+    vals = [rng.choice([1.0, 2.0, 2.0, 3.0, 7.0]) for _ in range(200)]
+    df1 = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    df2 = spark.createDataFrame(
+        [("g", v) for v in reversed(vals)], "g string, x double"
+    ).repartition(9)
+    g1 = gini_coefficient(df1, "g", "x").collect()[0].gini
+    g2 = gini_coefficient(df2, "g", "x").collect()[0].gini
+    assert g1 == g2
+    xs = sorted(int(v * 100) for v in vals)
+    n, s0 = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    assert g1 == round((2 * s1 - (n + 1) * s0) / (n * s0), 6)
