@@ -38,6 +38,12 @@ TARGETS = {
     "cosine_topk_lsh_docs": "embeddings",
     "semantic_dedup_docs": "embeddings",
     "cc_star_event_chains": "events",
+    # wedge-join graph family: 10x lineitem with BOTH orderkey and
+    # partkey remapped = 10 disjoint co-purchase graphs (same density,
+    # more data) — the honest "more data, same distribution" tier;
+    # leaving partkeys shared would instead measure density growth.
+    "clustering_coeff_parts": "lineitem",
+    "link_predict_parts": "lineitem",
 }
 COPIES = 10
 OFFSET = 10_000_000
@@ -96,6 +102,18 @@ def build_synthetic() -> None:
             )
         parts.append(t)
     write("events", parts)
+
+    li = pq.read_table(f"{BASE}/sf0.1/lineitem.parquet")
+    parts = []
+    for k in range(COPIES):
+        t = li
+        for col in ("l_orderkey", "l_partkey"):
+            t = t.set_column(
+                t.schema.get_field_index(col), col,
+                pc.add(t[col], k * OFFSET),
+            )
+        parts.append(t)
+    write("lineitem", parts)
 
 
 def main() -> None:
