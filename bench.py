@@ -304,6 +304,7 @@ EXTRA = [
     "mann_kendall_events",
     "image_neardup_mixed",
     "gini_by_priority_orders",
+    "source_overlap_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

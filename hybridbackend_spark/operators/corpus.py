@@ -27,7 +27,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import tokens
+from .text import tokens, word_shingles
 
 __all__ = [
     "hash_bucket",
@@ -50,6 +50,7 @@ __all__ = [
     "pmi_bigrams",
     "kneser_ney_bigram",
     "dsir_importance",
+    "slice_overlap_matrix",
     "temperature_sample",
     "vocab_encode",
     "distribution_drift",
@@ -1282,4 +1283,109 @@ def dsir_importance(
     )
     return scored.select(
         id_col, "n_toks", "dsir_bits", (F.col("dsir_bits") > 0).alias("selected")
+    )
+
+
+def slice_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    index_col: Column,
+    text_col: str = "text",
+    n: int = 3,
+    dp: int = 6,
+    max_slices: int = 62,
+) -> DataFrame:
+    """Exact pairwise shingle-overlap matrix between corpus slices
+    (sources, snapshots, languages): for every slice pair, the count of
+    shared distinct word n-grams, the union size, and their Jaccard —
+    the corpus-governance readout behind "how much does source A
+    duplicate source B" (the exact companion to the KMV sketch overlap).
+
+    Scale shape — ONE pass, no slice-pair self-join over shingles: each
+    distinct shingle aggregates to a single BIGINT bitmask of the
+    slices containing it (``bit_or(1 << slice_index)``, map-side
+    combining), the mask table collapses to (mask -> shingle count) —
+    bounded by co-occurrence patterns that actually exist, not by
+    shingles — and each mask row explodes only into its own set-bit
+    pairs (<= max_slices^2 fan-out per row). Per-slice distinct counts
+    fall out of the same mask table, and union = |A| + |B| - inter.
+    Compare: the naive inverted-index self-join shuffles every shingle
+    once per containing-slice pair.
+
+    ``index_col`` must map each slice to a distinct bit position in
+    [0, max_slices); this is VALIDATED (driver-side count checks on the
+    slice-label table, which is bounded by the number of slices).
+
+    Returns (src_a, src_b, inter_sz, union_sz, jaccard) for pairs with
+    at least one shared shingle.
+    """
+    sh = df.select(
+        index_col.cast("int").alias("_i"),
+        F.col(group_col).alias("_src"),
+        F.explode(word_shingles(_c(text_col), n)).alias("_sh"),
+    )
+    labels = df.select(
+        index_col.cast("int").alias("_i"), F.col(group_col).alias("_src")
+    ).distinct()
+    labels = labels.localCheckpoint(eager=True)
+    n_lab = labels.count()
+    if n_lab == 0:
+        return labels.select(
+            F.col("_src").alias("src_a"),
+            F.col("_src").alias("src_b"),
+            F.lit(0).cast("long").alias("inter_sz"),
+            F.lit(0).cast("long").alias("union_sz"),
+            F.lit(0.0).alias("jaccard"),
+        )
+    bounds = labels.agg(
+        F.min("_i").alias("lo"),
+        F.max("_i").alias("hi"),
+        F.count_distinct("_i").alias("nd"),
+    ).collect()[0]
+    if bounds["lo"] < 0 or bounds["hi"] >= max_slices:
+        raise ValueError(
+            f"slice index out of [0, {max_slices}): {bounds['lo']}..{bounds['hi']}"
+        )
+    if bounds["nd"] != n_lab:
+        raise ValueError("index_col does not map slices 1:1 to bits")
+    masks = sh.groupBy("_sh").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _i)")).alias("m")
+    )
+    counts = masks.groupBy("m").agg(F.count(F.lit(1)).alias("c"))
+    hi = int(bounds["hi"])
+    bits = (
+        f"filter(sequence(0, {hi}), b -> ((m >> b) & 1) = 1)"
+    )
+    per_src = counts.select(
+        F.explode(F.expr(bits)).alias("_i"), "c"
+    ).groupBy("_i").agg(F.sum("c").alias("_nsrc"))
+    pair_expr = (
+        f"flatten(transform({bits}, i -> "
+        f"transform(filter({bits}, j -> j > i), "
+        "j -> named_struct('i', i, 'j', j))))"
+    )
+    inter = (
+        counts.select(F.explode(F.expr(pair_expr)).alias("_p"), "c")
+        .groupBy(F.col("_p.i").alias("_ia"), F.col("_p.j").alias("_ib"))
+        .agg(F.sum("c").alias("inter_sz"))
+    )
+    la = labels.select(F.col("_i").alias("_ia"), F.col("_src").alias("src_a"))
+    lb = labels.select(F.col("_i").alias("_ib"), F.col("_src").alias("src_b"))
+    na = per_src.select(F.col("_i").alias("_ia"), F.col("_nsrc").alias("_na"))
+    nb = per_src.select(F.col("_i").alias("_ib"), F.col("_nsrc").alias("_nb"))
+    out = (
+        inter.join(F.broadcast(la), "_ia")
+        .join(F.broadcast(lb), "_ib")
+        .join(F.broadcast(na), "_ia")
+        .join(F.broadcast(nb), "_ib")
+    )
+    union = F.col("_na") + F.col("_nb") - F.col("inter_sz")
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("inter_sz").cast("long").alias("inter_sz"),
+        union.cast("long").alias("union_sz"),
+        F.round(
+            F.col("inter_sz").cast("double") / union.cast("double"), dp
+        ).alias("jaccard"),
     )

@@ -13133,3 +13133,54 @@ def gini_by_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return gini_coefficient(o, "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "source_overlap_docs",
+    f"""
+    WITH t AS (
+      SELECT source, {_TOKS_SQL} AS toks FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    sh AS (
+      SELECT DISTINCT source,
+             toks[x] || ' ' || toks[x+1] || ' ' || toks[x+2] AS g
+      FROM t CROSS JOIN unnest(range(1, greatest(len(toks) - 1, 1))) u(x)
+      WHERE len(toks) >= 3
+    ),
+    na AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS i
+      FROM sh a JOIN sh b USING (g)
+      WHERE CAST(substr(a.source, 4) AS INT) < CAST(substr(b.source, 4) AS INT)
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, i AS inter_sz,
+           CAST(ea.n + eb.n - i AS BIGINT) AS union_sz,
+           round(i::DOUBLE / (ea.n + eb.n - i)::DOUBLE, 6) AS jaccard
+    FROM inter
+    JOIN na ea ON ea.source = src_a
+    JOIN na eb ON eb.source = src_b
+    """,
+)
+def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: exact 3-gram shingle overlap
+    (intersection, union, Jaccard) for every source pair. The engine
+    never self-joins shingles across source pairs — each distinct
+    shingle collapses to ONE slice bitmask (bit_or partial agg), the
+    (mask -> count) table is tiny, and pairs explode from set bits; the
+    oracle is the straightforward inverted-index join, so the scalable
+    path is verified against the naive one pair-for-pair. See
+    operators/corpus.py::slice_overlap_matrix."""
+    from .operators.corpus import slice_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return slice_overlap_matrix(
+        docs,
+        "source",
+        F.substring(F.col("source"), 4, 10).cast("int"),
+        "text",
+        n=3,
+    )

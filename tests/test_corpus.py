@@ -717,3 +717,78 @@ def test_dsir_importance_matches_python_replay(spark):
         assert (r.n_toks, r.dsir_bits, r.selected) == (
             len(tk), score, score > 0
         )
+
+
+def test_slice_overlap_matrix_exact(spark):
+    from hybridbackend_spark.operators.corpus import slice_overlap_matrix
+
+    rows = [
+        ("s0", 0, "a b c d e"),        # shingles: abc bcd cde
+        ("s1", 1, "a b c x y"),        # abc bcx cxy
+        ("s1", 1, "b c d q r"),        # bcd cdq dqr
+        ("s2", 2, "zz yy xx"),         # zzyyxx (disjoint)
+    ]
+    df = spark.createDataFrame(rows, "src string, i int, text string")
+    out = {
+        (r.src_a, r.src_b): r
+        for r in slice_overlap_matrix(
+            df, "src", F.col("i"), "text", n=3
+        ).collect()
+    }
+    # s0 = {abc,bcd,cde}; s1 = {abc,bcx,cxy,bcd,cdq,dqr}; inter = {abc,bcd}
+    r01 = out[("s0", "s1")]
+    assert (r01.inter_sz, r01.union_sz) == (2, 3 + 6 - 2)
+    assert r01.jaccard == round(2 / 7, 6)
+    # s2 shares nothing -> no row at all
+    assert ("s0", "s2") not in out and ("s1", "s2") not in out
+
+
+def test_slice_overlap_matrix_guards(spark):
+    from hybridbackend_spark.operators.corpus import slice_overlap_matrix
+
+    df = spark.createDataFrame(
+        [("s0", 99, "a b c")], "src string, i int, text string"
+    )
+    with pytest.raises(ValueError, match="out of"):
+        slice_overlap_matrix(df, "src", F.col("i"), "text", max_slices=62)
+    dup = spark.createDataFrame(
+        [("s0", 1, "a b c"), ("s1", 1, "a b c")],
+        "src string, i int, text string",
+    )
+    with pytest.raises(ValueError, match="1:1"):
+        slice_overlap_matrix(dup, "src", F.col("i"), "text")
+
+
+def test_slice_overlap_matches_bruteforce_random(spark):
+    import random
+
+    from hybridbackend_spark.operators.corpus import slice_overlap_matrix
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(12)]
+    rows = []
+    for s in range(5):
+        for d in range(6):
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 15)))
+            rows.append((f"s{s}", s, text))
+    df = spark.createDataFrame(rows, "src string, i int, text string")
+    got = {
+        (r.src_a, r.src_b): (r.inter_sz, r.union_sz)
+        for r in slice_overlap_matrix(df, "src", F.col("i"), "text").collect()
+    }
+    # brute force in python
+    sets = {}
+    for src, _, text in rows:
+        toks = text.split()
+        sh = {
+            " ".join(toks[k : k + 3]) for k in range(len(toks) - 2)
+        }
+        sets.setdefault(src, set()).update(sh)
+    for a in range(5):
+        for b in range(a + 1, 5):
+            sa, sb = sets[f"s{a}"], sets[f"s{b}"]
+            inter = len(sa & sb)
+            if inter:
+                assert got[(f"s{a}", f"s{b}")] == (inter, len(sa | sb))
+            else:
+                assert (f"s{a}", f"s{b}") not in got
