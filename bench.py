@@ -305,6 +305,7 @@ EXTRA = [
     "image_neardup_mixed",
     "gini_by_priority_orders",
     "source_overlap_docs",
+    "offpolicy_ips_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -41,6 +41,7 @@ __all__ = [
     "mann_whitney_u",
     "ks_two_sample",
     "gini_coefficient",
+    "offpolicy_ips",
 ]
 
 
@@ -999,4 +1000,91 @@ def gini_coefficient(
         F.when((n > 0) & (F.col("s0") != 0), F.round(gini, dp)).alias(
             "gini"
         ),
+    )
+
+
+def offpolicy_ips(
+    logs: DataFrame,
+    action_col: str,
+    reward_col: str,
+    propensity_w60: Column,
+    policies: dict[str, Column],
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Off-policy evaluation of target policies from logged bandit
+    feedback: inverse-propensity scoring (Horvitz-Thompson) and its
+    self-normalized variant (SNIPS), the counterfactual "what would
+    policy pi have earned" readout — the evaluation-side complement to
+    :func:`bandit replay <..queries.bandit_replay_events>` (which
+    simulates a LEARNER; this scores FIXED policies):
+
+        IPS   = (1/n) * sum_i  1[pi(x_i) = a_i] * r_i / p_i
+        SNIPS = sum_i w_i r_i / sum_i w_i,   w_i = 1[pi(x_i)=a_i]/p_i
+
+    Engine-exactness contract: the caller supplies ``propensity_w60``
+    = 60/p_i as an exact INTEGER column (any logged propensity on the
+    1/60 grid — e.g. uniform-over-K or the 1/15..5/15 family — has an
+    integer 60/p), and rewards quantize to the ``scale`` grid, so both
+    numerators and the SNIPS denominator accumulate as DECIMAL(38,0);
+    each estimate is one final division. ``policies`` maps a policy
+    name to a Column holding the action that policy would take.
+
+    Scale shape: ONE pass — each log row explodes into |policies|
+    tagged rows (constant fan-out), then a single partial+final agg per
+    policy. No per-policy rescan.
+
+    Returns (policy, n, n_matched, ips_value, snips_value); SNIPS is
+    NULL when no logged action matches the policy.
+    """
+    if not policies:
+        raise ValueError("policies must be non-empty")
+    r = F.round(F.col(reward_col).cast("double") * scale).cast("long")
+    tagged = logs.select(
+        F.col(action_col).alias("_a"),
+        r.alias("_r"),
+        propensity_w60.cast("long").alias("_w60"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("p"), col.alias("pa")
+                    )
+                    for name, col in policies.items()
+                ]
+            )
+        ).alias("_pol"),
+    ).select(
+        F.col("_pol.p").alias("policy"),
+        (F.col("_pol.pa") == F.col("_a")).alias("_m"),
+        "_r",
+        "_w60",
+    )
+    agg = tagged.groupBy("policy").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_m"), 1).otherwise(0)).alias("n_matched"),
+        F.sum(
+            F.when(F.col("_m"), _dec(F.col("_r") * F.col("_w60"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("_num"),
+        F.sum(
+            F.when(F.col("_m"), _dec(F.col("_w60"))).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("_den"),
+    )
+    fs = float(scale)
+    ips = F.col("_num").cast("double") / (
+        F.lit(60.0) * fs * F.col("n").cast("double")
+    )
+    snips = F.col("_num").cast("double") / (
+        F.col("_den").cast("double") * fs
+    )
+    return agg.select(
+        "policy",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        F.round(ips, dp).alias("ips_value"),
+        F.when(F.col("_den") != 0, F.round(snips, dp)).alias("snips_value"),
     )

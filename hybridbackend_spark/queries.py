@@ -13184,3 +13184,68 @@ def source_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
     )
+
+
+@register(
+    "offpolicy_ips_events",
+    """
+    WITH logs AS (
+      SELECT event_type AS a,
+             CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS r,
+             900 // (1 + ((user_id + length(event_type)) % 5)) AS w60,
+             CASE WHEN user_id % 3 = 0 THEN 'click' ELSE 'view' END
+               AS pa_adaptive,
+             user_id
+      FROM events
+    ),
+    tagged AS (
+      SELECT 'always_click' AS policy, a, r, w60, 'click' AS pa FROM logs
+      UNION ALL
+      SELECT 'always_view', a, r, w60, 'view' FROM logs
+      UNION ALL
+      SELECT 'adaptive', a, r, w60, pa_adaptive FROM logs
+    ),
+    agg AS (
+      SELECT policy, count(*)::BIGINT AS n,
+             sum(CASE WHEN pa = a THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+             sum(CASE WHEN pa = a THEN CAST(r * w60 AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS num,
+             sum(CASE WHEN pa = a THEN CAST(w60 AS DECIMAL(38,0))
+                      ELSE CAST(0 AS DECIMAL(38,0)) END) AS den
+      FROM tagged GROUP BY policy
+    )
+    SELECT policy, n, n_matched,
+           round(num::DOUBLE / (60.0 * 100.0 * n::DOUBLE), 6) AS ips_value,
+           CASE WHEN den != 0 THEN
+             round(num::DOUBLE / (den::DOUBLE * 100.0), 6)
+           END AS snips_value
+    FROM agg
+    """,
+)
+def offpolicy_ips_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual policy evaluation from logged events: IPS and
+    SNIPS values for three fixed target policies (always-click,
+    always-view, user-adaptive) under a deterministic 1/15..5/15
+    logged-propensity family — 60/p is an exact integer, so all
+    numerators and the SNIPS denominator are DECIMAL-exact; one tagged
+    explode + a single agg per policy. See
+    operators/analytics.py::offpolicy_ips."""
+    from .operators.analytics import offpolicy_ips
+
+    ev = _t(spark, sf_dir, "events")
+    w60 = 900 / (
+        1 + F.pmod(F.col("user_id") + F.length("event_type"), F.lit(5))
+    )
+    return offpolicy_ips(
+        ev,
+        "event_type",
+        "value",
+        w60,
+        {
+            "always_click": F.lit("click"),
+            "always_view": F.lit("view"),
+            "adaptive": F.when(
+                F.col("user_id") % 3 == 0, F.lit("click")
+            ).otherwise(F.lit("view")),
+        },
+    )

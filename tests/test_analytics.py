@@ -827,3 +827,51 @@ def test_gini_tie_rule_free(spark):
     n, s0 = len(xs), sum(xs)
     s1 = sum((i + 1) * x for i, x in enumerate(xs))
     assert g1 == round((2 * s1 - (n + 1) * s0) / (n * s0), 6)
+
+
+def test_offpolicy_ips_matches_python(spark):
+    from hybridbackend_spark.operators.analytics import offpolicy_ips
+
+    # logs: (action, reward, w60=60/p)
+    logs = [
+        ("click", 1.0, 180),   # p = 1/3
+        ("view", 2.0, 120),    # p = 1/2
+        ("click", 0.5, 300),   # p = 1/5
+        ("view", 4.0, 60),     # p = 1
+        ("buy", 9.0, 180),     # p = 1/3
+    ]
+    df = spark.createDataFrame(logs, "a string, r double, w60 long")
+    out = {
+        r.policy: r
+        for r in offpolicy_ips(
+            df,
+            "a",
+            "r",
+            F.col("w60"),
+            {"always_click": F.lit("click"), "always_buy": F.lit("buy")},
+        ).collect()
+    }
+    n = len(logs)
+    for pol, act in (("always_click", "click"), ("always_buy", "buy")):
+        num = sum(int(r * 100) * w for a, r, w in logs if a == act)
+        den = sum(w for a, r, w in logs if a == act)
+        rr = out[pol]
+        assert rr.n == n
+        assert rr.n_matched == sum(1 for a, _, _ in logs if a == act)
+        assert rr.ips_value == round(num / (60.0 * 100.0 * n), 6)
+        assert rr.snips_value == round(num / (den * 100.0), 6)
+    # SNIPS is the weight-normalized estimate — unlike IPS it cannot
+    # exceed the max quantized reward
+    assert out["always_click"].snips_value <= max(r for _, r, _ in logs)
+
+
+def test_offpolicy_ips_no_match_null_snips(spark):
+    from hybridbackend_spark.operators.analytics import offpolicy_ips
+
+    df = spark.createDataFrame([("view", 1.0, 60)], "a string, r double, w60 long")
+    r = offpolicy_ips(
+        df, "a", "r", F.col("w60"), {"always_click": F.lit("click")}
+    ).collect()[0]
+    assert (r.n_matched, r.ips_value, r.snips_value) == (0, 0.0, None)
+    with pytest.raises(ValueError):
+        offpolicy_ips(df, "a", "r", F.col("w60"), {})
