@@ -447,6 +447,41 @@ def touch_attribution(
     )
 
 
+def _risk_table(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    max_durations: int | None,
+    what: str,
+) -> DataFrame:
+    """Shared survival-analysis scaffolding for :func:`kaplan_meier`
+    and :func:`nelson_aalen`: compress subjects to one row per distinct
+    duration (n_events / n_censored), enforce the EXECUTABLE bound that
+    keeps the downstream sequential fold safe, and attach the reverse-
+    cumulative risk set. Keeping both estimators on one code path
+    guarantees they share the engine-exactness contract instead of
+    mirroring it by hand."""
+    t, e = F.col(duration_col), F.col(event_col)
+    counts = subjects.groupBy(t.alias("t")).agg(
+        F.sum(F.when(e == 1, 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(e == 1, 0).otherwise(1)).alias("n_censored"),
+    )
+    if max_durations is not None:
+        # materialize the per-duration table once: guard + curve share it
+        counts = counts.localCheckpoint(eager=True)
+        n_dur = counts.count()
+        if n_dur > max_durations:
+            raise ValueError(
+                f"{what}: {n_dur} distinct durations exceed "
+                f"max_durations={max_durations}; the fold is sequential "
+                "by construction — quantize durations first"
+            )
+    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    return counts.withColumn(
+        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    )
+
+
 def kaplan_meier(
     subjects: DataFrame,
     duration_col: str,
@@ -473,24 +508,8 @@ def kaplan_meier(
     the already-aggregated table) when durations are effectively
     continuous; quantize them first (e.g. to days).
     """
-    t, e = F.col(duration_col), F.col(event_col)
-    counts = subjects.groupBy(t.alias("t")).agg(
-        F.sum(F.when(e == 1, 1).otherwise(0)).alias("n_events"),
-        F.sum(F.when(e == 1, 0).otherwise(1)).alias("n_censored"),
-    )
-    if max_durations is not None:
-        # materialize the per-duration table once: guard + curve share it
-        counts = counts.localCheckpoint(eager=True)
-        n_dur = counts.count()
-        if n_dur > max_durations:
-            raise ValueError(
-                f"kaplan_meier: {n_dur} distinct durations exceed "
-                f"max_durations={max_durations}; the survival fold is "
-                "sequential by construction — quantize durations first"
-            )
-    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
-    risk = counts.withColumn(
-        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    risk = _risk_table(
+        subjects, duration_col, event_col, max_durations, "kaplan_meier"
     )
     factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
         "n_risk"
@@ -717,14 +736,16 @@ def mann_whitney_u(
     final per-group fold is tiny. ``c^3`` and rank products accumulate
     as DECIMAL(38,0); ``u_x2`` is returned as BIGINT (exact while
     ``2*R1 < 2^63``, i.e. group sizes < ~2^31 rows — beyond that read
-    ``z`` only). Groups missing a variant return NULL ``z``.
+    ``z`` only). Groups missing a variant return NULL ``z``. Rows in
+    OTHER variants and NULL values carry no rank information and are
+    excluded (a third arm must not silently pool into treatment).
     """
     q = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(variant_col).alias("_v"),
         q.alias("_q"),
-    )
+    ).filter(F.col("_v").isin(control, treatment) & F.col("_q").isNotNull())
     per_val = base.groupBy("_g", "_q").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias("c1"),
@@ -819,6 +840,10 @@ def ks_two_sample(
         F.col(group_col).alias("_g"),
         F.col(variant_col).alias("_v"),
         q.alias("_q"),
+    ).filter(
+        # other variants/NULLs carry no ECDF mass; dropping them also
+        # keeps NULL's engine-dependent sort position out of the window
+        F.col("_v").isin(control, treatment) & F.col("_q").isNotNull()
     )
     per_val = base.groupBy("_g", "_q").agg(
         F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias("ca"),
@@ -886,23 +911,8 @@ def nelson_aalen(
 
     Returns (t, n_risk, n_events, n_censored, cum_hazard, var_hazard).
     """
-    t, e = F.col(duration_col), F.col(event_col)
-    counts = subjects.groupBy(t.alias("t")).agg(
-        F.sum(F.when(e == 1, 1).otherwise(0)).alias("n_events"),
-        F.sum(F.when(e == 1, 0).otherwise(1)).alias("n_censored"),
-    )
-    if max_durations is not None:
-        counts = counts.localCheckpoint(eager=True)
-        n_dur = counts.count()
-        if n_dur > max_durations:
-            raise ValueError(
-                f"nelson_aalen: {n_dur} distinct durations exceed "
-                f"max_durations={max_durations}; the hazard fold is "
-                "sequential by construction — quantize durations first"
-            )
-    w = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
-    risk = counts.withColumn(
-        "n_risk", F.sum(F.col("n_events") + F.col("n_censored")).over(w)
+    risk = _risk_table(
+        subjects, duration_col, event_col, max_durations, "nelson_aalen"
     )
     nd = F.col("n_events").cast("double")
     nr = F.col("n_risk").cast("double")
@@ -971,7 +981,11 @@ def gini_coefficient(
     S0 = 0 (all-zero values — undefined share distribution).
     """
     q = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    base = df.select(F.col(group_col).alias("_g"), q.alias("_q"))
+    # NULL values hold no share: excluded from n as well as S0/S1 (else
+    # n counts rows the sums skip, skewing G)
+    base = df.select(F.col(group_col).alias("_g"), q.alias("_q")).filter(
+        F.col("_q").isNotNull()
+    )
     per_val = base.groupBy("_g", "_q").agg(F.count(F.lit(1)).alias("c"))
     w_below = (
         Window.partitionBy("_g")

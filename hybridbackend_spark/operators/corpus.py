@@ -1341,12 +1341,16 @@ def slice_overlap_matrix(
         F.min("_i").alias("lo"),
         F.max("_i").alias("hi"),
         F.count_distinct("_i").alias("nd"),
+        F.count_distinct("_src").alias("ns"),
     ).collect()[0]
     if bounds["lo"] < 0 or bounds["hi"] >= max_slices:
         raise ValueError(
             f"slice index out of [0, {max_slices}): {bounds['lo']}..{bounds['hi']}"
         )
-    if bounds["nd"] != n_lab:
+    # BOTH directions: a duplicated index merges two slices into one
+    # bit; a duplicated label splits one slice across two bits (and
+    # fabricates self-pairs)
+    if bounds["nd"] != n_lab or bounds["ns"] != n_lab:
         raise ValueError("index_col does not map slices 1:1 to bits")
     masks = sh.groupBy("_sh").agg(
         F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), _i)")).alias("m")

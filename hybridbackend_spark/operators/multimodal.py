@@ -911,7 +911,7 @@ def image_near_dup_pairs(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     bands: int = 4,
     fake: bool = True,
 ) -> DataFrame:
@@ -926,6 +926,17 @@ def image_near_dup_pairs(
 
     Returns (id_a, id_b, hamming).
     """
+    if not (0 < bands <= 64) or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        # the pigeonhole recall proof needs more bands than flipped
+        # bits: with B bands a pair differing in >= B bits can spread
+        # one flip into every band and never collide
+        raise ValueError(
+            f"max_hamming={max_hamming} requires bands > max_hamming "
+            f"(got {bands}): band recall is only exact below the band "
+            "count"
+        )
     width = 64 // bands
     hashed = image_ahash(df, payload_col, id_col, fake)
     band_cols = [

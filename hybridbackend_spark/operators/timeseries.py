@@ -510,6 +510,30 @@ def holt_linear(
     )
 
 
+def _enforce_max_obs(pts: DataFrame, max_obs: int | None, what: str) -> DataFrame:
+    """Executable bound for the pairwise (quadratic-per-key) trend
+    estimators: materialize the point set once (the guard count and the
+    pair join share it) and raise if any key's series exceeds
+    ``max_obs``. Shared by :func:`theil_sen` and :func:`mann_kendall`
+    so the guard semantics cannot drift."""
+    if max_obs is None:
+        return pts
+    pts = pts.localCheckpoint(eager=True)
+    biggest = (
+        pts.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .agg(F.max("_m").alias("_mx"))
+        .collect()[0]["_mx"]
+    )
+    if biggest is not None and biggest > max_obs:
+        raise ValueError(
+            f"a key has {biggest} observations > max_obs={max_obs}; "
+            f"{what} pairs are quadratic per key — aggregate the "
+            "series coarser or raise max_obs deliberately"
+        )
+    return pts
+
+
 def theil_sen(
     df: DataFrame,
     key_col: str,
@@ -545,20 +569,7 @@ def theil_sen(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
-    if max_obs is not None:
-        pts = pts.localCheckpoint(eager=True)
-        biggest = (
-            pts.groupBy("_k")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .agg(F.max("_m").alias("_mx"))
-            .collect()[0]["_mx"]
-        )
-        if biggest is not None and biggest > max_obs:
-            raise ValueError(
-                f"a key has {biggest} observations > max_obs={max_obs}; "
-                "pairwise slopes are quadratic per key — aggregate the "
-                "series coarser or raise max_obs deliberately"
-            )
+    pts = _enforce_max_obs(pts, max_obs, "pairwise-slope")
     a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(
         b,
@@ -622,20 +633,7 @@ def mann_kendall(
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
     )
-    if max_obs is not None:
-        pts = pts.localCheckpoint(eager=True)
-        biggest = (
-            pts.groupBy("_k")
-            .agg(F.count(F.lit(1)).alias("_m"))
-            .agg(F.max("_m").alias("_mx"))
-            .collect()[0]["_mx"]
-        )
-        if biggest is not None and biggest > max_obs:
-            raise ValueError(
-                f"a key has {biggest} observations > max_obs={max_obs}; "
-                "Mann-Kendall pairs are quadratic per key — aggregate "
-                "the series coarser or raise max_obs deliberately"
-            )
+    pts = _enforce_max_obs(pts, max_obs, "Mann-Kendall")
     a, b = pts.alias("a"), pts.alias("b")
     s = (
         a.join(
@@ -665,7 +663,9 @@ def mann_kendall(
     var_num = n * (n - 1) * (2 * n + 5) - F.col("_tc")
     var_s = var_num.cast("double") / F.lit(18.0)
     sv = F.col("s_stat")
-    z = F.when(var_num > 0,
+    # sv is NULL when a key had NO orderable pairs (all x tied) — that
+    # is "no test ran", not "z = 0"; require sv present explicitly
+    z = F.when((var_num > 0) & sv.isNotNull(),
         F.when(sv != 0,
             (sv.cast("double") - F.signum(sv.cast("double")))
             / F.sqrt(var_s),

@@ -4399,6 +4399,30 @@ def incremental_sales_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase edge list (pa < pb, co-occurring in >= 2
+    orders) — shared by the wedge-join graph family
+    (triangle_count_parts / clustering_coeff_parts /
+    link_predict_parts) so the graph definition cannot drift between
+    the global count, the per-node coefficient, and link prediction."""
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("pa", "pb")
+    )
+
+
 @register(
     "triangle_count_parts",
     """
@@ -4421,21 +4445,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clustering-coefficient numerator)."""
     from .operators.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return triangle_count(pairs, "pa", "pb")
 
 
@@ -12283,7 +12293,7 @@ def hyperball_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS g,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isa,
              CAST(round(value * 100) AS BIGINT) AS q
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     pv AS (
       SELECT g, q, count(*)::BIGINT AS c, sum(isa)::BIGINT AS c1
@@ -12517,21 +12527,7 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py::clustering_coefficient."""
     from .operators.graph import clustering_coefficient
 
-    li = _t(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return clustering_coefficient(pairs, "pa", "pb")
 
 
@@ -12708,22 +12704,30 @@ def link_predict_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py::link_prediction."""
     from .operators.graph import link_prediction
 
-    li = _t(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     return link_prediction(pairs, "pa", "pb", min_common=1)
+
+
+
+def _daily_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) revenue as exact-cents dollars — shared by
+    the trend family (holt_trend_events / theilsen_trend_events /
+    mann_kendall_events) so the series definition cannot drift between
+    the smoother, the robust slope, and the significance test. Returns
+    (event_type, day DATE, v DOUBLE on the cent grid)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("v")
+    )
 
 
 @register(
@@ -12774,19 +12778,7 @@ def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py::holt_linear."""
     from .operators.timeseries import holt_linear
 
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(
-        (
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
-                    "long"
-                )
-            )
-            / F.lit(100.0)
-        ).alias("v")
-    )
+    daily = _daily_value_by_type(spark, sf_dir)
     return holt_linear(daily, "event_type", "day", "v", horizon=7)
 
 
@@ -12830,22 +12822,10 @@ def theilsen_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENFORCED via max_obs)."""
     from .operators.timeseries import theil_sen
 
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(
-        (
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
-                    "long"
-                )
-            ).cast("double")
-            / F.lit(100.0)
-        ).alias("y")
-    ).select(
+    daily = _daily_value_by_type(spark, sf_dir).select(
         "event_type",
         F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"),
-        "y",
+        F.col("v").alias("y"),
     )
     return theil_sen(daily, "event_type", "x", "y", max_obs=5000)
 
@@ -12946,7 +12926,8 @@ def nelson_aalen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(s_stat, 0) AS s_stat,
            round((n * (n - 1) * (2 * n + 5) - tcv)::DOUBLE / 18.0, 6)
              AS var_s,
-           CASE WHEN n * (n - 1) * (2 * n + 5) - tcv > 0 THEN
+           CASE WHEN n * (n - 1) * (2 * n + 5) - tcv > 0
+                     AND s_stat IS NOT NULL THEN
              CASE WHEN s_stat != 0 THEN
                round((s_stat::DOUBLE - sign(s_stat::DOUBLE))
                      / sqrt((n * (n - 1) * (2 * n + 5) - tcv)::DOUBLE
@@ -12964,22 +12945,10 @@ def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py::mann_kendall."""
     from .operators.timeseries import mann_kendall
 
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(
-        (
-            F.sum(
-                F.round(F.coalesce(F.col("value"), F.lit(0)) * 100).cast(
-                    "long"
-                )
-            ).cast("double")
-            / F.lit(100.0)
-        ).alias("y")
-    ).select(
+    daily = _daily_value_by_type(spark, sf_dir).select(
         "event_type",
         F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("x"),
-        "y",
+        F.col("v").alias("y"),
     )
     return mann_kendall(daily, "event_type", "x", "y", max_obs=5000)
 
@@ -13020,8 +12989,8 @@ def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
       SELECT media_id, ahash, b.b AS band,
-             (ahash >> (CAST(b.b AS INT) * 16)) & 65535 AS bucket
-      FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS b) b
+             (ahash >> (CAST(b.b AS INT) * 8)) & 255 AS bucket
+      FROM h CROSS JOIN (SELECT unnest(range(0, 8)) AS b) b
     ),
     cand AS (
       SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
@@ -13039,8 +13008,9 @@ def image_neardup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection end-to-end: every base image
     gets a PLANTED variant (one pixel's red channel +8), both are
     PNG-encoded in the engine, decoded through the codec registry in
-    STRICT mode, average-hashed, and joined via the 4x16-bit
-    Hamming-band pigeonhole (a pair within 6 bits MUST share a band) —
+    STRICT mode, average-hashed, and joined via the 8x8-bit
+    Hamming-band pigeonhole (a pair within 6 < 8 bits MUST share a
+    whole band) —
     the multimodal mirror of the simhash family, now under the driver's
     value gate: the oracle recomputes every hash bit, band bucket, and
     exact Hamming distance by pure arithmetic. Candidate volume is
@@ -13090,7 +13060,7 @@ def image_neardup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = media_ids.mapInPandas(_synth, "media_id long, payload binary")
     return image_near_dup_pairs(
-        media, "payload", "media_id", max_hamming=6, bands=4, fake=False
+        media, "payload", "media_id", max_hamming=6, bands=8, fake=False
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -875,3 +875,17 @@ def test_offpolicy_ips_no_match_null_snips(spark):
     assert (r.n_matched, r.ips_value, r.snips_value) == (0, 0.0, None)
     with pytest.raises(ValueError):
         offpolicy_ips(df, "a", "r", F.col("w60"), {})
+
+
+def test_mann_whitney_third_arm_excluded(spark):
+    from hybridbackend_spark.operators.analytics import mann_whitney_u
+
+    base = [("g", "A", 1.0), ("g", "A", 2.0), ("g", "B", 3.0), ("g", "B", 4.0)]
+    extra = [("g", "C", 100.0), ("g", "C", 200.0), ("g", "A", None)]
+    df1 = spark.createDataFrame(base, "g string, v string, x double")
+    df2 = spark.createDataFrame(base + extra, "g string, v string, x double")
+    r1 = mann_whitney_u(df1, "g", "v", "x").collect()[0]
+    r2 = mann_whitney_u(df2, "g", "v", "x").collect()[0]
+    # a third arm and NULL values must not change the A-vs-B statistic
+    assert (r1.n_a, r1.n_b, r1.u_x2, r1.z) == (r2.n_a, r2.n_b, r2.u_x2, r2.z)
+    assert r2.n_b == 2  # C rows did NOT pool into treatment

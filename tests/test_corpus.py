@@ -792,3 +792,16 @@ def test_slice_overlap_matches_bruteforce_random(spark):
                 assert got[(f"s{a}", f"s{b}")] == (inter, len(sa | sb))
             else:
                 assert (f"s{a}", f"s{b}") not in got
+
+
+def test_slice_overlap_duplicate_label_rejected(spark):
+    from hybridbackend_spark.operators.corpus import slice_overlap_matrix
+
+    # one label split across two bit positions must be rejected (it
+    # would fabricate self-pairs and split per-slice counts)
+    df = spark.createDataFrame(
+        [("s0", 0, "a b c"), ("s0", 1, "a b c"), ("s1", 2, "a b c")],
+        "src string, i int, text string",
+    )
+    with pytest.raises(ValueError, match="1:1"):
+        slice_overlap_matrix(df, "src", F.col("i"), "text")

@@ -324,3 +324,16 @@ def test_detect_scene_cuts_real_frames(spark):
     assert len(out) == 2
     assert out[0][1] is False and out[0][2] < 1.0     # dark -> dark2
     assert out[1][1] is True and out[1][2] > 150.0    # dark2 -> bright
+
+
+def test_image_near_dup_band_precondition_enforced(spark):
+    import pytest
+
+    from hybridbackend_spark.operators.multimodal import image_near_dup_pairs
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, payload binary")
+    # pigeonhole recall is only exact for max_hamming < bands
+    with pytest.raises(ValueError, match="bands"):
+        image_near_dup_pairs(df, max_hamming=6, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        image_near_dup_pairs(df, max_hamming=2, bands=5)

@@ -664,3 +664,16 @@ def test_mann_kendall_degenerate_cases(spark):
     one = spark.createDataFrame([("k", 1.0, 2.0)], "k string, x double, y double")
     r1 = mann_kendall(one, "k", "x", "y").collect()[0]
     assert (r1.n_obs, r1.s_stat, r1.z) == (1, 0, None)
+
+
+def test_mann_kendall_all_x_tied_z_null_not_zero(spark):
+    from hybridbackend_spark.operators.timeseries import mann_kendall
+
+    # all x equal, distinct y: no orderable pairs -> no test ran
+    df = spark.createDataFrame(
+        [("k", 1.0, 3.0), ("k", 1.0, 5.0), ("k", 1.0, 7.0)],
+        "k string, x double, y double",
+    )
+    r = mann_kendall(df, "k", "x", "y").collect()[0]
+    assert r.s_stat == 0 and r.var_s > 0
+    assert r.z is None  # NOT 0.0 — "no trend test possible"
