@@ -307,6 +307,7 @@ EXTRA = [
     "source_overlap_docs",
     "offpolicy_ips_events",
     "textrank_keywords_docs",
+    "hhi_supplier_nation",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

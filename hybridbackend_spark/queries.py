@@ -13309,3 +13309,67 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(sym, "a", "b", iterations=_PR_ITER).select(
         F.col("node").alias("word"), "rank"
     )
+
+
+@register(
+    "hhi_supplier_nation",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS e
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT nation,
+             count(*)::BIGINT AS n_suppliers,
+             CAST(sum(e) AS BIGINT) AS total,
+             sum(CAST(e AS DECIMAL(38,0)) * e) AS sumsq
+      FROM rev GROUP BY nation
+    )
+    SELECT nation, n_suppliers, total::DOUBLE / 100.0 AS total_rev,
+           CASE WHEN total != 0 THEN
+             round(sumsq::DOUBLE / (total::DOUBLE * total::DOUBLE), 6)
+           END AS hhi
+    FROM agg
+    """,
+)
+def hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within
+    each nation — the square-of-shares companion to the Gini rank
+    statistic (HHI = sum((e_i/total)^2) = sum(e_i^2)/total^2, so the
+    numerator and denominator are DECIMAL-exact integer sums of cents
+    and only ONE final division touches floats). Two partial+final
+    aggs; nothing wider than the (nation, supplier) revenue table."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cents = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+    ).alias("e")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.col("l_suppkey").alias("supp"),
+        )
+        .agg(cents)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("e").alias("total"),
+        F.sum(dec(F.col("e")) * F.col("e")).alias("sumsq"),
+    )
+    td = F.col("total").cast("double")
+    return agg.select(
+        "nation",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        (td / F.lit(100.0)).alias("total_rev"),
+        F.when(
+            F.col("total") != 0,
+            F.round(F.col("sumsq").cast("double") / (td * td), 6),
+        ).alias("hhi"),
+    )

@@ -889,3 +889,13 @@ def test_mann_whitney_third_arm_excluded(spark):
     # a third arm and NULL values must not change the A-vs-B statistic
     assert (r1.n_a, r1.n_b, r1.u_x2, r1.z) == (r2.n_a, r2.n_b, r2.u_x2, r2.z)
     assert r2.n_b == 2  # C rows did NOT pool into treatment
+
+
+def test_hhi_known_values(spark, sf_dir):
+    from hybridbackend_spark.queries import hhi_supplier_nation
+
+    rows = hhi_supplier_nation(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # HHI bounds: 1/n (perfect equality) <= hhi <= 1 (monopoly)
+        assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0 + 1e-9
