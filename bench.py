@@ -308,6 +308,7 @@ EXTRA = [
     "offpolicy_ips_events",
     "textrank_keywords_docs",
     "hhi_supplier_nation",
+    "cmh_test_orders",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

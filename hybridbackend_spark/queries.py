@@ -13373,3 +13373,107 @@ def hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sumsq").cast("double") / (td * td), 6),
         ).alias("hhi"),
     )
+
+
+@register(
+    "cmh_test_orders",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS k,
+             CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS isa,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+      FROM orders
+    ),
+    per AS (
+      SELECT k,
+             count(*)::BIGINT AS n,
+             CAST(sum(isa) AS BIGINT) AS n1,
+             CAST(sum(s) AS BIGINT) AS m1,
+             CAST(sum(isa * s) AS BIGINT) AS a
+      FROM t GROUP BY k
+    ),
+    terms AS (
+      SELECT k, a,
+             CAST(round(n1::DOUBLE * m1::DOUBLE / n::DOUBLE * 1000000)
+                  AS BIGINT) AS e_micro,
+             CAST(round(n1::DOUBLE * (n - n1)::DOUBLE * m1::DOUBLE
+                        * (n - m1)::DOUBLE
+                        / (n::DOUBLE * n::DOUBLE * (n - 1)::DOUBLE)
+                        * 1000000) AS BIGINT) AS v_micro
+      FROM per WHERE n > 1
+    )
+    SELECT count(*)::BIGINT AS k_strata,
+           CAST(sum(a) AS BIGINT) AS sum_a,
+           CAST(sum(e_micro) AS BIGINT) AS sum_e_micro,
+           CAST(sum(v_micro) AS BIGINT) AS sum_v_micro,
+           CASE WHEN sum(v_micro) > 0 THEN
+             round(
+               ((sum(a)::DOUBLE * 1000000.0 - sum(e_micro)::DOUBLE)
+                / 1000000.0)
+               * ((sum(a)::DOUBLE * 1000000.0 - sum(e_micro)::DOUBLE)
+                  / 1000000.0)
+               / (sum(v_micro)::DOUBLE / 1000000.0), 6)
+           END AS cmh
+    FROM terms
+    """,
+)
+def cmh_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association test: does
+    the customer-parity variant shift order-finalization odds, pooled
+    ACROSS priority strata (the Simpson's-paradox-safe version of a
+    single chi-square; no continuity correction)? Per-stratum E and V
+    are fixed scalar expressions of exact integer margins,
+    MICRO-QUANTIZED to the 1e-6 grid before the cross-stratum sums
+    (the cuped_adjust discipline), so summation order can never flip
+    the hash; one conditional-agg pass per stratum, one tiny final
+    fold."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.select(
+        F.col("o_orderpriority").alias("k"),
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("isa"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("s"),
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("isa").alias("n1"),
+        F.sum("s").alias("m1"),
+        F.sum(F.col("isa") * F.col("s")).alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    n1d = F.col("n1").cast("double")
+    m1d = F.col("m1").cast("double")
+    e_micro = F.round(n1d * m1d / nd * 1000000).cast("long")
+    v_micro = F.round(
+        n1d
+        * (F.col("n") - F.col("n1")).cast("double")
+        * m1d
+        * (F.col("n") - F.col("m1")).cast("double")
+        / (nd * nd * (F.col("n") - 1).cast("double"))
+        * 1000000
+    ).cast("long")
+    terms = per.filter(F.col("n") > 1).select(
+        "a", e_micro.alias("e_micro"), v_micro.alias("v_micro")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k_strata"),
+        F.sum("a").alias("sum_a"),
+        F.sum("e_micro").alias("sum_e_micro"),
+        F.sum("v_micro").alias("sum_v_micro"),
+    )
+    diff = (
+        F.col("sum_a").cast("double") * F.lit(1000000.0)
+        - F.col("sum_e_micro").cast("double")
+    ) / F.lit(1000000.0)
+    return agg.select(
+        F.col("k_strata").cast("long").alias("k_strata"),
+        F.col("sum_a").cast("long").alias("sum_a"),
+        F.col("sum_e_micro").cast("long").alias("sum_e_micro"),
+        F.col("sum_v_micro").cast("long").alias("sum_v_micro"),
+        F.when(
+            F.col("sum_v_micro") > 0,
+            F.round(
+                diff * diff
+                / (F.col("sum_v_micro").cast("double") / F.lit(1000000.0)),
+                6,
+            ),
+        ).alias("cmh"),
+    )

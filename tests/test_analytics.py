@@ -899,3 +899,36 @@ def test_hhi_known_values(spark, sf_dir):
     for r in rows:
         # HHI bounds: 1/n (perfect equality) <= hhi <= 1 (monopoly)
         assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_cmh_matches_python_reference(spark, sf_dir):
+    from hybridbackend_spark.queries import cmh_test_orders
+
+    r = cmh_test_orders(spark, sf_dir).collect()[0]
+    # python replay over the raw parquet
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderpriority,
+                   count(*),
+                   sum(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END),
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END),
+                   sum(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END)
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    sum_a = sum_e = sum_v = 0
+    k = 0
+    for _, n, n1, m1, a in rows:
+        if n <= 1:
+            continue
+        k += 1
+        sum_a += a
+        sum_e += round(n1 * m1 / n * 1e6)
+        sum_v += round(n1 * (n - n1) * m1 * (n - m1) / (n * n * (n - 1)) * 1e6)
+    assert (r.k_strata, r.sum_a, r.sum_e_micro, r.sum_v_micro) == (
+        k, sum_a, sum_e, sum_v
+    )
+    d = (sum_a * 1e6 - sum_e) / 1e6
+    assert r.cmh == round(d * d / (sum_v / 1e6), 6)
