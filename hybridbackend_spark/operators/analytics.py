@@ -1054,10 +1054,25 @@ def offpolicy_ips(
     if not policies:
         raise ValueError("policies must be non-empty")
     r = F.round(F.col(reward_col).cast("double") * scale).cast("long")
+    # Integrality gate: a propensity off the 1/60 grid would silently
+    # truncate under cast('long') and bias IPS/SNIPS — raise instead
+    # (NULL propensities also raise; they have no valid weight).
+    w60d = propensity_w60.cast("double")
+    w60 = F.when(w60d == F.floor(w60d), propensity_w60.cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "offpolicy_ips: propensity_w60 must be an exact "
+                    "integer (60/p on the 1/60 grid); got "
+                ),
+                F.coalesce(propensity_w60.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     tagged = logs.select(
         F.col(action_col).alias("_a"),
         r.alias("_r"),
-        propensity_w60.cast("long").alias("_w60"),
+        w60.alias("_w60"),
         F.explode(
             F.array(
                 *[

@@ -925,6 +925,13 @@ def image_near_dup_pairs(
     collisions, never all pairs.
 
     Returns (id_a, id_b, hamming).
+
+    .. note:: signature change in round 6 — the default ``max_hamming``
+       dropped 6→3 and ``max_hamming >= bands`` now raises ``ValueError``
+       (the pigeonhole recall proof needs ``bands > max_hamming``; the
+       old default pair (6, bands=4) silently missed pairs). Callers on
+       the previous default must either lower ``max_hamming`` or raise
+       ``bands`` (e.g. 8) to keep exact recall.
     """
     if not (0 < bands <= 64) or 64 % bands != 0:
         raise ValueError("bands must divide 64")

@@ -189,19 +189,22 @@ def cosine_topk_lsh(
 
     qk = keyed(q, "_qv", "_qbkt").withColumnRenamed("_tbl", "_qtbl")
     ck = keyed(c, "_cv", "_cbkt")
-    cands = (
-        ck.join(
-            F.broadcast(qk),
-            (F.col("_tbl") == F.col("_qtbl")) & (F.col("_cbkt") == F.col("_qbkt")),
-        )
-        .select("_qid", "_qv", "_cid", "_cv")
-        .distinct()
+    # Score BEFORE deduplicating candidates: cosine is deterministic per
+    # (qid, cid), so distinct over (ids, cos) removes the same
+    # multi-table duplicates as distinct over the raw candidate rows —
+    # but the dedup exchange now carries two ids + one double instead of
+    # both full vectors (~100x smaller shuffle payload at dim=64). The
+    # redundant per-duplicate cosine evals (<= n_tables per pair) are
+    # cheap JVM-side map work and never leave the stage.
+    cands = ck.join(
+        F.broadcast(qk),
+        (F.col("_tbl") == F.col("_qtbl")) & (F.col("_cbkt") == F.col("_qbkt")),
     )
     if exclude_self:
         cands = cands.filter(F.col("_qid") != F.col("_cid"))
     scored = cands.select(
         "_qid", "_cid", F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos")
-    )
+    ).distinct()
     w = Window.partitionBy("_qid").orderBy(F.col("cos").desc(), F.col("_cid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -613,17 +613,25 @@ def mann_kendall(
     companion to :func:`theil_sen` (which gives the magnitude):
 
         S      = sum over x_i < x_j of sign(y_j - y_i)
-        Var(S) = (n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)) / 18
+        Var(S) = (n(n-1)(2n+5) - T3 - U3) / 18
+                 + Tt2*Uu2 / (9n(n-1)(n-2)) + Tt1*Uu1 / (2n(n-1))
         z      = (S - sign(S)) / sqrt(Var)   (continuity-corrected)
 
-    Engine-exact: S and both variance terms are pure BIGINT (sign of a
-    difference of identical doubles is exact; the tie correction counts
-    equal y values), so only the final z division touches floats, in a
-    fixed expression. Cubic terms bound n per key to ~1.6e6 before
-    BIGINT overflow — far above any calendar-bounded series, and
-    ``max_obs`` enforces the same quadratic-pairs bound as
-    :func:`theil_sen` anyway. Equal-x pairs are excluded (undefined
-    order), matching ``theil_sen``'s convention.
+    where T3/Tt2/Tt1 = sum over y-tie groups of t(t-1)(2t+5) /
+    t(t-1)(t-2) / t(t-1) and U3/Uu2/Uu1 the same sums over x-tie
+    groups — the FULL Kendall variance with ties in both variables
+    (Kendall, Rank Correlation Methods, ch. 4; the cross terms vanish
+    when x is unique per key, recovering the common one-sided
+    correction). Equal-x pairs contribute 0 to S (undefined order,
+    matching ``theil_sen``'s convention), which is exactly the tau-b
+    tie treatment this variance assumes.
+
+    Engine-exact: S and every variance NUMERATOR are pure BIGINT (sign
+    of a difference of identical doubles is exact; tie terms count
+    equal values), so only the fixed final divisions touch floats.
+    Cubic terms bound n per key to ~1.6e6 before BIGINT overflow — far
+    above any calendar-bounded series, and ``max_obs`` enforces the
+    same quadratic-pairs bound as :func:`theil_sen` anyway.
 
     Returns (key, n_obs, s_stat, var_s, z); z is NULL when the
     variance degenerates (all values tied or n < 2), 0.0 when S = 0.
@@ -648,24 +656,44 @@ def mann_kendall(
         )
     )
     n_per = pts.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
-    ties = (
-        pts.groupBy("_k", "_y")
-        .agg(F.count(F.lit(1)).alias("_t"))
-        .groupBy("_k")
-        .agg(
-            F.sum(
-                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
-            ).alias("_tc")
+
+    def _tie_sums(col, p3, p2, p1):
+        t = F.col("_t")
+        return (
+            pts.groupBy("_k", col)
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .groupBy("_k")
+            .agg(
+                F.sum(t * (t - 1) * (2 * t + 5)).alias(p3),
+                F.sum(t * (t - 1) * (t - 2)).alias(p2),
+                F.sum(t * (t - 1)).alias(p1),
+            )
         )
-    )
-    out = n_per.join(ties, "_k").join(s, "_k", "left")
+
+    yties = _tie_sums("_y", "_t3", "_t2", "_t1")
+    xties = _tie_sums("_x", "_u3", "_u2", "_u1")
+    out = n_per.join(yties, "_k").join(xties, "_k").join(s, "_k", "left")
     n = F.col("_n")
-    var_num = n * (n - 1) * (2 * n + 5) - F.col("_tc")
-    var_s = var_num.cast("double") / F.lit(18.0)
+    # Integer numerator of the 1/18 term; the two cross terms are zero
+    # unless BOTH variables have tie groups, and their denominators are
+    # guarded (n>2 / n>1 — required anyway for a >=3 / >=2 tie group to
+    # exist) so ANSI mode cannot abort on degenerate keys.
+    var_num = n * (n - 1) * (2 * n + 5) - F.col("_t3") - F.col("_u3")
+    cross2 = F.when(
+        n > 2,
+        (F.col("_t2") * F.col("_u2")).cast("double")
+        / (F.lit(9.0) * (n * (n - 1) * (n - 2)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    cross1 = F.when(
+        n > 1,
+        (F.col("_t1") * F.col("_u1")).cast("double")
+        / (F.lit(2.0) * (n * (n - 1)).cast("double")),
+    ).otherwise(F.lit(0.0))
+    var_s = var_num.cast("double") / F.lit(18.0) + cross2 + cross1
     sv = F.col("s_stat")
     # sv is NULL when a key had NO orderable pairs (all x tied) — that
     # is "no test ran", not "z = 0"; require sv present explicitly
-    z = F.when((var_num > 0) & sv.isNotNull(),
+    z = F.when((var_s > 0) & sv.isNotNull(),
         F.when(sv != 0,
             (sv.cast("double") - F.signum(sv.cast("double")))
             / F.sqrt(var_s),

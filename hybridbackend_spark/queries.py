@@ -750,79 +750,45 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness artifact verifies the FIRST ~50 registered
-# queries per round. The union of the r01-r05 driver artifacts covers
-# 187 of the 237 registered queries (computed from the artifacts); per
-# the round-5 verdict the round-6 window is EXACTLY the 50 queries no
-# driver round has ever verified, so the driver-verified union closes
-# to 237/237. All 50 are green in the local gate
-# (tools/check_oracle.py); rolling_active_users_sketch leads because it
-# gained its value oracle this round (md5-register HLL — the last
-# rows-only query retired). The round-5 stateful-streaming pair follows
-# at positions 51-52 (re-proof after the TTL changes, per verdict item
-# 6) in case the driver window exceeds 50. Names listed here come first
-# (in this order); everything else keeps its original registration
-# order. Validated against the registry in
-# tests/test_sources_and_queries.py.
+# queries per round. The union of the r01-r06 driver artifacts covers
+# 237 of the 258 registered queries (computed from the artifacts by
+# tools/plan_window.py); per the round-6 verdict the round-7 window
+# front-loads (a) the stateful-streaming re-proof pair that sat at
+# positions 51-52 for two rounds and was never reached by the driver,
+# then (b) EXACTLY the 21 queries no driver round has ever verified, so
+# the driver-verified union closes to 258/258. All 23 are green in the
+# local gate (tools/check_oracle.py). Names listed here come first (in
+# this order); everything else keeps its original registration order.
+# Validated against the registry in tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # newly oracled this round — was the one rows-only query
-    "rolling_active_users_sketch",
-    # never-verified relational sweep (TPC-H remainder + grouping)
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q19_bracket_predicates",
-    "q21_sole_late_supplier",
-    "q22_idle_rich_customers",
-    "grouping_sets_lineitem",
-    "cube_sales",
-    "unpivot_lineitem_metrics",
-    "interval_join_shipwindows",
-    "asof_next_purchase",
-    "dataspec_transform",
-    "salted_agg_events",
-    "benford_orders",
-    "l_diversity_orders",
-    "dp_counts_orders",
-    "slo_percentiles_events",
-    "array_ops_embeddings",
-    # never-verified corpus / docs family
-    "bm25_rank_docs",
-    "chunk_documents_docs",
-    "stratified_sample_docs",
-    "stratified_topn_docs",
-    "weighted_sample_docs",
-    "temperature_mixture_docs",
-    "redact_pii_docs",
-    "line_dedup_docs",
-    "url_domains_docs",
-    "unigram_surprisal_docs",
-    "heavy_hitter_tokens",
-    "source_token_drift",
-    # never-verified events / state family
-    "funnel_events",
-    "order_date_gaps",
-    "retention_cohorts",
-    "latest_state_per_key",
-    "latest_state_with_tombstones",
-    "scd2_user_state",
-    "incremental_sales_state",
-    "rolling_active_users",
-    "user_value_decay",
-    "negative_samples_orders",
-    "value_deciles_by_priority",
-    "order_value_histogram",
-    "profile_lineitem",
-    # --- 50 above = the never-driver-verified set ---
-    # stateful-streaming re-proof after round-5 TTL changes (verdict
-    # item 6; verified r3, re-verify if the window allows)
+    # stateful-streaming re-proof after round-5 TTL changes — queued at
+    # window positions 51-52 in rounds 5 and 6 but the driver stops at
+    # 50; now first so they cannot miss again (round-6 verdict item 1)
     "stream_click_purchase_join",
     "stream_sessions_stateful",
+    # the 21 never-driver-verified queries (round-6 second wave), in
+    # registration order — output of tools/plan_window.py
+    "setsim_join_docs",
+    "hyperball_reach_suppliers",
+    "mannwhitney_events",
+    "ks_test_orders",
+    "pmi_bigrams_docs",
+    "kneser_ney_bigram_docs",
+    "clustering_coeff_parts",
+    "dsir_select_docs",
+    "rrf_hybrid_docs",
+    "link_predict_parts",
+    "holt_trend_events",
+    "theilsen_trend_events",
+    "nelson_aalen_users",
+    "mann_kendall_events",
+    "image_neardup_mixed",
+    "gini_by_priority_orders",
+    "source_overlap_docs",
+    "offpolicy_ips_events",
+    "textrank_keywords_docs",
+    "hhi_supplier_nation",
+    "cmh_test_orders",
 ]
 
 
@@ -4753,10 +4719,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery decorrelated into a per-part min aggregate joined back on
     (partkey, min_cost). The min is over exact integer cents so cost
     ties keep all witnesses deterministically (no LIMIT needed). Scale
-    plan: supplier⋈nation⋈region prune to one region BEFORE partsupp is
-    touched; the min-agg and the join-back share the ps_partkey
-    partitioning; the part probe is hinted only after its selective
-    size+type filter."""
+    plan: supplier⋈nation⋈region prune to one region AND the selective
+    part filter (p_size=15 AND p_type='PROMO', ~1/50 of parts) are both
+    applied BEFORE the min aggregate — min per partkey is unchanged by
+    dropping other partkeys, so broadcast-joining the filtered part
+    first cuts the agg + self-join input by the part selectivity; the
+    min-agg and the join-back then share the ps_partkey partitioning."""
     ps = _partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
@@ -4769,20 +4737,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps_r = ps.join(F.broadcast(rs), ps.ps_suppkey == rs.s_suppkey).select(
-        "ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name"
+    ps_rp = (
+        ps.join(F.broadcast(rs), ps.ps_suppkey == rs.s_suppkey)
+        .join(F.broadcast(p.select("p_partkey", "p_name")),
+              ps.ps_partkey == F.col("p_partkey"))
+        .select(
+            "ps_partkey", "ps_supplycost_cents",
+            "s_name", "s_acctbal", "n_name", "p_partkey", "p_name",
+        )
     )
-    mc = ps_r.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost_cents").alias("min_cents")
+    mc = (
+        ps_rp.groupBy("ps_partkey")
+        .agg(F.min("ps_supplycost_cents").alias("min_cents"))
+        .withColumnRenamed("ps_partkey", "_mc_partkey")
     )
     return (
-        ps_r.join(
+        ps_rp.join(
             mc,
-            (ps_r.ps_partkey == mc.ps_partkey)
-            & (ps_r.ps_supplycost_cents == mc.min_cents),
+            (F.col("ps_partkey") == F.col("_mc_partkey"))
+            & (F.col("ps_supplycost_cents") == F.col("min_cents")),
         )
-        .drop(mc.ps_partkey)
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select(
             "p_partkey",
             "p_name",
@@ -12538,7 +12512,8 @@ def clustering_coeff_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_t,
              ('0x' || substr(md5(u.t || ':0'), 1, 8))::BIGINT % 4096 AS b
-      FROM (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents) d,
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents
+            WHERE length(trim(text)) > 0) d,
            unnest(w) u(t)
     ),
     lm AS (
@@ -12570,8 +12545,10 @@ def dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Laplace-smoothed); keep documents more target-like than corpus
     average. The bucket LM is <= 4096 rows broadcast back to the token
     stream — no fact-side shuffle for the weights. Oracle replays the
-    md5 bucketing and bit arithmetic exactly. See
-    operators/corpus.py::dsir_importance."""
+    md5 bucketing and bit arithmetic exactly, and filters
+    empty/whitespace-only documents to match Spark's tokens() ([] on
+    empty text, where DuckDB's string_split_regex('') yields ['']).
+    See operators/corpus.py::dsir_importance."""
     from .operators.corpus import dsir_importance
 
     docs = _t(spark, sf_dir, "documents")

@@ -877,6 +877,40 @@ def test_offpolicy_ips_no_match_null_snips(spark):
         offpolicy_ips(df, "a", "r", F.col("w60"), {})
 
 
+def test_offpolicy_ips_rejects_off_grid_propensity(spark):
+    """A propensity off the 1/60 grid (fractional 60/p) must RAISE, not
+    silently truncate into a biased estimate; NULL propensities too."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from hybridbackend_spark.operators.analytics import offpolicy_ips
+
+    frac = spark.createDataFrame(
+        [("click", 1.0, 90.5)], "a string, r double, w60 double"
+    )
+    with pytest.raises((Py4JJavaError, PythonException, Exception),
+                       match="1/60 grid"):
+        offpolicy_ips(
+            frac, "a", "r", F.col("w60"), {"p": F.lit("click")}
+        ).collect()
+    nul = spark.createDataFrame(
+        [("click", 1.0, None)], "a string, r double, w60 double"
+    )
+    with pytest.raises((Py4JJavaError, PythonException, Exception),
+                       match="1/60 grid"):
+        offpolicy_ips(
+            nul, "a", "r", F.col("w60"), {"p": F.lit("click")}
+        ).collect()
+    # integral doubles still work (exactness, not dtype, is the gate)
+    ok = spark.createDataFrame(
+        [("click", 1.0, 120.0)], "a string, r double, w60 double"
+    )
+    r = offpolicy_ips(
+        ok, "a", "r", F.col("w60"), {"p": F.lit("click")}
+    ).collect()[0]
+    assert r.n_matched == 1
+
+
 def test_mann_whitney_third_arm_excluded(spark):
     from hybridbackend_spark.operators.analytics import mann_whitney_u
 

@@ -669,11 +669,68 @@ def test_mann_kendall_degenerate_cases(spark):
 def test_mann_kendall_all_x_tied_z_null_not_zero(spark):
     from hybridbackend_spark.operators.timeseries import mann_kendall
 
-    # all x equal, distinct y: no orderable pairs -> no test ran
+    # all x equal, distinct y: no orderable pairs -> no test ran. With
+    # the full two-sided tie correction the x-tie term cancels the
+    # whole 1/18 numerator, so Var(S) itself is 0 — consistent with
+    # "zero comparable pairs".
     df = spark.createDataFrame(
         [("k", 1.0, 3.0), ("k", 1.0, 5.0), ("k", 1.0, 7.0)],
         "k string, x double, y double",
     )
     r = mann_kendall(df, "k", "x", "y").collect()[0]
-    assert r.s_stat == 0 and r.var_s > 0
+    assert r.s_stat == 0 and r.var_s == 0.0
     assert r.z is None  # NOT 0.0 — "no trend test possible"
+
+
+def _mk_reference(pairs):
+    """Independent textbook Mann-Kendall with the FULL Kendall tie
+    correction (ties in x AND y + cross terms) — pure Python."""
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    s = 0
+    for i in range(n):
+        for j in range(n):
+            if pairs[i][0] < pairs[j][0]:
+                d = pairs[j][1] - pairs[i][1]
+                s += 1 if d > 0 else -1 if d < 0 else 0
+    ty = Counter(y for _, y in pairs).values()
+    tx = Counter(x for x, _ in pairs).values()
+    t3 = sum(t * (t - 1) * (2 * t + 5) for t in ty)
+    u3 = sum(u * (u - 1) * (2 * u + 5) for u in tx)
+    t2 = sum(t * (t - 1) * (t - 2) for t in ty)
+    u2 = sum(u * (u - 1) * (u - 2) for u in tx)
+    t1 = sum(t * (t - 1) for t in ty)
+    u1 = sum(u * (u - 1) for u in tx)
+    var = (n * (n - 1) * (2 * n + 5) - t3 - u3) / 18.0
+    if n > 2:
+        var += t2 * u2 / (9.0 * n * (n - 1) * (n - 2))
+    if n > 1:
+        var += t1 * u1 / (2.0 * n * (n - 1))
+    if var <= 0:
+        return s, var, None
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    return s, var, z
+
+
+def test_mann_kendall_x_ties_full_correction(spark):
+    """Ties in BOTH x and y: z must match the full Kendall variance
+    (cross terms active), not the y-only correction."""
+    from hybridbackend_spark.operators.timeseries import mann_kendall
+
+    pairs = [
+        (1.0, 3.0), (1.0, 5.0), (2.0, 5.0), (2.0, 4.0),
+        (3.0, 7.0), (3.0, 7.0), (4.0, 6.0), (5.0, 9.0), (5.0, 3.0),
+    ]
+    s, var, z = _mk_reference(pairs)
+    # sanity: this fixture genuinely activates both cross terms
+    assert var != round((len(pairs) * (len(pairs) - 1)
+                         * (2 * len(pairs) + 5)) / 18.0, 6)
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in pairs], "k string, x double, y double"
+    )
+    r = mann_kendall(df, "k", "x", "y").collect()[0]
+    assert r.s_stat == s
+    assert r.var_s == round(var, 6)
+    assert r.z == round(z, 6)
