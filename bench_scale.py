@@ -44,6 +44,12 @@ TARGETS = {
     # leaving partkeys shared would instead measure density growth.
     "clustering_coeff_parts": "lineitem",
     "link_predict_parts": "lineitem",
+    # round-7 additions (verdict item 4): the exact set-sim join and the
+    # HyperBall reach sketch had no measured curve yet
+    "setsim_join_docs": "documents",
+    # custkey/suppkey remapped per copy -> 10 disjoint bipartite graphs
+    # with the sf0.1 diameter: rounds constant, per-round cost 10x
+    "hyperball_reach_suppliers": "lineitem",
 }
 COPIES = 10
 OFFSET = 10_000_000
@@ -107,13 +113,29 @@ def build_synthetic() -> None:
     parts = []
     for k in range(COPIES):
         t = li
-        for col in ("l_orderkey", "l_partkey"):
+        # orderkey+partkey remap: disjoint co-purchase graphs; suppkey
+        # remap: disjoint customer-supplier graphs for HyperBall (the
+        # offset is %4-neutral so the edge filter keeps the same
+        # per-copy pattern)
+        for col in ("l_orderkey", "l_partkey", "l_suppkey"):
             t = t.set_column(
                 t.schema.get_field_index(col), col,
                 pc.add(t[col], k * OFFSET),
             )
         parts.append(t)
     write("lineitem", parts)
+
+    orders = pq.read_table(f"{BASE}/sf0.1/orders.parquet")
+    parts = []
+    for k in range(COPIES):
+        t = orders
+        for col in ("o_orderkey", "o_custkey"):
+            t = t.set_column(
+                t.schema.get_field_index(col), col,
+                pc.add(t[col], k * OFFSET),
+            )
+        parts.append(t)
+    write("orders", parts)
 
 
 def main() -> None:

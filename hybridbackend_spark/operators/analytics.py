@@ -704,41 +704,31 @@ def cuped_adjust(
     )
 
 
-def mann_whitney_u(
+def rank_histogram_state(
     df: DataFrame,
     group_col: str,
     variant_col: str,
     value_col: str,
     control: str = "A",
     treatment: str = "B",
-    dp: int = 6,
     scale: int = 100,
 ) -> DataFrame:
-    """Mann-Whitney U (Wilcoxon rank-sum) test per experiment group —
-    the non-parametric companion to :func:`~hybridbackend_spark.
-    functions.metrics.ab_ztest` for heavy-tailed metrics where a mean
-    difference is the wrong readout (revenue, latency).
+    """MERGEABLE partial state for the rank/ECDF two-sample test family
+    (Mann-Whitney U, Kolmogorov-Smirnov): the per-(group, quantized
+    value) histogram with per-variant counts — the complete sufficient
+    statistic for both tests. Mirrors the reference metrics' partial/
+    merge discipline (hybridbackend metrics/auc.py:169-170 merges
+    per-worker confusion partials before the final sweep): compute this
+    state per batch/partition/day, ADD states with
+    :func:`merge_rank_histograms`, finalize with
+    :func:`mann_whitney_u_from_state` / :func:`ks_from_state` —
+    incremental is exactly equal to batch because histogram addition is
+    associative and both finalizers are pure functions of the histogram.
 
-    Engine-exact rank arithmetic: values quantize to an integer grid
-    (``round(value*scale)``), then for each distinct value the *doubled*
-    average tie rank is the integer ``2b + c + 1`` (``b`` = count of
-    strictly smaller values, ``c`` = tie count: the tied ranks are
-    ``b+1 .. b+c``), so the doubled control rank sum ``r1x2`` and the
-    doubled U statistic ``u_x2 = r1x2 - n1*(n1+1)`` are exact integers —
-    no float ranks, no summation-order drift. The tie-corrected normal
-    approximation ``z = (U - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) -
-    T/(n*(n-1))))`` with ``T = sum(c^3 - c)`` is a fixed-shape scalar
-    expression of those integers, identical across engines.
-
-    Scale shape: one (group, value) partial+final aggregation compresses
-    the fact table to the distinct-value histogram, a window partitioned
-    by ``group_col`` walks that histogram (never the raw rows), and the
-    final per-group fold is tiny. ``c^3`` and rank products accumulate
-    as DECIMAL(38,0); ``u_x2`` is returned as BIGINT (exact while
-    ``2*R1 < 2^63``, i.e. group sizes < ~2^31 rows — beyond that read
-    ``z`` only). Groups missing a variant return NULL ``z``. Rows in
-    OTHER variants and NULL values carry no rank information and are
-    excluded (a third arm must not silently pool into treatment).
+    Returns (group_col, q, n_control, n_treatment): one row per distinct
+    quantized value per group — aggregate-sized, never fact-sized.
+    Rows in other variants and NULL values carry no rank/ECDF mass and
+    are excluded here once, so every downstream consumer agrees.
     """
     q = F.round(F.col(value_col).cast("double") * scale).cast("long")
     base = df.select(
@@ -746,9 +736,54 @@ def mann_whitney_u(
         F.col(variant_col).alias("_v"),
         q.alias("_q"),
     ).filter(F.col("_v").isin(control, treatment) & F.col("_q").isNotNull())
-    per_val = base.groupBy("_g", "_q").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias("c1"),
+    return (
+        base.groupBy("_g", "_q")
+        .agg(
+            F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias(
+                "n_control"
+            ),
+            F.sum(F.when(F.col("_v") == treatment, 1).otherwise(0)).alias(
+                "n_treatment"
+            ),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_q").alias("q"),
+            "n_control",
+            "n_treatment",
+        )
+    )
+
+
+def merge_rank_histograms(
+    state: DataFrame, delta: DataFrame, group_col: str
+) -> DataFrame:
+    """Merge two rank-histogram states (null-safe per-key counter add —
+    delegates to :func:`~..operators.structural.merge_partial_
+    aggregates`). Associative and commutative, so states can be merged
+    in any tree order across workers/batches."""
+    from .structural import merge_partial_aggregates
+
+    return merge_partial_aggregates(
+        state, delta, keys=[group_col, "q"],
+        counters=["n_control", "n_treatment"],
+    )
+
+
+def mann_whitney_u_from_state(
+    state: DataFrame, group_col: str, dp: int = 6
+) -> DataFrame:
+    """Finalize Mann-Whitney U from a :func:`rank_histogram_state`
+    table: the per-value doubled tie rank ``2b + c + 1`` comes from one
+    group-partitioned window over the histogram; all rank sums are
+    exact integers (see :func:`mann_whitney_u` for the arithmetic
+    contract — this IS its final phase, split out so merged incremental
+    states finalize identically to a one-shot batch run)."""
+    per_val = state.select(
+        F.col(group_col).alias("_g"),
+        F.col("q").alias("_q"),
+        (F.col("n_control") + F.col("n_treatment")).alias("c"),
+        F.col("n_control").alias("c1"),
     )
     w_below = (
         Window.partitionBy("_g")
@@ -806,48 +841,17 @@ def mann_whitney_u(
     )
 
 
-def ks_two_sample(
-    df: DataFrame,
-    group_col: str,
-    variant_col: str,
-    value_col: str,
-    control: str = "A",
-    treatment: str = "B",
-    dp: int = 6,
-    scale: int = 100,
+def ks_from_state(
+    state: DataFrame, group_col: str, dp: int = 6
 ) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov distance per group: the maximum
-    gap between the two variants' empirical CDFs — the standard
-    whole-distribution shift detector (vs the mean-only z-test and the
-    binned-only PSI).
-
-    Engine-exact: values quantize to an integer grid; per distinct value
-    the cumulative variant counts ``fa, fb`` come from one ordered
-    window over the (group, value) histogram, and the KS numerator
-    ``d_num = max|fa*n_b - fb*n_a|`` is pure BIGINT (the true distance
-    is the rational ``d_num / (n_a*n_b)`` — reported both as the exact
-    integer and as a rounded double, plus the asymptotic test statistic
-    ``lambda = d * sqrt(n_a*n_b/(n_a+n_b))``). Exact while
-    ``n_a*n_b < 2^63`` (~3e9 rows per variant per group).
-
-    Scale shape: the raw table compresses to the per-group distinct-
-    value histogram in one partial+final agg; the window walks the
-    histogram partitioned by group (never a global sort); the final
-    per-group max is tiny.
-    """
-    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    base = df.select(
+    """Finalize the two-sample KS distance from a
+    :func:`rank_histogram_state` table (the final phase of
+    :func:`ks_two_sample`, split out for incremental == batch)."""
+    per_val = state.select(
         F.col(group_col).alias("_g"),
-        F.col(variant_col).alias("_v"),
-        q.alias("_q"),
-    ).filter(
-        # other variants/NULLs carry no ECDF mass; dropping them also
-        # keeps NULL's engine-dependent sort position out of the window
-        F.col("_v").isin(control, treatment) & F.col("_q").isNotNull()
-    )
-    per_val = base.groupBy("_g", "_q").agg(
-        F.sum(F.when(F.col("_v") == control, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("_v") == treatment, 1).otherwise(0)).alias("cb"),
+        F.col("q").alias("_q"),
+        F.col("n_control").alias("ca"),
+        F.col("n_treatment").alias("cb"),
     )
     w_cum = (
         Window.partitionBy("_g")
@@ -883,6 +887,99 @@ def ks_two_sample(
             ok,
             F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), dp),
         ).alias("lam"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per experiment group —
+    the non-parametric companion to :func:`~hybridbackend_spark.
+    functions.metrics.ab_ztest` for heavy-tailed metrics where a mean
+    difference is the wrong readout (revenue, latency).
+
+    Engine-exact rank arithmetic: values quantize to an integer grid
+    (``round(value*scale)``), then for each distinct value the *doubled*
+    average tie rank is the integer ``2b + c + 1`` (``b`` = count of
+    strictly smaller values, ``c`` = tie count: the tied ranks are
+    ``b+1 .. b+c``), so the doubled control rank sum ``r1x2`` and the
+    doubled U statistic ``u_x2 = r1x2 - n1*(n1+1)`` are exact integers —
+    no float ranks, no summation-order drift. The tie-corrected normal
+    approximation ``z = (U - n1*n2/2) / sqrt(n1*n2/12 * ((n+1) -
+    T/(n*(n-1))))`` with ``T = sum(c^3 - c)`` is a fixed-shape scalar
+    expression of those integers, identical across engines.
+
+    Scale shape: one (group, value) partial+final aggregation compresses
+    the fact table to the distinct-value histogram, a window partitioned
+    by ``group_col`` walks that histogram (never the raw rows), and the
+    final per-group fold is tiny. ``c^3`` and rank products accumulate
+    as DECIMAL(38,0); ``u_x2`` is returned as BIGINT (exact while
+    ``2*R1 < 2^63``, i.e. group sizes < ~2^31 rows — beyond that read
+    ``z`` only). Groups missing a variant return NULL ``z``. Rows in
+    OTHER variants and NULL values carry no rank information and are
+    excluded (a third arm must not silently pool into treatment).
+
+    Structured as :func:`rank_histogram_state` (the mergeable partial)
+    + :func:`mann_whitney_u_from_state` (the finalizer), so a one-shot
+    batch run is BY CONSTRUCTION the same computation as merged
+    incremental states.
+    """
+    return mann_whitney_u_from_state(
+        rank_histogram_state(
+            df, group_col, variant_col, value_col, control, treatment, scale
+        ),
+        group_col,
+        dp,
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance per group: the maximum
+    gap between the two variants' empirical CDFs — the standard
+    whole-distribution shift detector (vs the mean-only z-test and the
+    binned-only PSI).
+
+    Engine-exact: values quantize to an integer grid; per distinct value
+    the cumulative variant counts ``fa, fb`` come from one ordered
+    window over the (group, value) histogram, and the KS numerator
+    ``d_num = max|fa*n_b - fb*n_a|`` is pure BIGINT (the true distance
+    is the rational ``d_num / (n_a*n_b)`` — reported both as the exact
+    integer and as a rounded double, plus the asymptotic test statistic
+    ``lambda = d * sqrt(n_a*n_b/(n_a+n_b))``). Exact while
+    ``n_a*n_b < 2^63`` (~3e9 rows per variant per group).
+
+    Scale shape: the raw table compresses to the per-group distinct-
+    value histogram in one partial+final agg; the window walks the
+    histogram partitioned by group (never a global sort); the final
+    per-group max is tiny.
+
+    Structured as :func:`rank_histogram_state` (the mergeable partial,
+    SHARED with :func:`mann_whitney_u`) + :func:`ks_from_state`, so a
+    one-shot batch run is by construction the same computation as
+    merged incremental states.
+    """
+    return ks_from_state(
+        rank_histogram_state(
+            df, group_col, variant_col, value_col, control, treatment, scale
+        ),
+        group_col,
+        dp,
     )
 
 

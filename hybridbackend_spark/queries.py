@@ -789,6 +789,10 @@ _DRIVER_WINDOW_FIRST = [
     "textrank_keywords_docs",
     "hhi_supplier_nation",
     "cmh_test_orders",
+    # round-7 additions (no driver row yet by definition)
+    "mwu_incremental_events",
+    "ks_incremental_orders",
+    "jsonl_scan_docs",
 ]
 
 
@@ -1763,6 +1767,85 @@ def orc_scan_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    )
+
+
+_JSONL_N_CORRUPT = 5
+
+
+@register(
+    "jsonl_scan_docs",
+    f"""
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_len
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '_quarantined', {_JSONL_N_CORRUPT}, NULL, NULL
+    """,
+)
+def jsonl_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/JSONL: corpus interchange roundtrip THROUGH the quarantine
+    path. The documents table is serialized once per sf to newline-
+    delimited JSON (a foreign writer — python json.dumps, not Spark)
+    with {_JSONL_N_CORRUPT} deliberately malformed lines interleaved;
+    read_jsonl (sources/tabular.py) parses it PERMISSIVE with a corrupt
+    column, the clean subset aggregates per source, and the quarantined
+    line count is reported as its own row. The oracle aggregates the
+    parquet documents view (clean rows must round-trip exactly — string
+    escapes, unicode, lengths) and pins the quarantine count to the
+    fixture constant — proving malformed lines land in quarantine
+    instead of failing the job or polluting the clean rows."""
+    import json
+
+    from .sources.tabular import read_jsonl
+
+    gen_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "generated",
+    )
+    os.makedirs(gen_dir, exist_ok=True)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    jsonl_path = os.path.join(gen_dir, f"documents_{tag}.jsonl")
+    if not os.path.exists(jsonl_path):
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+        step = max(1, len(rows) // _JSONL_N_CORRUPT)
+        tmp = jsonl_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            written = 0
+            for i, r in enumerate(rows):
+                if i % step == 0 and written < _JSONL_N_CORRUPT:
+                    # truncated object: unclosed string -> parse error
+                    f.write('{"doc_id": -1, "text": "oops\n')
+                    written += 1
+                f.write(json.dumps(r, ensure_ascii=False) + "\n")
+            while written < _JSONL_N_CORRUPT:
+                f.write("not json at all\n")
+                written += 1
+        os.replace(tmp, jsonl_path)
+    df = read_jsonl(
+        spark,
+        jsonl_path,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+        corrupt_column="_bad",
+    )
+    # ONE conditional aggregation (not clean/quarantine subqueries):
+    # Spark refuses plans whose pruned column set is only the corrupt
+    # column, and a single pass reads the file once anyway. Corrupt
+    # rows have every declared field null, so their sums are NULL by
+    # construction — exactly the quarantine row the oracle pins.
+    tag = F.when(F.col("_bad").isNull(), F.col("source")).otherwise(
+        F.lit("_quarantined")
+    )
+    return df.groupBy(tag.alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_len"),
     )
 
 
@@ -12260,9 +12343,10 @@ def hyperball_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperball_reach(edges, "id_a", "id_b", k=2, directed=False)
 
 
-@register(
-    "mannwhitney_events",
-    """
+# Shared by mannwhitney_events (one-shot) and mwu_incremental_events
+# (two merged partial states): the oracle is the BATCH statistic, so the
+# incremental query's hash-match IS the incremental == batch proof.
+_MWU_EVENTS_SQL = """
     WITH t AS (
       SELECT event_type AS g,
              CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS isa,
@@ -12309,8 +12393,10 @@ def hyperball_reach_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   6)
            END AS z
     FROM s
-    """,
-)
+    """
+
+
+@register("mannwhitney_events", _MWU_EVENTS_SQL)
 def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U (rank-sum) test per event type, user-parity
     variant split: the non-parametric A/B readout for heavy-tailed
@@ -12328,9 +12414,9 @@ def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(ev, "event_type", "variant", "value")
 
 
-@register(
-    "ks_test_orders",
-    """
+# Shared by ks_test_orders (one-shot) and ks_incremental_orders (merged
+# partial states) — same incremental == batch contract as _MWU_EVENTS_SQL.
+_KS_ORDERS_SQL = """
     WITH t AS (
       SELECT o_orderpriority AS g,
              CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS isa,
@@ -12370,8 +12456,10 @@ def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (n_a::DOUBLE + n_b::DOUBLE)), 6)
            END AS lam
     FROM a
-    """,
-)
+    """
+
+
+@register("ks_test_orders", _KS_ORDERS_SQL)
 def ks_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance of the order-value
     distribution between customer-parity cohorts, per order priority —
@@ -12387,6 +12475,61 @@ def ks_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_custkey") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
     )
     return ks_two_sample(o, "o_orderpriority", "variant", "o_totalprice")
+
+
+@register("mwu_incremental_events", _MWU_EVENTS_SQL)
+def mwu_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U via MERGED partial states: the events table is
+    split into two disjoint batches (event_id parity — simulating two
+    ingest days), each batch compresses to its rank-histogram partial
+    (operators/analytics.py::rank_histogram_state, the mergeable
+    sufficient statistic), the partials are added with
+    merge_rank_histograms, and the merged state finalizes. The oracle
+    is the ONE-SHOT batch statistic — the hash-match proves incremental
+    == batch exactly, the same partial/merge discipline the reference
+    applies to its streaming metrics (hybridbackend metrics/
+    auc.py:169-170 merges per-worker partials before the final sweep)."""
+    from .operators.analytics import (
+        mann_whitney_u_from_state,
+        merge_rank_histograms,
+        rank_histogram_state,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    batch1 = ev.filter(F.col("event_id") % 2 == 0)
+    batch2 = ev.filter(F.col("event_id") % 2 != 0)
+    s1 = rank_histogram_state(batch1, "event_type", "variant", "value")
+    s2 = rank_histogram_state(batch2, "event_type", "variant", "value")
+    merged = merge_rank_histograms(s1, s2, "event_type")
+    return mann_whitney_u_from_state(merged, "event_type")
+
+
+@register("ks_incremental_orders", _KS_ORDERS_SQL)
+def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS via merged partial states (orderkey-parity
+    batches), finalized from the SAME rank-histogram state family as
+    mwu_incremental_events — one partial form serves the whole rank/ECDF
+    test family. Oracle = the one-shot batch statistic (incremental ==
+    batch, hash-proven)."""
+    from .operators.analytics import (
+        ks_from_state,
+        merge_rank_histograms,
+        rank_histogram_state,
+    )
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "variant",
+        F.when(F.col("o_custkey") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    batch1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    batch2 = o.filter(F.col("o_orderkey") % 2 != 0)
+    s1 = rank_histogram_state(batch1, "o_orderpriority", "variant", "o_totalprice")
+    s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
+    merged = merge_rank_histograms(s1, s2, "o_orderpriority")
+    return ks_from_state(merged, "o_orderpriority")
 
 
 @register(

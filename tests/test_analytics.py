@@ -788,6 +788,55 @@ def test_ks_randomized_multigroup_differential(spark):
         assert (r.n_a, r.n_b, r.d_num) == (n1, n2, d_num), gname
 
 
+def test_rank_state_incremental_equals_batch(spark):
+    """The mergeable-partial contract: random 3-way split of the input,
+    per-batch rank_histogram_state, tree-merge, finalize — MWU and KS
+    outputs must be row-identical to the one-shot batch run (exact
+    integers AND the rounded floats)."""
+    import random
+
+    from hybridbackend_spark.operators.analytics import (
+        ks_from_state,
+        ks_two_sample,
+        mann_whitney_u,
+        mann_whitney_u_from_state,
+        merge_rank_histograms,
+        rank_histogram_state,
+    )
+
+    rng = random.Random(123)
+    rows = []
+    for g in range(6):
+        for _ in range(rng.randrange(5, 60)):
+            rows.append(
+                (f"g{g}", rng.choice(["A", "B", "C"]),  # C = excluded arm
+                 rng.randrange(0, 15) / 2, rng.randrange(3))
+            )
+    df = spark.createDataFrame(rows, "g string, v string, x double, b int")
+    batches = [df.filter(F.col("b") == i) for i in range(3)]
+    states = [
+        rank_histogram_state(b, "g", "v", "x") for b in batches
+    ]
+    merged = merge_rank_histograms(
+        merge_rank_histograms(states[0], states[1], "g"), states[2], "g"
+    )
+
+    def rowset(res):
+        return sorted(tuple(r) for r in res.collect())
+
+    assert rowset(mann_whitney_u_from_state(merged, "g")) == rowset(
+        mann_whitney_u(df, "g", "v", "x")
+    )
+    assert rowset(ks_from_state(merged, "g")) == rowset(
+        ks_two_sample(df, "g", "v", "x")
+    )
+    # the state itself is aggregate-sized: one row per (g, distinct q)
+    distinct_gq = df.filter(
+        F.col("v").isin("A", "B")
+    ).select("g", F.round(F.col("x") * 100).cast("long")).distinct().count()
+    assert merged.count() == distinct_gq
+
+
 def test_gini_matches_python_and_edge_cases(spark):
     from hybridbackend_spark.operators.analytics import gini_coefficient
 
