@@ -77,11 +77,19 @@ def build_synthetic() -> None:
             t.schema.get_field_index("doc_id"), "doc_id",
             pc.add(t["doc_id"], k * OFFSET),
         )
-        # distinct text per copy: append a copy-specific token
+        # distinct text per copy: tag EVERY token with the copy id, so
+        # the copies are 10 DISJOINT corpora with identical internal
+        # similarity structure (cross-copy shingle Jaccard = 0). The
+        # earlier one-suffix-token perturbation made every copy a ~0.9
+        # Jaccard near-duplicate of the others, which inflates the TRUE
+        # output of exact-threshold joins quadratically in copies — a
+        # duplication stress test, not a scale tier (no algorithm beats
+        # its own output size). Dedup-rate realism is preserved WITHIN
+        # each copy, which is what the per-copy operators measure.
         t = t.set_column(
             t.schema.get_field_index("text"), "text",
-            pc.binary_join_element_wise(
-                t["text"], pa.array([f" c{k}tok"] * len(t)), ""
+            pc.replace_substring_regex(
+                t["text"], pattern=r"(\S+)", replacement=rf"c{k}\1"
             ),
         )
         parts.append(t)

@@ -983,6 +983,163 @@ def ks_two_sample(
     )
 
 
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    dp: int = 6,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a battery
+    of hypotheses (one row per hypothesis with its p-value) — the
+    multiple-testing step every per-segment test family (chi-square /
+    MWU / KS per group) needs before anyone acts on "significant":
+    rank p ascending, reject ranks 1..k* where k* = max{k : p_(k) <=
+    alpha*k/m}, and report the step-up adjusted q-value
+    ``q_(r) = min_{j>=r} p_(j)*m/j`` (clamped to 1).
+
+    The input is by contract ALREADY hypothesis-level (one row per
+    test, m = a few dozen segments), so the global rank window runs
+    over a bounded aggregate — callers must never feed fact-level rows
+    (same discipline as the other allowlisted global windows; the plan
+    gate in tests/test_plan_scale.py enforces the allowlist).
+
+    Ties in p are ranked deterministically by (p, key); rejection uses
+    the exact comparison ``p*m <= alpha*rank`` so engines agree bit-wise.
+
+    Returns (key, p, rank, m, reject, q).
+    """
+    w_rank = Window.orderBy(F.col("_p").asc(), F.col("_k").asc())
+    w_all = Window.partitionBy()
+    w_tail = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = df.select(
+        F.col(key_col).alias("_k"), F.col(p_col).cast("double").alias("_p")
+    )
+    ranked = base.select(
+        "_k",
+        "_p",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    flagged = ranked.select(
+        "_k",
+        "_p",
+        "rank",
+        "m",
+        F.max(
+            F.when(
+                F.col("_p") * F.col("m") <= F.lit(alpha) * F.col("rank"),
+                F.col("rank"),
+            )
+        )
+        .over(w_all)
+        .alias("_kstar"),
+        F.min(
+            F.col("_p") * F.col("m") / F.col("rank").cast("double")
+        )
+        .over(w_tail)
+        .alias("_qraw"),
+    )
+    return flagged.select(
+        F.col("_k").alias(key_col),
+        F.round(F.col("_p"), dp).alias("p"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("m").cast("long").alias("m"),
+        F.coalesce(
+            F.col("rank") <= F.col("_kstar"), F.lit(False)
+        ).alias("reject"),
+        F.round(F.least(F.col("_qraw"), F.lit(1.0)), dp).alias("q"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    category_col: str,
+    n_ratings: int,
+    dp: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa inter-annotator agreement per group — the label-QC
+    readout for any human/model-annotated training set (RLHF preference
+    labels, quality tags): how much the ``n_ratings`` raters of each
+    item agree on a category beyond chance.
+
+        P_i  = (sum_c n_ic^2 - n) / (n(n-1))         per item
+        Pbar = mean_i P_i ;  P_e = sum_c p_c^2 ;  p_c = S_c / (N n)
+        kappa = (Pbar - P_e) / (1 - P_e)
+
+    Items with a rating count != ``n_ratings`` are excluded (Fleiss'
+    statistic is defined for a constant panel size; the excluded count
+    is reported so the filter is visible, not silent). Engine-exact:
+    ``sum_c n_ic^2`` and the category sums ``S_c`` are exact integers
+    (DECIMAL(38,0) against mega-corpus overflow), so Pbar and P_e are
+    single fixed-shape divisions; kappa is NULL when P_e == 1 (all
+    raters always pick one category — agreement is undefined, and ANSI
+    mode would otherwise abort on the 0/0).
+
+    Scale shape: two (group,item[,category])-keyed partial aggs then a
+    per-group fold — no pairwise rater work (Fleiss needs none).
+
+    Returns (group, n_items, n_excluded, p_bar, p_e, kappa).
+    """
+    if n_ratings < 2:
+        raise ValueError("n_ratings must be >= 2")
+    nic = df.groupBy(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).alias("_i"),
+        F.col(category_col).alias("_c"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    itot = nic.groupBy("_g", "_i").agg(
+        F.sum("_n").alias("_ni"),
+        F.sum(_dec(F.col("_n") * F.col("_n"))).alias("_sq"),
+    )
+    kept = itot.filter(F.col("_ni") == n_ratings)
+    # category sums over kept items only: re-aggregate nic joined to
+    # the kept item set (aggregate-sized semi join)
+    kept_items = kept.select("_g", "_i")
+    sc = (
+        nic.join(kept_items, ["_g", "_i"], "left_semi")
+        .groupBy("_g", "_c")
+        .agg(F.sum("_n").alias("_sc"))
+        .groupBy("_g")
+        .agg(F.sum(_dec(F.col("_sc")) * _dec(F.col("_sc"))).alias("_ssq"))
+    )
+    stats = (
+        itot.groupBy("_g")
+        .agg(
+            F.sum(F.when(F.col("_ni") == n_ratings, 1).otherwise(0)).alias(
+                "_nitems"
+            ),
+            F.sum(F.when(F.col("_ni") != n_ratings, 1).otherwise(0)).alias(
+                "_nexcl"
+            ),
+            F.sum(
+                F.when(F.col("_ni") == n_ratings, F.col("_sq"))
+            ).alias("_sumsq"),
+        )
+        .join(sc, "_g", "left")
+    )
+    n = float(n_ratings)
+    nitems = F.col("_nitems").cast("double")
+    p_bar = (F.col("_sumsq").cast("double") - nitems * n) / (
+        nitems * n * (n - 1.0)
+    )
+    p_e = F.col("_ssq").cast("double") / (nitems * n * nitems * n)
+    ok = F.col("_nitems") > 0
+    return stats.select(
+        F.col("_g").alias(group_col),
+        F.col("_nitems").cast("long").alias("n_items"),
+        F.col("_nexcl").cast("long").alias("n_excluded"),
+        F.when(ok, F.round(p_bar, dp)).alias("p_bar"),
+        F.when(ok, F.round(p_e, dp)).alias("p_e"),
+        F.when(ok & (p_e != 1.0), F.round((p_bar - p_e) / (1.0 - p_e), dp))
+        .alias("kappa"),
+    )
+
+
 def nelson_aalen(
     subjects: DataFrame,
     duration_col: str,

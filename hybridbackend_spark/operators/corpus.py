@@ -1286,6 +1286,228 @@ def dsir_importance(
     )
 
 
+def hashed_linear_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    weight_scale: int = 1000,
+    seed: int = 1,
+    dp: int = 6,
+) -> DataFrame:
+    """fastText-style hashed bag-of-words linear classifier scoring —
+    the CCNet/fastText quality-filter shape (Wenzek et al. '20 score
+    every CommonCrawl doc with a linear model over hashed token
+    features; the per-doc cost is O(tokens), embarrassingly parallel):
+    tokens hash into ``n_buckets`` buckets (:func:`hash_bucket`, md5 —
+    engine-replayable), each bucket carries a weight, the doc logit is
+    the MEAN bucket weight, and the score is its sigmoid.
+
+    Weights here are derived deterministically from the bucket id
+    (md5 again, integers in [-weight_scale, +weight_scale]) — a stand-in
+    with the exact production plumbing: swap in trained weights as a
+    broadcast (bucket, weight) table joined onto the token stream and
+    NOTHING else changes (the weight side is <= n_buckets rows, always
+    broadcastable; the fact side never shuffles). Hash-derived weights
+    keep the whole computation expression-level AND let the DuckDB
+    oracle replay every bit: the weight sum is an exact BIGINT, the
+    logit is ONE division, the sigmoid ONE exp.
+
+    Returns (id, n_toks, w_sum, score); empty/whitespace-only docs
+    carry no features and are omitted (same contract as
+    :func:`dsir_importance`).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(_c(text_col))).alias("_tok")
+    ).select(
+        id_col, hash_bucket(F.col("_tok"), n_buckets, seed).alias("_b")
+    )
+    w = (
+        hash_bucket(
+            F.concat(F.lit("w:"), F.col("_b").cast("string")),
+            2 * weight_scale + 1,
+            seed,
+        )
+        - weight_scale
+    )
+    scored = toks.select(F.col(id_col), w.alias("_w")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("_w").cast("long").alias("w_sum"),
+    )
+    logit = F.col("w_sum").cast("double") / (
+        F.col("n_toks").cast("double") * float(weight_scale)
+    )
+    return scored.select(
+        id_col,
+        "n_toks",
+        "w_sum",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), dp).alias("score"),
+    )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Corpus diversity readout per slice: distinct-n (unique word
+    n-grams / total n-grams — the classic generation-diversity metric,
+    Li et al. '16) plus type-token ratio. Low distinct-n flags
+    template/boilerplate-heavy sources; the per-slice numbers are what
+    a mixture designer reads next to quality scores.
+
+    Scale shape: one explode + two (group, gram)-keyed partial aggs —
+    counts only, no pairwise work. Ratios are single divisions of exact
+    BIGINTs.
+
+    Returns (group, n_tokens, n_types, n_grams, n_distinct_grams,
+    ttr, distinct_n).
+    """
+    toked = df.select(
+        F.col(group_col).alias("_g"), tokens(_c(text_col)).alias("_toks")
+    )
+    tok = toked.select("_g", F.explode("_toks").alias("_t"))
+    tok_stats = tok.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("_t").alias("n_types"),
+    )
+    grams = toked.select(
+        "_g", F.explode(word_shingles_list(F.col("_toks"), n)).alias("_gr")
+    )
+    gram_stats = grams.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("_gr").alias("n_distinct_grams"),
+    )
+    joined = tok_stats.join(gram_stats, "_g", "left")
+    return joined.select(
+        F.col("_g").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_distinct_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_grams"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                dp,
+            ),
+        ).alias("ttr"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.round(
+                F.col("n_distinct_grams").cast("double")
+                / F.col("n_grams").cast("double"),
+                dp,
+            ),
+        ).alias("distinct_n"),
+    )
+
+
+def word_shingles_list(toks: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-TOKENIZED array column (space-joined
+    strings); [] when fewer than n tokens. Shared by
+    :func:`distinct_ngram_diversity` and callers that tokenize once for
+    several consumers."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.when(F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    budget_frac_pct: int = 50,
+    max_epochs: int = 2,
+    rounds: int = 2,
+) -> DataFrame:
+    """Training-mixture token allocation: given per-source token counts,
+    a global token budget (``budget_frac_pct``% of the corpus total) and
+    a repetition cap (``max_epochs`` passes over any one source — the
+    "don't repeat data too often" rule of mixture design), allocate the
+    budget proportionally to source size with the cap enforced by
+    ``rounds`` rounds of water-filling: each round distributes the
+    remaining budget proportionally among uncapped sources, capped
+    sources keep their cap. A FIXED round count keeps the computation a
+    deterministic dataflow (each round is one tiny agg + broadcast over
+    <= |sources| rows); exact water-filling converges in <= |sources|
+    rounds, and two rounds already place >99% of the budget in typical
+    skews — the residual is reported, not hidden.
+
+    Engine-exact: token counts and every allocation are BIGINT (the
+    proportional share is the exact integral division ``(budget * T_s)
+    div T`` in DECIMAL(38,0) arithmetic — NOT floor of a scaled decimal
+    quotient, whose half-up rounding at the result scale could cross an
+    integer boundary); no float accumulation anywhere.
+
+    Returns (group, n_tokens, cap, alloc, residual) where residual is
+    the still-unplaced budget after the final round (same value on
+    every row — a scalar readout).
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.size(tokens(_c(text_col))).alias("_nt"),
+        )
+        .groupBy("_g")
+        .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+    )
+    total = counts.agg(F.sum("n_tokens").alias("_tot"))
+    alloc = counts.crossJoin(F.broadcast(total)).select(
+        "_g",
+        "n_tokens",
+        (F.col("n_tokens") * max_epochs).alias("_cap"),
+        F.expr(f"(_tot * {int(budget_frac_pct)}) div 100").alias("_budget"),
+        F.lit(0).cast("long").alias("_alloc"),
+    )
+    for _ in range(rounds):
+        # remaining budget + uncapped-source token mass (2-row broadcast)
+        room = alloc.agg(
+            (F.max("_budget") - F.sum("_alloc")).alias("_left"),
+            F.sum(
+                F.when(F.col("_alloc") < F.col("_cap"), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            ).alias("_umass"),
+        )
+        share = F.expr(
+            "(cast(_left as decimal(38,0)) * cast(n_tokens as decimal(38,0)))"
+            " div cast(_umass as decimal(38,0))"
+        )
+        alloc = alloc.crossJoin(F.broadcast(room)).select(
+            "_g",
+            "n_tokens",
+            "_cap",
+            "_budget",
+            F.when(
+                (F.col("_alloc") < F.col("_cap")) & (F.col("_umass") > 0),
+                F.least(F.col("_cap"), F.col("_alloc") + share),
+            )
+            .otherwise(F.col("_alloc"))
+            .alias("_alloc"),
+        )
+    residual = alloc.agg(
+        (F.max("_budget") - F.sum("_alloc")).alias("residual")
+    )
+    return alloc.crossJoin(F.broadcast(residual)).select(
+        F.col("_g").alias(group_col),
+        "n_tokens",
+        F.col("_cap").cast("long").alias("cap"),
+        F.col("_alloc").cast("long").alias("alloc"),
+        F.col("residual").cast("long").alias("residual"),
+    )
+
+
 def slice_overlap_matrix(
     df: DataFrame,
     group_col: str,

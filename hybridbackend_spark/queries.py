@@ -793,6 +793,11 @@ _DRIVER_WINDOW_FIRST = [
     "mwu_incremental_events",
     "ks_incremental_orders",
     "jsonl_scan_docs",
+    "quality_classifier_docs",
+    "distinct_ngrams_docs",
+    "bh_fdr_events",
+    "fleiss_kappa_lineitem",
+    "token_budget_mix_docs",
 ]
 
 
@@ -12530,6 +12535,306 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "quality_classifier_docs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, u.t
+      FROM (SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+            WHERE length(trim(text)) > 0) d,
+           unnest(w) u(t)
+    ),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t || ':1'), 1, 8))::BIGINT % 65536 AS b
+      FROM tk
+    ),
+    w AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('w:' || b::VARCHAR || ':1'), 1, 8))::BIGINT
+              % 2001) - 1000 AS w
+      FROM b
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_toks,
+           CAST(sum(w) AS BIGINT) AS w_sum,
+           round(1.0 / (1.0 + exp(-(CAST(sum(w) AS DOUBLE)
+                                    / (count(*)::DOUBLE * 1000.0)))), 6)
+             AS score
+    FROM w GROUP BY doc_id
+    """,
+)
+def quality_classifier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/CCNet-style quality-classifier scoring over every
+    document: hashed bag-of-words buckets, per-bucket weights, mean
+    weight -> sigmoid. Weights are md5-derived integers so the oracle
+    replays the full model bit-for-bit; production swaps in trained
+    weights as a broadcast table with the identical plan shape. See
+    operators/corpus.py::hashed_linear_classifier."""
+    from .operators.corpus import hashed_linear_classifier
+
+    return hashed_linear_classifier(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "distinct_ngrams_docs",
+    f"""
+    WITH t AS (
+      SELECT source, {_TOKS_SQL} AS w FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    tok AS (SELECT source, u.t FROM t, unnest(w) u(t)),
+    ts AS (
+      SELECT source, count(*)::BIGINT AS n_tokens,
+             count(DISTINCT t)::BIGINT AS n_types
+      FROM tok GROUP BY source
+    ),
+    g AS (
+      SELECT source, w[i] || ' ' || w[i + 1] AS gr
+      FROM t, unnest(generate_series(1, len(w) - 1)) u(i)
+      WHERE len(w) >= 2
+    ),
+    gs AS (
+      SELECT source, count(*)::BIGINT AS n_grams,
+             count(DISTINCT gr)::BIGINT AS n_distinct_grams
+      FROM g GROUP BY source
+    )
+    SELECT ts.source, n_tokens, n_types,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_distinct_grams, 0) AS n_distinct_grams,
+           CASE WHEN n_tokens > 0 THEN
+             round(n_types::DOUBLE / n_tokens::DOUBLE, 6) END AS ttr,
+           CASE WHEN coalesce(n_grams, 0) > 0 THEN
+             round(n_distinct_grams::DOUBLE / n_grams::DOUBLE, 6)
+           END AS distinct_n
+    FROM ts LEFT JOIN gs USING (source)
+    """,
+)
+def distinct_ngrams_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus diversity: type-token ratio and distinct-2
+    (unique bigrams / total bigrams) — the template/boilerplate
+    detector a mixture designer reads next to quality scores. Pure
+    count arithmetic; see operators/corpus.py::distinct_ngram_diversity."""
+    from .operators.corpus import distinct_ngram_diversity
+
+    return distinct_ngram_diversity(
+        _t(spark, sf_dir, "documents"), "source", "text", n=2
+    )
+
+
+@register(
+    "bh_fdr_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(extract(hour FROM ts) / 8) AS INT) AS tod,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type,
+             CAST(sum(o) AS BIGINT) AS n,
+             CAST(3 * sum(o * o) - sum(o) * sum(o) AS BIGINT) AS xnum
+      FROM b GROUP BY event_type
+    ),
+    p AS (
+      SELECT event_type, n,
+             round(CAST(xnum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS x2,
+             exp(-(CAST(xnum AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0) AS praw
+      FROM x
+    ),
+    r AS (
+      SELECT event_type, n, x2, praw,
+             row_number() OVER (ORDER BY praw, event_type) AS rank,
+             count(*) OVER () AS m
+      FROM p
+    ),
+    f AS (
+      SELECT *,
+             max(CASE WHEN praw * m <= 0.05 * rank THEN rank END) OVER ()
+               AS kstar,
+             min(praw * m / rank) OVER (ORDER BY rank DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qraw
+      FROM r
+    )
+    SELECT event_type, n, x2,
+           round(praw, 6) AS p,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(m AS BIGINT) AS m,
+           coalesce(rank <= kstar, FALSE) AS reject,
+           round(least(qraw, 1.0), 6) AS q
+    FROM f
+    """,
+)
+def bh_fdr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control over a per-segment test battery: each
+    event type gets a 3-bucket time-of-day uniformity chi-square (df=2,
+    so p = exp(-x/2) EXACTLY — no incomplete-gamma needed), then
+    Benjamini-Hochberg step-up across the battery (rank window over the
+    bounded per-type aggregate; allowlisted global window). The
+    statistic numerator 3*sum(o^2) - n^2 is exact BIGINT; see
+    operators/analytics.py::bh_fdr."""
+    from .operators.analytics import bh_fdr
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.floor(F.hour("ts") / 8).cast("int").alias("tod")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("n"),
+        (3 * F.sum(F.col("o") * F.col("o")) - F.sum("o") * F.sum("o"))
+        .cast("long")
+        .alias("xnum"),
+    )
+    scored = per_type.select(
+        "event_type",
+        "n",
+        F.round(F.col("xnum").cast("double") / F.col("n").cast("double"), 6)
+        .alias("x2"),
+        F.exp(
+            -(F.col("xnum").cast("double") / F.col("n").cast("double")) / 2.0
+        ).alias("praw"),
+    )
+    out = bh_fdr(scored, "event_type", "praw")
+    return (
+        scored.select("event_type", "n", "x2")
+        .join(out.withColumnRenamed("p", "_p6"), "event_type")
+        .select(
+            "event_type", "n", "x2",
+            F.col("_p6").alias("p"), "rank", "m", "reject", "q",
+        )
+    )
+
+
+@register(
+    "fleiss_kappa_lineitem",
+    """
+    WITH r AS (
+      SELECT o.o_orderpriority AS g, l.l_orderkey AS i,
+             l.l_returnflag AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    nic AS (SELECT g, i, c, count(*)::BIGINT AS n FROM r GROUP BY 1, 2, 3),
+    itot AS (
+      SELECT g, i, sum(n) AS ni, sum(n * n) AS sq FROM nic GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT nic.g, nic.c, sum(nic.n) AS s
+      FROM nic JOIN itot ON itot.g = nic.g AND itot.i = nic.i
+      WHERE itot.ni = 4 GROUP BY 1, 2
+    ),
+    ssq AS (SELECT g, sum(s * s) AS ssq FROM sc GROUP BY g),
+    st AS (
+      SELECT g,
+             sum(CASE WHEN ni = 4 THEN 1 ELSE 0 END)::BIGINT AS n_items,
+             sum(CASE WHEN ni <> 4 THEN 1 ELSE 0 END)::BIGINT AS n_excluded,
+             sum(CASE WHEN ni = 4 THEN sq END) AS sumsq
+      FROM itot GROUP BY g
+    )
+    SELECT st.g AS o_orderpriority, n_items, n_excluded,
+           CASE WHEN n_items > 0 THEN round(
+             (sumsq::DOUBLE - n_items::DOUBLE * 4.0)
+             / (n_items::DOUBLE * 4.0 * 3.0), 6) END AS p_bar,
+           CASE WHEN n_items > 0 THEN round(
+             ssq::DOUBLE / (n_items::DOUBLE * 4.0 * n_items::DOUBLE * 4.0),
+             6) END AS p_e,
+           CASE WHEN n_items > 0 AND
+                     ssq::DOUBLE / (n_items::DOUBLE * 4.0
+                                    * n_items::DOUBLE * 4.0) <> 1.0
+           THEN round(
+             ((sumsq::DOUBLE - n_items::DOUBLE * 4.0)
+              / (n_items::DOUBLE * 4.0 * 3.0)
+              - ssq::DOUBLE / (n_items::DOUBLE * 4.0
+                               * n_items::DOUBLE * 4.0))
+             / (1.0 - ssq::DOUBLE / (n_items::DOUBLE * 4.0
+                                     * n_items::DOUBLE * 4.0)), 6)
+           END AS kappa
+    FROM st LEFT JOIN ssq ON ssq.g = st.g
+    """,
+)
+def fleiss_kappa_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per order priority: each order's line items act as
+    a 4-rater panel 'rating' the order with a return flag — do the
+    lines of an order agree beyond chance? Orders with a line count
+    other than 4 are excluded (constant panel size, reported as
+    n_excluded). The agreement readout for any labeled training set;
+    see operators/analytics.py::fleiss_kappa."""
+    from .operators.analytics import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rated = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", "l_orderkey", "l_returnflag"
+    )
+    return fleiss_kappa(
+        rated, "o_orderpriority", "l_orderkey", "l_returnflag", n_ratings=4
+    )
+
+
+@register(
+    "token_budget_mix_docs",
+    f"""
+    WITH t AS (
+      SELECT source, len({_TOKS_SQL}) AS nt FROM documents
+      WHERE length(trim(text)) > 0
+    ),
+    c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM t GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM c),
+    a0 AS (
+      SELECT source, n_tokens, 2 * n_tokens AS cap,
+             (total * 50) // 100 AS budget
+      FROM c, tot
+    ),
+    r1m AS (
+      SELECT max(budget) AS left1,
+             sum(CASE WHEN 0 < cap THEN n_tokens ELSE 0 END) AS umass1
+      FROM a0
+    ),
+    a1 AS (
+      SELECT a0.*,
+             CASE WHEN 0 < cap AND umass1 > 0
+                  THEN least(cap, CAST((left1::HUGEINT * n_tokens)
+                                       // umass1 AS BIGINT))
+                  ELSE 0 END AS alloc1
+      FROM a0, r1m
+    ),
+    r2m AS (
+      SELECT max(budget) - sum(alloc1) AS left2,
+             sum(CASE WHEN alloc1 < cap THEN n_tokens ELSE 0 END) AS umass2
+      FROM a1
+    ),
+    a2 AS (
+      SELECT a1.*,
+             CASE WHEN alloc1 < cap AND umass2 > 0
+                  THEN least(cap, alloc1 + CAST((left2::HUGEINT * n_tokens)
+                                                // umass2 AS BIGINT))
+                  ELSE alloc1 END AS alloc2
+      FROM a1, r2m
+    ),
+    res AS (SELECT max(budget) - sum(alloc2) AS residual FROM a2)
+    SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+           CAST(alloc2 AS BIGINT) AS alloc,
+           CAST(residual AS BIGINT) AS residual
+    FROM a2, res
+    """,
+)
+def token_budget_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture token allocation per source: 50% of the corpus
+    token mass as budget, max 2 epochs per source, two water-filling
+    rounds (exact BIGINT arithmetic; residual reported). The static
+    data-mixing computation behind every pretraining run; see
+    operators/corpus.py::token_budget_mix."""
+    from .operators.corpus import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    return token_budget_mix(
+        docs, "source", "text",
+        budget_frac_pct=50, max_epochs=2, rounds=2,
+    )
 
 
 @register(

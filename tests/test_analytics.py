@@ -1015,3 +1015,98 @@ def test_cmh_matches_python_reference(spark, sf_dir):
     )
     d = (sum_a * 1e6 - sum_e) / 1e6
     assert r.cmh == round(d * d / (sum_v / 1e6), 6)
+
+
+def test_bh_fdr_textbook_example(spark):
+    """Classic BH: m=6 with a mixed battery; verify k*, rejection set,
+    and step-up q-values against the hand calculation."""
+    from hybridbackend_spark.operators.analytics import bh_fdr
+
+    ps = {"h1": 0.001, "h2": 0.008, "h3": 0.039, "h4": 0.040,
+          "h5": 0.041, "h6": 0.60}
+    df = spark.createDataFrame(list(ps.items()), "h string, p double")
+    got = {r.h: r for r in bh_fdr(df, "h", "p", alpha=0.05).collect()}
+    # thresholds alpha*k/m: .00833 .01667 .025 .0333 .04167 .05
+    # p_(k) <= thr at k=1,2,5 (.041 <= .04167) -> k*=5: reject h1..h5
+    # (step-up includes h3, h4 even though their own thresholds fail)
+    for h in ("h1", "h2", "h3", "h4", "h5"):
+        assert got[h].reject, h
+    assert not got["h6"].reject
+    # q-values: running min from the right of p*m/k
+    import itertools
+
+    ordered = sorted(ps.items(), key=lambda kv: kv[1])
+    raw = [p * 6 / (i + 1) for i, (_, p) in enumerate(ordered)]
+    qs = list(
+        itertools.accumulate(raw[::-1], min)
+    )[::-1]
+    for (h, _), q in zip(ordered, qs):
+        assert got[h].q == round(min(q, 1.0), 6), h
+    assert [got[h].m for h in ps] == [6] * 6
+
+
+def test_bh_fdr_no_rejections(spark):
+    from hybridbackend_spark.operators.analytics import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9)], "h string, p double"
+    )
+    got = bh_fdr(df, "h", "p", alpha=0.05).collect()
+    assert all(not r.reject for r in got)
+    assert all(r.q <= 1.0 for r in got)
+
+
+def test_fleiss_kappa_matches_python(spark):
+    """Reference: independent textbook computation over a 3-rater
+    panel, including an excluded wrong-size item and a degenerate
+    unanimous-single-category group (kappa undefined)."""
+    from collections import Counter
+
+    from hybridbackend_spark.operators.analytics import fleiss_kappa
+
+    ratings = {
+        # group g1: 4 items x 3 raters, mixed agreement
+        ("g1", 1): ["a", "a", "a"],
+        ("g1", 2): ["a", "b", "b"],
+        ("g1", 3): ["c", "c", "b"],
+        ("g1", 4): ["a", "a", "b"],
+        # one 2-rater item: excluded
+        ("g1", 5): ["a", "b"],
+        # group g2: everyone always says 'x' -> P_e = 1, kappa NULL
+        ("g2", 1): ["x", "x", "x"],
+        ("g2", 2): ["x", "x", "x"],
+    }
+    rows = [
+        (g, i, c) for (g, i), cs in ratings.items() for c in cs
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, c string")
+    got = {
+        r.g: r
+        for r in fleiss_kappa(df, "g", "i", "c", n_ratings=3).collect()
+    }
+
+    def ref(items):
+        n = 3
+        N = len(items)
+        sumsq = sum(
+            sum(v * v for v in Counter(cs).values()) for cs in items
+        )
+        p_bar = (sumsq - N * n) / (N * n * (n - 1))
+        cat = Counter(c for cs in items for c in cs)
+        p_e = sum(v * v for v in cat.values()) / (N * n) ** 2
+        return p_bar, p_e, (p_bar - p_e) / (1 - p_e)
+
+    g1_items = [cs for (g, _), cs in ratings.items()
+                if g == "g1" and len(cs) == 3]
+    p_bar, p_e, kappa = ref(g1_items)
+    r1 = got["g1"]
+    assert (r1.n_items, r1.n_excluded) == (4, 1)
+    assert r1.p_bar == round(p_bar, 6)
+    assert r1.p_e == round(p_e, 6)
+    assert r1.kappa == round(kappa, 6)
+    r2 = got["g2"]
+    assert (r2.n_items, r2.n_excluded) == (2, 0)
+    assert r2.p_e == 1.0 and r2.kappa is None
+
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, "g", "i", "c", n_ratings=1)

@@ -805,3 +805,105 @@ def test_slice_overlap_duplicate_label_rejected(spark):
     )
     with pytest.raises(ValueError, match="1:1"):
         slice_overlap_matrix(df, "src", F.col("i"), "text")
+
+
+def _md5_bucket(key: str, n: int, seed: int = 0) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:8], 16) % n
+
+
+def test_hashed_linear_classifier_matches_python(spark):
+    import math
+
+    from hybridbackend_spark.operators.corpus import hashed_linear_classifier
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE the The"),  # case-folds to one token type
+        (3, "   "),  # whitespace-only: no features, omitted
+        (4, "lorem"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in hashed_linear_classifier(df, "doc_id", "text").collect()
+    }
+    assert 3 not in got
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        if not toks:
+            continue
+        ws = [
+            _md5_bucket(f"w:{_md5_bucket(t, 1 << 16, 1)}", 2001, 1) - 1000
+            for t in toks
+        ]
+        r = got[doc_id]
+        assert (r.n_toks, r.w_sum) == (len(toks), sum(ws))
+        logit = sum(ws) / (len(toks) * 1000.0)
+        assert r.score == round(1.0 / (1.0 + math.exp(-logit)), 6)
+
+
+def test_distinct_ngram_diversity_matches_python(spark):
+    from hybridbackend_spark.operators.corpus import distinct_ngram_diversity
+
+    rows = [
+        ("a", "x y x y x"),       # heavy repetition
+        ("a", "x y"),
+        ("b", "p q r s"),          # all distinct
+        ("c", "solo"),             # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = {
+        r.src: r
+        for r in distinct_ngram_diversity(df, "src", "text", n=2).collect()
+    }
+    # src a: tokens x y x y x | x y -> 7 tokens, 2 types;
+    # bigrams: [x y, y x, x y, y x] + [x y] -> 5 grams, 2 distinct
+    assert (got["a"].n_tokens, got["a"].n_types) == (7, 2)
+    assert (got["a"].n_grams, got["a"].n_distinct_grams) == (5, 2)
+    assert got["a"].ttr == round(2 / 7, 6)
+    assert got["a"].distinct_n == round(2 / 5, 6)
+    assert (got["b"].n_grams, got["b"].n_distinct_grams) == (3, 3)
+    assert got["b"].distinct_n == 1.0
+    # no bigrams -> NULL ratio, zero counts
+    assert (got["c"].n_grams, got["c"].n_distinct_grams) == (0, 0)
+    assert got["c"].distinct_n is None
+
+
+def test_token_budget_mix_waterfill_and_caps(spark):
+    from hybridbackend_spark.operators.corpus import token_budget_mix
+
+    # skewed sources: big=12 tokens, small=2, tiny=1; total=15
+    rows = [
+        ("big", " ".join(["t"] * 12)),
+        ("small", "a b"),
+        ("tiny", "z"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {
+        r.src: r
+        for r in token_budget_mix(
+            df, "src", "text", budget_frac_pct=80, max_epochs=1, rounds=2
+        ).collect()
+    }
+    budget = 15 * 80 // 100  # 12
+    # round 1: shares floor(12*T_s/15) = big 9, small 1, tiny 0
+    # (tiny capped at 1 epoch = 1 token; its share floor(12/15)=0)
+    # round 2: left = 12-10 = 2 over uncapped mass {big 12, small 2, tiny 1}
+    # big += floor(2*12/15)=1 -> 10, small += floor(2*2/15)=0, tiny += 0
+    assert out["big"].cap == 12 and out["big"].alloc == 10
+    assert out["small"].alloc == 1 and out["tiny"].alloc == 0
+    total_alloc = sum(r.alloc for r in out.values())
+    assert total_alloc <= budget
+    assert all(r.residual == budget - total_alloc for r in out.values())
+    assert all(r.alloc <= r.cap for r in out.values())
+    # max_epochs binds: with a tight cap everything saturates
+    capped = {
+        r.src: r
+        for r in token_budget_mix(
+            df, "src", "text", budget_frac_pct=100, max_epochs=1, rounds=2
+        ).collect()
+    }
+    assert all(r.alloc == r.cap == r.n_tokens for r in capped.values())
+    assert all(r.residual == 0 for r in capped.values())

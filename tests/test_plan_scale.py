@@ -257,6 +257,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "metric_auc_pr",           # trapezoid sweep over score buckets
     "skew_report_lineitem",    # rank over top-k limited keys
     "vocab_encode_docs",       # ids over top-V vocabulary head
+    "bh_fdr_events",           # BH rank over per-hypothesis battery (m rows)
 }
 
 
