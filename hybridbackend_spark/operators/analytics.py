@@ -40,6 +40,12 @@ __all__ = [
     "cuped_adjust",
     "mann_whitney_u",
     "ks_two_sample",
+    "rank_histogram_state",
+    "merge_rank_histograms",
+    "mann_whitney_u_from_state",
+    "ks_from_state",
+    "bh_fdr",
+    "fleiss_kappa",
     "gini_coefficient",
     "offpolicy_ips",
 ]

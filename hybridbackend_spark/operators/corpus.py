@@ -50,6 +50,10 @@ __all__ = [
     "pmi_bigrams",
     "kneser_ney_bigram",
     "dsir_importance",
+    "hashed_linear_classifier",
+    "distinct_ngram_diversity",
+    "word_shingles_list",
+    "token_budget_mix",
     "slice_overlap_matrix",
     "temperature_sample",
     "vocab_encode",

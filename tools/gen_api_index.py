@@ -17,6 +17,9 @@ MODS = [
     "hybridbackend_spark.operators.dedup",
     "hybridbackend_spark.operators.similarity",
     "hybridbackend_spark.operators.graph",
+    "hybridbackend_spark.operators.analytics",
+    "hybridbackend_spark.operators.quality",
+    "hybridbackend_spark.operators.decomp",
     "hybridbackend_spark.operators.corpus",
     "hybridbackend_spark.operators.text",
     "hybridbackend_spark.operators.ranking",
