@@ -40,6 +40,7 @@ __all__ = [
     "cuped_adjust",
     "mann_whitney_u",
     "ks_two_sample",
+    "spearman_corr",
     "rank_histogram_state",
     "merge_rank_histograms",
     "mann_whitney_u_from_state",
@@ -986,6 +987,88 @@ def ks_two_sample(
         ),
         group_col,
         dp,
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-association
+    companion to Pearson :func:`corr_pairs` (robust to outliers and
+    nonlinearity; the standard readout when either metric is
+    heavy-tailed).
+
+    Engine-exact rank arithmetic: both variables quantize to integer
+    grids; each value's DOUBLED tie-average rank is the integer
+    ``2b + c + 1`` from the per-group value histogram (the
+    :func:`mann_whitney_u` identity), and Spearman = Pearson over
+    those doubled ranks (the x2 scaling cancels in the correlation).
+    All sufficient statistics (rank sums, squares, cross products)
+    accumulate as DECIMAL(38,0), so rho is one fixed-shape expression
+    of exact integers — no float ranks, no summation-order drift.
+
+    Scale shape: two (group, value)-keyed histograms with partitioned
+    windows (never a global sort), one fact-side broadcast-or-shuffle
+    join per variable to attach ranks, one final agg. NULL in either
+    variable drops the row (no rank information). rho is NULL when
+    either variable is constant (zero variance, ANSI-guarded).
+
+    Returns (group, n, rho).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(x_col).cast("double") * scale).cast("long").alias("_x"),
+        F.round(F.col(y_col).cast("double") * scale).cast("long").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def ranks(col: str, out: str) -> DataFrame:
+        hist = base.groupBy("_g", col).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            Window.partitionBy("_g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return hist.select(
+            "_g",
+            col,
+            (
+                2 * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + 1
+            ).alias(out),
+        )
+    rx = ranks("_x", "_rx")
+    ry = ranks("_y", "_ry")
+    ranked = base.join(rx, ["_g", "_x"]).join(ry, ["_g", "_y"])
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("_rx"))).alias("sx"),
+        F.sum(_dec(F.col("_ry"))).alias("sy"),
+        F.sum(_dec(F.col("_rx")) * _dec(F.col("_rx"))).alias("sxx"),
+        F.sum(_dec(F.col("_ry")) * _dec(F.col("_ry"))).alias("syy"),
+        F.sum(_dec(F.col("_rx")) * _dec(F.col("_ry"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), dp)
+        ).alias("rho"),
     )
 
 

@@ -23,6 +23,8 @@ affine maps (standard MinHash construction, cf. Broder '97).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens, word_shingles
@@ -41,6 +43,7 @@ __all__ = [
     "cosine_near_dup_pairs",
     "semantic_dedup",
     "contamination_check",
+    "blocked_levenshtein_pairs",
 ]
 
 # Mersenne prime 2^31-1: small enough that (h * a + b) stays inside a
@@ -667,6 +670,80 @@ def cosine_near_dup_pairs(
             )
         )
     return scored.filter(F.col("cos") >= threshold)
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_keys: Sequence[Column],
+    max_distance: int = 2,
+    max_block_rows: int = 10_000,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: candidate pairs share at least one
+    blocking key; survivors are verified with exact
+    ``levenshtein(name_a, name_b) <= max_distance`` — the standard
+    entity-resolution shape (block -> verify) for near-duplicate
+    customers/suppliers/titles where token-set similarity is the wrong
+    granularity (single-character typos).
+
+    Blocking is RECALL-BY-DESIGN, not exact: a pair is found iff it
+    collides on some key, so key design (prefixes, length bands, digit
+    tails, phonetic codes) is the caller's recall contract — the
+    standard trade of record linkage (Fellegi-Sunter blocking). What IS
+    guaranteed: no false positives (exact edit-distance verify) and no
+    all-pairs stage (pairs are generated per block only).
+
+    Scale guard: any block holding more than ``max_block_rows`` rows
+    RAISES (the `_enforce_max_obs` discipline) — a degenerate key (a
+    constant prefix) silently turns blocking into the quadratic join it
+    exists to avoid, so it must fail loudly, not degrade.
+
+    Returns (id_a, id_b, distance), id_a < id_b, deduplicated across
+    blocks.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    if not block_keys:
+        raise ValueError("need at least one blocking key")
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_nm"),
+        F.posexplode(F.array(*[k.cast("string") for k in block_keys])).alias(
+            "_kix", "_key"
+        ),
+    ).filter(F.col("_key").isNotNull())
+    sizes = keyed.groupBy("_kix", "_key").agg(F.count(F.lit(1)).alias("_n"))
+    oversize = sizes.filter(F.col("_n") > max_block_rows)
+    # executable guard: one tiny agg; raises before the pair join runs
+    bad = oversize.limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"blocking key #{r['_kix']} value {r['_key']!r} holds "
+            f"{r['_n']} rows (> max_block_rows={max_block_rows}); "
+            "refine the blocking keys instead of joining quadratically"
+        )
+    a = keyed.select("_kix", "_key", F.col("_id").alias("id_a"),
+                     F.col("_nm").alias("_na"))
+    b = keyed.select("_kix", "_key", F.col("_id").alias("id_b"),
+                     F.col("_nm").alias("_nb"))
+    # Verify BEFORE the cross-block dedup (the cosine_topk_lsh lesson):
+    # distance is deterministic per pair, so distinct over (ids,
+    # distance) removes multi-block duplicates while the exchange
+    # carries two ids + one int — never the name payloads — and the
+    # threshold filter prunes non-matches map-side before the shuffle.
+    return (
+        a.join(b, ["_kix", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_na"), F.col("_nb")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
 
 
 def contamination_check(

@@ -798,6 +798,8 @@ _DRIVER_WINDOW_FIRST = [
     "bh_fdr_events",
     "fleiss_kappa_lineitem",
     "token_budget_mix_docs",
+    "spearman_events",
+    "entity_linkage_customers",
 ]
 
 
@@ -12535,6 +12537,113 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "spearman_events",
+    """
+    WITH t AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(round(extract(hour FROM ts) * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    hx AS (SELECT g, x, count(*)::BIGINT AS c FROM t GROUP BY g, x),
+    rx AS (
+      SELECT g, x,
+             2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r
+      FROM hx
+    ),
+    hy AS (SELECT g, y, count(*)::BIGINT AS c FROM t GROUP BY g, y),
+    ry AS (
+      SELECT g, y,
+             2 * coalesce(sum(c) OVER (PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + c + 1 AS r
+      FROM hy
+    ),
+    j AS (
+      SELECT t.g, rx.r AS rxv, ry.r AS ryv
+      FROM t JOIN rx ON rx.g = t.g AND rx.x = t.x
+             JOIN ry ON ry.g = t.g AND ry.y = t.y
+    ),
+    a AS (
+      SELECT g, count(*)::BIGINT AS n,
+             sum(CAST(rxv AS DECIMAL(38,0))) AS sx,
+             sum(CAST(ryv AS DECIMAL(38,0))) AS sy,
+             sum(CAST(rxv AS DECIMAL(38,0)) * rxv) AS sxx,
+             sum(CAST(ryv AS DECIMAL(38,0)) * ryv) AS syy,
+             sum(CAST(rxv AS DECIMAL(38,0)) * ryv) AS sxy
+      FROM j GROUP BY g
+    )
+    SELECT g AS event_type, n,
+           CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                 AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+           THEN round(
+             (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+             6)
+           END AS rho
+    FROM a
+    """,
+)
+def spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Spearman rank correlation between event value and
+    hour-of-day: doubled tie-average ranks (the mann_whitney_u integer
+    identity) attached from per-group value histograms, Pearson over
+    those exact integer ranks — no float ranks anywhere; see
+    operators/analytics.py::spearman_corr."""
+    from .operators.analytics import spearman_corr
+
+    ev = _t(spark, sf_dir, "events").withColumn("hod", F.hour("ts"))
+    return spearman_corr(ev, "event_type", "value", "hod")
+
+
+@register(
+    "entity_linkage_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             substr(c_name, 1, length(c_name) - 2) AS k1,
+             c_nationkey::VARCHAR || ':' ||
+               substr(c_name, length(c_name) - 1, 2) AS k2
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS distance
+    FROM c a JOIN c b
+      ON a.c_custkey < b.c_custkey AND (a.k1 = b.k1 OR a.k2 = b.k2)
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def entity_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over customer names: two blocking
+    keys (name minus its last two characters; nation + last-two-char
+    tail), pairs within any shared block, exact levenshtein <= 1
+    verify. The oracle is the quadratic OR-blocked join the blocked
+    plan must equal pair-for-pair (no false positives by construction;
+    recall is the union of the two keys in BOTH engines). See
+    operators/dedup.py::blocked_levenshtein_pairs."""
+    from .operators.dedup import blocked_levenshtein_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    return blocked_levenshtein_pairs(
+        c,
+        "c_custkey",
+        "c_name",
+        block_keys=[
+            F.expr("substr(c_name, 1, length(c_name) - 2)"),
+            F.concat_ws(
+                ":",
+                F.col("c_nationkey").cast("string"),
+                F.expr("substr(c_name, length(c_name) - 1, 2)"),
+            ),
+        ],
+        max_distance=1,
+    )
 
 
 @register(

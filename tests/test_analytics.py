@@ -1110,3 +1110,52 @@ def test_fleiss_kappa_matches_python(spark):
 
     with pytest.raises(ValueError):
         fleiss_kappa(df, "g", "i", "c", n_ratings=1)
+
+
+def test_spearman_matches_python(spark):
+    """Reference: scipy-free pure-Python Spearman with tie-average
+    ranks, including a perfectly monotone pair, an inverse pair, ties,
+    and a constant-variable NULL."""
+    import math
+
+    from hybridbackend_spark.operators.analytics import spearman_corr
+
+    def ref_rho(xs, ys):
+        def ranks(vs):
+            s = sorted(vs)
+            return [
+                (s.index(v) + 1 + s.index(v) + s.count(v)) / 2.0 for v in vs
+            ]
+        rx, ry = ranks(xs), ranks(ys)
+        n = len(xs)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(r * r for r in rx)
+        syy = sum(r * r for r in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if vx <= 0 or vy <= 0:
+            return None
+        return (n * sxy - sx * sy) / math.sqrt(vx * vy)
+
+    cases = {
+        "mono": ([1.0, 2.0, 3.0, 10.0], [5.0, 6.0, 7.0, 8.0]),     # rho 1
+        "inv": ([1.0, 2.0, 3.0], [9.0, 5.0, 1.0]),                 # rho -1
+        "ties": ([1.0, 1.0, 2.0, 3.0, 3.0], [2.0, 4.0, 4.0, 9.0, 1.0]),
+        "const": ([5.0, 5.0, 5.0], [1.0, 2.0, 3.0]),               # NULL
+    }
+    rows = [
+        (g, x, y) for g, (xs, ys) in cases.items() for x, y in zip(xs, ys)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in spearman_corr(df, "g", "x", "y").collect()}
+    assert got["mono"].rho == 1.0
+    assert got["inv"].rho == -1.0
+    assert got["const"].rho is None
+    for g, (xs, ys) in cases.items():
+        want = ref_rho(xs, ys)
+        if want is None:
+            assert got[g].rho is None, g
+        else:
+            assert got[g].rho == round(want, 6), g
+        assert got[g].n == len(xs)

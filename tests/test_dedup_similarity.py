@@ -742,3 +742,60 @@ def test_semantic_dedup_max_cell_rows_bounds_and_noop(spark):
         semantic_dedup(
             df, "embedding", "vec_id", cents, max_cell_rows=0
         )
+
+
+def test_blocked_levenshtein_matches_bruteforce_and_guards(spark):
+    from hybridbackend_spark.operators.dedup import blocked_levenshtein_pairs
+
+    names = [
+        (1, "alpha-001"), (2, "alpha-002"), (3, "alpha-102"),
+        (4, "beta-001"), (5, "beta-002"), (6, "gamma-xyz"),
+        (7, "alpha-0010"),  # longer: caught only via the tail key
+    ]
+    df = spark.createDataFrame(names, "id long, nm string")
+    keys = [
+        F.expr("substr(nm, 1, 5)"),                       # family prefix
+        F.expr("substr(nm, length(nm) - 2, 3)"),          # 3-char tail
+    ]
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_levenshtein_pairs(
+            df, "id", "nm", keys, max_distance=2
+        ).collect()
+    }
+    # brute force restricted to the same blocking recall
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for (ia, na), (ib, nb) in itertools.combinations(names, 2):
+        shares = (na[:5] == nb[:5]) or (na[-3:] == nb[-3:])
+        if shares and lev(na, nb) <= 2:
+            want[(min(ia, ib), max(ia, ib))] = lev(na, nb)
+    assert got == want
+    # sanity on the fixture: the tail key contributes a pair the prefix
+    # key alone would give too (1,7 share both), and blocking excludes
+    # the cross-family (3,5) pair even though lev("alpha-102",
+    # "beta-002") may be small
+    assert (1, 2) in got and got[(1, 2)] == 1
+    # oversize block raises loudly
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_block_rows"):
+        blocked_levenshtein_pairs(
+            df, "id", "nm", [F.lit("same")], max_distance=1,
+            max_block_rows=3,
+        )
+    with _pt.raises(ValueError):
+        blocked_levenshtein_pairs(df, "id", "nm", [], max_distance=1)
