@@ -41,6 +41,7 @@ __all__ = [
     "mann_whitney_u",
     "ks_two_sample",
     "spearman_corr",
+    "robust_stats",
     "rank_histogram_state",
     "merge_rank_histograms",
     "mann_whitney_u_from_state",
@@ -987,6 +988,154 @@ def ks_two_sample(
         ),
         group_col,
         dp,
+    )
+
+
+def robust_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_pct: int = 10,
+    k_mad: int = 3,
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group robust location/spread/outlier summary — the
+    data-cleaning readout (median, MAD, trimmed mean, Hampel-style
+    outlier count) for heavy-tailed metrics where mean/stddev are
+    dominated by the very rows being hunted:
+
+        median        positional (dual-rank) median
+        MAD           median of |x - median|
+        trimmed mean  mean after dropping floor(trim_pct*n/100) rows
+                      from EACH tail (positionally)
+        n_outliers    rows with |x - median| > k_mad * MAD
+
+    Engine-exact, zero float ranks: values quantize to the ``scale``
+    grid; each positional selection works on the per-group value
+    histogram with a partitioned cumulative window, and medians are
+    kept DOUBLED (lo-rank value + hi-rank value) so half-grid medians
+    stay integers. The absolute deviations ``a = |2x - 2*median|`` and
+    their doubled median ``m2a = 4*MAD`` are integers too, so the
+    outlier test is the pure-integer comparison ``2a > k_mad * m2a``
+    and every emitted double is one final division.
+
+    Scale shape: two aggregate-sized histograms per group (values,
+    then deviations) with group-partitioned windows; the per-group
+    median rides back onto the histogram (aggregate-sized join), never
+    onto raw rows. No global sort, no per-row window.
+
+    Returns (group, n, median, mad, trimmed_mean, n_trimmed,
+    n_outliers).
+    """
+    if not 0 <= trim_pct < 50:
+        raise ValueError("trim_pct must be in [0, 50)")
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"), q.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    hist = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_g")
+    h = hist.select(
+        "_g",
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_b"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+
+    def dual_rank_median(hh: DataFrame, vcol: str) -> DataFrame:
+        """Doubled positional median: value_at(floor((n+1)/2)) +
+        value_at(floor(n/2)+1) from a (_g, value, _c, _b, _n) table."""
+        lo = F.floor((F.col("_n") + 1) / 2)
+        hi = F.floor(F.col("_n") / 2) + 1
+        hit = F.when((lo > F.col("_b")) & (lo <= F.col("_b") + F.col("_c")), 1).otherwise(0) + \
+            F.when((hi > F.col("_b")) & (hi <= F.col("_b") + F.col("_c")), 1).otherwise(0)
+        return hh.groupBy("_g").agg(
+            F.sum(F.col(vcol) * hit).cast("long").alias("_d2"),
+            F.max("_n").cast("long").alias("_n"),
+        )
+
+    med = dual_rank_median(h, "_v")  # (_g, _d2 = 2*median_cents, _n)
+    # deviations histogram: a = |2v - d2| per value row, counts re-agg
+    dev = (
+        h.join(med.select("_g", "_d2"), "_g")
+        .select(
+            "_g",
+            F.abs(2 * F.col("_v") - F.col("_d2")).alias("_a"),
+            "_c",
+        )
+        .groupBy("_g", "_a")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    dh = dev.select(
+        "_g",
+        "_a",
+        "_c",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.partitionBy("_g")
+                .orderBy("_a")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_b"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    mad2 = dual_rank_median(dh, "_a").select(
+        "_g", F.col("_d2").alias("_m2a")
+    )  # m2a = 4*MAD_cents
+    # outliers: integer comparison 2a > k * m2a, counted on the
+    # deviation histogram (aggregate-sized)
+    outs = (
+        dev.join(mad2, "_g")
+        .groupBy("_g")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("_a") > k_mad * F.col("_m2a"), F.col("_c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    # trimmed mean: keep positional ranks [t+1, n-t]
+    t = F.expr(f"(_n * {int(trim_pct)}) div 100")
+    keep_lo = t
+    keep_hi = F.col("_n") - t
+    c_eff = F.greatest(
+        F.lit(0),
+        F.least(F.col("_b") + F.col("_c"), keep_hi)
+        - F.greatest(F.col("_b"), keep_lo),
+    )
+    trim = h.groupBy("_g").agg(
+        F.sum(_dec(c_eff * F.col("_v"))).alias("_tsum"),
+        F.sum(c_eff).cast("long").alias("_tn"),
+    )
+    fs = float(scale)
+    out = (
+        med.join(mad2, "_g").join(outs, "_g").join(trim, "_g")
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("n"),
+        F.round(F.col("_d2").cast("double") / (2.0 * fs), dp).alias("median"),
+        F.round(F.col("_m2a").cast("double") / (4.0 * fs), dp).alias("mad"),
+        F.when(
+            F.col("_tn") > 0,
+            F.round(
+                F.col("_tsum").cast("double")
+                / (F.col("_tn").cast("double") * fs),
+                dp,
+            ),
+        ).alias("trimmed_mean"),
+        (F.col("_n") - F.col("_tn")).cast("long").alias("n_trimmed"),
+        "n_outliers",
     )
 
 

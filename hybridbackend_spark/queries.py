@@ -800,6 +800,7 @@ _DRIVER_WINDOW_FIRST = [
     "token_budget_mix_docs",
     "spearman_events",
     "entity_linkage_customers",
+    "robust_stats_orders",
 ]
 
 
@@ -12537,6 +12538,100 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "robust_stats_orders",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    h AS (SELECT g, v, count(*)::BIGINT AS c FROM t GROUP BY g, v),
+    hh AS (
+      SELECT g, v, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM h
+    ),
+    med AS (
+      SELECT g,
+             CAST(sum(v * ((CASE WHEN (n + 1) // 2 > b
+                                  AND (n + 1) // 2 <= b + c
+                             THEN 1 ELSE 0 END)
+                         + (CASE WHEN n // 2 + 1 > b
+                                  AND n // 2 + 1 <= b + c
+                             THEN 1 ELSE 0 END))) AS BIGINT) AS d2,
+             CAST(max(n) AS BIGINT) AS n
+      FROM hh GROUP BY g
+    ),
+    dev AS (
+      SELECT hh.g, abs(2 * hh.v - med.d2) AS a, sum(hh.c)::BIGINT AS c
+      FROM hh JOIN med ON med.g = hh.g
+      GROUP BY hh.g, abs(2 * hh.v - med.d2)
+    ),
+    dh AS (
+      SELECT g, a, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY a
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM dev
+    ),
+    mad2 AS (
+      SELECT g,
+             CAST(sum(a * ((CASE WHEN (n + 1) // 2 > b
+                                  AND (n + 1) // 2 <= b + c
+                             THEN 1 ELSE 0 END)
+                         + (CASE WHEN n // 2 + 1 > b
+                                  AND n // 2 + 1 <= b + c
+                             THEN 1 ELSE 0 END))) AS BIGINT) AS m2a
+      FROM dh GROUP BY g
+    ),
+    outs AS (
+      SELECT dev.g,
+             CAST(sum(CASE WHEN 2 * dev.a > 3 * mad2.m2a
+                           THEN dev.c ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad2 ON mad2.g = dev.g GROUP BY dev.g
+    ),
+    trim AS (
+      SELECT g,
+             CAST(sum(greatest(0, least(b + c, n - (n * 10) // 100)
+                              - greatest(b, (n * 10) // 100)) * v)
+                  AS HUGEINT) AS tsum,
+             CAST(sum(greatest(0, least(b + c, n - (n * 10) // 100)
+                              - greatest(b, (n * 10) // 100)))
+                  AS BIGINT) AS tn
+      FROM hh GROUP BY g
+    )
+    SELECT med.g AS o_orderpriority, med.n,
+           round(med.d2::DOUBLE / 200.0, 6) AS median,
+           round(mad2.m2a::DOUBLE / 400.0, 6) AS mad,
+           CASE WHEN trim.tn > 0 THEN
+             round(trim.tsum::DOUBLE / (trim.tn::DOUBLE * 100.0), 6)
+           END AS trimmed_mean,
+           CAST(med.n - trim.tn AS BIGINT) AS n_trimmed,
+           outs.n_outliers
+    FROM med
+    JOIN mad2 ON mad2.g = med.g
+    JOIN outs ON outs.g = med.g
+    JOIN trim ON trim.g = med.g
+    """,
+)
+def robust_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location/spread/outlier summary of order value per
+    priority: positional dual-rank median, MAD, 10%-per-tail trimmed
+    mean, and Hampel |x-med| > 3*MAD outlier counts — all from
+    aggregate-sized histograms with doubled-integer medians so every
+    statistic is engine-exact; see
+    operators/analytics.py::robust_stats."""
+    from .operators.analytics import robust_stats
+
+    return robust_stats(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        trim_pct=10, k_mad=3,
+    )
 
 
 @register(

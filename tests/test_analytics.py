@@ -1159,3 +1159,46 @@ def test_spearman_matches_python(spark):
         else:
             assert got[g].rho == round(want, 6), g
         assert got[g].n == len(xs)
+
+
+def test_robust_stats_matches_python(spark):
+    """Pure-Python reference for median/MAD/trimmed-mean/outliers,
+    exercising odd and even group sizes, ties, a planted gross outlier,
+    and a single-row group."""
+    import statistics
+
+    from hybridbackend_spark.operators.analytics import robust_stats
+
+    groups = {
+        "odd": [1.0, 2.0, 3.0, 4.0, 100.0],           # planted outlier
+        "even": [10.0, 10.0, 12.0, 14.0, 15.0, 15.0],  # ties both tails
+        "one": [7.77],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.g: r
+        for r in robust_stats(df, "g", "v", trim_pct=20, k_mad=3).collect()
+    }
+    for g, vs in groups.items():
+        cents = sorted(int(round(v * 100)) for v in vs)
+        n = len(cents)
+        med = statistics.median(cents)
+        devs = sorted(abs(c - med) for c in cents)
+        mad = statistics.median(devs)
+        t = n * 20 // 100
+        kept = cents[t : n - t]
+        n_out = sum(1 for c in cents if abs(c - med) > 3 * mad)
+        r = got[g]
+        assert r.n == n, g
+        assert r.median == round(med / 100.0, 6), g
+        assert r.mad == round(mad / 100.0, 6), g
+        assert r.trimmed_mean == round(sum(kept) / len(kept) / 100.0, 6), g
+        assert r.n_trimmed == n - len(kept), g
+        assert r.n_outliers == n_out, g
+    # the planted 100.0 is the only outlier in "odd"
+    assert got["odd"].n_outliers == 1
+    # single row: median = value, MAD 0, no outliers, nothing trimmed
+    assert got["one"].mad == 0.0 and got["one"].n_outliers == 0
+    with pytest.raises(ValueError):
+        robust_stats(df, "g", "v", trim_pct=50)
