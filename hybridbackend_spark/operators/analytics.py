@@ -36,6 +36,7 @@ __all__ = [
     "touch_attribution",
     "kaplan_meier",
     "nelson_aalen",
+    "logrank_test",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -1441,6 +1442,114 @@ def nelson_aalen(
     )
     return out.select(
         "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
+    )
+
+
+def logrank_test(
+    subjects: DataFrame,
+    group_col: str,
+    variant_col: str,
+    duration_col: str,
+    event_col: str,
+    control: str = "A",
+    treatment: str = "B",
+    dp: int = 6,
+    max_durations: int | None = 100_000,
+) -> DataFrame:
+    """Two-sample log-rank test per group — the survival-curve
+    COMPARISON that completes the :func:`kaplan_meier` /
+    :func:`nelson_aalen` family (do the two variants churn at the same
+    hazard?):
+
+        O1 = sum_t d1t          E1 = sum_t dt*n1t/nt
+        V  = sum_t dt*(n1t/nt)*(n2t/nt)*(nt-dt)/(nt-1)
+        z  = (O1 - E1)/sqrt(V),  chi2 = z^2
+
+    summed over distinct event times t (hypergeometric mean/variance of
+    the control's event count conditional on the margins).
+
+    Engine-exactness: per-time E and V terms are each ONE fixed-shape
+    double expression of exact integers, micro-quantized to 1e-6 BEFORE
+    the cross-time sums (the cuped_adjust / CMH discipline), so the
+    accumulated sums are BIGINT and immune to summation order. The
+    at-risk counts come from one descending-time cumulative window per
+    group over the per-duration table (aggregate-sized; bound enforced
+    by ``max_durations`` exactly like the KM fold). V terms with
+    ``nt = 1`` are zero (no variance in a one-subject risk set);
+    z is NULL when V degenerates to 0. Rows in other variants / NULL
+    durations are excluded.
+
+    Returns (group, n_a, n_b, o1, e1, v1, z, chi2).
+    """
+    t, e = F.col(duration_col), F.col(event_col)
+    base = subjects.select(
+        F.col(group_col).alias("_g"),
+        F.col(variant_col).alias("_v"),
+        t.alias("_t"),
+        e.alias("_e"),
+    ).filter(F.col("_v").isin(control, treatment) & F.col("_t").isNotNull())
+    is_c = F.col("_v") == control
+    counts = base.groupBy("_g", "_t").agg(
+        F.sum(F.when(is_c & (F.col("_e") == 1), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("_e") == 1, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("r1"),
+        F.count(F.lit(1)).alias("r"),
+    )
+    if max_durations is not None:
+        counts = counts.localCheckpoint(eager=True)
+        n_dur = counts.groupBy("_g").count().agg(F.max("count")).collect()[0][0]
+        if n_dur is not None and n_dur > max_durations:
+            raise ValueError(
+                f"logrank_test: {n_dur} distinct durations exceed "
+                f"max_durations={max_durations}; quantize durations first"
+            )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy(F.desc("_t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = counts.select(
+        "_g",
+        "_t",
+        "d1",
+        "d",
+        F.sum("r1").over(w).alias("n1"),
+        F.sum("r").over(w).alias("n"),
+    ).filter(F.col("d") > 0)
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    dd = F.col("d").cast("double")
+    e1u = F.round(F.lit(1e6) * dd * n1d / nd).cast("long")
+    vu = F.when(
+        F.col("n") > 1,
+        F.round(
+            F.lit(1e6)
+            * dd * n1d * n2d * (nd - dd)
+            / (nd * nd * (nd - F.lit(1.0)))
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    agg = risk.groupBy("_g").agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1u).alias("_e1u"),
+        F.sum(vu).alias("_vu"),
+    )
+    sizes = base.groupBy("_g").agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_c, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    e1 = F.col("_e1u").cast("double") / 1e6
+    v1 = F.col("_vu").cast("double") / 1e6
+    z = (F.col("o1").cast("double") - e1) / F.sqrt(v1)
+    return sizes.join(agg, "_g", "left").select(
+        F.col("_g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("o1"), F.lit(0)).alias("o1"),
+        F.round(e1, dp).alias("e1"),
+        F.round(v1, dp).alias("v1"),
+        F.when(F.col("_vu") > 0, F.round(z, dp)).alias("z"),
+        F.when(F.col("_vu") > 0, F.round(z * z, dp)).alias("chi2"),
     )
 
 

@@ -801,6 +801,7 @@ _DRIVER_WINDOW_FIRST = [
     "spearman_events",
     "entity_linkage_customers",
     "robust_stats_orders",
+    "logrank_users",
 ]
 
 
@@ -12538,6 +12539,105 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "logrank_users",
+    """
+    WITH pu AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id
+    ),
+    gm AS (SELECT max(CAST(ts AS DATE)) AS gm FROM events),
+    subj AS (
+      SELECT user_id % 3 AS g,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+             date_diff('day', fd, ld) AS t,
+             CASE WHEN ld < gm - INTERVAL 7 DAY THEN 1 ELSE 0 END AS e
+      FROM pu CROSS JOIN gm
+    ),
+    counts AS (
+      SELECT g, t,
+             sum(CASE WHEN v = 'A' AND e = 1 THEN 1 ELSE 0 END) AS d1,
+             sum(CASE WHEN e = 1 THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS r1,
+             count(*) AS r
+      FROM subj GROUP BY g, t
+    ),
+    risk AS (
+      SELECT g, t, d1, d,
+             sum(r1) OVER (PARTITION BY g ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS n1,
+             sum(r) OVER (PARTITION BY g ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS n
+      FROM counts
+    ),
+    terms AS (
+      SELECT g, d1,
+             CAST(round(1e6 * d::DOUBLE * n1::DOUBLE / n::DOUBLE)
+                  AS BIGINT) AS e1u,
+             CASE WHEN n > 1 THEN
+               CAST(round(1e6 * d::DOUBLE * n1::DOUBLE
+                          * (n - n1)::DOUBLE * (n - d)::DOUBLE
+                          / (n::DOUBLE * n::DOUBLE * (n::DOUBLE - 1.0)))
+                    AS BIGINT)
+             ELSE 0 END AS vu
+      FROM risk WHERE d > 0
+    ),
+    a AS (
+      SELECT g, CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1u) AS BIGINT) AS e1u,
+             CAST(sum(vu) AS BIGINT) AS vu
+      FROM terms GROUP BY g
+    ),
+    sz AS (
+      SELECT g,
+             CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM subj GROUP BY g
+    )
+    SELECT sz.g, n_a, n_b,
+           coalesce(o1, 0) AS o1,
+           round(e1u::DOUBLE / 1e6, 6) AS e1,
+           round(vu::DOUBLE / 1e6, 6) AS v1,
+           CASE WHEN vu > 0 THEN
+             round((o1::DOUBLE - e1u::DOUBLE / 1e6)
+                   / sqrt(vu::DOUBLE / 1e6), 6) END AS z,
+           CASE WHEN vu > 0 THEN
+             round(((o1::DOUBLE - e1u::DOUBLE / 1e6)
+                    / sqrt(vu::DOUBLE / 1e6))
+                   * ((o1::DOUBLE - e1u::DOUBLE / 1e6)
+                      / sqrt(vu::DOUBLE / 1e6)), 6) END AS chi2
+    FROM sz LEFT JOIN a ON a.g = sz.g
+    """,
+)
+def logrank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank churn test per user cohort (user_id%3),
+    comparing parity variants over user lifetime durations (the same
+    subject derivation as kaplan_meier_users / nelson_aalen_users) —
+    the survival-curve comparison completing that family. Per-time
+    hypergeometric E/V terms micro-quantized before the cross-time
+    sums, so O-E and V are engine-exact; see
+    operators/analytics.py::logrank_test."""
+    from .operators.analytics import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("fd"),
+        F.max(F.col("ts").cast("date")).alias("ld"),
+    )
+    g = ev.agg(F.max(F.col("ts").cast("date")).alias("gm"))
+    subj = pu.crossJoin(F.broadcast(g)).select(
+        (F.col("user_id") % 3).alias("g"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("v"),
+        F.datediff("ld", "fd").alias("t"),
+        F.when(F.col("ld") < F.date_sub(F.col("gm"), 7), 1)
+        .otherwise(0)
+        .alias("e"),
+    )
+    return logrank_test(subj, "g", "v", "t", "e")
 
 
 @register(

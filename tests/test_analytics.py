@@ -1202,3 +1202,54 @@ def test_robust_stats_matches_python(spark):
     assert got["one"].mad == 0.0 and got["one"].n_outliers == 0
     with pytest.raises(ValueError):
         robust_stats(df, "g", "v", trim_pct=50)
+
+
+def test_logrank_matches_python(spark):
+    """Textbook log-rank replay: hypergeometric E/V per event time over
+    a small two-arm fixture with censoring and ties, plus identical
+    arms (z ~ 0) and a no-events group (NULL z)."""
+    import math
+
+    from hybridbackend_spark.operators.analytics import logrank_test
+
+    # (variant, duration, event): B churns systematically earlier
+    fixture = [
+        ("A", 5, 1), ("A", 8, 1), ("A", 10, 0), ("A", 12, 1), ("A", 12, 0),
+        ("B", 2, 1), ("B", 3, 1), ("B", 5, 1), ("B", 8, 0), ("B", 9, 1),
+    ]
+    rows = [("g1", v, t, e) for v, t, e in fixture]
+    rows += [("same", v, t, e)
+             for v, t, e in [("A", 4, 1), ("B", 4, 1), ("A", 7, 0),
+                             ("B", 7, 0)]]
+    rows += [("noev", "A", 3, 0), ("noev", "B", 4, 0)]
+    df = spark.createDataFrame(rows, "g string, v string, t int, e int")
+    got = {r.g: r for r in logrank_test(df, "g", "v", "t", "e").collect()}
+
+    def ref(subjects):
+        times = sorted({t for _, t, e in subjects if e == 1})
+        o1 = e1u = vu = 0
+        for tt in times:
+            n1 = sum(1 for v, t, _ in subjects if v == "A" and t >= tt)
+            n = sum(1 for _, t, _ in subjects if t >= tt)
+            d1 = sum(1 for v, t, e in subjects
+                     if v == "A" and t == tt and e == 1)
+            d = sum(1 for _, t, e in subjects if t == tt and e == 1)
+            o1 += d1
+            e1u += round(1e6 * d * n1 / n)
+            if n > 1:
+                vu += round(1e6 * d * n1 * (n - n1) * (n - d)
+                            / (n * n * (n - 1)))
+        return o1, e1u, vu
+
+    o1, e1u, vu = ref(fixture)
+    r = got["g1"]
+    assert (r.n_a, r.n_b, r.o1) == (5, 5, o1)
+    assert r.e1 == round(e1u / 1e6, 6)
+    assert r.v1 == round(vu / 1e6, 6)
+    assert r.z == round((o1 - e1u / 1e6) / math.sqrt(vu / 1e6), 6)
+    assert r.chi2 == round(r.z * r.z, 6) or abs(r.chi2 - r.z * r.z) < 1e-5
+    assert r.z < 0  # A churns later: observed A events fall below E1
+    # identical arms: O-E = 0 exactly -> z = 0
+    assert got["same"].z == 0.0
+    # no events at all: V = 0 -> NULL z
+    assert got["noev"].z is None and got["noev"].o1 == 0
