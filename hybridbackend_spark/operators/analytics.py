@@ -37,6 +37,7 @@ __all__ = [
     "kaplan_meier",
     "nelson_aalen",
     "logrank_test",
+    "eb_shrink_rates",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -1442,6 +1443,79 @@ def nelson_aalen(
     )
     return out.select(
         "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
+    )
+
+
+def eb_shrink_rates(
+    df: DataFrame,
+    key_col: str,
+    success_col: Column,
+    trial_col: Column,
+    dp: int = 6,
+    min_trials: int = 1,
+) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-key rates — the
+    standard fix for small-sample rate ranking (a 1/1 key must not
+    outrank a 9800/10000 key): fit a Beta(alpha, beta) prior to the
+    observed per-key rates by method of moments, then report each key's
+    posterior mean ``(k + alpha) / (n + alpha + beta)``.
+
+        m = mean of observed rates      v = variance of observed rates
+        alpha+beta = m(1-m)/v - 1       alpha = m*(alpha+beta)
+
+    Engine-exactness: each observed rate quantizes to the 1e-6 integer
+    grid BEFORE the cross-key moment sums (the micro-quantization
+    discipline), so m and v are fixed-shape expressions of exact BIGINT
+    sums; alpha/beta and every posterior mean are then single fixed
+    divisions. When the moment fit degenerates (v = 0: all rates equal,
+    or v >= m(1-m): over-dispersed beyond Beta) the prior is undefined
+    and the raw rate is reported with NULL shrunken values — never a
+    silently wrong prior.
+
+    Scale shape: one key-level aggregation, one 2-row broadcast of the
+    fitted prior back onto the key table. Keys with fewer than
+    ``min_trials`` trials are excluded from BOTH the fit and the output.
+
+    Returns (key, successes, trials, rate, alpha, beta, shrunk_rate).
+    """
+    per = (
+        df.groupBy(F.col(key_col).alias("_k"))
+        .agg(
+            F.sum(success_col).cast("long").alias("_s"),
+            F.sum(trial_col).cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") >= min_trials)
+    )
+    # micro-quantized observed rate (integer in [0, 1e6])
+    ru = F.round(F.lit(1e6) * F.col("_s").cast("double") / F.col("_n").cast("double")).cast("long")
+    rates = per.select("_k", "_s", "_n", ru.alias("_ru"))
+    mom = rates.agg(
+        F.count(F.lit(1)).alias("_m0"),
+        F.sum("_ru").alias("_m1"),
+        F.sum(_dec(F.col("_ru")) * _dec(F.col("_ru"))).alias("_m2"),
+    )
+    m0 = F.col("_m0").cast("double")
+    m = F.col("_m1").cast("double") / (m0 * 1e6)
+    # population variance of the micro-quantized rates (plain products,
+    # no pow() — keeps the IEEE op tree identical across engines)
+    v = F.col("_m2").cast("double") / (m0 * 1e12) - m * m
+    ab = m * (1 - m) / v - 1
+    prior = mom.select(
+        F.when((v > 0) & (ab > 0), m * ab).alias("_alpha"),
+        F.when((v > 0) & (ab > 0), (1 - m) * ab).alias("_beta"),
+    )
+    out = rates.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("_s").cast("double") + F.col("_alpha")) / (
+        F.col("_n").cast("double") + F.col("_alpha") + F.col("_beta")
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_s").alias("successes"),
+        F.col("_n").alias("trials"),
+        F.round(F.col("_ru").cast("double") / 1e6, dp).alias("rate"),
+        F.round(F.col("_alpha"), dp).alias("alpha"),
+        F.round(F.col("_beta"), dp).alias("beta"),
+        F.round(shrunk, dp).alias("shrunk_rate"),
     )
 
 

@@ -802,6 +802,7 @@ _DRIVER_WINDOW_FIRST = [
     "entity_linkage_customers",
     "robust_stats_orders",
     "logrank_users",
+    "eb_shrink_parts",
 ]
 
 
@@ -12539,6 +12540,66 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "eb_shrink_parts",
+    """
+    WITH per AS (
+      SELECT l_partkey AS k,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s,
+             count(*)::BIGINT AS n
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT k, s, n,
+             CAST(round(1e6 * s::DOUBLE / n::DOUBLE) AS BIGINT) AS ru
+      FROM per
+    ),
+    mom AS (
+      SELECT count(*)::BIGINT AS m0, CAST(sum(ru) AS BIGINT) AS m1,
+             sum(CAST(ru AS DECIMAL(38,0)) * ru) AS m2
+      FROM r
+    ),
+    mv AS (
+      SELECT m1::DOUBLE / (m0::DOUBLE * 1e6) AS m,
+             m2::DOUBLE / (m0::DOUBLE * 1e12)
+             - (m1::DOUBLE / (m0::DOUBLE * 1e6))
+               * (m1::DOUBLE / (m0::DOUBLE * 1e6)) AS v
+      FROM mom
+    ),
+    pri AS (
+      SELECT CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN m * (m * (1 - m) / v - 1) END AS alpha,
+             CASE WHEN v > 0 AND m * (1 - m) / v - 1 > 0
+                  THEN (1 - m) * (m * (1 - m) / v - 1) END AS beta
+      FROM mv
+    )
+    SELECT k AS l_partkey, s AS successes, n AS trials,
+           round(ru::DOUBLE / 1e6, 6) AS rate,
+           round(alpha, 6) AS alpha,
+           round(beta, 6) AS beta,
+           round((s::DOUBLE + alpha) / (n::DOUBLE + alpha + beta), 6)
+             AS shrunk_rate
+    FROM r CROSS JOIN pri
+    """,
+)
+def eb_shrink_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-part return
+    rates: method-of-moments Beta prior over micro-quantized observed
+    rates (exact BIGINT moment sums), posterior mean per part — the
+    small-sample ranking fix. See
+    operators/analytics.py::eb_shrink_rates."""
+    from .operators.analytics import eb_shrink_rates
+
+    li = _t(spark, sf_dir, "lineitem")
+    return eb_shrink_rates(
+        li,
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0),
+        F.lit(1),
+    )
 
 
 @register(

@@ -1253,3 +1253,52 @@ def test_logrank_matches_python(spark):
     assert got["same"].z == 0.0
     # no events at all: V = 0 -> NULL z
     assert got["noev"].z is None and got["noev"].o1 == 0
+
+
+def test_eb_shrink_matches_python_and_orders_small_samples(spark):
+    from hybridbackend_spark.operators.analytics import eb_shrink_rates
+
+    # trial-level rows: key -> (successes, trials). Eight well-sampled
+    # keys near 0.45 concentrate the prior; "tiny" (1/1) and "solid"
+    # (9/10) test the small-sample reranking.
+    spec = {f"base{i}": (45, 100) for i in range(8)}
+    spec["tiny"] = (1, 1)
+    spec["solid"] = (9, 10)
+    rows = []
+    for k, (s, n) in spec.items():
+        rows += [(k, 1)] * s + [(k, 0)] * (n - s)
+    df = spark.createDataFrame(rows, "k string, y int")
+    got = {
+        r.k: r
+        for r in eb_shrink_rates(
+            df, "k", F.col("y"), F.lit(1)
+        ).collect()
+    }
+    # python MoM replay over micro-quantized rates
+    rus = {k: round(1e6 * s / n) for k, (s, n) in spec.items()}
+    m0 = len(rus)
+    m1 = sum(rus.values())
+    m2 = sum(r * r for r in rus.values())
+    m = m1 / (m0 * 1e6)
+    v = m2 / (m0 * 1e12) - m * m
+    ab = m * (1 - m) / v - 1
+    alpha, beta = m * ab, (1 - m) * ab
+    assert ab > 0  # fixture chosen so the fit is proper
+    for k, (s, n) in spec.items():
+        r = got[k]
+        assert (r.successes, r.trials) == (s, n)
+        assert r.alpha == round(alpha, 6) and r.beta == round(beta, 6)
+        assert r.shrunk_rate == round((s + alpha) / (n + alpha + beta), 6)
+    # the whole point: raw 1/1 outranks 9/10, but the posterior pulls
+    # the single-trial key far toward the prior mean and the
+    # well-sampled keys barely move - so solid outranks tiny shrunken
+    assert got["tiny"].rate > got["solid"].rate
+    assert got["tiny"].shrunk_rate < got["solid"].shrunk_rate
+    assert abs(got["base0"].shrunk_rate - got["base0"].rate) < 0.05
+    # degenerate: all rates identical -> v=0 -> NULL prior, NULL shrunk
+    same = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("b", 1), ("b", 0)], "k string, y int"
+    )
+    dg = eb_shrink_rates(same, "k", F.col("y"), F.lit(1)).collect()
+    assert all(r.alpha is None and r.shrunk_rate is None for r in dg)
+    assert all(r.rate == 0.5 for r in dg)
