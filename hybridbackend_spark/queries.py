@@ -803,6 +803,7 @@ _DRIVER_WINDOW_FIRST = [
     "robust_stats_orders",
     "logrank_users",
     "eb_shrink_parts",
+    "split_leakage_docs",
 ]
 
 
@@ -5313,6 +5314,90 @@ def _lsh_linkage_oracle() -> str:
     )
     SELECT id_left, id_right, jaccard FROM ver
     """
+
+
+def _split_leakage_oracle() -> str:
+    """SQL replica of the train/holdout split-leakage audit: md5-parity
+    split + the full banded-minhash cross-split linkage, verified at
+    exact Jaccard >= 0.8 — same machinery as _lsh_linkage_oracle with
+    the split predicates replacing the modulo corpus."""
+    from .operators.dedup import _MERSENNE_P, _affine_coeffs
+
+    coeffs = _affine_coeffs(64, 42)
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE_P}) AS mh{k}"
+        for k, (a, b) in enumerate(coeffs)
+    )
+    bands = " OR ".join(
+        "("
+        + " AND ".join(f"a.mh{b * 4 + j} = b.mh{b * 4 + j}" for j in range(4))
+        + ")"
+        for b in range(16)
+    )
+    split = (
+        "(('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))::BIGINT % 2)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {split} AS bk,
+             list_distinct(list_transform(
+               generate_series(1, len({_TOKS_SQL}) - 2),
+               i -> array_to_string(({_TOKS_SQL})[i:i+2], ' '))) AS s
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(u.g), 1, 8))::BIGINT % {_MERSENNE_P}) AS h
+      FROM t, unnest(s) u(g) WHERE len(s) > 0
+    ),
+    sig AS (
+      SELECT t.doc_id, t.bk,
+             {mins}
+      FROM h JOIN t ON t.doc_id = h.doc_id GROUP BY t.doc_id, t.bk
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_left, b.doc_id AS id_right
+      FROM sig a JOIN sig b ON a.bk = 0 AND b.bk = 1 AND ({bands})
+    ),
+    ver AS (
+      SELECT id_left, id_right,
+             round(len(list_intersect(ta.s, tb.s))::DOUBLE
+                   / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))),
+                   6) AS jaccard
+      FROM cand
+      JOIN t ta ON ta.doc_id = id_left
+      JOIN t tb ON tb.doc_id = id_right
+      WHERE (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) > 0
+        AND len(list_intersect(ta.s, tb.s))::DOUBLE
+            / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) >= 0.8
+    )
+    SELECT id_left, id_right, jaccard FROM ver
+    """
+
+
+@register("split_leakage_docs", _split_leakage_oracle())
+def split_leakage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/holdout SPLIT-LEAKAGE audit — the eval-integrity check
+    every training-data pipeline needs: documents are split by
+    deterministic md5 parity of doc_id (the hash_split discipline —
+    leakage-safe assignment), then the train side is LSH-linked against
+    the holdout side at Jaccard >= 0.8. Every surviving row is a
+    near-duplicate that crossed the split boundary: exact-duplicate
+    leakage is impossible under key-hash splitting, but NEAR-duplicates
+    (reposts, boilerplate variants) still leak and inflate eval — this
+    query counts and names them. Same banded two-table join as
+    lsh_linkage_docs (nothing broadcasts, no all-pairs); oracle replays
+    split, signatures, bands, and verified Jaccard bit-for-bit."""
+    from .operators.corpus import hash_bucket
+    from .operators.dedup import minhash_lsh_join
+
+    docs = _t(spark, sf_dir, "documents")
+    bk = hash_bucket(F.col("doc_id"), 2)
+    train = docs.filter(bk == 0)
+    holdout = docs.filter(bk == 1)
+    return minhash_lsh_join(
+        train, holdout, "text", "doc_id", threshold=0.8, portable=True
+    )
 
 
 @register("lsh_linkage_docs", _lsh_linkage_oracle())
