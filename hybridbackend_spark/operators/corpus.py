@@ -54,6 +54,7 @@ __all__ = [
     "distinct_ngram_diversity",
     "word_shingles_list",
     "token_budget_mix",
+    "ipf_rake_weights",
     "slice_overlap_matrix",
     "temperature_sample",
     "vocab_encode",
@@ -1509,6 +1510,119 @@ def token_budget_mix(
         F.col("_cap").cast("long").alias("cap"),
         F.col("_alloc").cast("long").alias("alloc"),
         F.col("residual").cast("long").alias("residual"),
+    )
+
+
+def ipf_rake_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    rounds: int = 3,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) of cell weights so the
+    weighted (row, col) contingency table matches BOTH target margins —
+    the standard dataset-reweighting step (balance a corpus across
+    source x language without per-cell targets; survey raking; Sinkhorn
+    normalization is the same iteration).
+
+    ``row_targets`` = (row value, ``target``) and ``col_targets`` =
+    (col value, ``target``); each round rescales weights to match row
+    margins, then column margins. A FIXED ``rounds`` count keeps the
+    computation a deterministic dataflow (classical raking converges
+    geometrically; the residual max margin error is reported per cell
+    so the cut-off is visible, not hidden).
+
+    Engine-exactness: weights live on an integer grid (``weight_scale``
+    units = weight 1.0; the default 1e6 keeps ``cell_rows *
+    weight_scale`` inside BIGINT up to ~9e12 rows per cell) and each
+    rescale is the exact integral division
+    ``(w * target_units) div margin_units`` in DECIMAL(38,0) — margin
+    sums are BIGINT sums of integers, so no float accumulation ever
+    happens and both engines walk identical integer states. Targets are
+    quantized to the same grid once at entry.
+
+    Scale shape: the cell table is aggregate-sized (|rows| x |cols|);
+    each round is two tiny keyed aggs joined back — broadcast-sized at
+    any corpus scale.
+
+    Returns (row, col, n, weight, row_err, col_err) where weight is the
+    fitted per-cell weight (double, = integer units / scale) and the
+    errs are the final signed margin residuals in weight units.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    rt = row_targets.select(
+        F.col(row_targets.columns[0]).alias("_r"),
+        F.round(F.col("target").cast("double") * weight_scale)
+        .cast("long")
+        .alias("_rt"),
+    )
+    ct = col_targets.select(
+        F.col(col_targets.columns[0]).alias("_c"),
+        F.round(F.col("target").cast("double") * weight_scale)
+        .cast("long")
+        .alias("_ct"),
+    )
+    # state: per-cell weighted mass in integer units, start at n * 1.0
+    state = cells.select(
+        "_r", "_c", "_n", (F.col("_n") * weight_scale).alias("_wu")
+    )
+    for _ in range(rounds):
+        rm = state.groupBy("_r").agg(F.sum("_wu").alias("_rm"))
+        state = (
+            state.join(F.broadcast(rm), "_r")
+            .join(F.broadcast(rt), "_r")
+            .select(
+                "_r",
+                "_c",
+                "_n",
+                F.expr(
+                    "(cast(_wu as decimal(38,0)) * cast(_rt as decimal(38,0)))"
+                    " div cast(_rm as decimal(38,0))"
+                ).alias("_wu"),
+            )
+        )
+        cm = state.groupBy("_c").agg(F.sum("_wu").alias("_cm"))
+        state = (
+            state.join(F.broadcast(cm), "_c")
+            .join(F.broadcast(ct), "_c")
+            .select(
+                "_r",
+                "_c",
+                "_n",
+                F.expr(
+                    "(cast(_wu as decimal(38,0)) * cast(_ct as decimal(38,0)))"
+                    " div cast(_cm as decimal(38,0))"
+                ).alias("_wu"),
+            )
+        )
+    rm = state.groupBy("_r").agg(F.sum("_wu").alias("_rmf"))
+    cm = state.groupBy("_c").agg(F.sum("_wu").alias("_cmf"))
+    out = (
+        state.join(F.broadcast(rm), "_r")
+        .join(F.broadcast(cm), "_c")
+        .join(F.broadcast(rt), "_r")
+        .join(F.broadcast(ct), "_c")
+    )
+    ws = float(weight_scale)
+    return out.select(
+        F.col("_r").alias(row_col),
+        F.col("_c").alias(col_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.col("_wu").cast("double") / (F.col("_n").cast("double") * ws),
+            6,
+        ).alias("weight"),
+        F.round(
+            (F.col("_rmf") - F.col("_rt")).cast("double") / ws, 6
+        ).alias("row_err"),
+        F.round(
+            (F.col("_cmf") - F.col("_ct")).cast("double") / ws, 6
+        ).alias("col_err"),
     )
 
 

@@ -804,6 +804,7 @@ _DRIVER_WINDOW_FIRST = [
     "logrank_users",
     "eb_shrink_parts",
     "split_leakage_docs",
+    "ipf_rake_docs",
 ]
 
 
@@ -12625,6 +12626,91 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+def _ipf_oracle(rounds: int = 3) -> str:
+    """SQL replica of ipf_rake_docs: integer-grid raking, ``rounds``
+    unrolled round-pairs (row rescale then column rescale), HUGEINT
+    integral division matching Spark's DECIMAL(38,0) div exactly."""
+    steps = []
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+    rm{i} AS (SELECT r, CAST(sum(wu) AS HUGEINT) AS m FROM {prev} GROUP BY r),
+    sa{i} AS (
+      SELECT s.r, s.c, s.n,
+             (s.wu::HUGEINT * rt.t) // rm{i}.m AS wu
+      FROM {prev} s JOIN rm{i} ON rm{i}.r = s.r JOIN rt ON rt.r = s.r
+    ),
+    cm{i} AS (SELECT c, CAST(sum(wu) AS HUGEINT) AS m FROM sa{i} GROUP BY c),
+    s{i} AS (
+      SELECT s.r, s.c, s.n,
+             (s.wu::HUGEINT * ct.t) // cm{i}.m AS wu
+      FROM sa{i} s JOIN cm{i} ON cm{i}.c = s.c JOIN ct ON ct.c = s.c
+    )""")
+        prev = f"s{i}"
+    return f"""
+    WITH cells AS (
+      SELECT source AS r, lang AS c, count(*)::BIGINT AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells),
+    nsrc AS (SELECT count(DISTINCT r)::BIGINT AS k FROM cells),
+    rt AS (
+      SELECT d.r,
+             CAST(round(1e6 * (tot.t::DOUBLE / nsrc.k::DOUBLE)) AS HUGEINT)
+               AS t
+      FROM (SELECT DISTINCT r FROM cells) d, tot, nsrc
+    ),
+    ct AS (
+      SELECT c, CAST(round(1e6 * sum(n)::DOUBLE) AS HUGEINT) AS t
+      FROM cells GROUP BY c
+    ),
+    s0 AS (SELECT r, c, n, (n::HUGEINT * 1000000) AS wu FROM cells),
+    {",".join(steps)},
+    rmf AS (SELECT r, CAST(sum(wu) AS HUGEINT) AS m FROM {prev} GROUP BY r),
+    cmf AS (SELECT c, CAST(sum(wu) AS HUGEINT) AS m FROM {prev} GROUP BY c)
+    SELECT s.r AS source, s.c AS lang, s.n,
+           round(s.wu::DOUBLE / (s.n::DOUBLE * 1e6), 6) AS weight,
+           round((rmf.m - rt.t)::DOUBLE / 1e6, 6) AS row_err,
+           round((cmf.m - ct.t)::DOUBLE / 1e6, 6) AS col_err
+    FROM {prev} s
+    JOIN rmf ON rmf.r = s.r JOIN cmf ON cmf.c = s.c
+    JOIN rt ON rt.r = s.r JOIN ct ON ct.c = s.c
+    """
+
+
+@register("ipf_rake_docs", _ipf_oracle())
+def ipf_rake_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / IPF reweighting of the (source, lang) corpus table:
+    fit per-cell weights so sources are EQUALIZED (row targets =
+    total/|sources|) while the language margin stays at its observed
+    distribution — the dataset-balancing step of mixture design. Three
+    deterministic rounds on an integer weight grid (exact DECIMAL div),
+    final margin residuals reported per cell. See
+    operators/corpus.py::ipf_rake_weights."""
+    from .operators.corpus import ipf_rake_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").count()
+    tot = cells.agg(F.sum("count").alias("_t"))
+    nsrc = cells.select("source").distinct().agg(F.count(F.lit(1)).alias("_k"))
+    rt = (
+        cells.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            (F.col("_t").cast("double") / F.col("_k").cast("double")).alias(
+                "target"
+            ),
+        )
+    )
+    ct = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("target")
+    )
+    return ipf_rake_weights(docs, "source", "lang", rt, ct, rounds=3)
 
 
 @register(

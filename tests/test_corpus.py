@@ -907,3 +907,55 @@ def test_token_budget_mix_waterfill_and_caps(spark):
     }
     assert all(r.alloc == r.cap == r.n_tokens for r in capped.values())
     assert all(r.residual == 0 for r in capped.values())
+
+
+def test_ipf_rake_matches_python_and_hits_margins(spark):
+    """Pure-Python integer-state replay of the raking rounds, plus the
+    statistical contract: after 3 rounds the weighted margins sit
+    within integer-truncation distance of both targets."""
+    from hybridbackend_spark.operators.corpus import ipf_rake_weights
+
+    # skewed 3x2 table
+    cells = {("s1", "en"): 60, ("s1", "de"): 20, ("s2", "en"): 10,
+             ("s2", "de"): 5, ("s3", "en"): 4, ("s3", "de"): 1}
+    rows = [(r, c) for (r, c), n in cells.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "src string, lg string")
+    total = sum(cells.values())
+    rt = spark.createDataFrame(
+        [(r, total / 3.0) for r in ("s1", "s2", "s3")],
+        "src string, target double",
+    )
+    ct_counts = {"en": 74.0, "de": 26.0}
+    ct = spark.createDataFrame(list(ct_counts.items()),
+                               "lg string, target double")
+    got = {
+        (r.src, r.lg): r
+        for r in ipf_rake_weights(df, "src", "lg", rt, ct, rounds=3).collect()
+    }
+
+    # integer-state replay
+    SC = 1_000_000
+    wu = {k: n * SC for k, n in cells.items()}
+    rtu = {r: round(SC * total / 3.0) for r in ("s1", "s2", "s3")}
+    ctu = {c: round(SC * v) for c, v in ct_counts.items()}
+    for _ in range(3):
+        rm = {}
+        for (r, c), w in wu.items():
+            rm[r] = rm.get(r, 0) + w
+        wu = {(r, c): (w * rtu[r]) // rm[r] for (r, c), w in wu.items()}
+        cm = {}
+        for (r, c), w in wu.items():
+            cm[c] = cm.get(c, 0) + w
+        wu = {(r, c): (w * ctu[c]) // cm[c] for (r, c), w in wu.items()}
+    for (r, c), n in cells.items():
+        # integer states are identical; compare the final 6dp rendering
+        # with a half-ulp tolerance (python round() is banker's, the
+        # engines round half-up - both are within 1e-6 of the state)
+        assert abs(got[(r, c)].weight - wu[(r, c)] / (n * SC)) <= 1e-6, (r, c)
+    # margins: row residuals within truncation noise of the equalized
+    # target, column residuals near zero (col step runs last)
+    for rr in got.values():
+        assert abs(rr.row_err) < 0.2          # rows raked one step earlier
+        assert abs(rr.col_err) < 1e-4         # cols exact up to truncation
+    # small sources get up-weighted, big sources down-weighted
+    assert got[("s3", "en")].weight > 1.0 > got[("s1", "en")].weight
