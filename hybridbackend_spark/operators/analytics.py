@@ -38,6 +38,7 @@ __all__ = [
     "nelson_aalen",
     "logrank_test",
     "eb_shrink_rates",
+    "assoc_rules",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -1443,6 +1444,110 @@ def nelson_aalen(
     )
     return out.select(
         "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
+    )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_pct_x100: int = 100,
+    max_basket_items: int | None = 1000,
+    dp: int = 6,
+) -> DataFrame:
+    """Pairwise association rules (support / confidence / lift) over
+    (basket, item) rows — classic market-basket mining, and in a
+    training-data pipeline the co-occurrence miner for tags, domains,
+    or labels per document:
+
+        support(a=>b)    = n_ab / N          (fraction of baskets)
+        confidence(a=>b) = n_ab / n_a
+        lift(a=>b)       = N * n_ab / (n_a * n_b)
+
+    Both rule directions are emitted for each qualifying pair.
+    ``min_support_pct_x100`` is hundredths of a percent (100 = 1%);
+    the support cut is the exact integer cross-multiplication
+    ``n_ab * 10000 >= min * N`` — no float thresholds.
+
+    Scale shape: distinct (basket, item) pairs self-join on the BASKET
+    key, so fan-out per basket is its item-degree squared —
+    ``max_basket_items`` RAISES on baskets above the cap (the
+    item_similarity / blocking-guard discipline: a degenerate basket
+    must fail loudly, not explode quadratically). Then one (a, b)
+    partial-agg count, two aggregate-sized item-count joins, and pure
+    fixed-shape divisions.
+
+    Returns (antecedent, consequent, n_pair, n_antecedent,
+    n_consequent, n_baskets, support, confidence, lift).
+    """
+    bi = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket_items is not None:
+        big = (
+            bi.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > max_basket_items)
+            .limit(1)
+            .collect()
+        )
+        if big:
+            raise ValueError(
+                f"assoc_rules: basket {big[0]['_b']!r} holds "
+                f"{big[0]['_d']} items (> max_basket_items="
+                f"{max_basket_items}); cap or re-bucket baskets first"
+            )
+    nb = bi.select("_b").distinct().agg(F.count(F.lit(1)).alias("_nb"))
+    ic = bi.groupBy("_i").agg(F.count(F.lit(1)).alias("_ci"))
+    a = bi.select(F.col("_b"), F.col("_i").alias("_ia"))
+    b = bi.select(F.col("_b"), F.col("_i").alias("_ib"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).alias("_cab"))
+    )
+    both = (
+        pairs.join(F.broadcast(nb))
+        .filter(F.col("_cab") * 10000 >= min_support_pct_x100 * F.col("_nb"))
+        .join(
+            F.broadcast(ic.select(F.col("_i").alias("_ia"),
+                                  F.col("_ci").alias("_ca"))), "_ia"
+        )
+        .join(
+            F.broadcast(ic.select(F.col("_i").alias("_ib"),
+                                  F.col("_ci").alias("_cb"))), "_ib"
+        )
+    )
+    # emit both directions from the undirected pair count
+    directed = both.select(
+        F.col("_ia").alias("antecedent"), F.col("_ib").alias("consequent"),
+        "_cab", F.col("_ca").alias("_cx"), F.col("_cb").alias("_cy"), "_nb",
+    ).unionAll(
+        both.select(
+            F.col("_ib").alias("antecedent"), F.col("_ia").alias("consequent"),
+            "_cab", F.col("_cb").alias("_cx"), F.col("_ca").alias("_cy"),
+            "_nb",
+        )
+    )
+    return directed.select(
+        "antecedent",
+        "consequent",
+        F.col("_cab").cast("long").alias("n_pair"),
+        F.col("_cx").cast("long").alias("n_antecedent"),
+        F.col("_cy").cast("long").alias("n_consequent"),
+        F.col("_nb").cast("long").alias("n_baskets"),
+        F.round(
+            F.col("_cab").cast("double") / F.col("_nb").cast("double"), dp
+        ).alias("support"),
+        F.round(
+            F.col("_cab").cast("double") / F.col("_cx").cast("double"), dp
+        ).alias("confidence"),
+        F.round(
+            F.col("_nb").cast("double") * F.col("_cab").cast("double")
+            / (F.col("_cx").cast("double") * F.col("_cy").cast("double")),
+            dp,
+        ).alias("lift"),
     )
 
 

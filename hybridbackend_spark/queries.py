@@ -805,6 +805,7 @@ _DRIVER_WINDOW_FIRST = [
     "eb_shrink_parts",
     "split_leakage_docs",
     "ipf_rake_docs",
+    "assoc_rules_brands",
 ]
 
 
@@ -12626,6 +12627,59 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "assoc_rules_brands",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT count(DISTINCT b)::BIGINT AS nb FROM bi),
+    ic AS (SELECT i, count(*)::BIGINT AS ci FROM bi GROUP BY i),
+    pairs AS (
+      SELECT a.i AS ia, c.i AS ib, count(*)::BIGINT AS cab
+      FROM bi a JOIN bi c ON c.b = a.b AND a.i < c.i
+      GROUP BY a.i, c.i
+    ),
+    q AS (
+      SELECT ia, ib, cab, ca.ci AS ca, cb.ci AS cb, nb.nb
+      FROM pairs, nb
+      JOIN ic ca ON ca.i = pairs.ia
+      JOIN ic cb ON cb.i = pairs.ib
+      WHERE cab * 10000 >= 100 * nb.nb
+    ),
+    d AS (
+      SELECT ia AS antecedent, ib AS consequent, cab, ca AS cx, cb AS cy, nb
+      FROM q
+      UNION ALL
+      SELECT ib, ia, cab, cb, ca, nb FROM q
+    )
+    SELECT antecedent, consequent,
+           cab AS n_pair, cx AS n_antecedent, cy AS n_consequent,
+           nb AS n_baskets,
+           round(cab::DOUBLE / nb::DOUBLE, 6) AS support,
+           round(cab::DOUBLE / cx::DOUBLE, 6) AS confidence,
+           round(nb::DOUBLE * cab::DOUBLE / (cx::DOUBLE * cy::DOUBLE), 6)
+             AS lift
+    FROM d
+    """,
+)
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brands co-purchased per
+    order (support >= 1%, both rule directions, exact integer support
+    cut): support / confidence / lift from one basket-keyed pair join
+    with the quadratic-basket guard. See
+    operators/analytics.py::assoc_rules."""
+    from .operators.analytics import assoc_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return assoc_rules(baskets, "l_orderkey", "p_brand")
 
 
 def _ipf_oracle(rounds: int = 3) -> str:

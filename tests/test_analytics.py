@@ -1302,3 +1302,51 @@ def test_eb_shrink_matches_python_and_orders_small_samples(spark):
     dg = eb_shrink_rates(same, "k", F.col("y"), F.lit(1)).collect()
     assert all(r.alpha is None and r.shrunk_rate is None for r in dg)
     assert all(r.rate == 0.5 for r in dg)
+
+
+def test_assoc_rules_matches_python(spark):
+    import itertools
+
+    from hybridbackend_spark.operators.analytics import assoc_rules
+
+    baskets = {
+        1: ["milk", "bread", "butter"],
+        2: ["milk", "bread"],
+        3: ["milk", "beer"],
+        4: ["bread", "butter"],
+        5: ["beer", "chips", "milk", "milk"],  # dup item: one occurrence
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.antecedent, r.consequent): r
+        for r in assoc_rules(df, "b", "i", min_support_pct_x100=4000).collect()
+    }
+    # python reference: pairs with support >= 40%
+    sets = {b: set(v) for b, v in baskets.items()}
+    N = len(sets)
+    cnt = {}
+    for s in sets.values():
+        for i in s:
+            cnt[i] = cnt.get(i, 0) + 1
+    pair = {}
+    for s in sets.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    want = {}
+    for (a, b), c in pair.items():
+        if c * 10000 >= 4000 * N:
+            want[(a, b)] = c
+            want[(b, a)] = c
+    assert set(got) == set(want)
+    for (a, b), c in want.items():
+        r = got[(a, b)]
+        assert r.n_pair == c and r.n_baskets == N
+        assert r.support == round(c / N, 6)
+        assert r.confidence == round(c / cnt[a], 6)
+        assert r.lift == round(N * c / (cnt[a] * cnt[b]), 6)
+    # (milk, bread): 2 of 5 baskets -> both directions present
+    assert ("milk", "bread") in got and ("bread", "milk") in got
+    # basket-size guard
+    with pytest.raises(ValueError, match="max_basket_items"):
+        assoc_rules(df, "b", "i", max_basket_items=2)
