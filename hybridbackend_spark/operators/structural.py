@@ -37,6 +37,7 @@ __all__ = [
     "assert_fixed_shape",
     "changelog_compact",
     "merge_partial_aggregates",
+    "incremental_join_update",
     "distinct_sketch_state",
     "merge_distinct_sketches",
     "table_diff",
@@ -487,6 +488,42 @@ def merge_distinct_sketches(
             F.hll_sketch_estimate(sk).alias(c) if estimate else sk.alias(c)
         )
     return merged.select(*keys, *out_cols)
+
+
+def incremental_join_update(
+    old_left: DataFrame,
+    old_right: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental (insert-only) equi-join view maintenance — the JOIN
+    companion to :func:`merge_partial_aggregates`: given a maintained
+    view ``V = L ⋈ R`` and insert deltas ``dL, dR``, the NEW match rows
+    are exactly
+
+        dV = (dL ⋈ R) ∪ (L ⋈ dR) ∪ (dL ⋈ dR)
+
+    so a 100 TB CDC pipeline appends ``dV`` to the stored view instead
+    of re-joining the full tables (the three delta joins each have one
+    delta-sized side; at typical delta:base ratios that is orders of
+    magnitude less shuffle than the full recompute it provably equals).
+
+    This function returns ``dV`` (the caller appends/unions it onto the
+    stored view); the algebra is exact for bag semantics under
+    insert-only deltas — updates/deletes need retractions, which
+    :func:`table_diff` derives. Result column order is L-columns then
+    R-columns minus the duplicate join keys, identical to
+    ``full_L.join(full_R, on)``.
+    """
+    if not on:
+        raise ValueError("join keys must be non-empty")
+    keys = list(on)
+    return (
+        delta_left.join(old_right, keys)
+        .unionAll(old_left.join(delta_right, keys))
+        .unionAll(delta_left.join(delta_right, keys))
+    )
 
 
 def table_diff(

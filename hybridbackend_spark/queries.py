@@ -806,6 +806,7 @@ _DRIVER_WINDOW_FIRST = [
     "split_leakage_docs",
     "ipf_rake_docs",
     "assoc_rules_brands",
+    "incremental_join_orders",
 ]
 
 
@@ -12627,6 +12628,51 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "incremental_join_orders",
+    """
+    SELECT c.c_nationkey, o.o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance proof: orders and customer are
+    each split into an 'old' base and an insert delta (orderkey /
+    custkey parity — simulating a CDC batch); the maintained view is
+    old⋈old plus the three delta joins from
+    operators/structural.py::incremental_join_update, then aggregated.
+    The oracle is the DIRECT full join — the hash match proves
+    dV = dL⋈R ∪ L⋈dR ∪ dL⋈dR reconstructs the view exactly, the
+    same incremental == batch contract as merge_partial_aggregates."""
+    from .operators.structural import incremental_join_update
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_old = o.filter(F.col("o_orderkey") % 2 == 0)
+    o_new = o.filter(F.col("o_orderkey") % 2 != 0)
+    c_old = c.filter(F.col("c_custkey") % 2 == 0)
+    c_new = c.filter(F.col("c_custkey") % 2 != 0)
+    ol = o_old.withColumnRenamed("o_custkey", "k")
+    nl = o_new.withColumnRenamed("o_custkey", "k")
+    orr = c_old.withColumnRenamed("c_custkey", "k")
+    nr = c_new.withColumnRenamed("c_custkey", "k")
+    view_old = ol.join(orr, ["k"])
+    delta = incremental_join_update(ol, orr, nl, nr, ["k"])
+    view = view_old.unionAll(delta)
+    return view.groupBy("c_nationkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
 
 
 @register(

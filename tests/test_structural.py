@@ -421,3 +421,34 @@ def test_table_diff_compare_subset(spark):
     # restricted comparison ignores the meta column -> no diff rows
     assert table_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
     assert table_diff(old, new, ["k"]).count() == 1
+
+
+def test_incremental_join_update_equals_full_recompute(spark):
+    """dV = dL(x)R + L(x)dR + dL(x)dR under insert-only deltas: the
+    maintained view must equal the full join as a BAG (duplicates
+    preserved), including keys that appear only in the delta and
+    many-to-many key fan-out."""
+    from hybridbackend_spark.operators.structural import (
+        incremental_join_update,
+    )
+
+    import pytest as _pt
+
+    left = [(1, "l1"), (1, "l1b"), (2, "l2"), (3, "l3"), (5, "l5")]
+    right = [(1, "r1"), (2, "r2"), (2, "r2b"), (4, "r4"), (5, "r5")]
+    ldf = spark.createDataFrame(left, "k long, lv string")
+    rdf = spark.createDataFrame(right, "k long, rv string")
+    # split: old/delta by tag position (5 only in deltas on both sides)
+    lo = ldf.filter(F.col("lv").isin("l1", "l2"))
+    ld = ldf.subtract(lo)
+    ro = rdf.filter(F.col("rv").isin("r1", "r2"))
+    rd = rdf.subtract(ro)
+    view = lo.join(ro, ["k"]).unionAll(
+        incremental_join_update(lo, ro, ld, rd, ["k"])
+    )
+    full = ldf.join(rdf, ["k"])
+    assert sorted(map(tuple, view.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    with _pt.raises(ValueError):
+        incremental_join_update(lo, ro, ld, rd, [])
