@@ -39,6 +39,7 @@ __all__ = [
     "logrank_test",
     "eb_shrink_rates",
     "assoc_rules",
+    "diff_in_diff",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -1444,6 +1445,105 @@ def nelson_aalen(
     )
     return out.select(
         "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    treated_col: Column,
+    post_col: Column,
+    value_col: str,
+    dp: int = 6,
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences estimator per group — the workhorse
+    quasi-experimental readout when treatment was NOT randomized (a
+    feature shipped to one cohort; a policy change at a date):
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    with the large-sample standard error from the four cell variances,
+    ``SE = sqrt(Σ s²_cell / n_cell)``, and ``z = DiD / SE`` (the
+    parallel-trends assumption is the caller's to defend — this is the
+    arithmetic, stated exactly).
+
+    Engine-exactness: values quantize to the ``scale`` grid; each
+    cell's n / sum / sum-of-squares accumulate as BIGINT / DECIMAL(38,0)
+    in ONE conditional-aggregation pass, so DiD is exact integer-cents
+    arithmetic divided once, and SE/z are fixed-shape expressions of
+    exact sums. DiD is NULL when any cell is empty; z additionally
+    needs every cell to carry variance (n >= 2) and SE > 0 —
+    ANSI-guarded, no 0/0 abort.
+
+    Returns (group, n_tp, n_tq, n_cp, n_cq, did, se, z) where
+    t/c = treated/control and p/q = post/pre.
+    """
+    qv = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        treated_col.cast("boolean").alias("_tr"),
+        post_col.cast("boolean").alias("_po"),
+        qv.alias("_v"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & F.col("_tr").isNotNull()
+        & F.col("_po").isNotNull()
+    )
+
+    def cell(tr: bool, po: bool, tag: str):
+        m = (F.col("_tr") == tr) & (F.col("_po") == po)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(m, F.col("_v")).otherwise(0))
+            .cast("long")
+            .alias(f"s_{tag}"),
+            F.sum(F.when(m, _dec(F.col("_v")) * _dec(F.col("_v"))))
+            .alias(f"q_{tag}"),
+        ]
+
+    agg = base.groupBy("_g").agg(
+        *cell(True, True, "tp"),
+        *cell(True, False, "tq"),
+        *cell(False, True, "cp"),
+        *cell(False, False, "cq"),
+    )
+    fs = float(scale)
+
+    def mean(tag: str):
+        return F.col(f"s_{tag}").cast("double") / (
+            F.col(f"n_{tag}").cast("double") * fs
+        )
+
+    def var_over_n(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s = F.col(f"s_{tag}").cast("double")
+        q = F.col(f"q_{tag}").cast("double")
+        return (q - s * s / n) / ((n - 1.0) * n * fs * fs)
+
+    all_nonempty = (
+        (F.col("n_tp") > 0) & (F.col("n_tq") > 0)
+        & (F.col("n_cp") > 0) & (F.col("n_cq") > 0)
+    )
+    all_var = (
+        (F.col("n_tp") > 1) & (F.col("n_tq") > 1)
+        & (F.col("n_cp") > 1) & (F.col("n_cq") > 1)
+    )
+    did = (mean("tp") - mean("tq")) - (mean("cp") - mean("cq"))
+    se2 = (
+        var_over_n("tp") + var_over_n("tq")
+        + var_over_n("cp") + var_over_n("cq")
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_tp", "n_tq", "n_cp", "n_cq",
+        F.when(all_nonempty, F.round(did, dp)).alias("did"),
+        F.when(all_var & (se2 > 0), F.round(F.sqrt(se2), dp)).alias("se"),
+        F.when(
+            all_nonempty & all_var & (se2 > 0),
+            F.round(did / F.sqrt(se2), dp),
+        ).alias("z"),
     )
 
 

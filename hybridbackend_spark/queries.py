@@ -807,6 +807,7 @@ _DRIVER_WINDOW_FIRST = [
     "ipf_rake_docs",
     "assoc_rules_brands",
     "incremental_join_orders",
+    "did_events",
 ]
 
 
@@ -12628,6 +12629,117 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "did_events",
+    """
+    WITH rng AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS g,
+             user_id % 2 = 0 AS tr,
+             CAST(ts AS DATE) >= lo + CAST((hi - lo) // 2 AS INT) AS po,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events, rng WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT g,
+             sum(CASE WHEN tr AND po THEN 1 ELSE 0 END)::BIGINT AS n_tp,
+             CAST(sum(CASE WHEN tr AND po THEN v ELSE 0 END) AS BIGINT) AS s_tp,
+             sum(CASE WHEN tr AND po THEN CAST(v AS DECIMAL(38,0)) * v END) AS q_tp,
+             sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END)::BIGINT AS n_tq,
+             CAST(sum(CASE WHEN tr AND NOT po THEN v ELSE 0 END) AS BIGINT) AS s_tq,
+             sum(CASE WHEN tr AND NOT po THEN CAST(v AS DECIMAL(38,0)) * v END) AS q_tq,
+             sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END)::BIGINT AS n_cp,
+             CAST(sum(CASE WHEN NOT tr AND po THEN v ELSE 0 END) AS BIGINT) AS s_cp,
+             sum(CASE WHEN NOT tr AND po THEN CAST(v AS DECIMAL(38,0)) * v END) AS q_cp,
+             sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)::BIGINT AS n_cq,
+             CAST(sum(CASE WHEN NOT tr AND NOT po THEN v ELSE 0 END) AS BIGINT) AS s_cq,
+             sum(CASE WHEN NOT tr AND NOT po THEN CAST(v AS DECIMAL(38,0)) * v END) AS q_cq
+      FROM t GROUP BY g
+    )
+    SELECT g AS event_type, n_tp, n_tq, n_cp, n_cq,
+           CASE WHEN n_tp > 0 AND n_tq > 0 AND n_cp > 0 AND n_cq > 0 THEN
+             round((s_tp::DOUBLE / (n_tp::DOUBLE * 100.0)
+                    - s_tq::DOUBLE / (n_tq::DOUBLE * 100.0))
+                   - (s_cp::DOUBLE / (n_cp::DOUBLE * 100.0)
+                      - s_cq::DOUBLE / (n_cq::DOUBLE * 100.0)), 6)
+           END AS did,
+           CASE WHEN n_tp > 1 AND n_tq > 1 AND n_cp > 1 AND n_cq > 1
+                 AND (q_tp::DOUBLE - s_tp::DOUBLE * s_tp::DOUBLE / n_tp::DOUBLE)
+                     / ((n_tp::DOUBLE - 1.0) * n_tp::DOUBLE * 10000.0)
+                   + (q_tq::DOUBLE - s_tq::DOUBLE * s_tq::DOUBLE / n_tq::DOUBLE)
+                     / ((n_tq::DOUBLE - 1.0) * n_tq::DOUBLE * 10000.0)
+                   + (q_cp::DOUBLE - s_cp::DOUBLE * s_cp::DOUBLE / n_cp::DOUBLE)
+                     / ((n_cp::DOUBLE - 1.0) * n_cp::DOUBLE * 10000.0)
+                   + (q_cq::DOUBLE - s_cq::DOUBLE * s_cq::DOUBLE / n_cq::DOUBLE)
+                     / ((n_cq::DOUBLE - 1.0) * n_cq::DOUBLE * 10000.0) > 0
+           THEN
+             round(sqrt(
+               (q_tp::DOUBLE - s_tp::DOUBLE * s_tp::DOUBLE / n_tp::DOUBLE)
+                 / ((n_tp::DOUBLE - 1.0) * n_tp::DOUBLE * 10000.0)
+               + (q_tq::DOUBLE - s_tq::DOUBLE * s_tq::DOUBLE / n_tq::DOUBLE)
+                 / ((n_tq::DOUBLE - 1.0) * n_tq::DOUBLE * 10000.0)
+               + (q_cp::DOUBLE - s_cp::DOUBLE * s_cp::DOUBLE / n_cp::DOUBLE)
+                 / ((n_cp::DOUBLE - 1.0) * n_cp::DOUBLE * 10000.0)
+               + (q_cq::DOUBLE - s_cq::DOUBLE * s_cq::DOUBLE / n_cq::DOUBLE)
+                 / ((n_cq::DOUBLE - 1.0) * n_cq::DOUBLE * 10000.0)), 6)
+           END AS se,
+           CASE WHEN n_tp > 1 AND n_tq > 1 AND n_cp > 1 AND n_cq > 1
+                 AND (q_tp::DOUBLE - s_tp::DOUBLE * s_tp::DOUBLE / n_tp::DOUBLE)
+                     / ((n_tp::DOUBLE - 1.0) * n_tp::DOUBLE * 10000.0)
+                   + (q_tq::DOUBLE - s_tq::DOUBLE * s_tq::DOUBLE / n_tq::DOUBLE)
+                     / ((n_tq::DOUBLE - 1.0) * n_tq::DOUBLE * 10000.0)
+                   + (q_cp::DOUBLE - s_cp::DOUBLE * s_cp::DOUBLE / n_cp::DOUBLE)
+                     / ((n_cp::DOUBLE - 1.0) * n_cp::DOUBLE * 10000.0)
+                   + (q_cq::DOUBLE - s_cq::DOUBLE * s_cq::DOUBLE / n_cq::DOUBLE)
+                     / ((n_cq::DOUBLE - 1.0) * n_cq::DOUBLE * 10000.0) > 0
+           THEN
+             round(((s_tp::DOUBLE / (n_tp::DOUBLE * 100.0)
+                     - s_tq::DOUBLE / (n_tq::DOUBLE * 100.0))
+                    - (s_cp::DOUBLE / (n_cp::DOUBLE * 100.0)
+                       - s_cq::DOUBLE / (n_cq::DOUBLE * 100.0)))
+                   / sqrt(
+               (q_tp::DOUBLE - s_tp::DOUBLE * s_tp::DOUBLE / n_tp::DOUBLE)
+                 / ((n_tp::DOUBLE - 1.0) * n_tp::DOUBLE * 10000.0)
+               + (q_tq::DOUBLE - s_tq::DOUBLE * s_tq::DOUBLE / n_tq::DOUBLE)
+                 / ((n_tq::DOUBLE - 1.0) * n_tq::DOUBLE * 10000.0)
+               + (q_cp::DOUBLE - s_cp::DOUBLE * s_cp::DOUBLE / n_cp::DOUBLE)
+                 / ((n_cp::DOUBLE - 1.0) * n_cp::DOUBLE * 10000.0)
+               + (q_cq::DOUBLE - s_cq::DOUBLE * s_cq::DOUBLE / n_cq::DOUBLE)
+                 / ((n_cq::DOUBLE - 1.0) * n_cq::DOUBLE * 10000.0)), 6)
+           END AS z
+    FROM a
+    """,
+)
+def did_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences per event type: treated = user parity,
+    post = second half of the observed date range; one conditional-agg
+    pass builds all four (treated x period) cells with exact
+    cents/DECIMAL sufficient stats. The quasi-experimental companion to
+    ab_ztest/cuped; see operators/analytics.py::diff_in_diff."""
+    from .operators.analytics import diff_in_diff
+
+    ev = _t(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    base = ev.crossJoin(F.broadcast(rng)).withColumn(
+        "_post",
+        F.col("ts").cast("date")
+        >= F.expr("date_add(lo, cast(datediff(hi, lo) / 2 as int))"),
+    )
+    return diff_in_diff(
+        base,
+        "event_type",
+        F.col("user_id") % 2 == 0,
+        F.col("_post"),
+        "value",
+    )
 
 
 @register(

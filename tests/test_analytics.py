@@ -1350,3 +1350,51 @@ def test_assoc_rules_matches_python(spark):
     # basket-size guard
     with pytest.raises(ValueError, match="max_basket_items"):
         assoc_rules(df, "b", "i", max_basket_items=2)
+
+
+def test_diff_in_diff_matches_python(spark):
+    """Reference DiD with a planted treatment effect, plus empty-cell
+    NULL and zero-variance guard cases."""
+    import math
+    import statistics
+
+    from hybridbackend_spark.operators.analytics import diff_in_diff
+
+    cells = {
+        # (treated, post): values — planted +5 lift on treated-post
+        (True, True): [15.0, 16.0, 17.0, 14.5],
+        (True, False): [10.0, 11.0, 10.5],
+        (False, True): [10.2, 11.2, 10.7, 10.9],
+        (False, False): [10.0, 11.0, 10.4],
+    }
+    rows = [
+        ("g", tr, po, v) for (tr, po), vs in cells.items() for v in vs
+    ]
+    df = spark.createDataFrame(rows, "g string, tr boolean, po boolean, v double")
+    r = diff_in_diff(df, "g", F.col("tr"), F.col("po"), "v").collect()[0]
+    cents = {k: [round(v * 100) for v in vs] for k, vs in cells.items()}
+    mean = {k: sum(v) / len(v) / 100 for k, v in cents.items()}
+    did = (mean[(True, True)] - mean[(True, False)]) - (
+        mean[(False, True)] - mean[(False, False)]
+    )
+    se2 = sum(
+        statistics.variance(v) / (len(v) * 10000)
+        for v in cents.values()
+    )
+    assert (r.n_tp, r.n_tq, r.n_cp, r.n_cq) == (4, 3, 4, 3)
+    assert r.did == round(did, 6)
+    assert r.se == round(math.sqrt(se2), 6)
+    assert r.z == round(did / math.sqrt(se2), 6)
+    assert r.z > 2  # the planted lift is detected
+    # empty treated-post cell -> NULL did
+    sub = df.filter(~(F.col("tr") & F.col("po")))
+    r2 = diff_in_diff(sub, "g", F.col("tr"), F.col("po"), "v").collect()[0]
+    assert r2.did is None and r2.z is None
+    # constant values: variance 0 -> NULL se/z, did still exact
+    const = spark.createDataFrame(
+        [("g", tr, po, 5.0) for tr in (True, False) for po in (True, False)
+         for _ in range(2)],
+        "g string, tr boolean, po boolean, v double",
+    )
+    r3 = diff_in_diff(const, "g", F.col("tr"), F.col("po"), "v").collect()[0]
+    assert r3.did == 0.0 and r3.se is None and r3.z is None
