@@ -309,6 +309,27 @@ EXTRA = [
     "textrank_keywords_docs",
     "hhi_supplier_nation",
     "cmh_test_orders",
+    # round-7 additions
+    "jsonl_scan_docs",
+    "split_leakage_docs",
+    "mwu_incremental_events",
+    "ks_incremental_orders",
+    "burst_dedup_events",
+    "did_events",
+    "incremental_join_orders",
+    "assoc_rules_brands",
+    "ipf_rake_docs",
+    "eb_shrink_parts",
+    "logrank_users",
+    "robust_stats_orders",
+    "spearman_events",
+    "entity_linkage_customers",
+    "quality_classifier_docs",
+    "distinct_ngrams_docs",
+    "bh_fdr_events",
+    "fleiss_kappa_lineitem",
+    "token_budget_mix_docs",
+    "kendall_tau_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the
@@ -457,9 +478,10 @@ def main() -> None:
     )
     # Durable full copy for the driver/judge, then the SINGLE stdout JSON
     # line as the very last thing printed (flushed so nothing interleaves).
-    # Partial (BENCH_SETS-filtered) runs must not replace the canonical
-    # artifact.
-    if SETS >= {"headline", "extra", "baseline", "scans"}:
+    # Partial (BENCH_SETS-filtered) AND low-reps (BENCH_REPS<5) runs must
+    # not replace the canonical artifact — a reps=1 smoke overwrote
+    # BENCH.json in round 7 before this second guard existed.
+    if SETS >= {"headline", "extra", "baseline", "scans"} and REPS >= 5:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH.json"), "w") as f:
             f.write(full + "\n")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear", "theil_sen", "mann_kendall"]
+__all__ = ["resample_fill", "transition_matrix", "sequence_pattern_match", "ewma", "seasonal_dow", "cusum_changepoint", "forecast_backtest", "holt_linear", "theil_sen", "mann_kendall", "kendall_tau_b"]
 
 
 def resample_fill(
@@ -598,6 +598,81 @@ def theil_sen(
             F.round(F.sum("_s") / F.count(F.lit(1)), dp).alias("slope"),
         )
         .select(F.col("_k").alias(key_col), "n_pairs", "slope")
+    )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    max_obs: int | None = 2000,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key Kendall tau-b rank correlation — the tie-corrected
+    concordance coefficient (the magnitude companion to
+    :func:`mann_kendall`'s significance z; Spearman's sibling with a
+    cleaner probabilistic reading: P(concordant) - P(discordant)):
+
+        S      = sum over x_i < x_j of sign(y_j - y_i)
+        tau_b  = S / sqrt((n0 - T1)(n0 - U1))
+        n0 = n(n-1)/2,  T1 = sum_t t(t-1)/2 (y ties),
+        U1 = sum_u u(u-1)/2 (x ties)
+
+    Engine-exact: S and every tie sum are pure BIGINT (shared integer
+    machinery with ``mann_kendall``); tau_b is ONE division of exact
+    integers. Same quadratic-pairs bound, enforced by ``max_obs``.
+    tau_b is NULL when either variable is constant within a key
+    (denominator 0, ANSI-guarded).
+
+    Returns (key, n_obs, s_stat, tau_b).
+    """
+    pts = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    pts = _enforce_max_obs(pts, max_obs, "Kendall tau-b")
+    a, b = pts.alias("a"), pts.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a._k") == F.col("b._k")) & (F.col("a._x") < F.col("b._x")),
+        )
+        .groupBy(F.col("a._k").alias("_k"))
+        .agg(
+            F.sum(
+                F.signum(F.col("b._y") - F.col("a._y")).cast("long")
+            ).alias("s_stat")
+        )
+    )
+    n_per = pts.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
+
+    def pair_ties(col: str, out: str):
+        t = F.col("_t")
+        return (
+            pts.groupBy("_k", col)
+            .agg(F.count(F.lit(1)).alias("_t"))
+            .groupBy("_k")
+            .agg(F.sum(t * (t - 1)).alias(out))  # = 2 * sum t(t-1)/2
+        )
+
+    yt = pair_ties("_y", "_t2y")
+    xt = pair_ties("_x", "_t2x")
+    out = n_per.join(yt, "_k").join(xt, "_k").join(s, "_k", "left")
+    n = F.col("_n")
+    # doubled pair counts keep everything integer: 2*n0 = n(n-1),
+    # 2*T1 = _t2y, 2*U1 = _t2x; the factor 2 cancels inside the sqrt
+    dy = (n * (n - 1) - F.col("_t2y")).cast("double")
+    dx = (n * (n - 1) - F.col("_t2x")).cast("double")
+    sv = F.col("s_stat")
+    tau = F.lit(2.0) * sv.cast("double") / F.sqrt(dy * dx)
+    return out.select(
+        F.col("_k").alias(key_col),
+        n.cast("long").alias("n_obs"),
+        F.coalesce(sv, F.lit(0)).cast("long").alias("s_stat"),
+        F.when((dy > 0) & (dx > 0) & sv.isNotNull(), F.round(tau, dp))
+        .alias("tau_b"),
     )
 
 

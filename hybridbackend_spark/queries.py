@@ -808,6 +808,8 @@ _DRIVER_WINDOW_FIRST = [
     "assoc_rules_brands",
     "incremental_join_orders",
     "did_events",
+    "burst_dedup_events",
+    "kendall_tau_events",
 ]
 
 
@@ -12632,6 +12634,140 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kendall_tau_events",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS x,
+             sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))::DOUBLE
+               / 100.0 AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type AS g,
+             CAST(sum(sign(b.y - a.y)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND a.x < b.x
+      GROUP BY 1
+    ),
+    np AS (SELECT event_type AS g, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+    ty AS (
+      SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS t2y
+      FROM (SELECT event_type AS g, y, count(*)::BIGINT AS t
+            FROM daily GROUP BY 1, 2) GROUP BY g
+    ),
+    tx AS (
+      SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS t2x
+      FROM (SELECT event_type AS g, x, count(*)::BIGINT AS t
+            FROM daily GROUP BY 1, 2) GROUP BY g
+    )
+    SELECT np.g AS event_type, n AS n_obs,
+           coalesce(s_stat, 0) AS s_stat,
+           CASE WHEN n * (n - 1) - t2y > 0 AND n * (n - 1) - t2x > 0
+                 AND s_stat IS NOT NULL
+           THEN round(2.0 * s_stat::DOUBLE
+                      / sqrt((n * (n - 1) - t2y)::DOUBLE
+                             * (n * (n - 1) - t2x)::DOUBLE), 6)
+           END AS tau_b
+    FROM np
+    LEFT JOIN s ON s.g = np.g
+    JOIN ty ON ty.g = np.g
+    JOIN tx ON tx.g = np.g
+    """,
+)
+def kendall_tau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b of the daily value series per event type (same
+    calendar-bounded series as mann_kendall_events): the tie-corrected
+    concordance magnitude next to MK's significance z — S and both tie
+    sums are shared BIGINT machinery, tau is one division. See
+    operators/timeseries.py::kendall_tau_b."""
+    from .operators.timeseries import kendall_tau_b
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("x"),
+    ).agg(
+        (
+            F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+                  .cast("long")).cast("double") / 100.0
+        ).alias("y")
+    )
+    return kendall_tau_b(daily, "event_type", "x", "y")
+
+
+@register(
+    "burst_dedup_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    m AS (
+      SELECT *,
+             CASE WHEN us - lag(us) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY us, event_id) > 300 * 1000000
+                   OR lag(us) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY us, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_burst
+      FROM e
+    ),
+    b AS (
+      SELECT *,
+             sum(new_burst) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS burst_id
+      FROM m
+    ),
+    kept AS (
+      SELECT user_id, event_type, burst_id,
+             min(event_id ORDER BY us, event_id) AS keep_id
+      FROM b GROUP BY 1, 2, 3
+    )
+    SELECT e.event_type,
+           count(*)::BIGINT AS n_raw,
+           (SELECT count(*) FROM kept k WHERE k.event_type = e.event_type)
+             ::BIGINT AS n_kept
+    FROM e GROUP BY e.event_type
+    """,
+)
+def burst_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry burst deduplication: within each (user, event_type)
+    stream, events separated by <= 5 minutes form one burst (the
+    sessionize gap rule at MICROsecond precision — no seconds
+    truncation) and only the first event of each burst is kept;
+    reported as raw-vs-kept counts per type. The batch rendering of
+    at-least-once-delivery dedup; gap windows are per-key, never
+    global."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    new_burst = F.when(
+        gap.isNull() | (gap > 300 * 1_000_000), 1
+    ).otherwise(0)
+    bursts = ev.withColumn(
+        "burst_id",
+        F.sum(new_burst).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    kept = bursts.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min(F.struct("us", "event_id")).alias("_first")
+    )
+    raw = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw")
+    )
+    kc = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return raw.join(kc, "event_type")
+
+
+@register(
     "did_events",
     """
     WITH rng AS (
@@ -12828,7 +12964,11 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over brands co-purchased per
     order (support >= 1%, both rule directions, exact integer support
     cut): support / confidence / lift from one basket-keyed pair join
-    with the quadratic-basket guard. See
+    with the quadratic-basket guard. Complements
+    association_rules_parts (per-customer PART baskets on the shared
+    i2i state, whole-bit lift): this one is the standalone reusable
+    operator form — order-level baskets, fractional support threshold,
+    double-precision lift, loud basket-size guard. See
     operators/analytics.py::assoc_rules."""
     from .operators.analytics import assoc_rules
 

@@ -734,3 +734,50 @@ def test_mann_kendall_x_ties_full_correction(spark):
     assert r.s_stat == s
     assert r.var_s == round(var, 6)
     assert r.z == round(z, 6)
+
+
+def test_kendall_tau_b_matches_python(spark):
+    """tau-b vs an independent pure-Python computation with ties in
+    both variables, plus perfect concordance/discordance and the
+    constant-variable NULL."""
+    from hybridbackend_spark.operators.timeseries import kendall_tau_b
+
+    cases = {
+        "mono": [(1.0, 2.0), (2.0, 5.0), (3.0, 9.0), (4.0, 9.5)],
+        "anti": [(1.0, 9.0), (2.0, 5.0), (3.0, 1.0)],
+        "ties": [(1.0, 3.0), (1.0, 5.0), (2.0, 5.0), (3.0, 4.0),
+                 (3.0, 7.0), (4.0, 4.0)],
+        "const": [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)],
+    }
+    rows = [(g, x, y) for g, ps in cases.items() for x, y in ps]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in kendall_tau_b(df, "g", "x", "y").collect()}
+
+    def ref(pairs):
+        import math
+        from collections import Counter
+
+        n = len(pairs)
+        s = 0
+        for i in range(n):
+            for j in range(n):
+                if pairs[i][0] < pairs[j][0]:
+                    d = pairs[j][1] - pairs[i][1]
+                    s += 1 if d > 0 else -1 if d < 0 else 0
+        t2y = sum(t * (t - 1) for t in Counter(y for _, y in pairs).values())
+        t2x = sum(u * (u - 1) for u in Counter(x for x, _ in pairs).values())
+        dy, dx = n * (n - 1) - t2y, n * (n - 1) - t2x
+        if dy <= 0 or dx <= 0:
+            return s, None
+        return s, 2.0 * s / math.sqrt(float(dy) * dx)
+
+    assert got["mono"].tau_b == 1.0
+    assert got["anti"].tau_b == -1.0
+    assert got["const"].tau_b is None
+    for g, ps in cases.items():
+        s, tau = ref(ps)
+        assert got[g].s_stat == s, g
+        if tau is None:
+            assert got[g].tau_b is None, g
+        else:
+            assert got[g].tau_b == round(tau, 6), g
