@@ -1567,10 +1567,15 @@ def ipf_rake_weights(
         .cast("long")
         .alias("_ct"),
     )
-    # state: per-cell weighted mass in integer units, start at n * 1.0
+    # state: per-cell weighted mass in integer units, start at n * 1.0.
+    # The state is consumed TWICE per round (margin agg + rescale join),
+    # so without a lineage cut each round re-evaluates the whole chain
+    # and the DAG cost doubles per round — localCheckpoint the
+    # aggregate-sized (|rows| x |cols|) state instead, the same cut the
+    # iterative graph operators apply.
     state = cells.select(
         "_r", "_c", "_n", (F.col("_n") * weight_scale).alias("_wu")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
         rm = state.groupBy("_r").agg(F.sum("_wu").alias("_rm"))
         state = (
@@ -1600,6 +1605,7 @@ def ipf_rake_weights(
                 ).alias("_wu"),
             )
         )
+        state = state.localCheckpoint(eager=True)
     rm = state.groupBy("_r").agg(F.sum("_wu").alias("_rmf"))
     cm = state.groupBy("_c").agg(F.sum("_wu").alias("_cmf"))
     out = (
