@@ -330,6 +330,7 @@ EXTRA = [
     "fleiss_kappa_lineitem",
     "token_budget_mix_docs",
     "kendall_tau_events",
+    "rfm_segments_customers",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

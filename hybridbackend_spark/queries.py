@@ -810,6 +810,7 @@ _DRIVER_WINDOW_FIRST = [
     "did_events",
     "burst_dedup_events",
     "kendall_tau_events",
+    "rfm_segments_customers",
 ]
 
 
@@ -12631,6 +12632,98 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+@register(
+    "rfm_segments_customers",
+    """
+    WITH per AS (
+      SELECT o_custkey AS c,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+               AS r,
+             count(*)::BIGINT AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS qr,
+             quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS qf,
+             quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS qm
+      FROM per
+    ),
+    scored AS (
+      SELECT c, m,
+             6 - (1 + (CASE WHEN r > qr[1] THEN 1 ELSE 0 END)
+                    + (CASE WHEN r > qr[2] THEN 1 ELSE 0 END)
+                    + (CASE WHEN r > qr[3] THEN 1 ELSE 0 END)
+                    + (CASE WHEN r > qr[4] THEN 1 ELSE 0 END)) AS r_score,
+             1 + (CASE WHEN f > qf[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN f > qf[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN f > qf[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN f > qf[4] THEN 1 ELSE 0 END) AS f_score,
+             1 + (CASE WHEN m > qm[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN m > qm[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN m > qm[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN m > qm[4] THEN 1 ELSE 0 END) AS m_score
+      FROM per, q
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           count(*)::BIGINT AS n_customers,
+           CAST(sum(m) AS BIGINT) AS sum_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer recency (days since last order,
+    relative to the corpus max date), frequency, monetary cents;
+    quintile scores per dimension from exact interpolated percentile
+    boundaries (ONE fused agg broadcast as a row — no ntile, no global
+    sort; the equidepth_bins discipline: on integer grids a fractional
+    boundary sits strictly between grid points, so bin compares cannot
+    differ between engines), recency inverted so 5 = most recent.
+    Output is the 125-cell segment table."""
+    o = _t(spark, sf_dir, "orders")
+    gm = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("_gm"))
+    per = (
+        o.crossJoin(F.broadcast(gm))
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.datediff(
+                F.max("_gm"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "m"
+            ),
+        )
+    )
+    q = per.agg(
+        F.expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").alias("qr"),
+        F.expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").alias("qf"),
+        F.expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").alias("qm"),
+    )
+
+    def score(v: str, qcol: str):
+        return F.lit(1) + F.aggregate(
+            F.col(qcol),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(v) > b, 1).otherwise(0),
+        )
+
+    scored = per.crossJoin(F.broadcast(q)).select(
+        "c",
+        "m",
+        (F.lit(6) - score("r", "qr")).cast("int").alias("r_score"),
+        score("f", "qf").cast("int").alias("f_score"),
+        score("m", "qm").cast("int").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("m").cast("long").alias("sum_cents"),
+    )
 
 
 @register(
