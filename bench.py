@@ -331,6 +331,7 @@ EXTRA = [
     "token_budget_mix_docs",
     "kendall_tau_events",
     "rfm_segments_customers",
+    "quantile_normalize_events",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

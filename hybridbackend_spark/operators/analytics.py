@@ -40,6 +40,7 @@ __all__ = [
     "eb_shrink_rates",
     "assoc_rules",
     "diff_in_diff",
+    "quantile_normalize",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -1445,6 +1446,79 @@ def nelson_aalen(
     )
     return out.select(
         "t", "n_risk", "n_events", "n_censored", "cum_hazard", "var_hazard"
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 1024,
+    scale: int = 100,
+) -> DataFrame:
+    """Cross-slice quantile normalization — the batch-effect correction
+    that maps every slice's value distribution onto the POOLED
+    distribution (microarray quantile normalization generalized to
+    unequal slice sizes): a row at within-slice rank r maps to the
+    pooled value at the nearest-rank quantile ``ceil(r*k/n_slice)`` of
+    a ``k``-point pooled grid. After the transform every slice has the
+    same marginal distribution (up to grid resolution), so cross-slice
+    comparisons stop measuring acquisition artifacts.
+
+    Engine-exactness: within-slice ranks are POSITIONAL from the
+    (slice, value) histogram (ties share their group's upper rank, the
+    standard tie rule), and the pooled grid comes from ONE fused
+    ``percentile`` aggregate at the DYADIC fractions j/k with k a power
+    of two — on the integer ``scale`` grid the interpolation
+    ``a + (b-a)*f`` is exact in double for dyadic f (the equidepth_bins
+    argument), so both engines produce bit-identical grid values. The
+    per-row map is the integer index ``ceil(rank*k/n_slice)`` into the
+    broadcast k-element grid.
+
+    Scale shape: one aggregate-sized histogram per slice (partitioned
+    windows only), one fused pooled-percentile agg broadcast as a
+    single row, and a co-keyed histogram join + O(1) array lookup per
+    row — no per-slice sort, no global window, no unbounded state.
+
+    Returns per-row (group, value, normalized) with ``normalized`` on
+    the same value scale.
+    """
+    if k < 2 or (k & (k - 1)) != 0:
+        raise ValueError("k must be a power of two >= 2 (dyadic grid)")
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    base = df.select(
+        F.col(group_col).alias("_g"), q.alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    hist = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("_g")
+    h = hist.select(
+        "_g",
+        "_v",
+        "_c",
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_b"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    fracs = ", ".join(repr(j / k) for j in range(1, k + 1))
+    grid = base.agg(
+        F.expr(f"percentile(_v, array({fracs}))").alias("_grid")
+    )
+    # per-row: upper tie rank b+c -> grid index ceil(rank*k/n), in 1..k
+    ranked = base.join(h, ["_g", "_v"])
+    idx = F.least(
+        F.lit(k),
+        F.expr(f"((_b + _c) * {k} + _n - 1) div _n"),
+    ).cast("int")
+    return ranked.crossJoin(F.broadcast(grid)).select(
+        F.col("_g").alias(group_col),
+        (F.col("_v").cast("double") / scale).alias(value_col),
+        (
+            F.element_at(F.col("_grid"), idx).cast("double") / scale
+        ).alias("normalized"),
     )
 
 

@@ -811,6 +811,7 @@ _DRIVER_WINDOW_FIRST = [
     "burst_dedup_events",
     "kendall_tau_events",
     "rfm_segments_customers",
+    "quantile_normalize_events",
 ]
 
 
@@ -12632,6 +12633,64 @@ def ks_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = rank_histogram_state(batch2, "o_orderpriority", "variant", "o_totalprice")
     merged = merge_rank_histograms(s1, s2, "o_orderpriority")
     return ks_from_state(merged, "o_orderpriority")
+
+
+def _qnorm_oracle(k: int = 256) -> str:
+    """SQL replica of quantile_normalize_events: positional within-slice
+    upper tie ranks, dyadic pooled quantile_cont grid (exact on the
+    cents grid for power-of-two k), integer index arithmetic."""
+    fracs = ", ".join(repr(j / k) for j in range(1, k + 1))
+    return f"""
+    WITH t AS (
+      SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT g, v, count(*)::BIGINT AS c FROM t GROUP BY g, v),
+    hh AS (
+      SELECT g, v, c,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM h
+    ),
+    grid AS (SELECT quantile_cont(v, [{fracs}]) AS gq FROM t),
+    r AS (
+      SELECT t.g, t.v,
+             CAST(least({k}, ((hh.b + hh.c) * {k} + hh.n - 1) // hh.n)
+                  AS INT) AS idx
+      FROM t JOIN hh ON hh.g = t.g AND hh.v = t.v
+    )
+    SELECT g AS event_type, count(*)::BIGINT AS n,
+           CAST(sum(v) AS BIGINT) AS sum_raw_cents,
+           CAST(sum(CAST(round(gq[idx]) AS BIGINT)) AS BIGINT)
+             AS sum_norm_cents
+    FROM r, grid GROUP BY g
+    """
+
+
+@register("quantile_normalize_events", _qnorm_oracle())
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of event values: every
+    event type's value distribution is mapped onto the pooled
+    distribution via positional within-slice ranks and a 256-point
+    dyadic pooled quantile grid (exact interpolation on the cents grid
+    — the equidepth argument), then summarized per type as exact raw
+    vs normalized cent sums. After the transform all types share one
+    marginal — the batch-effect correction for cross-slice comparison.
+    See operators/analytics.py::quantile_normalize."""
+    from .operators.analytics import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_normalize(ev, "event_type", "value", k=256)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_raw_cents"),
+        F.sum(F.round(F.col("normalized") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_norm_cents"),
+    )
 
 
 @register(

@@ -1398,3 +1398,43 @@ def test_diff_in_diff_matches_python(spark):
     )
     r3 = diff_in_diff(const, "g", F.col("tr"), F.col("po"), "v").collect()[0]
     assert r3.did == 0.0 and r3.se is None and r3.z is None
+
+
+def test_quantile_normalize_semantics(spark):
+    """After normalization every slice's distribution equals the pooled
+    grid restricted to its ranks: two slices with shifted but same-shape
+    distributions map to identical value multisets; exact python replay
+    of ranks, grid, and index arithmetic."""
+    from hybridbackend_spark.operators.analytics import quantile_normalize
+
+    a = [1.0, 2.0, 3.0, 4.0]          # slice A
+    b = [101.0, 102.0, 103.0, 104.0]  # same shape, shifted by 100
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    k = 4
+    out = quantile_normalize(df, "g", "x", k=k).collect()
+    norm = {}
+    for r in out:
+        norm.setdefault(r.g, []).append(r.normalized)
+    # identical multisets after normalization
+    assert sorted(norm["a"]) == sorted(norm["b"])
+    # python replay: pooled grid at dyadic fractions via the same
+    # a + (b-a)*f interpolation over sorted cents
+    cents = sorted(round(v * 100) for v in a + b)
+    n = len(cents)
+
+    def pct(f):
+        pos = (n - 1) * f
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, n - 1)
+        return cents[lo] + (cents[hi] - cents[lo]) * frac
+
+    grid = [pct(j / k) for j in range(1, k + 1)]
+    for g, vals in (("a", a), ("b", b)):
+        for v, got in zip(sorted(vals), sorted(norm[g])):
+            rank = sorted(vals).index(v) + 1  # unique values: rank = pos
+            idx = min(k, -(-rank * k // len(vals)))  # ceil
+            assert got == grid[idx - 1] / 100.0, (g, v)
+    with pytest.raises(ValueError):
+        quantile_normalize(df, "g", "x", k=100)  # not a power of two
