@@ -26,7 +26,9 @@ REPS = int(os.environ.get("BENCH_REPS", "5"))
 # partial A/B can never replace the canonical artifact (round-5 advisor
 # finding: a reps=1 partial run silently became the committed BENCH.json).
 SETS = set(
-    os.environ.get("BENCH_SETS", "headline,extra,baseline,scans").split(",")
+    os.environ.get(
+        "BENCH_SETS", "headline,extra,baseline,scans,streamsplit"
+    ).split(",")
 )
 
 HEADLINE = [
@@ -341,6 +343,23 @@ BASELINE_OPS = [
     "cosine_near_dup_pairs",
 ]
 
+# The five stateful stream flagships (one per state-store type: windowed
+# agg, watermarked dedup, session window, stream-stream join state,
+# applyInPandasWithState custom state). Re-run over a MULTI-FILE,
+# time-ordered events copy with maxFilesPerTrigger=1 so availableNow
+# executes N micro-batches and the fixed setup cost (batch 0: state
+# store + offset/commit log init) separates from the per-batch marginal
+# cost — single-file ingest is one batch, where the two are
+# indistinguishable and regressions hide (round-7 verdict item 4).
+STREAM_SPLIT_QUERIES = [
+    "stream_tumbling_counts",
+    "stream_dedup_keys",
+    "stream_session_user",
+    "stream_click_purchase_join",
+    "stream_sessions_stateful",
+]
+STREAM_SPLIT_FILES = 8
+
 # scan-throughput shapes mirroring the reference benchmark generator
 # (hybridbackend/tensorflow/benchmarks/data_benchmark_parquet.py:44-67):
 # int64 scalar columns, ragged numeric lists, strings.
@@ -370,18 +389,49 @@ def main() -> None:
     queries = get_queries()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm session
 
+    from hybridbackend_spark.streaming import ops as _sops
+
+    # Streaming queries report a COST SPLIT alongside wall time: the
+    # first micro-batch carries the fixed setup (state-store init,
+    # offset/commit log creation) while later batches are the marginal
+    # per-batch cost — the number that tracks real regressions. Several
+    # stateful queries have read as "5-7s" for rounds while being
+    # setup-bound; this makes that mechanical (round-7 verdict item 4).
+    stream_split: dict[str, dict] = {}
+
+    def _time_one(name: str, fn, reps: int, at_dir: str | None = None) -> float:
+        d = at_dir or sf_dir
+        _run_noop(fn(spark, d))  # warm-up, untimed
+        times = []
+        for i in range(reps):
+            if i == reps - 1:
+                _sops.RUN_LOG.clear()
+            t0 = time.perf_counter()
+            _run_noop(fn(spark, d))
+            times.append(time.perf_counter() - t0)
+        if _sops.RUN_LOG:
+            runs = list(_sops.RUN_LOG)  # the final rep's stream exec(s)
+            _sops.RUN_LOG.clear()
+            setup_ms = sum(r["batches"][0][1] for r in runs if r["batches"])
+            steady = [ms for r in runs for _, ms in r["batches"][1:]]
+            stream_split[name] = {
+                "setup_sec": round(setup_ms / 1000.0, 3),
+                "steady_sec_per_batch": (
+                    round(sum(steady) / len(steady) / 1000.0, 3)
+                    if steady
+                    else None
+                ),
+                "n_batches": sum(len(r["batches"]) for r in runs),
+                "n_streams": len(runs),
+                "wall_sec": round(min(times), 3),
+            }
+        return round(min(times), 3)
+
     per_query: dict[str, float] = {}
     if "headline" in SETS:
         for name in HEADLINE:
-            fn = queries[name]
             try:
-                _run_noop(fn(spark, sf_dir))  # warm-up, untimed
-                times = []
-                for _ in range(REPS):
-                    t0 = time.perf_counter()
-                    _run_noop(fn(spark, sf_dir))
-                    times.append(time.perf_counter() - t0)
-                per_query[name] = round(min(times), 3)
+                per_query[name] = _time_one(name, queries[name], REPS)
             except Exception as e:  # keep the bench line parseable
                 per_query[name] = -1.0
                 print(f"bench error in {name}: {e}", file=sys.stderr)
@@ -389,21 +439,65 @@ def main() -> None:
     def _time_set(names: list[str], reps: int) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
-            fn = queries[name]
             try:
-                _run_noop(fn(spark, sf_dir))  # warm-up, untimed
-                times = []
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    _run_noop(fn(spark, sf_dir))
-                    times.append(time.perf_counter() - t0)
-                out[name] = round(min(times), 3)
+                out[name] = _time_one(name, queries[name], reps)
             except Exception as e:
                 out[name] = -1.0
                 print(f"bench error in {name}: {e}", file=sys.stderr)
         return out
 
+    def _stream_shaped_dir(n_files: int) -> str:
+        """Materialize a multi-file, event-time-ordered copy of events
+        (files arrive in time order — the production ingest shape); the
+        other tables symlink through so every query runs unchanged."""
+        import shutil
+        import tempfile
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        out = os.path.join(tempfile.gettempdir(), f"hb_bench_stream_{tag}")
+        marker = os.path.join(out, "_READY")
+        if os.path.exists(marker):
+            return out
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for t in os.listdir(sf_dir):
+            if t != "events.parquet":
+                os.symlink(os.path.join(sf_dir, t), os.path.join(out, t))
+        evdir = os.path.join(out, "events.parquet")
+        # _t normalizes the nanos ts; write micros timestamps back out
+        from hybridbackend_spark.queries import _t
+
+        ev = _t(spark, sf_dir, "events")
+        ev.repartitionByRange(n_files, "ts").write.parquet(evdir)
+        # the file source dispatches oldest-modification-time first:
+        # stamp mtimes ascending in range order so micro-batches arrive
+        # in event-time order (monotone watermark, like production)
+        parts = sorted(
+            f for f in os.listdir(evdir) if f.startswith("part-")
+        )
+        base = time.time() - len(parts) * 10
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(evdir, p), (base + i * 10, base + i * 10))
+        open(marker, "w").close()
+        return out
+
     extra = _time_set(EXTRA, max(1, REPS // 2)) if "extra" in SETS else {}
+
+    # AFTER extra: the single-batch runs above also log 1-batch split
+    # rows; the multi-batch evidence below must be what survives.
+    if "streamsplit" in SETS:
+        sdir = _stream_shaped_dir(STREAM_SPLIT_FILES)
+        _sops.DEFAULT_MAX_FILES_PER_TRIGGER = 1
+        try:
+            for name in STREAM_SPLIT_QUERIES:
+                try:
+                    _time_one(name, queries[name], max(1, REPS // 2),
+                              at_dir=sdir)
+                except Exception as e:
+                    print(f"bench error in streamsplit {name}: {e}",
+                          file=sys.stderr)
+        finally:
+            _sops.DEFAULT_MAX_FILES_PER_TRIGGER = None
     baseline_ops = (
         _time_set(BASELINE_OPS, 1) if "baseline" in SETS else {}
     )
@@ -460,7 +554,8 @@ def main() -> None:
     full = json.dumps(
         {**common,
          "extra_queries_sec": extra,
-         "baseline_ops_sec": baseline_ops}
+         "baseline_ops_sec": baseline_ops,
+         "stream_cost_split": stream_split}
     )
     # The stdout line must stay COMPACT: the driver keeps only a bounded
     # tail of stdout, and round 3 proved that the full per-query map
@@ -476,6 +571,7 @@ def main() -> None:
          "extra_queries_n": n_extra_ok,
          "extra_queries_errors": len(extra) - n_extra_ok,
          "baseline_ops_sec": baseline_ops,
+         "stream_queries_n": len(stream_split),
          "detail": "BENCH.json"}
     )
     # Durable full copy for the driver/judge, then the SINGLE stdout JSON
@@ -483,10 +579,16 @@ def main() -> None:
     # Partial (BENCH_SETS-filtered) AND low-reps (BENCH_REPS<5) runs must
     # not replace the canonical artifact — a reps=1 smoke overwrote
     # BENCH.json in round 7 before this second guard existed.
-    if SETS >= {"headline", "extra", "baseline", "scans"} and REPS >= 5:
+    if (
+        SETS >= {"headline", "extra", "baseline", "scans", "streamsplit"}
+        and REPS >= 5
+    ):
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH.json"), "w") as f:
             f.write(full + "\n")
+    if stream_split:
+        print(f"stream_cost_split: {json.dumps(stream_split)}",
+              file=sys.stderr)
     sys.stderr.flush()
     print(compact, flush=True)
 

@@ -1257,9 +1257,14 @@ def bh_fdr(
     w_tail = Window.orderBy(F.col("rank").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # NULL p means "no test ran" (a degenerate cell upstream), not
+    # "most significant" — but Spark sorts NULLs FIRST ascending, so an
+    # unfiltered NULL row would take rank 1 and inflate m, shifting
+    # every rank, k*, and q-value. Exclude, matching the NULL-exclusion
+    # discipline of the other test operators.
     base = df.select(
         F.col(key_col).alias("_k"), F.col(p_col).cast("double").alias("_p")
-    )
+    ).filter(F.col("_p").isNotNull())
     ranked = base.select(
         "_k",
         "_p",
@@ -1455,6 +1460,7 @@ def quantile_normalize(
     value_col: str,
     k: int = 1024,
     scale: int = 100,
+    grid_col: str | None = None,
 ) -> DataFrame:
     """Cross-slice quantile normalization — the batch-effect correction
     that maps every slice's value distribution onto the POOLED
@@ -1480,8 +1486,15 @@ def quantile_normalize(
     single row, and a co-keyed histogram join + O(1) array lookup per
     row — no per-slice sort, no global window, no unbounded state.
 
-    Returns per-row (group, value, normalized) with ``normalized`` on
-    the same value scale.
+    Returns per-row (group, value, normalized). BOTH value columns are
+    QUANTIZED to the ``scale`` grid (value = round(input*scale)/scale;
+    normalized = grid value/scale) — callers with finer-grained data
+    must raise ``scale`` or carry the original column themselves. When
+    ``grid_col`` is set, the raw interpolated grid value in SCALE UNITS
+    (a double; e.g. cents at scale=100) is also returned under that
+    name, so integer-exact downstream comparisons can round ONCE on the
+    grid unit instead of round-tripping through ``/scale`` (a division
+    that can land 1 ulp below a .5 tie and flip the rounded integer).
     """
     if k < 2 or (k & (k - 1)) != 0:
         raise ValueError("k must be a power of two >= 2 (dyadic grid)")
@@ -1513,13 +1526,15 @@ def quantile_normalize(
         F.lit(k),
         F.expr(f"((_b + _c) * {k} + _n - 1) div _n"),
     ).cast("int")
-    return ranked.crossJoin(F.broadcast(grid)).select(
+    gval = F.element_at(F.col("_grid"), idx).cast("double")
+    cols = [
         F.col("_g").alias(group_col),
         (F.col("_v").cast("double") / scale).alias(value_col),
-        (
-            F.element_at(F.col("_grid"), idx).cast("double") / scale
-        ).alias("normalized"),
-    )
+        (gval / scale).alias("normalized"),
+    ]
+    if grid_col is not None:
+        cols.append(gval.alias(grid_col))
+    return ranked.crossJoin(F.broadcast(grid)).select(*cols)
 
 
 def diff_in_diff(

@@ -534,6 +534,51 @@ def _enforce_max_obs(pts: DataFrame, max_obs: int | None, what: str) -> DataFram
     return pts
 
 
+def _xy_tie_stats(pts: DataFrame, cubic: bool) -> DataFrame:
+    """Per-key n plus ALL x- and y-tie sums in ONE tagged aggregation
+    pass: each point explodes into ('x', x) / ('y', y) rows, one
+    hash-agg counts tie-group sizes per (key, axis, value), and one
+    per-key conditional aggregate folds every tie polynomial AND n
+    (n = sum of x-group sizes) simultaneously. Replaces the previous
+    three separate chains (n_per + y-ties + x-ties = 5 shuffles, 3
+    joins) with 2 shuffles and 0 joins — the same per-key hash
+    aggregation the S statistic's histogram discipline already pays.
+
+    Doubled/raw tie polynomials, all BIGINT:
+      _t1/_u1 = sum t(t-1)            (y/x; = 2 * sum C(t,2))
+      _t3/_u3 = sum t(t-1)(2t+5)      (cubic; only when ``cubic``)
+      _t2/_u2 = sum t(t-1)(t-2)       (cross terms; only when ``cubic``)
+    """
+    tagged = pts.select(
+        "_k",
+        F.explode(
+            F.array(
+                F.struct(F.lit("x").alias("_d"), F.col("_x").alias("_val")),
+                F.struct(F.lit("y").alias("_d"), F.col("_y").alias("_val")),
+            )
+        ).alias("_e"),
+    ).select("_k", F.col("_e._d").alias("_d"), F.col("_e._val").alias("_val"))
+    grp = tagged.groupBy("_k", "_d", "_val").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    t = F.col("_t")
+    isx = F.col("_d") == "x"
+    isy = F.col("_d") == "y"
+    aggs = [
+        F.sum(F.when(isx, t)).alias("_n"),
+        F.sum(F.when(isy, t * (t - 1))).alias("_t1"),
+        F.sum(F.when(isx, t * (t - 1))).alias("_u1"),
+    ]
+    if cubic:
+        aggs += [
+            F.sum(F.when(isy, t * (t - 1) * (2 * t + 5))).alias("_t3"),
+            F.sum(F.when(isy, t * (t - 1) * (t - 2))).alias("_t2"),
+            F.sum(F.when(isx, t * (t - 1) * (2 * t + 5))).alias("_u3"),
+            F.sum(F.when(isx, t * (t - 1) * (t - 2))).alias("_u2"),
+        ]
+    return grp.groupBy("_k").agg(*aggs)
+
+
 def theil_sen(
     df: DataFrame,
     key_col: str,
@@ -563,12 +608,15 @@ def theil_sen(
     median window partitions by key — no global window.
 
     Returns (key, n_pairs, slope); keys with < 2 distinct x drop out.
+    Rows with NULL x or y are dropped (a NULL slope would otherwise be
+    counted in the positional median rank — same NULL contract as
+    :func:`kendall_tau_b`).
     """
     pts = df.select(
         F.col(key_col).alias("_k"),
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
-    )
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     pts = _enforce_max_obs(pts, max_obs, "pairwise-slope")
     a, b = pts.alias("a"), pts.alias("b")
     slopes = a.join(
@@ -625,13 +673,15 @@ def kendall_tau_b(
     tau_b is NULL when either variable is constant within a key
     (denominator 0, ANSI-guarded).
 
-    Returns (key, n_obs, s_stat, tau_b).
+    Returns (key, n_obs, s_stat, tau_b). Rows with NULL x or y are
+    dropped (they contribute nothing to S, so counting them in n/ties
+    would bias the denominator — same NULL contract as spearman_corr).
     """
     pts = df.select(
         F.col(key_col).alias("_k"),
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
-    )
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     pts = _enforce_max_obs(pts, max_obs, "Kendall tau-b")
     a, b = pts.alias("a"), pts.alias("b")
     s = (
@@ -646,25 +696,12 @@ def kendall_tau_b(
             ).alias("s_stat")
         )
     )
-    n_per = pts.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
-
-    def pair_ties(col: str, out: str):
-        t = F.col("_t")
-        return (
-            pts.groupBy("_k", col)
-            .agg(F.count(F.lit(1)).alias("_t"))
-            .groupBy("_k")
-            .agg(F.sum(t * (t - 1)).alias(out))  # = 2 * sum t(t-1)/2
-        )
-
-    yt = pair_ties("_y", "_t2y")
-    xt = pair_ties("_x", "_t2x")
-    out = n_per.join(yt, "_k").join(xt, "_k").join(s, "_k", "left")
+    out = _xy_tie_stats(pts, cubic=False).join(s, "_k", "left")
     n = F.col("_n")
     # doubled pair counts keep everything integer: 2*n0 = n(n-1),
-    # 2*T1 = _t2y, 2*U1 = _t2x; the factor 2 cancels inside the sqrt
-    dy = (n * (n - 1) - F.col("_t2y")).cast("double")
-    dx = (n * (n - 1) - F.col("_t2x")).cast("double")
+    # 2*T1 = _t1 (y), 2*U1 = _u1 (x); the factor 2 cancels in the sqrt
+    dy = (n * (n - 1) - F.col("_t1")).cast("double")
+    dx = (n * (n - 1) - F.col("_u1")).cast("double")
     sv = F.col("s_stat")
     tau = F.lit(2.0) * sv.cast("double") / F.sqrt(dy * dx)
     return out.select(
@@ -710,12 +747,14 @@ def mann_kendall(
 
     Returns (key, n_obs, s_stat, var_s, z); z is NULL when the
     variance degenerates (all values tied or n < 2), 0.0 when S = 0.
+    Rows with NULL x or y are dropped (same NULL contract as
+    :func:`kendall_tau_b` / spearman_corr).
     """
     pts = df.select(
         F.col(key_col).alias("_k"),
         F.col(x_col).cast("double").alias("_x"),
         F.col(y_col).cast("double").alias("_y"),
-    )
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     pts = _enforce_max_obs(pts, max_obs, "Mann-Kendall")
     a, b = pts.alias("a"), pts.alias("b")
     s = (
@@ -730,24 +769,7 @@ def mann_kendall(
             ).alias("s_stat")
         )
     )
-    n_per = pts.groupBy("_k").agg(F.count(F.lit(1)).alias("_n"))
-
-    def _tie_sums(col, p3, p2, p1):
-        t = F.col("_t")
-        return (
-            pts.groupBy("_k", col)
-            .agg(F.count(F.lit(1)).alias("_t"))
-            .groupBy("_k")
-            .agg(
-                F.sum(t * (t - 1) * (2 * t + 5)).alias(p3),
-                F.sum(t * (t - 1) * (t - 2)).alias(p2),
-                F.sum(t * (t - 1)).alias(p1),
-            )
-        )
-
-    yties = _tie_sums("_y", "_t3", "_t2", "_t1")
-    xties = _tie_sums("_x", "_u3", "_u2", "_u1")
-    out = n_per.join(yties, "_k").join(xties, "_k").join(s, "_k", "left")
+    out = _xy_tie_stats(pts, cubic=True).join(s, "_k", "left")
     n = F.col("_n")
     # Integer numerator of the 1/18 term; the two cross terms are zero
     # unless BOTH variables have tie groups, and their denominators are

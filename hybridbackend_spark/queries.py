@@ -1828,7 +1828,13 @@ def jsonl_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(gen_dir, exist_ok=True)
     tag = os.path.basename(os.path.normpath(sf_dir))
     jsonl_path = os.path.join(gen_dir, f"documents_{tag}.jsonl")
-    if not os.path.exists(jsonl_path):
+    src_path = f"{sf_dir}/documents.parquet"
+    # regenerate when the parquet source is NEWER than the cached JSONL
+    # (a regenerated fixture must not be silently served stale)
+    stale = os.path.exists(jsonl_path) and os.path.getmtime(
+        src_path
+    ) > os.path.getmtime(jsonl_path)
+    if not os.path.exists(jsonl_path) or stale:
         import pyarrow.parquet as pq
 
         rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
@@ -12681,13 +12687,18 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.analytics import quantile_normalize
 
     ev = _t(spark, sf_dir, "events")
-    out = quantile_normalize(ev, "event_type", "value", k=256)
+    # grid_col carries the interpolated grid value in RAW CENTS, so the
+    # integer comparison rounds ONCE (exactly the oracle's round(gq[idx]))
+    # instead of round-tripping /100*100 — dyadic interpolation of
+    # integer cents frequently lands on exact .5, where the round-trip
+    # can sit 1 ulp below the tie and flip the integer.
+    out = quantile_normalize(ev, "event_type", "value", k=256, grid_col="_gc")
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("sum_raw_cents"),
-        F.sum(F.round(F.col("normalized") * 100).cast("long"))
+        F.sum(F.round(F.col("_gc")).cast("long"))
         .cast("long")
         .alias("sum_norm_cents"),
     )

@@ -31,7 +31,64 @@ __all__ = [
     "read_parquet_with_provenance",
     "estimate_row_bytes",
     "write_compacted",
+    "narrow_uint64",
 ]
+
+_LONG_MAX = 9223372036854775807
+
+
+def narrow_uint64(
+    df: DataFrame, columns: Sequence[str] | None = None
+) -> DataFrame:
+    """Opt-in fast path for uint64 ids that fit in a signed BIGINT.
+
+    Spark has no unsigned integers, so uint64 parquet columns surface as
+    DECIMAL(20, 0) — which silently drags every downstream comparison,
+    join key, and aggregate into decimal arithmetic (slower than the
+    long-typed codegen path and ineligible for some codegen fast paths).
+    Users whose ids never exceed 2^63-1 can narrow them back to BIGINT;
+    the guard is EXECUTABLE, not assumed: any value above Long.MAX
+    raises at scan time via ``raise_error`` instead of wrapping.
+
+    ``columns=None`` narrows every DECIMAL(20, 0) column (the exact type
+    uint64 widens to); pass names to narrow a subset.
+    """
+    from pyspark.sql import types as T
+
+    out = df
+    for sf_ in df.schema.fields:
+        if columns is not None and sf_.name not in columns:
+            continue
+        dt = sf_.dataType
+        if not (
+            isinstance(dt, T.DecimalType) and dt.precision == 20 and dt.scale == 0
+        ):
+            if columns is not None:
+                raise ValueError(
+                    f"column {sf_.name!r} is {dt.simpleString()}, not the "
+                    "DECIMAL(20,0) a uint64 widens to"
+                )
+            continue
+        c = F.col(sf_.name)
+        guarded = (
+            F.when(
+                c > F.lit(str(_LONG_MAX)).cast("decimal(20,0)"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"uint64 column {sf_.name!r} has a value above "
+                            "BIGINT range ("
+                        ),
+                        c.cast("string"),
+                        F.lit("); keep the decimal(20,0) widening"),
+                    )
+                ).cast("decimal(20,0)"),
+            )
+            .otherwise(c)
+            .cast("long")
+        )
+        out = out.withColumn(sf_.name, guarded)
+    return out
 
 
 def _first_path(paths: str | Sequence[str]) -> str:
@@ -47,6 +104,7 @@ def read_tabular(
     field_map_fn=None,
     skip_corrupted_data: bool = False,
     to_dense: bool | dict[str, int] = False,
+    widen_uint64_to: str = "decimal",
     **options: str,
 ) -> DataFrame:
     """Scan Parquet/ORC/CSV into a DataFrame with the engine's field
@@ -68,7 +126,13 @@ def read_tabular(
     - ``to_dense``: pad ragged array columns with their dtype's zero value
       to the per-field target length (dict name->len), reference
       ``to_tensor`` (``data/dataframe.py:332-345``).
+    - ``widen_uint64_to``: ``'decimal'`` (default, lossless) keeps
+      uint64 columns as DECIMAL(20, 0); ``'long'`` narrows them to
+      BIGINT with an executable overflow guard (:func:`narrow_uint64`)
+      — the fast path for ids known to fit in 2^63-1.
     """
+    if widen_uint64_to not in ("decimal", "long"):
+        raise ValueError("widen_uint64_to must be 'decimal' or 'long'")
     path_list = [paths] if isinstance(paths, str) else list(paths)
     reader = spark.read.format(fmt)
     if skip_corrupted_data:
@@ -108,6 +172,8 @@ def read_tabular(
                     df = df.withColumn(
                         f.name, pad_to_dense(F.col(f.name), n, dtype=f.dtype)
                     )
+    if widen_uint64_to == "long":
+        df = narrow_uint64(df)
     return df
 
 

@@ -22,6 +22,14 @@ from ..schema import infer_fields, validate_files
 
 
 def main(argv: list[str] | None = None) -> int:
+    # a console script piped into `head` must die silently on SIGPIPE,
+    # not traceback (POSIX CLI convention)
+    try:
+        import signal
+
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (AttributeError, ValueError):
+        pass
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("files", nargs="*", help="parquet/orc files")
     p.add_argument("--glob", help="glob pattern of files")

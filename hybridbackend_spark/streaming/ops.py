@@ -31,6 +31,7 @@ __all__ = [
     "stream_stream_join",
     "run_available_now",
     "foreach_batch_epoch_sink",
+    "RUN_LOG",
 ]
 
 # events.parquet carries TIMESTAMP(NANOS). Depending on the Spark build
@@ -68,6 +69,12 @@ def _probed_events_schema(spark: SparkSession, path: str) -> T.StructType:
     )
 
 
+# Session-wide default for file-source ingest throttling (files per
+# micro-batch). None = unthrottled (availableNow drains everything in
+# one batch when the source is a single file).
+DEFAULT_MAX_FILES_PER_TRIGGER: int | None = None
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -80,7 +87,12 @@ def read_event_stream(
     batch read and declares the ts type this build actually produces;
     pass an explicit schema to skip the probe.
     ``max_files_per_trigger`` throttles ingest for backpressure
-    control."""
+    control; when the caller leaves it None, the module-level
+    ``DEFAULT_MAX_FILES_PER_TRIGGER`` applies (the bench sets it to
+    drive multi-batch runs that separate state-store setup cost from
+    per-batch marginal cost)."""
+    if max_files_per_trigger is None:
+        max_files_per_trigger = DEFAULT_MAX_FILES_PER_TRIGGER
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # pin the session zone so window alignment and hour buckets match the
     # naive-timestamp oracles regardless of the caller's session zone
@@ -219,7 +231,32 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    _record_progress(qname, q)
     return stream_df.sparkSession.table(qname)
+
+
+# Per-process log of completed stream executions (query name + per-batch
+# trigger durations), appended by the availableNow runners. The bench
+# reads it to split a stream query's FIXED cost (first micro-batch:
+# state-store init, offset log setup) from its MARGINAL cost (subsequent
+# batches) — the number that actually tracks regressions, since several
+# stateful queries have been setup-bound for rounds. Bounded; callers
+# may clear it (`RUN_LOG.clear()`) before a measured run.
+RUN_LOG: list[dict] = []
+_RUN_LOG_MAX = 256
+
+
+def _record_progress(qname: str, q) -> None:
+    try:
+        batches = [
+            (p.batchId, (p.durationMs or {}).get("triggerExecution", 0))
+            for p in q.recentProgress
+        ]
+    except Exception:
+        return
+    if len(RUN_LOG) >= _RUN_LOG_MAX:
+        del RUN_LOG[: _RUN_LOG_MAX // 2]
+    RUN_LOG.append({"name": qname, "batches": batches})
 
 
 def _output_mode(df: DataFrame) -> str:
@@ -310,3 +347,4 @@ def foreach_batch_epoch_sink(
         .start()
     )
     q.awaitTermination()
+    _record_progress("foreach_batch_epoch_sink", q)

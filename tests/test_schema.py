@@ -77,3 +77,38 @@ def test_validate_cli_main(sf_dir, capsys):
     assert main([a, "--print-schema"]) == 0
     out = capsys.readouterr().out
     assert "l_orderkey" in out and "ragged_rank=0" in out
+
+
+def test_narrow_uint64_roundtrip(spark, tmp_path):
+    """widen_uint64_to='long': uint64 parquet surfaces as DECIMAL(20,0)
+    by default; the opt-in narrows to BIGINT when values fit, and the
+    overflow guard RAISES (not wraps) on a value above Long.MAX."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hybridbackend_spark.sources.tabular import narrow_uint64, read_parquet
+
+    ok = str(tmp_path / "ok.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2, 2**63 - 1], type=pa.uint64())}), ok
+    )
+    dec = read_parquet(spark, ok)
+    assert dec.schema["id"].dataType == T.DecimalType(20, 0)
+    nar = read_parquet(spark, ok, widen_uint64_to="long")
+    assert nar.schema["id"].dataType == T.LongType()
+    assert sorted(r.id for r in nar.collect()) == [1, 2, 2**63 - 1]
+    # non-decimal columns pass through untouched unless explicitly named
+    assert narrow_uint64(dec.withColumn("s", dec.id.cast("string"))).schema[
+        "s"
+    ].dataType == T.StringType()
+    with pytest.raises(ValueError):
+        narrow_uint64(dec.withColumn("s", dec.id.cast("string")), columns=["s"])
+
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2**63], type=pa.uint64())}), bad
+    )
+    with pytest.raises(Exception, match="BIGINT range"):
+        read_parquet(spark, bad, widen_uint64_to="long").collect()
+    with pytest.raises(ValueError, match="decimal"):
+        read_parquet(spark, ok, widen_uint64_to="float")

@@ -1,50 +1,202 @@
-"""Compute the next round's driver window: every registered query that
-has NO green row in any CORRECTNESS_r*.json yet, in registration order
-— the set `_DRIVER_WINDOW_FIRST` (queries.py) should front-load so the
-driver-verified union keeps closing. Prints the suggested list plus
-union coverage stats.
+"""Compute the next round's driver window.
 
-Usage: python tools/plan_window.py
+Two signals, combined (round-8 verdict item 2 — re-verification rotation
+against engine/source drift):
+
+1. NEVER-VERIFIED: registered queries with no green row in any
+   CORRECTNESS_r*.json (these always go first — the union must close).
+2. STALE-AND-CHANGED: queries whose last green row is OLD and whose
+   implementation has CHANGED since that row was recorded. "Changed" is
+   mechanical, not guessed: the query function's own source segment
+   (decorators + body) is diffed against the queries.py revision at the
+   commit that recorded its last green artifact; one level of
+   queries.py-local helper functions referenced by the body is included;
+   and every `from .operators/functions/sources/streaming ...` module the
+   body imports is checked against `git diff --name-only <artifact
+   commit>..HEAD`. A query whose code (direct or via those deps) is
+   byte-identical since its last green row does not need re-proving; one
+   whose code moved does, oldest round first.
+
+Prints the suggested `_DRIVER_WINDOW_FIRST` head: never-verified (in
+registration order), then up to --stale N (default 40) stale-and-changed
+queries, oldest last-green round first.
+
+Usage: python tools/plan_window.py [--stale N] [--new name ...]
+  --new: names to treat as this round's additions (forced to the front,
+         before the never-verified set; normally the additions have no
+         artifact row yet so they land in never-verified anyway).
 """
 
 from __future__ import annotations
 
+import argparse
+import ast
 import glob
 import json
 import os
+import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+QUERIES_PATH = "hybridbackend_spark/queries.py"
 
-def main() -> None:
-    from hybridbackend_spark.queries import QUERIES
 
-    verified: set[str] = set()
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", REPO, *args], capture_output=True, text=True, check=True
+    ).stdout
+
+
+def _green(row) -> bool:
+    return bool(
+        isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    )
+
+
+def last_green_rounds() -> dict[str, tuple[int, str]]:
+    """name -> (round number of LAST green row, artifact path)."""
+    out: dict[str, tuple[int, str]] = {}
     for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         with open(path) as f:
             report = json.load(f)
         for name, row in report.items():
-            if not isinstance(row, dict):
-                continue
-            # a full green row: rows+schema+hash all matched (hash_match
-            # is None for rows-only checks — those don't count)
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                verified.add(name)
+            if _green(row):
+                prev = out.get(name)
+                if prev is None or rnd > prev[0]:
+                    out[name] = (rnd, path)
+    return out
+
+
+def _top_level_defs(tree: ast.Module, src: str) -> dict[str, str]:
+    """name -> source segment (incl. decorators) of every top-level def."""
+    lines = src.splitlines(keepends=True)
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            start = min(
+                [node.lineno] + [d.lineno for d in node.decorator_list]
+            )
+            out[node.name] = "".join(lines[start - 1 : node.end_lineno])
+    return out
+
+
+def _body_deps(seg: str, all_defs: set[str]) -> tuple[set[str], set[str]]:
+    """(queries.py-local helper names referenced, package modules imported)
+    for one function's source segment."""
+    helpers: set[str] = set()
+    modules: set[str] = set()
+    try:
+        tree = ast.parse(seg)
+    except SyntaxError:
+        return helpers, modules
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and node.id in all_defs:
+            helpers.add(node.id)
+        if isinstance(node, ast.ImportFrom) and node.level >= 1:
+            # `from .operators.analytics import x` inside queries.py
+            mod = node.module or ""
+            rel = mod.replace(".", "/")
+            modules.add(f"hybridbackend_spark/{rel}.py")
+            modules.add(f"hybridbackend_spark/{rel}/__init__.py")
+    return helpers, modules
+
+
+def stale_changed(lg: dict[str, tuple[int, str]], registered: list[str],
+                  fn_names: dict[str, str]) -> list[tuple[int, str]]:
+    """[(last_green_round, name)] for verified queries whose function
+    segment / helper segments / imported modules changed since the commit
+    that recorded their last green artifact. Sorted oldest round first,
+    registration order within a round."""
+    cur_src = open(os.path.join(REPO, QUERIES_PATH)).read()
+    cur_defs = _top_level_defs(ast.parse(cur_src), cur_src)
+    all_def_names = set(cur_defs)
+
+    # cache per artifact commit: (historical defs map, changed file set)
+    per_commit: dict[str, tuple[dict[str, str], set[str]]] = {}
+
+    def commit_state(artifact: str) -> tuple[dict[str, str], set[str]]:
+        commit = _git(
+            "log", "-1", "--format=%H", "--", os.path.basename(artifact)
+        ).strip()
+        if not commit:
+            return {}, set()
+        if commit not in per_commit:
+            try:
+                old_src = _git("show", f"{commit}:{QUERIES_PATH}")
+                old_defs = _top_level_defs(ast.parse(old_src), old_src)
+            except Exception:
+                old_defs = {}
+            changed_files = set(
+                _git("diff", "--name-only", f"{commit}..HEAD").splitlines()
+            )
+            per_commit[commit] = (old_defs, changed_files)
+        return per_commit[commit]
+
+    out: list[tuple[int, str]] = []
+    order = {n: i for i, n in enumerate(registered)}
+    for name, (rnd, artifact) in lg.items():
+        if name not in order:
+            continue
+        fn = fn_names.get(name)
+        seg = cur_defs.get(fn or "")
+        if seg is None:
+            continue
+        old_defs, changed_files = commit_state(artifact)
+        old_seg = old_defs.get(fn or "")
+        changed = old_seg != seg
+        if not changed:
+            helpers, modules = _body_deps(seg, all_def_names)
+            for h in helpers:
+                if old_defs.get(h) != cur_defs.get(h):
+                    changed = True
+                    break
+            if not changed and any(m in changed_files for m in modules):
+                changed = True
+        if changed:
+            out.append((rnd, name))
+    out.sort(key=lambda t: (t[0], order[t[1]]))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stale", type=int, default=40)
+    ap.add_argument("--new", nargs="*", default=[])
+    args = ap.parse_args()
+
+    from hybridbackend_spark.queries import QUERIES
+
     registered = list(QUERIES)
+    fn_names = {n: fn.__name__ for n, fn in QUERIES.items()}
+    lg = last_green_rounds()
+    verified = set(lg) & set(registered)
     never = [n for n in registered if n not in verified]
+    stale = stale_changed(lg, registered, fn_names)
+
     print(
-        f"registered={len(registered)} driver-verified={len(verified & set(registered))} "
-        f"never-verified={len(never)}"
+        f"registered={len(registered)} driver-verified={len(verified)} "
+        f"never-verified={len(never)} stale-and-changed={len(stale)}"
     )
-    print("suggested _DRIVER_WINDOW_FIRST head (never-verified, registration order):")
-    for n in never:
-        print(f'    "{n}",')
+    head = list(args.new) + [n for n in never if n not in args.new]
+    budget = max(0, 50 - len(head))
+    picked = [n for _, n in stale if n not in head][: min(args.stale, budget)]
+    print("suggested _DRIVER_WINDOW_FIRST head "
+          "(additions + never-verified + stalest-changed):")
+    for n in head + picked:
+        tag = ""
+        if n in lg:
+            tag = f"  # changed since last green (r{lg[n][0]:02d})"
+        print(f'    "{n}",{tag}')
 
 
 if __name__ == "__main__":
