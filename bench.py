@@ -334,6 +334,10 @@ EXTRA = [
     "kendall_tau_events",
     "rfm_segments_customers",
     "quantile_normalize_events",
+    # round-8 additions
+    "dup_ngram_coverage_docs",
+    "uniform_sample_events",
+    "weighted_quantiles_lineitem",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

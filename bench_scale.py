@@ -1,21 +1,36 @@
-"""Scale-curve bench for the flagship scale operators (round-6,
-verdict item 4): the 100 TB claims for the dedup/ANN/graph family rest
-on plan shape (banded LSH, IVF cells, O(log d) star contraction); this
-harness adds MEASURED growth curves so near-linear scaling is an
-artifact, not an argument.
+"""Scale-curve bench for the flagship scale operators (round-6 verdict
+item 4; extended per round-7 verdict items 1 and 6): the 100 TB claims
+for the dedup/ANN/graph family rest on plan shape (banded LSH, IVF
+cells, O(log d) star contraction); this harness adds MEASURED growth
+curves so near-linear scaling is an artifact, not an argument.
 
 Method: time each query at sf0.01, sf0.1, and a ~10x synthetic tier
-built by replicating the sf0.1 table with remapped ids and perturbed
-content (distinct docs/vectors/users — exact duplicates would
+built by replicating the sf0.1 table with remapped ids and disjoint
+per-copy content (distinct corpora — exact duplicates would
 degenerately stress bucket caps instead of scaling realistically,
 mirroring the size-sweep discipline of the reference's
 hybridbackend/tensorflow/benchmarks/data_benchmark_parquet.py:38-69).
-Per tier: one untimed warm-up, then min of BENCH_SCALE_REPS (default 2)
-timed noop-sink runs. Output: a table with per-tier rows/secs and the
-time-growth : row-growth ratio; >1.5x super-linearity is flagged. Also
-writes BENCH_SCALE.json.
+The four flagship dedup ops additionally get a 100x tier — one decade
+past the point where fixed round overhead dominates — and EVERY tier
+row now records shuffle write/read bytes and spill from the
+AppStatusStore (per-stage metrics summed over the run's new stages),
+so the curves show data volume moved, not wall-time alone.
 
-Usage: python bench_scale.py  (~5 min; run on a quiet box)
+A separate SKEW tier plants a 10%-hot key in the 10x events table and
+measures the salted join/agg paths against their unsalted forms with
+broadcast disabled (the 100 TB shape where the dim side exceeds the
+broadcast limit); the companion plan gate lives in
+tests/test_plan_scale.py.
+
+Per tier: one untimed warm-up, then min of BENCH_SCALE_REPS (default 2)
+timed noop-sink runs (the 100x tier runs once, warm-up folded in — the
+runtime is real-work-bound there). Output: a table with per-tier
+rows/secs, the time-growth : row-growth ratio (>1.5x flagged), and
+shuffle MB; writes BENCH_SCALE.json.
+
+Usage: python bench_scale.py            (~25 min; run on a quiet box)
+       BENCH_SCALE_100X=0 python bench_scale.py   (skip the 100x tier)
+       BENCH_SCALE_SKEW=0 python bench_scale.py   (skip the skew tier)
 """
 
 from __future__ import annotations
@@ -31,6 +46,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPS = int(os.environ.get("BENCH_SCALE_REPS", "2"))
 BASE = "/root/testdata"
 SYN_DIR = os.environ.get("BENCH_SCALE_SYNDIR", "/tmp/spark_graft_scale/sf1")
+SYN100_DIR = os.environ.get(
+    "BENCH_SCALE_SYN100DIR", "/tmp/spark_graft_scale/sf10"
+)
+SKEW_DIR = os.environ.get(
+    "BENCH_SCALE_SKEWDIR", "/tmp/spark_graft_scale/sf1_skew"
+)
+RUN_100X = os.environ.get("BENCH_SCALE_100X", "1") == "1"
+RUN_SKEW = os.environ.get("BENCH_SCALE_SKEW", "1") == "1"
+# comma-separated query subset for iteration (empty = all targets)
+ONLY = {q for q in os.environ.get("BENCH_SCALE_ONLY", "").split(",") if q}
 
 # query -> (table it scales with)
 TARGETS = {
@@ -51,75 +76,181 @@ TARGETS = {
     # with the sf0.1 diameter: rounds constant, per-round cost 10x
     "hyperball_reach_suppliers": "lineitem",
 }
+# The decade extension (round-7 verdict item 1): at 10x (~50k docs)
+# fixed round overhead still dominates; minhash's growth rose
+# 0.13 -> 0.56 t/r from tier 2 -> 3 — the 100x tier shows whether it
+# flattens (overhead amortizing out) or keeps bending (a real
+# super-linear term). Reference analog being out-scaled: the
+# rebatch buffer's bounded-memory discipline
+# (data/rebatch/rebatch_buffer.cc:272-286) — fixed state per worker
+# regardless of stream length.
+TARGETS_100X = [
+    "minhash_lsh_dedup_docs",
+    "setsim_join_docs",
+    "semantic_dedup_docs",
+    "cc_star_event_chains",
+]
 COPIES = 10
+COPIES_100X = 100
 OFFSET = 10_000_000
+HOT_USER = 424_242  # planted hot key for the skew tier (10% of rows)
 
 
-def build_synthetic() -> None:
-    """Replicate sf0.1 documents/embeddings/events COPIES times with
-    remapped ids and slight content perturbation; write parquet the
-    engine reads like the driver-generated tiers."""
+class ShuffleProbe:
+    """Per-run shuffle/spill byte deltas from the AppStatusStore: stage
+    ids are monotone, so summing metrics over stages NEWER than the last
+    snapshot is immune to the store's retained-stage eviction."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self._gw = sc._gateway
+        self._store = sc._jsc.sc().statusStore()
+        self._empty = self._gw.jvm.java.util.ArrayList()
+        self._darr = self._gw.new_array(self._gw.jvm.double, 0)
+        self._last_max = -1
+        self.snapshot()
+
+    def _stages(self):
+        seq = self._store.stageList(
+            self._empty, False, False, self._darr, self._empty
+        )
+        return [seq.apply(i) for i in range(seq.size())]
+
+    def snapshot(self) -> None:
+        ids = [s.stageId() for s in self._stages()]
+        if ids:
+            self._last_max = max(self._last_max, max(ids))
+
+    def delta(self, task_quantiles: bool = False) -> dict[str, float]:
+        """Bytes in stages newer than the last snapshot; advances it.
+        With ``task_quantiles``, also reports the p50/max per-task
+        runtime of the heaviest-shuffle-read new stage — the direct
+        reducer-skew signal (on a 1000-executor cluster the max task IS
+        the stage wall clock; 32 local threads hide it)."""
+        w = r = sd = sm = 0
+        mx = self._last_max
+        new = []
+        for s in self._stages():
+            if s.stageId() > self._last_max:
+                w += s.shuffleWriteBytes()
+                r += s.shuffleReadBytes()
+                sd += s.diskBytesSpilled()
+                sm += s.memoryBytesSpilled()
+                mx = max(mx, s.stageId())
+                new.append(s)
+        self._last_max = mx
+        mb = 1024.0 * 1024.0
+        out = {
+            "shuffle_write_mb": round(w / mb, 2),
+            "shuffle_read_mb": round(r / mb, 2),
+            "spill_disk_mb": round(sd / mb, 2),
+            "spill_mem_mb": round(sm / mb, 2),
+        }
+        if task_quantiles and new:
+            hot = max(new, key=lambda s: s.shuffleReadBytes())
+            q = self._gw.new_array(self._gw.jvm.double, 2)
+            q[0], q[1] = 0.5, 1.0
+            try:
+                opt = self._store.taskSummary(
+                    hot.stageId(), hot.attemptId(), q
+                )
+                if opt.isDefined():
+                    rt = opt.get().executorRunTime()
+                    p50, mx_ms = rt.apply(0), rt.apply(1)
+                    out["task_p50_ms"] = round(p50, 1)
+                    out["task_max_ms"] = round(mx_ms, 1)
+                    out["task_skew"] = (
+                        round(mx_ms / p50, 2) if p50 > 0 else None
+                    )
+            except Exception:
+                pass
+        return out
+
+
+def build_synthetic(out_dir: str, copies: int, skew: bool = False) -> None:
+    """Replicate sf0.1 documents/embeddings/events/lineitem/orders
+    ``copies`` times with remapped ids and disjoint per-copy content;
+    write parquet ROW-GROUP-STREAMED (one copy per write call) so the
+    100x tier never holds the whole table in memory. ``skew=True``
+    additionally reassigns 10% of event rows to one hot user_id —
+    the planted-skew tier for the salted-path measurements."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    os.makedirs(SYN_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
 
-    def write(name: str, parts: list) -> None:
-        out = pa.concat_tables(parts)
-        pq.write_table(out, f"{SYN_DIR}/{name}.parquet", version="2.6")
+    def stream(name: str, make_copy) -> None:
+        path = f"{out_dir}/{name}.parquet"
+        writer = None
+        try:
+            for k in range(copies):
+                t = make_copy(k)
+                if writer is None:
+                    writer = pq.ParquetWriter(path, t.schema, version="2.6")
+                writer.write_table(t)
+        finally:
+            if writer is not None:
+                writer.close()
 
     docs = pq.read_table(f"{BASE}/sf0.1/documents.parquet")
-    parts = []
-    for k in range(COPIES):
-        t = docs
-        t = t.set_column(
-            t.schema.get_field_index("doc_id"), "doc_id",
-            pc.add(t["doc_id"], k * OFFSET),
+
+    def docs_copy(k):
+        t = docs.set_column(
+            docs.schema.get_field_index("doc_id"), "doc_id",
+            pc.add(docs["doc_id"], k * OFFSET),
         )
         # distinct text per copy: tag EVERY token with the copy id, so
-        # the copies are 10 DISJOINT corpora with identical internal
-        # similarity structure (cross-copy shingle Jaccard = 0). The
-        # earlier one-suffix-token perturbation made every copy a ~0.9
-        # Jaccard near-duplicate of the others, which inflates the TRUE
+        # the copies are DISJOINT corpora with identical internal
+        # similarity structure (cross-copy shingle Jaccard = 0). A
+        # one-suffix-token perturbation would make every copy a ~0.9
+        # Jaccard near-duplicate of the others, inflating the TRUE
         # output of exact-threshold joins quadratically in copies — a
         # duplication stress test, not a scale tier (no algorithm beats
         # its own output size). Dedup-rate realism is preserved WITHIN
         # each copy, which is what the per-copy operators measure.
-        t = t.set_column(
+        return t.set_column(
             t.schema.get_field_index("text"), "text",
             pc.replace_substring_regex(
                 t["text"], pattern=r"(\S+)", replacement=rf"c{k}\1"
             ),
         )
-        parts.append(t)
-    write("documents", parts)
+
+    stream("documents", docs_copy)
 
     emb = pq.read_table(f"{BASE}/sf0.1/embeddings.parquet")
-    parts = []
-    for k in range(COPIES):
-        t = emb.set_column(
-            emb.schema.get_field_index("vec_id"), "vec_id",
-            pc.add(emb["vec_id"], k * OFFSET),
-        )
-        parts.append(t)
-    write("embeddings", parts)
+    stream("embeddings", lambda k: emb.set_column(
+        emb.schema.get_field_index("vec_id"), "vec_id",
+        pc.add(emb["vec_id"], k * OFFSET),
+    ))
 
     ev = pq.read_table(f"{BASE}/sf0.1/events.parquet")
-    parts = []
-    for k in range(COPIES):
+
+    def events_copy(k):
         t = ev
         for col in ("event_id", "user_id"):
             t = t.set_column(
                 t.schema.get_field_index(col), col,
                 pc.add(t[col], k * OFFSET),
             )
-        parts.append(t)
-    write("events", parts)
+        if skew:
+            # plant the hot key: every 4th event (by id; OFFSET is
+            # 4-divisible so the mask is copy-invariant) belongs to ONE
+            # user — the 25%-hot shape where an unsalted shuffle puts a
+            # quarter of the table on a single reducer
+            hot = pc.equal(pc.bit_wise_and(t["event_id"], 3), 0)
+            t = t.set_column(
+                t.schema.get_field_index("user_id"), "user_id",
+                pc.if_else(hot, pa.scalar(HOT_USER, t["user_id"].type),
+                           t["user_id"]),
+            )
+        return t
+
+    stream("events", events_copy)
 
     li = pq.read_table(f"{BASE}/sf0.1/lineitem.parquet")
-    parts = []
-    for k in range(COPIES):
+
+    def li_copy(k):
         t = li
         # orderkey+partkey remap: disjoint co-purchase graphs; suppkey
         # remap: disjoint customer-supplier graphs for HyperBall (the
@@ -130,20 +261,140 @@ def build_synthetic() -> None:
                 t.schema.get_field_index(col), col,
                 pc.add(t[col], k * OFFSET),
             )
-        parts.append(t)
-    write("lineitem", parts)
+        return t
+
+    stream("lineitem", li_copy)
 
     orders = pq.read_table(f"{BASE}/sf0.1/orders.parquet")
-    parts = []
-    for k in range(COPIES):
+
+    def orders_copy(k):
         t = orders
         for col in ("o_orderkey", "o_custkey"):
             t = t.set_column(
                 t.schema.get_field_index(col), col,
                 pc.add(t[col], k * OFFSET),
             )
-        parts.append(t)
-    write("orders", parts)
+        return t
+
+    stream("orders", orders_copy)
+
+    # symlink the small dims so any helper table resolves at this tier
+    for small in ("region", "nation", "customer", "supplier", "part"):
+        dst = f"{out_dir}/{small}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/sf0.1/{small}.parquet", dst)
+
+
+def _bench_skew(spark, probe: ShuffleProbe) -> dict:
+    """Salted vs unsalted join/agg at the planted-skew tier, broadcast
+    disabled (the dim-exceeds-broadcast-limit shape where salting is the
+    only defense beyond AQE's skew split). Returns measurement rows."""
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.exchange import salted_join, salted_key
+    from hybridbackend_spark.queries import _t
+
+    ev = _t(spark, SKEW_DIR, "events")
+    # dim: one profile row per user — too many rows to broadcast once
+    # broadcast is off; the realistic "user dimension" shape
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier", F.pmod(F.col("user_id"), F.lit(5))
+    )
+
+    def timed(label, make_df, conf: dict[str, str]):
+        old = {k: spark.conf.get(k, None) for k in conf}
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        try:
+            make_df().write.format("noop").mode("overwrite").save()  # warm
+            probe.snapshot()
+            times = []
+            for _ in range(max(1, REPS)):
+                t0 = time.perf_counter()
+                make_df().write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            d = probe.delta(task_quantiles=True)
+            for k in ("shuffle_write_mb", "shuffle_read_mb",
+                      "spill_disk_mb", "spill_mem_mb"):
+                d[k] = round(d[k] / max(1, REPS), 2)
+            return {"case": label, "sec": round(min(times), 3), **d}
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    no_bcast = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # keep all 32 reducers: at this toy volume AQE's coalescer packs
+        # the whole shuffle into 1-2 partitions and the hot key becomes
+        # invisible — at 100 TB partitions are advisory-size anyway and
+        # the hot KEY still lands in one task, which is what we measure
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    no_bcast_no_skewfix = {
+        **no_bcast,
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+    }
+
+    # Per-joined-row work (sha2 ~1us/row) stands in for the real
+    # downstream compute a 100 TB join feeds; without it a 32-thread
+    # local box hides reducer imbalance entirely (the hot reducer's
+    # extra 1.5M count()s cost ~50ms). Identical on both arms, so the
+    # comparison isolates the shuffle shape.
+    def _work(df):
+        h = F.sha2(
+            F.concat_ws(":", F.col("event_id"), F.col("user_id"),
+                        F.col("tier")), 256
+        )
+        return df.groupBy("tier").agg(
+            F.count(F.lit(1)).alias("n"), F.min(h).alias("h")
+        )
+
+    fact = ev.select("event_id", "user_id")
+
+    def plain_join():
+        return _work(fact.join(dim, "user_id"))
+
+    def salted():
+        return _work(salted_join(fact, dim, "user_id", salt_buckets=32))
+
+    def plain_agg():
+        return ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        )
+
+    def salted_agg():
+        s = ev.withColumn("_sk", salted_key("user_id", 32)).withColumn(
+            "_c", F.round(F.col("value") * 100).cast("long")
+        )
+        p = s.groupBy("_sk").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")
+        )
+        return p.groupBy(F.col("_sk.key").alias("user_id")).agg(
+            F.sum("_n").alias("n"), F.sum("_s").alias("s")
+        )
+
+    rows = [
+        timed("join_unsalted_aqe_skewfix", plain_join, no_bcast),
+        timed("join_unsalted_no_skewfix", plain_join, no_bcast_no_skewfix),
+        timed("join_salted_32", salted, no_bcast_no_skewfix),
+        # agg with combinable functions: map-side partial combine already
+        # absorbs the hot key — recorded to SHOW that, not to win it
+        timed("agg_unsalted", plain_agg, {}),
+        timed("agg_salted_32", salted_agg, {}),
+    ]
+    for r in rows:
+        print(f"skew10x {r['case']:28} {r['sec']:8.3f}s "
+              f"shufW {r['shuffle_write_mb']:8.2f}MB "
+              f"spill {r['spill_disk_mb']:6.1f}MB "
+              f"taskmax {r.get('task_max_ms', '?')}ms "
+              f"skew {r.get('task_skew', '?')}x")
+    return {"tier": "sf0.1x10+hot25pct", "hot_user_frac": 0.25,
+            "salt_buckets": 32, "rows": rows}
 
 
 def main() -> None:
@@ -151,7 +402,17 @@ def main() -> None:
     if build and os.path.isdir(SYN_DIR):
         shutil.rmtree(SYN_DIR)
     if not os.path.isdir(SYN_DIR):
-        build_synthetic()
+        build_synthetic(SYN_DIR, COPIES)
+    if RUN_100X:
+        if build and os.path.isdir(SYN100_DIR):
+            shutil.rmtree(SYN100_DIR)
+        if not os.path.isdir(SYN100_DIR):
+            build_synthetic(SYN100_DIR, COPIES_100X)
+    if RUN_SKEW:
+        if build and os.path.isdir(SKEW_DIR):
+            shutil.rmtree(SKEW_DIR)
+        if not os.path.isdir(SKEW_DIR):
+            build_synthetic(SKEW_DIR, COPIES, skew=True)
 
     from hybridbackend_spark.queries import get_queries
     from hybridbackend_spark.session import get_session
@@ -160,60 +421,86 @@ def main() -> None:
         "bench-scale", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     queries = get_queries()
+    probe = ShuffleProbe(spark)
 
     tiers = [
         ("sf0.01", f"{BASE}/sf0.01"),
         ("sf0.1", f"{BASE}/sf0.1"),
         ("sf0.1x10", SYN_DIR),
     ]
+    tier100 = ("sf0.1x100", SYN100_DIR)
+    all_tiers = tiers + ([tier100] if RUN_100X else [])
     rows_at = {}
-    for label, d in tiers:
+    for label, d in all_tiers:
         for t in set(TARGETS.values()):
             if os.path.exists(f"{d}/{t}.parquet"):
                 rows_at[(label, t)] = spark.read.parquet(
                     f"{d}/{t}.parquet"
                 ).count()
 
-    def run(name: str, sf_dir: str) -> float:
+    def run(name: str, sf_dir: str, reps: int, warm: bool) -> tuple:
         fn = queries[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if warm:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        probe.snapshot()
         times = []
-        for _ in range(REPS):
+        for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
-        return round(min(times), 3)
+        d = probe.delta()
+        for k in d:
+            d[k] = round(d[k] / reps, 2)
+        return round(min(times), 3), d
 
     result = {}
-    print(f"{'query':32} {'tier':9} {'rows':>9} {'sec':>8} "
-          f"{'t-ratio':>8} {'r-ratio':>8} {'t/r':>6}")
+    print(f"{'query':32} {'tier':10} {'rows':>10} {'sec':>9} "
+          f"{'t/r':>6} {'shufW MB':>9} {'spill MB':>9}")
     for name, table in TARGETS.items():
+        if ONLY and name not in ONLY:
+            continue
         prev = None
         curve = []
-        for label, d in tiers:
+        q_tiers = list(tiers)
+        if RUN_100X and name in TARGETS_100X:
+            q_tiers.append(tier100)
+        for label, d in q_tiers:
             rows = rows_at[(label, table)]
-            sec = run(name, d)
-            entry = {"tier": label, "rows": rows, "sec": sec}
+            # the 100x tier is real-work-bound: single timed run, no
+            # separate warm-up (the decade's point is the trend, and
+            # 3x ~5-min runs would triple the harness for noise control
+            # that min-of-reps exists to provide at the small tiers)
+            is_big = label == "sf0.1x100"
+            sec, shuf = run(name, d, 1 if is_big else REPS, not is_big)
+            entry = {"tier": label, "rows": rows, "sec": sec, **shuf}
+            growth = ""
             if prev is not None and prev["sec"] > 0:
                 tr = sec / prev["sec"]
                 rr = rows / prev["rows"]
                 entry["time_ratio"] = round(tr, 2)
                 entry["rows_ratio"] = round(rr, 2)
                 entry["growth"] = round(tr / rr, 2)
-                flag = "  <-- SUPER-LINEAR" if tr / rr > 1.5 else ""
-                print(f"{name:32} {label:9} {rows:9d} {sec:8.3f} "
-                      f"{tr:8.2f} {rr:8.2f} {tr / rr:6.2f}{flag}")
-            else:
-                print(f"{name:32} {label:9} {rows:9d} {sec:8.3f} "
-                      f"{'':8} {'':8}")
+                growth = f"{tr / rr:6.2f}"
+                if tr / rr > 1.5:
+                    growth += "  <-- SUPER-LINEAR"
+            print(f"{name:32} {label:10} {rows:10d} {sec:9.3f} "
+                  f"{growth:>6} {shuf['shuffle_write_mb']:9.2f} "
+                  f"{shuf['spill_disk_mb']:9.2f}")
             curve.append(entry)
             prev = entry
         result[name] = curve
 
+    skew = _bench_skew(spark, probe) if RUN_SKEW else None
+
+    if ONLY:
+        print("BENCH_SCALE_ONLY set: partial run, BENCH_SCALE.json NOT "
+              "written (same canonical-artifact guard as bench.py)")
+        return
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SCALE.json"), "w") as f:
         json.dump({"reps": REPS, "agg": "min", "copies": COPIES,
-                   "curves": result}, f, indent=2)
+                   "copies_100x": COPIES_100X if RUN_100X else None,
+                   "curves": result, "skew": skew}, f, indent=2)
     print("wrote BENCH_SCALE.json")
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "assoc_rules",
     "diff_in_diff",
     "quantile_normalize",
+    "weighted_quantiles",
     "psi_bits",
     "cuped_adjust",
     "mann_whitney_u",
@@ -2085,4 +2086,61 @@ def offpolicy_ips(
         F.col("n_matched").cast("long").alias("n_matched"),
         F.round(ips, dp).alias("ips_value"),
         F.when(F.col("_den") != 0, F.round(snips, dp)).alias("snips_value"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group EXACT weighted quantiles (p25/p50/p75) by the
+    lower-weighted-quantile rule: the smallest value v whose inclusive
+    cumulative weight reaches q of the total. The weighted median is
+    THE robust center when rows carry unequal mass (a price weighted by
+    quantity, a latency weighted by request count) — the unweighted
+    median silently re-weights every row to 1.
+
+    Engine-exactness: values quantize to the ``scale`` grid (BIGINT),
+    weights cast to BIGINT, one (group, value)-keyed histogram agg, one
+    partitioned cumulative window over the histogram, and the quantile
+    comparisons stay in integers (``4*cum >= W`` for p25, ``2*cum >= W``
+    for p50, ``4*cum >= 3*W`` for p75) — no float thresholds, so any
+    engine selects the identical grid values.
+
+    Scale shape: the window runs over the per-group HISTOGRAM (bounded
+    by distinct values on the scale grid), never the raw rows; the only
+    fact-sized pass is the partial-agg histogram build.
+
+    Returns (group, total_weight, wp25, wp50, wp75) on the value scale.
+    """
+    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    w = F.col(weight_col).cast("long")
+    hist = (
+        df.select(F.col(group_col).alias("_g"), v.alias("_v"), w.alias("_w"))
+        .filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+        .groupBy("_g", "_v")
+        .agg(F.sum("_w").alias("_wv"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = hist.select(
+        "_g",
+        "_v",
+        F.sum("_wv").over(w_cum).alias("_cw"),
+        F.sum("_wv").over(w_all).alias("_tw"),
+    )
+    c, t = F.col("_cw"), F.col("_tw")
+    pick = lambda cond: F.min(F.when(cond, F.col("_v")))  # noqa: E731
+    return cum.groupBy(F.col("_g").alias(group_col)).agg(
+        F.max(t).cast("long").alias("total_weight"),
+        (pick(4 * c >= t).cast("double") / scale).alias("wp25"),
+        (pick(2 * c >= t).cast("double") / scale).alias("wp50"),
+        (pick(4 * c >= 3 * t).cast("double") / scale).alias("wp75"),
     )

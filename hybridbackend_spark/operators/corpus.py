@@ -59,6 +59,8 @@ __all__ = [
     "temperature_sample",
     "vocab_encode",
     "distribution_drift",
+    "dup_ngram_coverage",
+    "uniform_sample_exact",
 ]
 
 
@@ -1738,4 +1740,119 @@ def slice_overlap_matrix(
         F.round(
             F.col("inter_sz").cast("double") / union.cast("double"), dp
         ).alias("jaccard"),
+    )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Cross-document duplicated n-gram coverage — the memorization-risk
+    readout of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022): per document, the fraction of its
+    DISTINCT word ``n``-grams that also occur in at least
+    ``min_docs - 1`` OTHER documents. High coverage marks boilerplate /
+    near-template docs whose spans the model will see many times even
+    after doc-level exact dedup (the metric intra-doc repetition cannot
+    see — that one is within-doc, this one is corpus-wide).
+
+    Scale shape: one explode of per-doc-distinct shingles (so a gram
+    counts each doc ONCE — the corpus count IS the doc frequency), one
+    gram-keyed partial-agg count, one co-keyed join back, one per-doc
+    agg. The exact-dedup class of plan: gram-keyed shuffles only, never
+    pairwise. Heavy-tail grams (present in every doc) produce large
+    count rows but fan back out through an equi-join, not a broadcast
+    of the tail.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac) for EVERY input doc
+    (docs shorter than ``n`` tokens report 0/0/0.0).
+    """
+    base = df.select(F.col(id_col).alias("_id"), _c(text_col).alias("_t"))
+    g = base.select(
+        "_id", F.explode(word_shingles(F.col("_t"), n)).alias("_g")
+    )
+    counts = g.groupBy("_g").agg(F.count(F.lit(1)).alias("_nd"))
+    per = (
+        g.join(counts, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_nd") >= min_docs, 1).otherwise(0)
+            ).alias("n_dup_grams"),
+        )
+    )
+    out = base.select("_id").join(per, "_id", "left")
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    nd = F.coalesce(F.col("n_dup_grams"), F.lit(0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        ng.cast("long").alias("n_grams"),
+        nd.cast("long").alias("n_dup_grams"),
+        F.when(
+            ng > 0,
+            F.round(nd.cast("double") / ng.cast("double"), dp),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+def uniform_sample_exact(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int = 100,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exact-k uniform sample per key by deterministic hash rank — the
+    distributed replacement for a per-key reservoir sample: the k
+    smallest md5 ranks of the id ARE a uniform k-subset, and the same
+    rows come back on every engine and every rerun (reproducible eval
+    subsets / debug samples from a 100 TB fact table).
+
+    Scale path: a hash THRESHOLD pre-filter keeps ~``oversample * k``
+    expected survivors per key before the rank window, so the per-key
+    sort never sees the raw fact table. The pre-filter is
+    exactness-GUARDED, not assumed: per-key survivor counts (one
+    bounded collect, <= #keys rows — keys are dimension-like by
+    contract) must cover min(k, n) or this raises rather than silently
+    returning a biased sample.
+
+    Returns the sampled rows (all original columns) plus ``_rn`` (the
+    1-based hash rank within the key).
+    """
+    if k <= 0 or oversample <= 0:
+        raise ValueError("k and oversample must be positive")
+    hv = F.conv(
+        F.substring(F.md5(_c(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    n_per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    joined = df.join(F.broadcast(n_per), key_col).withColumn("_hv", hv)
+    frac = F.least(
+        F.lit(1.0), F.lit(float(oversample * k)) / F.col("_n").cast("double")
+    )
+    surv = joined.filter(
+        F.col("_hv").cast("double") < frac * F.lit(float(16 ** 8))
+    )
+    chk = (
+        surv.groupBy(key_col, "_n")
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .collect()
+    )
+    for r in chk:
+        if r["_s"] < min(k, r["_n"]):
+            raise ValueError(
+                f"hash pre-filter kept {r['_s']} < min(k={k}, n={r['_n']}) "
+                f"rows for key {r[key_col]!r}; raise the oversample factor"
+            )
+    w = Window.partitionBy(key_col).orderBy("_hv", id_col)
+    return (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_n", "_hv")
     )

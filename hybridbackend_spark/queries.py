@@ -750,68 +750,69 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness artifact verifies the FIRST ~50 registered
-# queries per round. The union of the r01-r06 driver artifacts covers
-# 237 of the 258 registered queries (computed from the artifacts by
-# tools/plan_window.py); per the round-6 verdict the round-7 window
-# front-loads (a) the stateful-streaming re-proof pair that sat at
-# positions 51-52 for two rounds and was never reached by the driver,
-# then (b) EXACTLY the 21 queries no driver round has ever verified, so
-# the driver-verified union closes to 258/258. All 23 are green in the
-# local gate (tools/check_oracle.py). Names listed here come first (in
-# this order); everything else keeps its original registration order.
-# Validated against the registry in tests/test_sources_and_queries.py.
+# queries per round; the union over r01-r07 covers every query
+# registered through round 7 (280/280). Names listed here come first
+# (in this order); everything else keeps its original registration
+# order. Validated against the registry in
+# tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # stateful-streaming re-proof after round-5 TTL changes — queued at
-    # window positions 51-52 in rounds 5 and 6 but the driver stops at
-    # 50; now first so they cannot miss again (round-6 verdict item 1)
-    "stream_click_purchase_join",
-    "stream_sessions_stateful",
-    # the 21 never-driver-verified queries (round-6 second wave), in
-    # registration order — output of tools/plan_window.py
-    "setsim_join_docs",
-    "hyperball_reach_suppliers",
-    "mannwhitney_events",
-    "ks_test_orders",
-    "pmi_bigrams_docs",
-    "kneser_ney_bigram_docs",
-    "clustering_coeff_parts",
-    "dsir_select_docs",
-    "rrf_hybrid_docs",
-    "link_predict_parts",
-    "holt_trend_events",
-    "theilsen_trend_events",
-    "nelson_aalen_users",
-    "mann_kendall_events",
-    "image_neardup_mixed",
-    "gini_by_priority_orders",
-    "source_overlap_docs",
-    "offpolicy_ips_events",
-    "textrank_keywords_docs",
-    "hhi_supplier_nation",
-    "cmh_test_orders",
-    # round-7 additions (no driver row yet by definition)
-    "mwu_incremental_events",
-    "ks_incremental_orders",
-    "jsonl_scan_docs",
-    "quality_classifier_docs",
-    "distinct_ngrams_docs",
-    "bh_fdr_events",
-    "fleiss_kappa_lineitem",
-    "token_budget_mix_docs",
-    "spearman_events",
-    "entity_linkage_customers",
-    "robust_stats_orders",
-    "logrank_users",
-    "eb_shrink_parts",
-    "split_leakage_docs",
-    "ipf_rake_docs",
-    "assoc_rules_brands",
-    "incremental_join_orders",
-    "did_events",
-    "burst_dedup_events",
-    "kendall_tau_events",
-    "rfm_segments_customers",
-    "quantile_normalize_events",
+    # Round-8 window (tools/plan_window.py --new <additions> --stale 47):
+    # the 3 round-8 additions, then the 47 STALEST previously-verified
+    # queries whose function/helper/module dependencies CHANGED since
+    # the commit that recorded their last green driver row (git-diff
+    # based; round-7 verdict item 2 — re-verification rotation against
+    # engine/source drift; most were last proven in r02-r03 against a
+    # Spark build that has since changed once).
+    "dup_ngram_coverage_docs",
+    "uniform_sample_events",
+    "weighted_quantiles_lineitem",
+    "distinct_counts",
+    "topk_orders_per_customer",
+    "lookup_join_dedup",
+    "pooled_lookup_sum",
+    "left_join_defaults",
+    "asof_prior_click",
+    "window_rank_lag",
+    "sliding_window_1h",
+    "run_length_events",
+    "sessionize_30m",
+    "ordered_history",
+    "metric_mean_accuracy",
+    "metric_auc",
+    "metric_auc_pr",
+    "metric_gauc",
+    "feature_transform",
+    "text_stats",
+    "lang_id_distribution",
+    "fingerprint_docs",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs_docs",
+    "cosine_near_dup_pairs",
+    "cosine_topk_bruteforce",
+    "semi_anti_join",
+    "set_ops_orders",
+    "pivot_returns",
+    "stream_tumbling_counts",
+    "string_functions",
+    "date_functions",
+    "json_functions",
+    "q17_small_quantity",
+    "corpus_curation_pipeline",
+    "pad_to_dense_embeddings",
+    "block_dedup_roundtrip",
+    "percentiles_orders",
+    "nested_ragged_scan",
+    "orc_scan_suppliers",
+    "hash_split_documents",
+    "repetition_signals_docs",
+    "pack_sequences_docs",
+    "minhash_lsh_dedup_docs",
+    "simhash_docs",
+    "cosine_near_dup_bucketed",
+    "cosine_topk_lsh_docs",
+    "cosine_topk_ivf_docs",
+    "stream_sliding_counts",
+    "stream_session_user",
 ]
 
 
@@ -14952,4 +14953,135 @@ def cmh_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         ).alias("cmh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_ngram_coverage_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 4, 0)),
+               i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+             ))) AS gram
+      FROM t
+    ),
+    c AS (SELECT gram, count(*)::BIGINT AS nd FROM g GROUP BY gram),
+    per AS (
+      SELECT doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      FROM g JOIN c USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_dup, 0) AS n_dup_grams,
+           round(CASE WHEN coalesce(n_grams, 0) > 0
+                      THEN coalesce(n_dup, 0)::DOUBLE / n_grams
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+    """,
+)
+def dup_ngram_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 5-gram coverage per doc — the
+    memorization-risk metric of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): the fraction of a
+    doc's distinct word 5-grams that occur in >= 2 documents. The
+    corpus-wide companion to intra_doc_repetition_docs (within-doc);
+    docs that survive exact dedup but are template clones light up
+    here. Gram-keyed shuffles only (exact-dedup plan class). See
+    operators/corpus.py::dup_ngram_coverage."""
+    from .operators.corpus import dup_ngram_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_coverage(docs, "doc_id", "text", n=5)
+
+
+@register(
+    "uniform_sample_events",
+    """
+    WITH h AS (
+      SELECT event_type, event_id,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hv, event_id) AS rn
+      FROM h
+    )
+    SELECT event_type, count(*)::BIGINT AS n_sampled,
+           CAST(sum(event_id) AS BIGINT) AS sum_sampled_ids
+    FROM r WHERE rn <= 100 GROUP BY event_type
+    """,
+)
+def uniform_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per event type by deterministic hash rank
+    (the distributed replacement for a per-key reservoir sample: the k
+    smallest md5 ranks ARE a uniform k-subset, and the same rows come
+    back on every engine and every rerun — reproducible eval
+    subsets / debugging samples from a 100 TB fact table).
+
+    Scale path: a hash THRESHOLD pre-filter keeps ~4k expected
+    survivors per key before the rank window, so the per-key sort
+    never sees the raw fact table — the window input is bounded by
+    oversample*k per key, exactness-GUARDED (raises rather than
+    silently biasing). See operators/corpus.py::uniform_sample_exact."""
+    from .operators.corpus import uniform_sample_exact
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id")
+    sel = uniform_sample_exact(ev, "event_type", "event_id", k=100)
+    return sel.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("event_id").cast("long").alias("sum_sampled_ids"),
+    )
+
+
+@register(
+    "weighted_quantiles_lineitem",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wv
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT g, v,
+             sum(wv) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(wv) OVER (PARTITION BY g) AS tw
+      FROM h
+    )
+    SELECT g AS l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 4 * cw >= tw THEN v END) AS DOUBLE) / 100
+             AS wp25,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS DOUBLE) / 100
+             AS wp50,
+           CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS DOUBLE) / 100
+             AS wp75
+    FROM c GROUP BY g
+    """,
+)
+def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quartiles per return flag: each
+    lineitem row carries l_quantity units, so the weighted median is
+    the price of the median UNIT shipped, not the median line. Integer
+    cumulative-weight selection on the cents grid — both engines pick
+    identical values. See operators/analytics.py::weighted_quantiles."""
+    from .operators.analytics import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_quantiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"
     )

@@ -1438,3 +1438,36 @@ def test_quantile_normalize_semantics(spark):
             assert got == grid[idx - 1] / 100.0, (g, v)
     with pytest.raises(ValueError):
         quantile_normalize(df, "g", "x", k=100)  # not a power of two
+
+
+def test_weighted_quantiles_matches_python(spark):
+    """Lower-weighted-quantile rule against a brute-force reference;
+    NULL value/weight rows excluded; n<=weights edge shapes."""
+    rows = [
+        ("g", 1.0, 1), ("g", 2.0, 1), ("g", 3.0, 98),   # w-median = 3
+        ("h", 10.0, 5), ("h", 20.0, 5),                  # even split
+        ("h", None, 7), ("h", 30.0, None),               # excluded
+    ]
+    from hybridbackend_spark.operators.analytics import weighted_quantiles
+
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {r.g: r for r in weighted_quantiles(df, "g", "v", "w").collect()}
+
+    def ref(pairs, num, den):
+        tot = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in sorted(pairs):
+            cum += w
+            if den * cum >= num * tot:
+                return v
+        raise AssertionError
+
+    g = [(1.0, 1), (2.0, 1), (3.0, 98)]
+    h = [(10.0, 5), (20.0, 5)]
+    assert got["g"].total_weight == 100
+    assert got["g"].wp50 == ref(g, 1, 2) == 3.0
+    assert got["g"].wp25 == ref(g, 1, 4) == 3.0
+    assert got["h"].total_weight == 10
+    # lower rule: cum(10.0)=5, 2*5 >= 10 -> wp50 = 10.0
+    assert got["h"].wp50 == 10.0
+    assert got["h"].wp75 == 20.0

@@ -959,3 +959,62 @@ def test_ipf_rake_matches_python_and_hits_margins(spark):
         assert abs(rr.col_err) < 1e-4         # cols exact up to truncation
     # small sources get up-weighted, big sources down-weighted
     assert got[("s3", "en")].weight > 1.0 > got[("s1", "en")].weight
+
+
+def test_dup_ngram_coverage_edges(spark):
+    """Template clones light up; unique docs and sub-n docs report 0."""
+    from hybridbackend_spark.operators.corpus import dup_ngram_coverage
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),       # clone A
+        (2, "alpha beta gamma delta epsilon zeta"),       # clone A
+        (3, "one two three four five six seven"),         # unique
+        (4, "short doc"),                                  # < n tokens
+        (5, ""),                                           # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_ngram_coverage(df, "doc_id", "text",
+                                                   n=5).collect()}
+    assert len(got) == 5  # every doc reported, including gramless ones
+    assert got[1].dup_frac == 1.0 and got[2].dup_frac == 1.0
+    assert got[1].n_grams == 2  # 6 tokens -> 2 distinct 5-grams
+    assert got[3].dup_frac == 0.0 and got[3].n_grams == 3
+    assert (got[4].n_grams, got[4].n_dup_grams, got[4].dup_frac) == (0, 0, 0.0)
+    assert (got[5].n_grams, got[5].dup_frac) == (0, 0.0)
+
+
+def test_uniform_sample_exact_selection_and_guard(spark):
+    """Hash-rank sampling: (a) selects exactly the k smallest md5 ranks
+    per key (verified against an unfiltered full-sort reference, which
+    also proves the pre-filter dropped nothing it needed); (b) keys
+    with n <= k return all rows; (c) the exactness guard RAISES when
+    the oversample cannot cover k, never returning a biased sample."""
+    import hashlib
+
+    import pytest
+
+    from hybridbackend_spark.operators.corpus import uniform_sample_exact
+
+    rows = [(i, "a") for i in range(2000)] + [(10_000 + i, "b")
+                                              for i in range(30)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    got = uniform_sample_exact(df, "event_type", "event_id", k=50)
+    by_key = {}
+    for r in got.collect():
+        by_key.setdefault(r.event_type, []).append(r.event_id)
+
+    def ref(ids, k):
+        ranked = sorted(
+            ids, key=lambda i: (int(hashlib.md5(str(i).encode())
+                                    .hexdigest()[:8], 16), i)
+        )
+        return sorted(ranked[:k])
+
+    assert sorted(by_key["a"]) == ref(list(range(2000)), 50)
+    assert sorted(by_key["b"]) == ref([10_000 + i for i in range(30)], 50)
+    assert len(by_key["b"]) == 30  # n <= k: every row kept
+    # oversample too small -> expected survivors << k -> guard fires
+    with pytest.raises(ValueError, match="pre-filter kept"):
+        uniform_sample_exact(
+            df, "event_type", "event_id", k=50, oversample=0.1
+        )

@@ -781,3 +781,69 @@ def test_kendall_tau_b_matches_python(spark):
             assert got[g].tau_b is None, g
         else:
             assert got[g].tau_b == round(tau, 6), g
+
+
+def test_timeseries_null_rows_excluded(spark):
+    """NULL x/y rows must not bias n, tie sums, or the median rank
+    (round-7 advisor: groupBy treats NULL as a tie group and Spark
+    sorts NULLs first, so unfiltered NULLs silently shift tau_b's
+    denominator and theil_sen's positional median)."""
+    from hybridbackend_spark.operators.timeseries import (
+        kendall_tau_b,
+        mann_kendall,
+        theil_sen,
+    )
+
+    clean = [("k", 0.0, 1.0), ("k", 1.0, 3.0), ("k", 2.0, 2.0),
+             ("k", 3.0, 5.0)]
+    dirty = clean + [("k", None, 9.0), ("k", 4.0, None), ("k", None, None)]
+    schema = "k string, x double, y double"
+    dfc = spark.createDataFrame(clean, schema)
+    dfd = spark.createDataFrame(dirty, schema)
+    for op in (kendall_tau_b, mann_kendall, theil_sen):
+        rc = op(dfc, "k", "x", "y").collect()
+        rd = op(dfd, "k", "x", "y").collect()
+        assert rc == rd, f"{op.__name__} result changed by NULL rows"
+    assert kendall_tau_b(dfd, "k", "x", "y").collect()[0].n_obs == 4
+
+
+def test_xy_tie_stats_one_pass_matches_bruteforce(spark):
+    """The folded tagged-explode tie pass must equal per-axis brute
+    force counts (the round-7 fold cannot change any tie polynomial)."""
+    from collections import Counter
+
+    from hybridbackend_spark.operators.timeseries import _xy_tie_stats
+
+    pts = [("a", 1.0, 1.0), ("a", 1.0, 2.0), ("a", 2.0, 2.0),
+           ("a", 2.0, 2.0), ("a", 3.0, 1.0),
+           ("b", 5.0, 5.0), ("b", 5.0, 5.0)]
+    df = spark.createDataFrame(pts, "_k string, _x double, _y double")
+    got = {r._k: r for r in _xy_tie_stats(df, cubic=True).collect()}
+    for key in ("a", "b"):
+        xs = Counter(x for k, x, _ in pts if k == key).values()
+        ys = Counter(y for k, _, y in pts if k == key).values()
+        r = got[key]
+        assert r._n == sum(xs)
+        assert r._u1 == sum(t * (t - 1) for t in xs)
+        assert r._t1 == sum(t * (t - 1) for t in ys)
+        assert r._u3 == sum(t * (t - 1) * (2 * t + 5) for t in xs)
+        assert r._t3 == sum(t * (t - 1) * (2 * t + 5) for t in ys)
+        assert r._u2 == sum(t * (t - 1) * (t - 2) for t in xs)
+        assert r._t2 == sum(t * (t - 1) * (t - 2) for t in ys)
+
+
+def test_bh_fdr_null_p_excluded(spark):
+    """A NULL p-value must not take rank 1 / inflate m (round-7
+    advisor): results over a battery with NULLs equal the battery
+    without them."""
+    from hybridbackend_spark.operators.analytics import bh_fdr
+
+    clean = [("h1", 0.001), ("h2", 0.02), ("h3", 0.4), ("h4", 0.9)]
+    dirty = clean + [("hx", None), ("hy", None)]
+    schema = "h string, p double"
+    rc = sorted(bh_fdr(spark.createDataFrame(clean, schema), "h", "p")
+                .collect())
+    rd = sorted(bh_fdr(spark.createDataFrame(dirty, schema), "h", "p")
+                .collect())
+    assert rc == rd
+    assert all(r.m == 4 for r in rd)
