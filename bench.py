@@ -338,6 +338,8 @@ EXTRA = [
     "dup_ngram_coverage_docs",
     "uniform_sample_events",
     "weighted_quantiles_lineitem",
+    "ann_recall_lsh_docs",
+    "vocab_coverage_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

@@ -756,8 +756,8 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-8 window (tools/plan_window.py --new <additions> --stale 47):
-    # the 3 round-8 additions, then the 47 STALEST previously-verified
+    # Round-8 window (tools/plan_window.py --new <additions> --stale 45):
+    # the 5 round-8 additions, then the 45 STALEST previously-verified
     # queries whose function/helper/module dependencies CHANGED since
     # the commit that recorded their last green driver row (git-diff
     # based; round-7 verdict item 2 — re-verification rotation against
@@ -766,6 +766,8 @@ _DRIVER_WINDOW_FIRST = [
     "dup_ngram_coverage_docs",
     "uniform_sample_events",
     "weighted_quantiles_lineitem",
+    "ann_recall_lsh_docs",
+    "vocab_coverage_docs",
     "distinct_counts",
     "topk_orders_per_customer",
     "lookup_join_dedup",
@@ -811,8 +813,6 @@ _DRIVER_WINDOW_FIRST = [
     "cosine_near_dup_bucketed",
     "cosine_topk_lsh_docs",
     "cosine_topk_ivf_docs",
-    "stream_sliding_counts",
-    "stream_session_user",
 ]
 
 
@@ -15084,4 +15084,147 @@ def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return weighted_quantiles(
         li, "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+
+@register(
+    "ann_recall_lsh_docs",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    exs AS (
+      SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id, q.v AS qv, c.v AS cv
+      FROM e q, e c WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    ex AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY {_COS_SQL} DESC, neighbor_id) AS rnk
+        FROM exs
+      ) WHERE rnk <= 5
+    ),
+    b AS (SELECT vec_id, v, {_LSH_TOPK_BUCKET_COLS} FROM e),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS vec_id, q.v AS qv, c.vec_id AS neighbor_id,
+             c.v AS cv
+      FROM b q, b c
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id AND ({_LSH_TOPK_MATCH})
+    ),
+    ap AS (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT vec_id, neighbor_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY {_COS_SQL} DESC, neighbor_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= 5
+    )
+    SELECT ex.vec_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_hit,
+           round(sum(CASE WHEN ap.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS recall
+    FROM ex LEFT JOIN ap
+      ON ap.vec_id = ex.vec_id AND ap.neighbor_id = ex.neighbor_id
+    GROUP BY ex.vec_id
+    """,
+)
+def ann_recall_lsh_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the sign-LSH index against
+    the exact brute-force ground truth, per query vector — the number
+    an index owner actually tunes (tables x bits vs recall vs candidate
+    cost). Both arms are the already-oracled operators
+    (cosine_topk / cosine_topk_lsh with identical plane constants), so
+    the RECALL ITSELF is hash-checked cross-engine, not just eyeballed.
+    Scale shape: ground truth on a SAMPLE of queries (10 here) is the
+    standard recall-evaluation protocol — exact top-k on a bounded
+    query set, broadcast against the corpus."""
+    from .operators.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5
+    ).select("vec_id", "neighbor_id")
+    approx = cosine_topk_lsh(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, bits=6, n_tables=6,
+    ).select("vec_id", F.col("neighbor_id").alias("_an"))
+    hit = exact.join(
+        approx,
+        (exact["vec_id"] == approx["vec_id"])
+        & (exact["neighbor_id"] == approx["_an"]),
+        "left",
+    ).select(exact["vec_id"].alias("vec_id"), "_an")
+    return hit.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.when(F.col("_an").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("_an").isNotNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("recall"),
+    )
+
+
+@register(
+    "vocab_coverage_docs",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    h AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk FROM h
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM h)
+    SELECT v.vocab_size,
+           CAST(sum(CASE WHEN rnk <= v.vocab_size THEN c ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           (SELECT n FROM tot) AS total_tokens,
+           round(sum(CASE WHEN rnk <= v.vocab_size THEN c ELSE 0 END)::DOUBLE
+                 / (SELECT n FROM tot), 6) AS coverage
+    FROM r, (VALUES (100), (1000), (10000)) v(vocab_size)
+    GROUP BY v.vocab_size
+    """,
+)
+def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus token
+    OCCURRENCES covered by the top-V most frequent types, at
+    V = 100 / 1k / 10k — the tokenizer-design readout (how big a word
+    vocab must be before <unk> rates become negligible; the same curve
+    motivates subword tokenizers). WINDOWLESS at scale: each V is one
+    distributed TakeOrdered (orderBy + limit over the token histogram)
+    + a partial-agg sum — no global window over an unbounded type set.
+    Ties at the V boundary break deterministically by (count desc,
+    token asc) in both engines."""
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("_t"))
+    hist = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    total = hist.agg(F.sum("_c").cast("long").alias("_total"))
+    out = None
+    for v in (100, 1000, 10000):
+        top = hist.orderBy(F.col("_c").desc(), F.col("_t").asc()).limit(v)
+        cov = top.agg(
+            F.lit(v).cast("int").alias("vocab_size"),
+            F.sum("_c").cast("long").alias("covered_tokens"),
+        )
+        out = cov if out is None else out.unionByName(cov)
+    # 1-row broadcast scalar attach (the repo's no-collect discipline)
+    return out.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        F.col("_total").alias("total_tokens"),
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("coverage"),
     )
