@@ -15198,29 +15198,41 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     OCCURRENCES covered by the top-V most frequent types, at
     V = 100 / 1k / 10k — the tokenizer-design readout (how big a word
     vocab must be before <unk> rates become negligible; the same curve
-    motivates subword tokenizers). WINDOWLESS at scale: each V is one
-    distributed TakeOrdered (orderBy + limit over the token histogram)
-    + a partial-agg sum — no global window over an unbounded type set.
-    Ties at the V boundary break deterministically by (count desc,
-    token asc) in both engines."""
+    motivates subword tokenizers). ONE corpus scan: the token histogram
+    feeds a single distributed TakeOrdered to the V_max = 10k head;
+    ranks come from a window over that LIMIT-BOUNDED head (allowlisted
+    global window — 10k rows by construction, the vocab_encode_docs
+    pattern), and all three coverages fold in one conditional
+    aggregate. Ties at the V boundary break deterministically by
+    (count desc, token asc) in both engines."""
     from .operators.text import tokens
 
+    sizes = (100, 1000, 10000)
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("_t"))
     hist = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
     total = hist.agg(F.sum("_c").cast("long").alias("_total"))
-    out = None
-    for v in (100, 1000, 10000):
-        top = hist.orderBy(F.col("_c").desc(), F.col("_t").asc()).limit(v)
-        cov = top.agg(
-            F.lit(v).cast("int").alias("vocab_size"),
-            F.sum("_c").cast("long").alias("covered_tokens"),
-        )
-        out = cov if out is None else out.unionByName(cov)
+    order = [F.col("_c").desc(), F.col("_t").asc()]
+    head = hist.orderBy(*order).limit(max(sizes))
+    ranked = head.select(
+        "_c", F.row_number().over(Window.orderBy(*order)).alias("_r")
+    )
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("_r") <= v, F.col("_c")))
+            .cast("long")
+            .alias(f"_cov{v}")
+            for v in sizes
+        ]
+    )
+    stack = ", ".join(f"{v}, _cov{v}" for v in sizes)
     # 1-row broadcast scalar attach (the repo's no-collect discipline)
-    return out.crossJoin(F.broadcast(total)).select(
-        "vocab_size",
-        "covered_tokens",
+    return sums.crossJoin(F.broadcast(total)).selectExpr(
+        f"stack({len(sizes)}, {stack}) AS (vocab_size, covered_tokens)",
+        "_total",
+    ).select(
+        F.col("vocab_size").cast("int").alias("vocab_size"),
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
         F.col("_total").alias("total_tokens"),
         F.round(
             F.col("covered_tokens").cast("double")

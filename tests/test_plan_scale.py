@@ -258,6 +258,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "skew_report_lineitem",    # rank over top-k limited keys
     "vocab_encode_docs",       # ids over top-V vocabulary head
     "bh_fdr_events",           # BH rank over per-hypothesis battery (m rows)
+    "vocab_coverage_docs",     # ranks over the limit(10k) vocabulary head
 }
 
 
