@@ -481,9 +481,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes_src.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))
     sb = sizes_src.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))
+    # no broadcast hint: sizes is per-DOC (fact-proportional) — a forced
+    # broadcast OOMs the driver at corpus scale; AQE still auto-picks
+    # broadcast when the table is genuinely small
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("_common")
