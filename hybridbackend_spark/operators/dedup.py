@@ -504,6 +504,7 @@ def prefix_setsim_join(
     tau_num: int = 1,
     tau_den: int = 2,
     max_prefix_bucket: int = 20_000,
+    strategy: str = "auto",
 ) -> DataFrame:
     """EXACT-threshold set-similarity self-join (token-set Jaccard >=
     tau_num/tau_den) via PPJoin prefix filtering — the scalable exact
@@ -543,50 +544,109 @@ def prefix_setsim_join(
     integer verify ``i*(d+n) >= n*(|A|+|B|)`` keeps the result EQUAL
     to brute force — no float thresholds.)
 
-    Scale shape at 100 TB: enumeration cost is sum over prefix-token
-    buckets of C(bucket, 2) — bounded for natural shingle units (rare
-    first keeps buckets thin) and GUARDED, not assumed:
-    ``max_prefix_bucket`` raises on boilerplate-shingle corpora (a
-    shared shingle in >20k docs means quadratic enumeration on that
-    bucket in ANY prefix scheme — dedup boilerplate first, use a
-    larger shingle unit, or raise the cap deliberately). No stage is
-    all-pairs. Reference parity: the reference has no set-similarity
-    join; this is north-star corpus-curation surface (Chaudhuri et
-    al. '06 prefix filter, Xiao et al. '08 PPJoin).
+    TWO exact strategies, regime-matched (``strategy="auto"`` picks by
+    tau; both return identical results — the difference is the plan):
+
+    - ``"index"`` (auto for tau < 0.7): intersection counts straight
+      off the full inverted index — ``a JOIN b USING (token)`` grouped
+      per pair with map-side combine; shuffle = one (id, id, count) row
+      per co-shingle pair, no arrays, no candidate stage. At low tau
+      the prefix is ~half of every set anyway, so prefix filtering
+      saves little while its array verify ships every candidate's
+      token arrays: the round-8 100x tier measured the prefix path at
+      16.8 GB shuffled / 14 GB spilled for 500k docs where the index
+      path ships <1 GB.
+    - ``"prefix"`` (auto for tau >= 0.7): PPJoin — short rare-token
+      prefixes generate candidates even when the FULL index has fat
+      buckets; in-join length+positional filters prune; verify via
+      ``size(array_intersect(A, B))`` per surviving pair (never the
+      pair x tokens explode, which the 100x tier caught sorting ~1.7B
+      intermediate rows and spilling the disk full).
+
+    Scale shape at 100 TB: enumeration cost is sum over index-token
+    buckets of C(bucket, 2) — bounded for natural shingle units and
+    GUARDED, not assumed: ``max_prefix_bucket`` raises on
+    boilerplate-shingle corpora (a shared shingle in >20k docs means
+    quadratic enumeration on that bucket in EITHER scheme — dedup
+    boilerplate first, use a larger shingle unit, or raise the cap
+    deliberately). No stage is all-pairs. Reference parity: the
+    reference has no set-similarity join; this is north-star
+    corpus-curation surface (Chaudhuri et al. '06 prefix filter,
+    Xiao et al. '08 PPJoin).
     """
     n, d = tau_num, tau_den
     if not 0 < n <= d:
         raise ValueError(f"need 0 < tau_num <= tau_den, got {n}/{d}")
+    if strategy not in ("auto", "prefix", "index"):
+        raise ValueError("strategy must be auto|prefix|index")
+    if strategy == "auto":
+        strategy = "prefix" if 10 * n >= 7 * d else "index"
     tok = (
         df.select(F.col(id_col), F.explode(tokens_col).alias("_t"))
         .distinct()
     )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+
+    def _bucket_guard(index_df, what: str) -> None:
+        biggest = (
+            index_df.groupBy("_t")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.max("_c").alias("_mx"))
+            .collect()[0]["_mx"]
+        )
+        if biggest is not None and biggest > max_prefix_bucket:
+            raise ValueError(
+                f"a {what} token occurs in {biggest} documents > "
+                f"max_prefix_bucket={max_prefix_bucket}: candidate "
+                "enumeration is quadratic in that bucket. Dedup "
+                "boilerplate first, use a larger shingle unit, or raise "
+                "the cap deliberately."
+            )
+
+    if strategy == "index":
+        _bucket_guard(tok, "shingle-index")
+        ia = tok.select(F.col(id_col).alias("id_a"), "_t")
+        ib = tok.select(F.col(id_col).alias("id_b"), "_t")
+        inter = (
+            ia.join(ib, "_t")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter_sz"))
+        )
+        saj = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa")
+        )
+        sbj = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb")
+        )
+        return (
+            inter.join(saj, "id_a")
+            .join(sbj, "id_b")
+            .filter(
+                F.col("inter_sz") * (d + n)
+                >= n * (F.col("_sa") + F.col("_sb"))
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.col("inter_sz").cast("long").alias("inter_sz"),
+                (F.col("_sa") + F.col("_sb") - F.col("inter_sz"))
+                .cast("long")
+                .alias("union_sz"),
+            )
+        )
+
     dfreq = tok.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     ranked = tok.join(dfreq, "_t").withColumn(
         "_rk",
         F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "_t")),
     )
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     # prefix length |A| - ceil(tau*|A|) + 1, all integer arithmetic
     pref = ranked.join(sizes, id_col).filter(
         F.col("_rk")
         <= F.expr(f"_sz - (({n} * _sz + {d - 1}) DIV {d}) + 1")
     )
-    # executable fat-bucket guard (one cheap agg, 1-row collect)
-    biggest = (
-        pref.groupBy("_t")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(F.max("_c").alias("_mx"))
-        .collect()[0]["_mx"]
-    )
-    if biggest is not None and biggest > max_prefix_bucket:
-        raise ValueError(
-            f"a prefix token occurs in {biggest} documents > "
-            f"max_prefix_bucket={max_prefix_bucket}: candidate "
-            "enumeration is quadratic in that bucket. Dedup boilerplate "
-            "first, use a larger shingle unit, or raise the cap "
-            "deliberately."
-        )
+    _bucket_guard(pref, "prefix")
     a = pref.select(
         F.col(id_col).alias("id_a"), "_t",
         F.col("_rk").alias("_rka"), F.col("_sz").alias("_sa"),
