@@ -340,6 +340,8 @@ EXTRA = [
     "weighted_quantiles_lineitem",
     "ann_recall_lsh_docs",
     "vocab_coverage_docs",
+    "decontaminate_spans_docs",
+    "token_fertility_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the

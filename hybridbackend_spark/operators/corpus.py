@@ -61,6 +61,7 @@ __all__ = [
     "distribution_drift",
     "dup_ngram_coverage",
     "uniform_sample_exact",
+    "decontaminate_spans",
 ]
 
 
@@ -1855,4 +1856,76 @@ def uniform_sample_exact(
         surv.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_n", "_hv")
+    )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    dp: int = 6,
+) -> DataFrame:
+    """SPAN-level train/eval decontamination accounting — the standard
+    n-gram overlap removal protocol (GPT-3 appendix C / PaLM-style):
+    every position where a corpus document's n-gram also occurs in the
+    eval set marks its n tokens as contaminated; the union of those
+    windows is what the cleaning pass would excise. Document-level
+    flags (:func:`~..operators.dedup.contamination_check`) tell you
+    WHICH docs overlap; this tells you HOW MUCH of each doc is
+    removable — the number that decides "drop the doc" vs "cut the
+    spans".
+
+    Scale shape: eval n-grams are ONE distinct set, broadcast; the
+    corpus makes a single positional-shingle pass (posexplode) into
+    the broadcast join; covered-token counting explodes only HIT
+    windows (n rows per hit). No corpus shuffle before the match
+    filter, no pairwise stage.
+
+    Returns per corpus doc: (id, n_tokens, n_gram_hits,
+    n_tokens_covered, frac_covered) — every corpus doc reported,
+    zero-filled when clean.
+    """
+    toked = corpus.select(
+        F.col(id_col).alias("_id"), tokens(_c(text_col)).alias("_toks")
+    )
+    ev_grams = (
+        eval_df.select(
+            F.explode(word_shingles(_c(text_col), n)).alias("_g")
+        )
+        .distinct()
+    )
+    posgrams = toked.select(
+        "_id",
+        F.posexplode(word_shingles_list(F.col("_toks"), n)).alias(
+            "_p", "_g"
+        ),
+    )
+    hits = posgrams.join(F.broadcast(ev_grams), "_g").select("_id", "_p")
+    cov = (
+        hits.withColumn(
+            "_cp", F.explode(F.sequence(F.col("_p"), F.col("_p") + n - 1))
+        )
+        .groupBy("_id")
+        .agg(
+            F.countDistinct("_p").alias("n_gram_hits"),
+            F.countDistinct("_cp").alias("n_tokens_covered"),
+        )
+    )
+    base = toked.select("_id", F.size("_toks").alias("n_tokens"))
+    out = base.join(cov, "_id", "left")
+    nh = F.coalesce(F.col("n_gram_hits"), F.lit(0))
+    nc = F.coalesce(F.col("n_tokens_covered"), F.lit(0))
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nh.cast("long").alias("n_gram_hits"),
+        nc.cast("long").alias("n_tokens_covered"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(nc.cast("double") / F.col("n_tokens"), dp),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_covered"),
     )

@@ -756,18 +756,20 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-8 window (tools/plan_window.py --new <additions> --stale 45):
-    # the 5 round-8 additions, then the 45 STALEST previously-verified
+    # Round-8 window (tools/plan_window.py --new <additions> --stale 43):
+    # the 7 round-8 additions, then the 43 STALEST previously-verified
     # queries whose function/helper/module dependencies CHANGED since
     # the commit that recorded their last green driver row (git-diff
     # based; round-7 verdict item 2 — re-verification rotation against
-    # engine/source drift; most were last proven in r02-r03 against a
-    # Spark build that has since changed once).
+    # engine/source drift; most were last proven in r02 against a Spark
+    # build that has since changed once).
     "dup_ngram_coverage_docs",
     "uniform_sample_events",
     "weighted_quantiles_lineitem",
     "ann_recall_lsh_docs",
     "vocab_coverage_docs",
+    "decontaminate_spans_docs",
+    "token_fertility_docs",
     "distinct_counts",
     "topk_orders_per_customer",
     "lookup_join_dedup",
@@ -811,8 +813,6 @@ _DRIVER_WINDOW_FIRST = [
     "minhash_lsh_dedup_docs",
     "simhash_docs",
     "cosine_near_dup_bucketed",
-    "cosine_topk_lsh_docs",
-    "cosine_topk_ivf_docs",
 ]
 
 
@@ -15239,4 +15239,117 @@ def vocab_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("_total").cast("double"),
             6,
         ).alias("coverage"),
+    )
+
+
+@register(
+    "decontaminate_spans_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    pos AS (
+      SELECT doc_id, u.i AS p,
+             concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS g
+      FROM t CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0)))
+             u(i)
+      WHERE len(w) >= 3
+    ),
+    evg AS (SELECT DISTINCT g FROM pos WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT p.doc_id, p.p FROM pos p JOIN evg USING (g)
+      WHERE p.doc_id % 10 <> 0
+    ),
+    cov AS (
+      SELECT doc_id, count(DISTINCT p)::BIGINT AS n_gram_hits,
+             count(DISTINCT c.cp)::BIGINT AS n_tokens_covered
+      FROM hits CROSS JOIN unnest(generate_series(hits.p, hits.p + 2)) c(cp)
+      GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT doc_id, len(w)::BIGINT AS n_tokens FROM t
+      WHERE doc_id % 10 <> 0
+    )
+    SELECT corpus.doc_id, n_tokens,
+           coalesce(n_gram_hits, 0) AS n_gram_hits,
+           coalesce(n_tokens_covered, 0) AS n_tokens_covered,
+           round(CASE WHEN n_tokens > 0
+                      THEN coalesce(n_tokens_covered, 0)::DOUBLE / n_tokens
+                      ELSE 0.0 END, 6) AS frac_covered
+    FROM corpus LEFT JOIN cov USING (doc_id)
+    """,
+)
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination accounting vs the eval split (every
+    10th doc): per corpus doc, how many word-3-gram positions hit the
+    eval set and how many tokens the union of those windows covers —
+    the drop-the-doc vs cut-the-spans decision input (GPT-3 appendix C
+    protocol). Eval grams broadcast; positional shingles are one
+    map-side pass. See operators/corpus.py::decontaminate_spans."""
+    from .operators.corpus import decontaminate_spans
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    cp = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate_spans(cp, ev, "text", "doc_id", n=3)
+
+
+@register(
+    "token_fertility_docs",
+    """
+    WITH t AS (
+      SELECT lang, trim(text) AS tx,
+             string_split_regex(lower(trim(text)), '\\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    per AS (
+      SELECT lang,
+             len(w)::BIGINT AS ws_tokens,
+             (len(list_filter(string_split_regex(tx, '[^\\w]+'),
+                              x -> length(x) > 0))
+              + length(regexp_replace(tx, '[\\w\\s]', '', 'g')))::BIGINT
+               AS bpe_tokens,
+             length(tx)::BIGINT AS n_chars
+      FROM t
+    )
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           round(sum(bpe_tokens)::DOUBLE / sum(ws_tokens), 6) AS fertility,
+           round(sum(n_chars)::DOUBLE / sum(bpe_tokens), 6)
+             AS chars_per_token
+    FROM per GROUP BY lang
+    """,
+)
+def token_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-proxy tokens per
+    whitespace word (the fertility metric tokenizer designers track per
+    language — high fertility = the language pays more sequence length
+    per word) plus characters per token. Pure expressions over one
+    scan; exact BIGINT sums, two final divisions."""
+    from .operators.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    per = docs.select(
+        "lang",
+        token_count("text").alias("_ws"),
+        bpe_ish_token_count("text").alias("_bpe"),
+        F.length(F.trim(F.col("text"))).alias("_ch"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ws").cast("long").alias("ws_tokens"),
+        F.sum("_bpe").cast("long").alias("bpe_tokens"),
+        F.round(
+            F.sum("_bpe").cast("double") / F.sum("_ws").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("_ch").cast("double") / F.sum("_bpe").cast("double"), 6
+        ).alias("chars_per_token"),
     )

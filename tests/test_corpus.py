@@ -1018,3 +1018,31 @@ def test_uniform_sample_exact_selection_and_guard(spark):
         uniform_sample_exact(
             df, "event_type", "event_id", k=50, oversample=0.1
         )
+
+
+def test_decontaminate_spans_window_union(spark):
+    """Covered-token counting is the UNION of hit windows (overlapping
+    hits don't double-count); clean docs report zero-filled rows."""
+    from hybridbackend_spark.operators.corpus import decontaminate_spans
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # hits at positions 0 and 1 (overlapping windows) ->
+            # covered = union([0,2], [1,3]) = 4 tokens of 6
+            (1, "alpha beta gamma delta zz yy"),
+            (2, "totally clean text here"),
+            (3, "xx"),  # shorter than n: no grams, zero row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate_spans(
+        corpus, ev, "text", "doc_id", n=3).collect()}
+    assert len(got) == 3
+    assert (got[1].n_gram_hits, got[1].n_tokens_covered) == (2, 4)
+    assert got[1].frac_covered == round(4 / 6, 6)
+    assert (got[2].n_gram_hits, got[2].n_tokens_covered,
+            got[2].frac_covered) == (0, 0, 0.0)
+    assert (got[3].n_tokens, got[3].n_gram_hits) == (1, 0)
