@@ -464,7 +464,13 @@ def main() -> None:
         tag = os.path.basename(os.path.normpath(sf_dir))
         out = os.path.join(tempfile.gettempdir(), f"hb_bench_stream_{tag}")
         marker = os.path.join(out, "_READY")
-        if os.path.exists(marker):
+        src_ev = os.path.join(sf_dir, "events.parquet")
+        # serve the cache only if it is newer than the source fixture —
+        # a regenerated events.parquet with the same tag must rebuild
+        # (same staleness class jsonl_scan_docs fixed via mtime).
+        if os.path.exists(marker) and os.path.getmtime(
+            marker
+        ) >= os.path.getmtime(src_ev):
             return out
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)

@@ -2114,10 +2114,27 @@ def weighted_quantiles(
     by distinct values on the scale grid), never the raw rows; the only
     fact-sized pass is the partial-agg histogram build.
 
+    Weights must be non-negative (a negative weight silently corrupts
+    the cumulative selection — guarded with an executable raise); they
+    are ROUNDED to the nearest integer before the BIGINT cast so
+    fractional weights agree with ANSI CAST semantics (DuckDB rounds,
+    Spark's bare cast truncates toward zero). Zero-weight rows are
+    harmless: they add no mass and can never be uniquely selected.
+
     Returns (group, total_weight, wp25, wp50, wp75) on the value scale.
     """
     v = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    w = F.col(weight_col).cast("long")
+    wr = F.round(F.col(weight_col).cast("double")).cast("long")
+    w = F.when(
+        wr < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_quantiles: negative weight "),
+                wr.cast("string"),
+                F.lit(f" in column {weight_col!r}"),
+            )
+        ).cast("long"),
+    ).otherwise(wr)
     hist = (
         df.select(F.col(group_col).alias("_g"), v.alias("_v"), w.alias("_w"))
         .filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())

@@ -1819,10 +1819,14 @@ def uniform_sample_exact(
     Scale path: a hash THRESHOLD pre-filter keeps ~``oversample * k``
     expected survivors per key before the rank window, so the per-key
     sort never sees the raw fact table. The pre-filter is
-    exactness-GUARDED, not assumed: per-key survivor counts (one
-    bounded collect, <= #keys rows — keys are dimension-like by
-    contract) must cover min(k, n) or this raises rather than silently
-    returning a biased sample.
+    exactness-GUARDED, not assumed: survivor counts are LEFT-joined
+    against the full per-key counts (so a key whose rows were ALL
+    dropped by the pre-filter still fails the check instead of
+    vanishing from the output), the violation test is a distributed
+    filter, and the driver collects at most one offending row for the
+    error message — O(1) driver data regardless of key cardinality.
+    Under-coverage raises rather than silently returning a biased
+    sample.
 
     Returns the sampled rows (all original columns) plus ``_rn`` (the
     1-based hash rank within the key).
@@ -1840,17 +1844,25 @@ def uniform_sample_exact(
     surv = joined.filter(
         F.col("_hv").cast("double") < frac * F.lit(float(16 ** 8))
     )
-    chk = (
-        surv.groupBy(key_col, "_n")
-        .agg(F.count(F.lit(1)).alias("_s"))
-        .collect()
+    surv_cnt = surv.groupBy(key_col).agg(F.count(F.lit(1)).alias("_s"))
+    bad = (
+        n_per.join(surv_cnt, key_col, "left")
+        .select(
+            key_col,
+            "_n",
+            F.coalesce(F.col("_s"), F.lit(0)).alias("_s"),
+        )
+        .filter(F.col("_s") < F.least(F.lit(k), F.col("_n")))
     )
-    for r in chk:
-        if r["_s"] < min(k, r["_n"]):
-            raise ValueError(
-                f"hash pre-filter kept {r['_s']} < min(k={k}, n={r['_n']}) "
-                f"rows for key {r[key_col]!r}; raise the oversample factor"
-            )
+    offender = bad.limit(1).collect()
+    if offender:
+        r = offender[0]
+        n_bad = bad.agg(F.count(F.lit(1)).alias("_c")).collect()[0]["_c"]
+        raise ValueError(
+            f"hash pre-filter under-covered {n_bad} key(s): e.g. key "
+            f"{r[key_col]!r} kept {r['_s']} < min(k={k}, n={r['_n']}) "
+            "rows; raise the oversample factor"
+        )
     w = Window.partitionBy(key_col).orderBy("_hv", id_col)
     return (
         surv.withColumn("_rn", F.row_number().over(w))

@@ -55,6 +55,14 @@ def narrow_uint64(
     """
     from pyspark.sql import types as T
 
+    if columns is not None:
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"narrow_uint64: column(s) {missing!r} not in schema "
+                f"{df.columns!r} — a typo here would silently skip the "
+                "narrowing"
+            )
     out = df
     for sf_ in df.schema.fields:
         if columns is not None and sf_.name not in columns:

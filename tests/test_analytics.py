@@ -1471,3 +1471,27 @@ def test_weighted_quantiles_matches_python(spark):
     # lower rule: cum(10.0)=5, 2*5 >= 10 -> wp50 = 10.0
     assert got["h"].wp50 == 10.0
     assert got["h"].wp75 == 20.0
+
+
+def test_weighted_quantiles_weight_rounding_and_negative_guard(spark):
+    """Fractional weights ROUND before the BIGINT cast (ANSI/DuckDB
+    CAST semantics — Spark's bare cast would truncate 2.6 -> 2);
+    negative weights raise instead of silently corrupting the
+    cumulative selection; zero weights are inert."""
+    import pytest
+
+    from hybridbackend_spark.operators.analytics import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 2.6), ("g", 2.0, 0.4), ("g", 3.0, 0.0)],
+        "g string, v double, w double",
+    )
+    row = weighted_quantiles(df, "g", "v", "w").collect()[0]
+    # 2.6 -> 3, 0.4 -> 0, 0.0 -> 0: total 3, median = 1.0
+    assert row.total_weight == 3 and row.wp50 == 1.0
+
+    neg = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 2.0, -1.0)], "g string, v double, w double"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_quantiles(neg, "g", "v", "w").collect()

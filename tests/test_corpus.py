@@ -1014,9 +1014,17 @@ def test_uniform_sample_exact_selection_and_guard(spark):
     assert sorted(by_key["b"]) == ref([10_000 + i for i in range(30)], 50)
     assert len(by_key["b"]) == 30  # n <= k: every row kept
     # oversample too small -> expected survivors << k -> guard fires
-    with pytest.raises(ValueError, match="pre-filter kept"):
+    with pytest.raises(ValueError, match="under-covered"):
         uniform_sample_exact(
             df, "event_type", "event_id", k=50, oversample=0.1
+        )
+    # a key whose rows were ALL dropped by the hash pre-filter must
+    # fail the guard too (left-join against full per-key counts), not
+    # silently vanish from the output: frac = 1e-6/2000 drops every
+    # 'a' row (md5 ranks are deterministic, so this never flakes)
+    with pytest.raises(ValueError, match="under-covered"):
+        uniform_sample_exact(
+            df, "event_type", "event_id", k=1, oversample=1e-6
         )
 
 

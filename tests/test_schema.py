@@ -103,6 +103,11 @@ def test_narrow_uint64_roundtrip(spark, tmp_path):
     ].dataType == T.StringType()
     with pytest.raises(ValueError):
         narrow_uint64(dec.withColumn("s", dec.id.cast("string")), columns=["s"])
+    # a typo'd column name raises instead of silently skipping the
+    # narrowing (the wrong-type case above already raised; this pins
+    # the missing-name case to the same contract)
+    with pytest.raises(ValueError, match="not in schema"):
+        narrow_uint64(dec, columns=["idd"])
 
     bad = str(tmp_path / "bad.parquet")
     pq.write_table(
