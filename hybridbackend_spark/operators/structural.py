@@ -113,6 +113,12 @@ def seeded_shuffle(df: DataFrame, seed: int, partitions: int | None = None) -> D
     row content with a seed gives the same order regardless of input split
     planning — reproducible across cluster sizes. One shuffle (range
     partition + sort), AQE-friendly.
+
+    Epoch reshuffle (reference ``reshuffle_each_iteration``,
+    ``data/rebatch/rebatch_dataset_v2.cc:46-88``): pass a per-epoch seed,
+    e.g. ``seeded_shuffle(df, seed=base_seed + epoch)`` — each epoch gets
+    an independent order, and any epoch is exactly reproducible from
+    ``(base_seed, epoch)`` alone (no driver-side RNG state to checkpoint).
     """
     cols = [F.col(c) for c in df.columns]
     out = df.orderBy(F.xxhash64(*cols, F.lit(seed)))

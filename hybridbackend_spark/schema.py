@@ -88,7 +88,8 @@ class Field:
     @property
     def spark_type(self) -> T.DataType:
         dt: T.DataType = _DTYPE_TO_SPARK[self.dtype]
-        levels = self.ragged_rank if self.ragged_rank > 0 else (1 if self.shape else 0)
+        # each fixed dim is one ArrayType level (shape=(2,3) -> 2 levels)
+        levels = self.ragged_rank if self.ragged_rank > 0 else len(self.shape)
         for _ in range(levels):
             dt = T.ArrayType(dt)
         return dt
@@ -138,12 +139,28 @@ def infer_fields(path: str) -> list[Field]:
     fields = []
     for name in ds.schema.names:
         at = ds.schema.field(name).type
+        # Walk the nesting: a column whose levels are ALL fixed_size_list
+        # carries a declared fixed shape (restored from the ARROW:schema
+        # footer metadata) -> rank 0 + shape dims, the reference's
+        # fixed-length-list field class. Any variable-length level makes
+        # the whole nesting ragged (a ragged-of-fixed has no whole-column
+        # length invariant, and Field forbids mixing rank with shape).
+        dims: list[int] = []
         rank = 0
-        while pa.types.is_list(at) or pa.types.is_large_list(at):
-            rank += 1
-            at = at.value_type
+        while True:
+            if pa.types.is_fixed_size_list(at):
+                dims.append(at.list_size)
+                at = at.value_type
+            elif pa.types.is_list(at) or pa.types.is_large_list(at):
+                rank += 1
+                at = at.value_type
+            else:
+                break
         dtype = _arrow_dtype_name(at)
-        fields.append(Field(name, dtype, ragged_rank=rank))
+        if rank:
+            fields.append(Field(name, dtype, ragged_rank=rank + len(dims)))
+        else:
+            fields.append(Field(name, dtype, shape=tuple(dims)))
     return fields
 
 
@@ -191,18 +208,31 @@ def merge_fields(
             continue
         # A declared fixed shape is a length invariant over a list column:
         # both render as ArrayType, so shape=(k,) matches a rank-1 file.
-        eff_rank = 1 if (f.ragged_rank == 0 and f.shape) else f.ragged_rank
-        if found.dtype != f.dtype or found.ragged_rank != eff_rank:
+        # Files can themselves declare a shape (fixed_size_list footer
+        # types infer as rank 0 + shape) — compare effective array levels,
+        # and when BOTH sides declare a shape it must match exactly.
+        def _levels(fld: Field) -> int:
+            if fld.ragged_rank == 0 and fld.shape:
+                return len(fld.shape)
+            return fld.ragged_rank
+
+        if found.dtype != f.dtype or _levels(found) != _levels(f):
             raise SchemaMismatchError(
-                f"field {f.name!r}: declared ({f.dtype}, rank={eff_rank}) "
-                f"!= file ({found.dtype}, rank={found.ragged_rank})"
+                f"field {f.name!r}: declared ({f.dtype}, levels={_levels(f)}) "
+                f"!= file ({found.dtype}, levels={_levels(found)})"
+            )
+        if f.shape and found.shape and f.shape != found.shape:
+            raise SchemaMismatchError(
+                f"field {f.name!r}: declared shape {f.shape} != file "
+                f"fixed shape {found.shape}"
             )
         # Keep declared extras (shape invariant, default) with file identity;
-        # a shape-carrying field keeps its declared rank 0 (shape implies
-        # the ArrayType level).
-        rank = f.ragged_rank if f.shape else found.ragged_rank
+        # a shape (declared, else the file's own fixed shape) implies the
+        # ArrayType levels, so the merged rank is 0.
+        shape = f.shape or found.shape
+        rank = 0 if shape else found.ragged_rank
         merged.append(
-            Field(found.name, found.dtype, rank, f.shape, f.default_value)
+            Field(found.name, found.dtype, rank, shape, f.default_value)
         )
     return merged
 
@@ -210,8 +240,11 @@ def merge_fields(
 def validate_files(paths: Iterable[str], strict: bool = False) -> list[str]:
     """Cross-file schema consistency check (reference ``hb.data.validate``
     CLI, ``data/validate.py:40-75``): every file must agree on column
-    names, dtypes, and ragged ranks. Returns a list of human-readable
-    problems (empty == consistent)."""
+    names, dtypes, ragged ranks, AND declared fixed shapes (the reference
+    raises on cross-file ``field.shape`` mismatch at
+    ``data/validate.py:68-71``; shapes come from fixed_size_list footer
+    types here). Returns a list of human-readable problems (empty ==
+    consistent)."""
     problems: list[str] = []
     baseline: dict[str, Field] | None = None
     base_path = ""
@@ -228,6 +261,11 @@ def validate_files(paths: Iterable[str], strict: bool = False) -> list[str]:
                 problems.append(
                     f"{name!r}: ({a.dtype},rank={a.ragged_rank}) in {base_path} vs "
                     f"({b.dtype},rank={b.ragged_rank}) in {p}"
+                )
+            elif a.shape != b.shape:
+                problems.append(
+                    f"{name!r}: shape={a.shape or '()'} in {base_path} vs "
+                    f"shape={b.shape or '()'} in {p}"
                 )
     if strict and baseline:
         pass  # null-freedom cannot be read from footers alone; checked on scan

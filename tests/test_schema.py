@@ -62,6 +62,52 @@ def test_validate_files(sf_dir):
     assert len(validate_files(diff)) > 0
 
 
+def test_validate_files_shape_mismatch(tmp_path):
+    """Reference CLI parity (data/validate.py:68-71): two files agreeing
+    on name/dtype/rank but differing in DECLARED FIXED SHAPE
+    (fixed_size_list footer type) must produce a problem line; a
+    fixed-vs-ragged list difference reports as a rank problem."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, typ, data):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({"e": pa.array(data, type=typ)}), p)
+        return p
+
+    f2 = w("f2.parquet", pa.list_(pa.float32(), 2), [[1.0, 2.0]])
+    f3 = w("f3.parquet", pa.list_(pa.float32(), 3), [[1.0, 2.0, 3.0]])
+    rag = w("rag.parquet", pa.list_(pa.float32()), [[1.0, 2.0]])
+
+    assert validate_files([f2, f2]) == []
+    probs = validate_files([f2, f3])
+    assert len(probs) == 1 and "shape" in probs[0]
+    # fixed (rank 0 + shape) vs ragged (rank 1) surfaces as rank
+    assert any("rank" in p for p in validate_files([f2, rag]))
+    # inference: fixed_size_list -> rank 0 + shape dims
+    fld = infer_fields(f2)[0]
+    assert (fld.ragged_rank, fld.shape, fld.dtype) == (0, (2,), "float32")
+
+
+def test_merge_fields_file_declared_shape(tmp_path):
+    """A file whose footer declares a fixed shape merges with a declared
+    shape=(k,) field (both are one array level); a conflicting declared
+    shape raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(
+        pa.table({"e": pa.array([[1.0, 2.0]], type=pa.list_(pa.float32(), 2))}),
+        p,
+    )
+    inferred = infer_fields(p)
+    merged = merge_fields([Field("e", "float32", shape=(2,))], inferred)
+    assert merged[0].shape == (2,)
+    with pytest.raises(SchemaMismatchError, match="shape"):
+        merge_fields([Field("e", "float32", shape=(3,))], inferred)
+
+
 def test_validate_cli_main(sf_dir, capsys):
     from hybridbackend_spark.sources.validate import main
 

@@ -53,6 +53,23 @@ def test_seeded_shuffle_deterministic(spark):
     assert a != c
 
 
+def test_seeded_shuffle_epoch_reshuffle(spark):
+    """reshuffle_each_iteration parity (reference
+    data/rebatch/rebatch_dataset_v2.cc:46-88): seed = base + epoch gives
+    every epoch an independent order, while the SAME epoch replays the
+    identical order — reproducible without driver RNG state."""
+    df, base = spark.range(200), 1234
+    epochs = [
+        [r[0] for r in seeded_shuffle(df, seed=base + e).collect()]
+        for e in range(3)
+    ]
+    assert len({tuple(o) for o in epochs}) == 3  # all epochs differ
+    for e, order in enumerate(epochs):  # each epoch replays exactly
+        replay = [r[0] for r in seeded_shuffle(df, seed=base + e).collect()]
+        assert replay == order
+        assert sorted(order) == list(range(200))  # a permutation, no loss
+
+
 def test_with_batch_id(spark):
     df = spark.range(10)
     out = with_batch_id(df, 4, order_by=["id"])
