@@ -4,8 +4,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
 Per query: one untimed warm-up (JIT/codegen/footer caches), then REPS timed
-runs, MINIMUM reported (this host shows intermittent multi-second stalls
-under sustained load; min-of-reps recovers the true cost). Also reports scan throughput (rows/sec) on the three
+runs INTERLEAVED round-robin across the query set (rep 1 of every query,
+then rep 2, ... — back-to-back reps would put all of one query's samples
+into the same throttle regime of this drifting host), MINIMUM reported
+(intermittent multi-second stalls under sustained load; min-of-reps
+recovers the true cost) with per-query min/med/max spread recorded in
+BENCH.json. Also reports scan throughput (rows/sec) on the three
 shapes the reference's data_benchmark_parquet.py exercises (int64 scalar
 table, ragged float-array table, string table).
 """
@@ -407,52 +411,82 @@ def main() -> None:
     # setup-bound; this makes that mechanical (round-7 verdict item 4).
     stream_split: dict[str, dict] = {}
 
-    def _time_one(name: str, fn, reps: int, at_dir: str | None = None) -> float:
+    def _capture_stream_split(name: str, wall_sec_min: float) -> None:
+        runs = list(_sops.RUN_LOG)  # the final rep's stream exec(s)
+        _sops.RUN_LOG.clear()
+        setup_ms = sum(r["batches"][0][1] for r in runs if r["batches"])
+        steady = [ms for r in runs for _, ms in r["batches"][1:]]
+        stream_split[name] = {
+            "setup_sec": round(setup_ms / 1000.0, 3),
+            "steady_sec_per_batch": (
+                round(sum(steady) / len(steady) / 1000.0, 3)
+                if steady
+                else None
+            ),
+            "n_batches": sum(len(r["batches"]) for r in runs),
+            "n_streams": len(runs),
+            "wall_sec": round(wall_sec_min, 3),
+        }
+
+    def _time_interleaved(
+        names: list[str], reps: int, at_dir: str | None = None
+    ) -> tuple[dict[str, float], dict[str, dict]]:
+        """Round-robin the timed reps ACROSS queries (rep 1 of every
+        query, then rep 2 of every query, ...) instead of back-to-back
+        per query: this host's throttle drifts over minutes, and
+        back-to-back reps put all of one query's samples into the same
+        throttle regime — the round-8 verdict measured a ±20%
+        scan-normalized swing that made per-query moves unattributable.
+        Interleaving spreads each query's samples across the whole run,
+        and the per-query spread (min/med/max) is recorded so a noisy
+        reading is VISIBLE as one instead of masquerading as a
+        regression. Returns ({name: min_sec or -1}, {name: spread})."""
         d = at_dir or sf_dir
-        _run_noop(fn(spark, d))  # warm-up, untimed
-        times = []
+        times: dict[str, list[float]] = {}
+        for name in names:  # warm-up pass, untimed
+            try:
+                _run_noop(queries[name](spark, d))
+                times[name] = []
+            except Exception as e:  # keep the bench line parseable
+                times[name] = [-1.0]
+                print(f"bench error in {name}: {e}", file=sys.stderr)
         for i in range(reps):
-            if i == reps - 1:
-                _sops.RUN_LOG.clear()
-            t0 = time.perf_counter()
-            _run_noop(fn(spark, d))
-            times.append(time.perf_counter() - t0)
-        if _sops.RUN_LOG:
-            runs = list(_sops.RUN_LOG)  # the final rep's stream exec(s)
-            _sops.RUN_LOG.clear()
-            setup_ms = sum(r["batches"][0][1] for r in runs if r["batches"])
-            steady = [ms for r in runs for _, ms in r["batches"][1:]]
-            stream_split[name] = {
-                "setup_sec": round(setup_ms / 1000.0, 3),
-                "steady_sec_per_batch": (
-                    round(sum(steady) / len(steady) / 1000.0, 3)
-                    if steady
-                    else None
-                ),
-                "n_batches": sum(len(r["batches"]) for r in runs),
-                "n_streams": len(runs),
-                "wall_sec": round(min(times), 3),
+            last = i == reps - 1
+            for name in names:
+                if times[name] and times[name][0] < 0:
+                    continue  # errored earlier; don't retry
+                if last:
+                    _sops.RUN_LOG.clear()
+                try:
+                    t0 = time.perf_counter()
+                    _run_noop(queries[name](spark, d))
+                    times[name].append(time.perf_counter() - t0)
+                except Exception as e:
+                    times[name] = [-1.0]
+                    print(f"bench error in {name}: {e}", file=sys.stderr)
+                    continue
+                if last and _sops.RUN_LOG:
+                    _capture_stream_split(name, min(times[name]))
+        mins: dict[str, float] = {}
+        spread: dict[str, dict[str, float]] = {}
+        for name, ts in times.items():
+            if not ts or ts[0] < 0:
+                mins[name] = -1.0
+                continue
+            st = sorted(ts)
+            mins[name] = round(st[0], 3)
+            spread[name] = {
+                "min": round(st[0], 3),
+                "med": round(st[len(st) // 2], 3),
+                "max": round(st[-1], 3),
             }
-        return round(min(times), 3)
+        return mins, spread
 
     per_query: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     if "headline" in SETS:
-        for name in HEADLINE:
-            try:
-                per_query[name] = _time_one(name, queries[name], REPS)
-            except Exception as e:  # keep the bench line parseable
-                per_query[name] = -1.0
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-
-    def _time_set(names: list[str], reps: int) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            try:
-                out[name] = _time_one(name, queries[name], reps)
-            except Exception as e:
-                out[name] = -1.0
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-        return out
+        per_query, s = _time_interleaved(HEADLINE, REPS)
+        spread.update(s)
 
     def _stream_shaped_dir(n_files: int) -> str:
         """Materialize a multi-file, event-time-ordered copy of events
@@ -495,7 +529,10 @@ def main() -> None:
         open(marker, "w").close()
         return out
 
-    extra = _time_set(EXTRA, max(1, REPS // 2)) if "extra" in SETS else {}
+    extra: dict[str, float] = {}
+    if "extra" in SETS:
+        extra, s = _time_interleaved(EXTRA, max(1, REPS // 2))
+        spread.update(s)
 
     # AFTER extra: the single-batch runs above also log 1-batch split
     # rows; the multi-batch evidence below must be what survives.
@@ -503,17 +540,14 @@ def main() -> None:
         sdir = _stream_shaped_dir(STREAM_SPLIT_FILES)
         _sops.DEFAULT_MAX_FILES_PER_TRIGGER = 1
         try:
-            for name in STREAM_SPLIT_QUERIES:
-                try:
-                    _time_one(name, queries[name], max(1, REPS // 2),
-                              at_dir=sdir)
-                except Exception as e:
-                    print(f"bench error in streamsplit {name}: {e}",
-                          file=sys.stderr)
+            _time_interleaved(
+                STREAM_SPLIT_QUERIES, max(1, REPS // 2), at_dir=sdir
+            )
         finally:
             _sops.DEFAULT_MAX_FILES_PER_TRIGGER = None
-    baseline_ops = (
-        _time_set(BASELINE_OPS, 1) if "baseline" in SETS else {}
+    baseline_ops, _ = (
+        _time_interleaved(BASELINE_OPS, 1) if "baseline" in SETS
+        else ({}, {})
     )
 
     # item_similarity / coverage_novelty / association_rules consume a
@@ -569,7 +603,12 @@ def main() -> None:
         {**common,
          "extra_queries_sec": extra,
          "baseline_ops_sec": baseline_ops,
-         "stream_cost_split": stream_split}
+         "stream_cost_split": stream_split,
+         # per-query min/med/max over INTERLEAVED reps — a wide spread
+         # marks a host-noise reading; bench_guard --history flags
+         # per-query min moves >15% scan-normalized between rounds
+         "queries_spread": spread,
+         "rep_order": "interleaved"}
     )
     # The stdout line must stay COMPACT: the driver keeps only a bounded
     # tail of stdout, and round 3 proved that the full per-query map
