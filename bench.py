@@ -416,7 +416,7 @@ def main() -> None:
         _sops.RUN_LOG.clear()
         setup_ms = sum(r["batches"][0][1] for r in runs if r["batches"])
         steady = [ms for r in runs for _, ms in r["batches"][1:]]
-        stream_split[name] = {
+        entry = {
             "setup_sec": round(setup_ms / 1000.0, 3),
             "steady_sec_per_batch": (
                 round(sum(steady) / len(steady) / 1000.0, 3)
@@ -427,6 +427,20 @@ def main() -> None:
             "n_streams": len(runs),
             "wall_sec": round(wall_sec_min, 3),
         }
+        # state-store footprint (rows/bytes per batch from the progress
+        # events): final row count, rows updated per batch, peak bytes —
+        # the 100 TB streaming bottleneck is the state store, so its
+        # growth must be a tracked number, not a guess
+        state = [t for r in runs for t in r.get("state") or []]
+        if state:
+            entry["state_rows_final"] = state[-1][1]
+            entry["state_rows_updated_per_batch"] = round(
+                sum(t[2] for t in state) / len(state), 1
+            )
+            entry["state_mem_peak_mb"] = round(
+                max(t[3] for t in state) / 1e6, 3
+            )
+        stream_split[name] = entry
 
     def _time_interleaved(
         names: list[str], reps: int, at_dir: str | None = None
@@ -539,10 +553,62 @@ def main() -> None:
     if "streamsplit" in SETS:
         sdir = _stream_shaped_dir(STREAM_SPLIT_FILES)
         _sops.DEFAULT_MAX_FILES_PER_TRIGGER = 1
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        rocksdb = (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        )
         try:
             _time_interleaved(
                 STREAM_SPLIT_QUERIES, max(1, REPS // 2), at_dir=sdir
             )
+            # RocksDB arm: same queries, same multi-batch shape, RocksDB
+            # state store (each run uses a FRESH checkpoint, so swapping
+            # the provider between runs is legal). At 100 TB the state
+            # store is the streaming bottleneck; this records which
+            # provider wins per state shape instead of guessing.
+            base = {
+                n: stream_split.get(n) for n in STREAM_SPLIT_QUERIES
+            }
+            default_prov = spark.conf.get(prov_key, None)
+            spark.conf.set(prov_key, rocksdb)
+            try:
+                _time_interleaved(
+                    STREAM_SPLIT_QUERIES, max(1, REPS // 2), at_dir=sdir
+                )
+            finally:
+                if default_prov:
+                    spark.conf.set(prov_key, default_prov)
+                else:
+                    spark.conf.unset(prov_key)
+            for n in STREAM_SPLIT_QUERIES:
+                b, rk = base.get(n), stream_split.get(n)
+                if not b or not rk or rk is b:
+                    continue
+                b["rocksdb"] = {
+                    k: rk[k]
+                    for k in (
+                        "setup_sec",
+                        "steady_sec_per_batch",
+                        "state_rows_final",
+                        "state_mem_peak_mb",
+                    )
+                    if k in rk
+                }
+                sh = b.get("steady_sec_per_batch")
+                sr = rk.get("steady_sec_per_batch")
+                if sh and sr:
+                    win, lo, hi = (
+                        ("default HDFS-backed", sh, sr)
+                        if sh <= sr
+                        else ("RocksDB", sr, sh)
+                    )
+                    b["rec"] = (
+                        f"{win}: {lo:.2f}s/batch steady vs {hi:.2f} — at "
+                        "state >> executor memory RocksDB is the only "
+                        "option; below that the measured winner stands"
+                    )
+                stream_split[n] = b
         finally:
             _sops.DEFAULT_MAX_FILES_PER_TRIGGER = None
     baseline_ops, _ = (

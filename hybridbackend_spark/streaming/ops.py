@@ -252,11 +252,27 @@ def _record_progress(qname: str, q) -> None:
             (p.batchId, (p.durationMs or {}).get("triggerExecution", 0))
             for p in q.recentProgress
         ]
+        # per-batch state-store footprint: at 100 TB the state store,
+        # not the data, is the streaming bottleneck — rows and bytes per
+        # batch make its growth observable (bounded state should plateau
+        # once the watermark starts evicting)
+        state = []
+        for p in q.recentProgress:
+            sops = p.stateOperators or []
+            if sops:
+                state.append(
+                    (
+                        p.batchId,
+                        sum(s.numRowsTotal for s in sops),
+                        sum(s.numRowsUpdated for s in sops),
+                        sum(s.memoryUsedBytes for s in sops),
+                    )
+                )
     except Exception:
         return
     if len(RUN_LOG) >= _RUN_LOG_MAX:
         del RUN_LOG[: _RUN_LOG_MAX // 2]
-    RUN_LOG.append({"name": qname, "batches": batches})
+    RUN_LOG.append({"name": qname, "batches": batches, "state": state})
 
 
 def _output_mode(df: DataFrame) -> str:
