@@ -54,6 +54,7 @@ SKEW_DIR = os.environ.get(
 )
 RUN_100X = os.environ.get("BENCH_SCALE_100X", "1") == "1"
 RUN_SKEW = os.environ.get("BENCH_SCALE_SKEW", "1") == "1"
+RUN_SEMARMS = os.environ.get("BENCH_SCALE_SEMARMS", "1") == "1"
 # comma-separated query subset for iteration (empty = all targets)
 ONLY = {q for q in os.environ.get("BENCH_SCALE_ONLY", "").split(",") if q}
 
@@ -397,6 +398,86 @@ def _bench_skew(spark, probe: ShuffleProbe) -> dict:
             "salt_buckets": 32, "rows": rows}
 
 
+def _bench_semdedup_arms(spark, probe: ShuffleProbe) -> list[dict]:
+    """Round-8 verdict item 3: semantic_dedup's two growth paths,
+    measured head-to-head at the 10x and 100x tiers:
+
+    - arm ``fixedK8_shard250``: the registered query's shape — 8 fixed
+      centroids + ``max_cell_rows=250`` shard cap (linear by FIAT: pairs
+      across shards of an oversized cell go uncompared).
+    - arm ``kPropN_tree``: K ∝ n via hierarchical k-means
+      (``kmeans_train_tree``, k1 = k2 = ceil(sqrt(8 * copies)) so
+      K ≈ 8 * copies) + two-level assignment, NO shard cap — the
+      exact-in-cell-fidelity path where more data buys more cells.
+
+    Each arm records train/dedup wall seconds, shuffle bytes, and the
+    survivor count (the fidelity signal: a coarser quantizer compares
+    fewer cross-cell pairs and keeps more near-dups). Note the synthetic
+    embeddings tiers REPLICATE vectors across copies (ids remapped,
+    values identical) — a duplicate-heavy dedup workload rather than
+    disjoint corpora, identical for both arms."""
+    import math
+
+    from hybridbackend_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_tree,
+    )
+    from hybridbackend_spark.operators.similarity import kmeans_train_tree
+    from hybridbackend_spark.queries import _ivf_centroids
+
+    out = []
+    tiers = [("sf0.1x10", SYN_DIR, COPIES)]
+    if RUN_100X:
+        tiers.append(("sf0.1x100", SYN100_DIR, COPIES_100X))
+    for label, d, copies in tiers:
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = emb.count()
+
+        def timed(arm, k_total, make, train=None):
+            probe.snapshot()
+            t0 = time.perf_counter()
+            extra = {}
+            args = ()
+            if train is not None:
+                args = train()
+                extra["train_sec"] = round(time.perf_counter() - t0, 3)
+                t1 = time.perf_counter()
+            else:
+                t1 = t0
+            survivors = make(*args).count()
+            sec = time.perf_counter() - t1
+            row = {
+                "tier": label, "arm": arm, "rows": n, "k_cells": k_total,
+                "dedup_sec": round(sec, 3), **extra,
+                "total_sec": round(time.perf_counter() - t0, 3),
+                "survivors": survivors, **probe.delta(),
+            }
+            print(f"semdedup {label:10} {arm:16} K={k_total:<5} "
+                  f"{row['total_sec']:8.1f}s surv {survivors:7d} "
+                  f"shufW {row['shuffle_write_mb']:8.1f}MB "
+                  f"spill {row['spill_disk_mb']:6.1f}MB")
+            out.append(row)
+
+        timed(
+            "fixedK8_shard250", 8,
+            lambda: semantic_dedup(
+                emb, "embedding", "vec_id", centroids=_ivf_centroids(),
+                threshold=0.35, max_cell_rows=250,
+            ),
+        )
+        k12 = math.ceil(math.sqrt(8 * copies))
+        timed(
+            "kPropN_tree", k12 * k12,
+            lambda c, s: semantic_dedup_tree(
+                emb, "embedding", "vec_id", c, s, threshold=0.35,
+            ),
+            train=lambda: kmeans_train_tree(
+                emb, "embedding", "vec_id", k1=k12, k2=k12, iters=2
+            ),
+        )
+    return out
+
+
 def main() -> None:
     build = os.environ.get("BENCH_SCALE_REBUILD", "1") == "1"
     if build and os.path.isdir(SYN_DIR):
@@ -500,6 +581,10 @@ def main() -> None:
         result[name] = curve
 
     skew = _bench_skew(spark, probe) if RUN_SKEW else None
+    semarms = (
+        _bench_semdedup_arms(spark, probe) if RUN_SEMARMS and not ONLY
+        else None
+    )
 
     if ONLY:
         # MERGE mode: refresh ONLY the re-measured curves inside the
@@ -533,7 +618,8 @@ def main() -> None:
                            "BENCH_SCALE.json"), "w") as f:
         json.dump({"reps": REPS, "agg": "min", "copies": COPIES,
                    "copies_100x": COPIES_100X if RUN_100X else None,
-                   "curves": result, "skew": skew}, f, indent=2)
+                   "curves": result, "skew": skew,
+                   "semdedup_arms": semarms}, f, indent=2)
     print("wrote BENCH_SCALE.json")
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "prefix_setsim_join",
     "cosine_near_dup_pairs",
     "semantic_dedup",
+    "semantic_dedup_tree",
     "contamination_check",
     "blocked_levenshtein_pairs",
 ]
@@ -956,15 +957,63 @@ def semantic_dedup(
     md5-derived, so an oracle can replay the sub-split bit-for-bit at
     any scale; cells within the bound are untouched (shards == 1).
     """
-    from .graph import connected_components
-    from .similarity import dot, ivf_assign, l2_norm
+    from .similarity import ivf_assign
 
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
+    cells = ivf_assign(v, "_v", centroids, "_cell")
+    return _semantic_dedup_cells(
+        cells, id_col, threshold, n_blocks, max_cell_rows
+    )
+
+
+def semantic_dedup_tree(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    coarse: list[list[float]],
+    sub: dict[int, list[list[float]]],
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the TWO-LEVEL quantizer
+    (:func:`~.similarity.ivf_assign_tree`) — the exact-fidelity growth
+    path where K scales with n: more data buys more cells (bounding
+    in-cell quadratic work by the cell population) instead of the
+    ``max_cell_rows`` shard cap's fidelity trade. Train ``(coarse, sub)``
+    with :func:`~.similarity.kmeans_train_tree`; everything downstream of
+    the assignment (blocked self-join, threshold verify, CC closure,
+    smallest-id survivor) is identical code to :func:`semantic_dedup`."""
+    from .similarity import ivf_assign_tree
+
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cells = ivf_assign_tree(v, "_v", coarse, sub, "_cell")
+    return _semantic_dedup_cells(
+        cells, id_col, threshold, n_blocks, max_cell_rows
+    )
+
+
+def _semantic_dedup_cells(
+    assigned: DataFrame,
+    id_col: str,
+    threshold: float,
+    n_blocks: int,
+    max_cell_rows: int | None,
+) -> DataFrame:
+    """Shared in-cell near-dup pipeline over (id, _v, _cell) rows: hash
+    sub-blocks, optional shard cap, blocked self-join, cosine verify,
+    CC closure, smallest-id survivors (see :func:`semantic_dedup`)."""
+    from .graph import connected_components
+    from .similarity import dot, l2_norm
+
     cells = (
-        ivf_assign(v, "_v", centroids, "_cell")
+        assigned
         .withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
         # norm precomputed ONCE per vector (identical double to the
         # inline form, so scores are unchanged); the pair join would

@@ -21,7 +21,9 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_lsh",
     "ivf_assign",
+    "ivf_assign_tree",
     "kmeans_train",
+    "kmeans_train_tree",
     "quantize_int8",
     "cosine_topk_ivf",
     "pq_random_codebooks",
@@ -380,6 +382,151 @@ def kmeans_train(
             for c in range(k)
         ]
     return centroids
+
+
+def _sub_argmin(
+    assigned: DataFrame,
+    vec_col: str,
+    sub: dict[int, list[list[float]]],
+    out_col: str = "_j",
+) -> DataFrame:
+    """Argmin over each row's coarse cell's sub-centroids, shipped as ONE
+    broadcast row per coarse cell holding an array<struct<j, cv>> — the
+    argmin is a higher-order-function fold per row, so the whole stage is
+    join-free-shuffle (broadcast) and produces zero extra rows. Rows in a
+    coarse cell with no sub-centroids get ``out_col = 0``."""
+    spark = assigned.sparkSession
+    vv = _as_double_vec(vec_col)
+    rows = [
+        (int(c1), [(j, [float(x) for x in cv]) for j, cv in enumerate(cvs)])
+        for c1, cvs in sub.items()
+    ]
+    scdf = spark.createDataFrame(
+        rows, "_c1 int, _subs array<struct<j: int, cv: array<double>>>"
+    )
+
+    def d2(s):
+        return F.aggregate(
+            F.zip_with(vv, s["cv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("_subs"),
+            lambda s: F.struct(d2(s).alias("d"), s["j"].alias("i")),
+        )
+    )
+    return (
+        assigned.join(F.broadcast(scdf), "_c1", "left")
+        .withColumn(out_col, F.coalesce(best["i"], F.lit(0)))
+        .drop("_subs")
+    )
+
+
+def ivf_assign_tree(
+    df: DataFrame,
+    vec_col: str,
+    coarse: list[list[float]],
+    sub: dict[int, list[list[float]]],
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Two-level IVF assignment for LARGE K — the K∝n growth path.
+
+    Flat :func:`ivf_assign` inlines every centroid as literals: O(n*K*d)
+    work (QUADRATIC once K scales with n) and a plan tree that stops
+    being practical long before K=800. This routes each vector through a
+    k1-way literal argmin (whole-stage codegen) to a coarse cell, then an
+    argmin over that cell's k2 sub-centroids shipped as a broadcast
+    array column — O(n*(k1+k2)*d) with k1 ~ k2 ~ sqrt(K), zero shuffle.
+    The standard IVF answer to "more data needs more cells" (SemDeDup /
+    FAISS coarse-quantizer practice, arXiv:2303.09540).
+
+    The final cell id is ``coarse_cell * max_k2 + sub_index`` — stable
+    and replayable given the same (coarse, sub) constants.
+    """
+    max_k2 = max((len(v) for v in sub.values()), default=1) or 1
+    a = ivf_assign(df, vec_col, coarse, "_c1")
+    a = _sub_argmin(a, vec_col, sub, "_j")
+    return a.withColumn(
+        out_col, (F.col("_c1") * max_k2 + F.col("_j")).cast("int")
+    ).drop("_c1", "_j")
+
+
+def kmeans_train_tree(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k1: int,
+    k2: int,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
+    """Hierarchical two-level Lloyd k-means: K = k1*k2 total cells at
+    O(n*(k1+k2)*d) per iteration — the trainer behind
+    :func:`ivf_assign_tree` when K must scale with n (flat
+    :func:`kmeans_train` re-assigns against all K literal centroids per
+    iteration, quadratic under K∝n).
+
+    Level 1 trains ``k1`` coarse centroids with :func:`kmeans_train`;
+    level 2 trains EVERY coarse cell's ``k2`` sub-centroids
+    simultaneously: one broadcast-array argmin assigns (no shuffle), one
+    (cell, sub, dim) partial-agg sums the update, and the driver collect
+    is bounded by k1*k2*d rows (the centroids must fit on the driver by
+    definition). Same determinism contract as :func:`kmeans_train`:
+    id-seeded init (k2 smallest ids per coarse cell), argmin ties to the
+    lower index, exact integer-scaled means — bit-reproducible across
+    partitionings. Cells with fewer than k2 rows train fewer
+    sub-centroids; empty updates carry the previous value.
+
+    Returns ``(coarse, sub)`` ready for :func:`ivf_assign_tree`.
+    """
+    if k1 < 1 or k2 < 1:
+        raise ValueError("k1 and k2 must be >= 1")
+    coarse = kmeans_train(
+        df, vec_col, k=k1, iters=iters, id_col=id_col, scale=scale
+    )
+    a = ivf_assign(
+        df.select(
+            F.col(id_col).alias("_id"), _as_double_vec(vec_col).alias("_v")
+        ),
+        "_v",
+        coarse,
+        "_c1",
+    ).localCheckpoint(eager=True)  # coarse routing reused every iteration
+    w = Window.partitionBy("_c1").orderBy("_id")
+    seeds = (
+        a.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k2)
+        .select("_c1", (F.col("_rn") - 1).alias("_j"), "_v")
+        .collect()
+    )  # bounded: <= k1*k2 rows
+    by_cell: dict[int, dict[int, list[float]]] = {}
+    for r in seeds:
+        by_cell.setdefault(r["_c1"], {})[r["_j"]] = list(r["_v"])
+    sub = {c1: [m[j] for j in sorted(m)] for c1, m in by_cell.items()}
+    for _ in range(iters):
+        assigned = _sub_argmin(a, "_v", sub, "_j")
+        upd = (
+            assigned.select(
+                "_c1", "_j", F.posexplode("_v").alias("_p", "_x")
+            )
+            .groupBy("_c1", "_j", "_p")
+            .agg(
+                F.sum(F.round(F.col("_x") * scale).cast("long")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )  # bounded: <= k1*k2*d rows
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in upd:
+            means.setdefault((r["_c1"], r["_j"]), {})[r["_p"]] = r["_s"] / (
+                float(scale) * r["_n"]
+            )
+        for (c1, j), dims in means.items():
+            sub[c1][j] = [dims[p] for p in sorted(dims)]
+    return coarse, sub
 
 
 def quantize_int8(

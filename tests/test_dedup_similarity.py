@@ -255,6 +255,68 @@ def test_kmeans_train_empty_cell_keeps_previous(spark):
     assert cents[1] == far
 
 
+def test_ivf_assign_tree_and_train(spark):
+    """Two-level quantizer (the K∝n growth path): (a) with one
+    sub-centroid per cell equal to the coarse centroid, tree assignment
+    == flat assignment exactly; (b) hierarchical training is
+    deterministic across reruns; (c) semantic_dedup_tree with that
+    degenerate tree returns the identical survivor set to the flat
+    semantic_dedup."""
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_tree,
+    )
+    from hybridbackend_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_tree,
+        kmeans_train,
+        kmeans_train_tree,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    anchors = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0],
+               [5.0, 5.0, 0.0]]
+    rows = [
+        (i, [x + rng.uniform(-0.5, 0.5) for x in anchors[i % 4]])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    v = df.select("vid", F.transform("vec", lambda x: x.cast("double"))
+                  .alias("_v"))
+
+    flat_c = kmeans_train(df, "vec", k=4, iters=2, id_col="vid")
+    degenerate = {i: [c] for i, c in enumerate(flat_c)}
+    a = ivf_assign(v, "_v", flat_c, "cf")
+    b = ivf_assign_tree(v, "_v", flat_c, degenerate, "ct")
+    assert a.join(b, "vid").filter(F.col("cf") != F.col("ct")).count() == 0
+
+    s_flat = sorted(
+        (r.vec_id, r.cell) for r in semantic_dedup(
+            df.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
+            centroids=flat_c, threshold=0.9,
+        ).collect()
+    )
+    s_tree = sorted(
+        (r.vec_id, r.cell) for r in semantic_dedup_tree(
+            df.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
+            flat_c, degenerate, threshold=0.9,
+        ).collect()
+    )
+    assert s_flat == s_tree and len(s_flat) > 0
+
+    c1, sub = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
+    c1b, subb = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
+    assert c1 == c1b and sub == subb
+    t = ivf_assign_tree(v, "_v", c1, sub, "cell")
+    # every row assigned, cell ids live in [0, k1*max_k2)
+    got = t.agg(F.count(F.lit(1)), F.min("cell"), F.max("cell")).collect()[0]
+    assert got[0] == 120 and got[1] >= 0 and got[2] < 4
+
+
 def test_contamination_check_planted(spark):
     from hybridbackend_spark.operators.dedup import contamination_check
 
