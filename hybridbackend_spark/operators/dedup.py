@@ -908,6 +908,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_blocks: int = 8,
     max_cell_rows: int | None = None,
+    int8_filter: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign each embedding to its nearest centroid (the
@@ -956,6 +957,15 @@ def semantic_dedup(
     (retrain centroids via similarity.kmeans_train). The shard hash is
     md5-derived, so an oracle can replay the sub-split bit-for-bit at
     any scale; cells within the bound are untouched (shards == 1).
+
+    ``int8_filter`` (round-9): the blocked self-join ships every vector
+    ~n_blocks/2 times; with this flag it ships an int8 sketch of the
+    UNIT vector (1 byte/dim vs 8) plus one scale double, filters
+    candidates by quantized cosine with a PROVABLE error margin
+    (|cos - approx| <= sqrt(d)(s_a+s_b)/254 + d*s_a*s_b/254^2), and
+    re-joins exact doubles (shipped once, keyed by id) only for
+    near-threshold survivors — the output is bit-for-bit identical to
+    the exact path (pinned by test), only the shuffle shrinks.
     """
     from .similarity import ivf_assign
 
@@ -965,7 +975,7 @@ def semantic_dedup(
     )
     cells = ivf_assign(v, "_v", centroids, "_cell")
     return _semantic_dedup_cells(
-        cells, id_col, threshold, n_blocks, max_cell_rows
+        cells, id_col, threshold, n_blocks, max_cell_rows, int8_filter
     )
 
 
@@ -978,6 +988,7 @@ def semantic_dedup_tree(
     threshold: float = 0.95,
     n_blocks: int = 8,
     max_cell_rows: int | None = None,
+    int8_filter: bool = False,
 ) -> DataFrame:
     """:func:`semantic_dedup` with the TWO-LEVEL quantizer
     (:func:`~.similarity.ivf_assign_tree`) — the exact-fidelity growth
@@ -995,7 +1006,7 @@ def semantic_dedup_tree(
     )
     cells = ivf_assign_tree(v, "_v", coarse, sub, "_cell")
     return _semantic_dedup_cells(
-        cells, id_col, threshold, n_blocks, max_cell_rows
+        cells, id_col, threshold, n_blocks, max_cell_rows, int8_filter
     )
 
 
@@ -1005,6 +1016,7 @@ def _semantic_dedup_cells(
     threshold: float,
     n_blocks: int,
     max_cell_rows: int | None,
+    int8_filter: bool = False,
 ) -> DataFrame:
     """Shared in-cell near-dup pipeline over (id, _v, _cell) rows: hash
     sub-blocks, optional shard cap, blocked self-join, cosine verify,
@@ -1049,15 +1061,16 @@ def _semantic_dedup_cells(
     else:
         cells = cells.withColumn("_shard", F.lit(0))
     cells = cells.localCheckpoint(eager=True)
-    lo = cells.withColumn(
-        "_hi", F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1)))
-    ).alias("a")
-    hi = cells.withColumn(
-        "_lo", F.explode(F.sequence(F.lit(0), F.col("_blk")))
-    ).alias("b")
-    same_blk = F.col("a._blk") == F.col("b._blk")
-    pairs = (
-        lo.join(
+
+    def blocked_pairs(side: DataFrame):
+        lo = side.withColumn(
+            "_hi", F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1)))
+        ).alias("a")
+        hi = side.withColumn(
+            "_lo", F.explode(F.sequence(F.lit(0), F.col("_blk")))
+        ).alias("b")
+        same_blk = F.col("a._blk") == F.col("b._blk")
+        return lo.join(
             hi,
             (F.col("a._cell") == F.col("b._cell"))
             & (F.col("a._shard") == F.col("b._shard"))
@@ -1068,17 +1081,106 @@ def _semantic_dedup_cells(
                 | (same_blk & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             ),
         )
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-            F.round(
-                dot(F.col("a._v"), F.col("b._v"))
-                / (F.col("a._nrm") * F.col("b._nrm")),
-                6,
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
+
+    exact_cos = F.round(
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
     )
+    if int8_filter:
+        # int8 candidate pass: the blocked self-join ships every vector
+        # ~n_blocks/2 times, so it shuffles sketches instead — the UNIT
+        # vector quantized to int8 bytes (8x smaller than doubles) plus
+        # its per-vector quantization scale. The approximate filter is a
+        # PROVABLE superset of the true pairs: with u = v/|v|, s = max|u|
+        # and per-element error <= s/254, |cos - approx| <= margin :=
+        # sqrt(d)*(s_a + s_b)/254 + d*s_a*s_b/254^2, so keeping
+        # approx >= threshold - margin can never drop a true pair.
+        # Survivors re-join the exact doubles (keyed by id — shipped
+        # ONCE, not B/2 times) and pass the IDENTICAL rounded-cosine
+        # verify, so the output is bit-for-bit the exact path's.
+        u = F.transform(
+            F.col("_v"),
+            lambda x: F.when(F.col("_nrm") > 0, x / F.col("_nrm"))
+            .otherwise(F.lit(0.0)),
+        )
+        lite = cells.withColumn("_u", u).withColumn(
+            "_s", F.array_max(F.transform(F.col("_u"), F.abs))
+        )
+        q = F.when(
+            F.col("_s") > 0,
+            F.transform(
+                F.col("_u"),
+                lambda x: F.round(x / F.col("_s") * 127).cast("byte"),
+            ),
+        ).otherwise(F.transform(F.col("_u"), lambda x: F.lit(0).cast("byte")))
+        lite = lite.select(
+            id_col, "_cell", "_shard", "_blk", "_s", q.alias("_q")
+        )
+        dq = F.aggregate(
+            F.zip_with(
+                F.col("a._q"),
+                F.col("b._q"),
+                lambda x, y: x.cast("int") * y.cast("int"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        sa, sb = F.col("a._s"), F.col("b._s")
+        d = F.size(F.col("a._q")).cast("double")
+        approx = dq * sa * sb / F.lit(127.0 * 127.0)
+        margin = (
+            F.sqrt(d) * (sa + sb) / F.lit(254.0)
+            + d * sa * sb / F.lit(254.0 * 254.0)
+        )
+        cand = (
+            blocked_pairs(lite)
+            .filter(approx >= F.lit(threshold) - margin)
+            .select(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("id_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("id_b"),
+            )
+        )
+        pairs = (
+            cand.join(
+                cells.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_v").alias("_va"),
+                    F.col("_nrm").alias("_na"),
+                ),
+                "id_a",
+            )
+            .join(
+                cells.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_v").alias("_vb"),
+                    F.col("_nrm").alias("_nb"),
+                ),
+                "id_b",
+            )
+            .select("id_a", "id_b", exact_cos.alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+    else:
+        pairs = (
+            blocked_pairs(cells)
+            .select(
+                F.least(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("id_a"),
+                F.greatest(
+                    F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+                ).alias("id_b"),
+                F.round(
+                    dot(F.col("a._v"), F.col("b._v"))
+                    / (F.col("a._nrm") * F.col("b._nrm")),
+                    6,
+                ).alias("cos"),
+            )
+            .filter(F.col("cos") >= threshold)
+        )
     comp = connected_components(pairs, "id_a", "id_b")
     dropped = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)

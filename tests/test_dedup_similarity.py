@@ -308,6 +308,24 @@ def test_ivf_assign_tree_and_train(spark):
     )
     assert s_flat == s_tree and len(s_flat) > 0
 
+    # int8 candidate pass: provable-superset margin filter + exact
+    # re-verify => output bit-identical to the exact path (clustered
+    # data puts many pairs near the threshold, exercising the margin)
+    for thr in (0.5, 0.9):
+        e = sorted(
+            (r.vec_id, r.cell) for r in semantic_dedup(
+                df.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
+                centroids=flat_c, threshold=thr,
+            ).collect()
+        )
+        i8 = sorted(
+            (r.vec_id, r.cell) for r in semantic_dedup(
+                df.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
+                centroids=flat_c, threshold=thr, int8_filter=True,
+            ).collect()
+        )
+        assert e == i8
+
     c1, sub = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
     c1b, subb = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
     assert c1 == c1b and sub == subb
