@@ -386,6 +386,26 @@ def _run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _measure_scans(spark, sf_dir: str) -> dict[str, float]:
+    """Pure-scan throughput (rows/s) on the three reference shapes. Run
+    TWICE per bench — once before the query sets, once after — because
+    the scan unit is the normalizer for every cross-round comparison and
+    this host's speed drifts over a ~15-min run; the pre/post pair turns
+    'was the box slower?' into a recorded number."""
+    scans: dict[str, float] = {}
+    for label, (table, cols) in SCANS.items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*cols)
+        n = df.count()
+        _run_noop(df)  # warm
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _run_noop(df)
+            times.append(time.perf_counter() - t0)
+        scans[label] = round(n / min(times), 0)
+    return scans
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -400,6 +420,7 @@ def main() -> None:
     )
     queries = get_queries()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm session
+    scans_pre = _measure_scans(spark, sf_dir) if "scans" in SETS else {}
 
     from hybridbackend_spark.streaming import ops as _sops
 
@@ -639,18 +660,11 @@ def main() -> None:
     except Exception as e:
         print(f"bench error in i2i_state_build: {e}", file=sys.stderr)
 
-    scans: dict[str, float] = {}
-    for label, (table, cols) in (SCANS.items() if "scans" in SETS else []):
-        path = f"{sf_dir}/{table}.parquet"
-        df = spark.read.parquet(path).select(*cols)
-        n = df.count()
-        _run_noop(df)  # warm
-        times = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            _run_noop(df)
-            times.append(time.perf_counter() - t0)
-        scans[label] = round(n / min(times), 0)
+    scans = _measure_scans(spark, sf_dir) if "scans" in SETS else {}
+    drift = None
+    if scans and scans_pre:
+        a, b = scans_pre["scan_int64_cols"], scans["scan_int64_cols"]
+        drift = round(abs(a - b) / b, 3)
 
     total = round(sum(t for t in per_query.values() if t > 0), 3)
     common = {
@@ -659,6 +673,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "scans_rows_per_sec": scans,
+        "scans_rows_per_sec_pre": scans_pre,
+        "scan_unit_drift": drift,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS, "agg": "min",
         "master": spark.sparkContext.master,

@@ -756,63 +756,62 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-8 window (tools/plan_window.py --new <additions> --stale 43):
-    # the 7 round-8 additions, then the 43 STALEST previously-verified
-    # queries whose function/helper/module dependencies CHANGED since
-    # the commit that recorded their last green driver row (git-diff
-    # based; round-7 verdict item 2 — re-verification rotation against
-    # engine/source drift; most were last proven in r02 against a Spark
-    # build that has since changed once).
-    "dup_ngram_coverage_docs",
-    "uniform_sample_events",
-    "weighted_quantiles_lineitem",
-    "ann_recall_lsh_docs",
-    "vocab_coverage_docs",
-    "decontaminate_spans_docs",
-    "token_fertility_docs",
-    "distinct_counts",
-    "topk_orders_per_customer",
-    "lookup_join_dedup",
-    "pooled_lookup_sum",
-    "left_join_defaults",
-    "asof_prior_click",
-    "window_rank_lag",
-    "sliding_window_1h",
-    "run_length_events",
-    "sessionize_30m",
-    "ordered_history",
-    "metric_mean_accuracy",
-    "metric_auc",
-    "metric_auc_pr",
-    "metric_gauc",
-    "feature_transform",
-    "text_stats",
-    "lang_id_distribution",
-    "fingerprint_docs",
-    "exact_dedup_docs",
-    "ngram_jaccard_pairs_docs",
-    "cosine_near_dup_pairs",
-    "cosine_topk_bruteforce",
-    "semi_anti_join",
-    "set_ops_orders",
-    "pivot_returns",
-    "stream_tumbling_counts",
-    "string_functions",
-    "date_functions",
-    "json_functions",
-    "q17_small_quantity",
-    "corpus_curation_pipeline",
-    "pad_to_dense_embeddings",
-    "block_dedup_roundtrip",
-    "percentiles_orders",
-    "nested_ragged_scan",
-    "orc_scan_suppliers",
-    "hash_split_documents",
-    "repetition_signals_docs",
-    "pack_sequences_docs",
-    "minhash_lsh_dedup_docs",
-    "simhash_docs",
-    "cosine_near_dup_bucketed",
+    # Round-9 window (tools/plan_window.py --stale 50): no new
+    # registry queries this round by design (round-8 verdict item 1:
+    # burn down re-verification debt) — all 50 slots go to the
+    # STALEST previously-verified queries whose function/helper/module
+    # dependencies CHANGED since the commit that recorded their last
+    # green driver row (git-diff based; mostly r03/r04 vintage).
+    "cosine_topk_lsh_docs",
+    "cosine_topk_ivf_docs",
+    "stream_sliding_counts",
+    "stream_session_user",
+    "stream_dedup_keys",
+    "stream_running_counter",
+    "decontaminate_docs",
+    "pagerank_customer_supplier",
+    "semantic_dedup_docs",
+    "triangle_count_parts",
+    "stream_segment_counts",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
+    "cc_star_event_chains",
+    "pq_topk_docs",
+    "lsh_linkage_docs",
+    "fuzzy_join_customers",
+    "cohort_retention_events",
+    "funnel_unbounded_events",
+    "dq_audit_orders",
+    "bloom_prune_join_lineitem",
+    "ewma_user_value",
+    "bfs_hops_suppliers",
+    "equidepth_bins_lineitem",
+    "stream_topk_types",
+    "covariance_embeddings",
+    "join_size_estimate_cms",
+    "attribution_multitouch",
+    "merge_upsert_orders",
+    "provenance_lineitem",
+    "winsorize_lineitem",
+    "keywords_docs",
+    "kcore_parts",
+    "kmv_overlap_docs",
+    "psi_orders",
+    "cuped_events",
+    "forecast_backtest_events",
+    "golden_record_customers",
+    "embedding_outliers_labels",
+    "mips_topk_embeddings",
+    "stream_enrich_user_tier",
+    "rbo_orders",
+    "label_centroid_embeddings",
+    "ivf_train_centroids",
+    "quantize_embeddings_int8",
+    "vocab_encode_docs",
+    "boilerplate_prune_docs",
+    "zorder_key_lineitem",
+    "resample_events_hourly",
 ]
 
 
