@@ -1082,8 +1082,16 @@ def _semantic_dedup_cells(
             ),
         )
 
-    exact_cos = F.round(
-        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+    # ANSI-guarded cosine: a zero vector (norm 0) yields NULL, so its
+    # pairs drop at the >= threshold filter instead of aborting the job
+    # with DIVIDE_BY_ZERO (Spark 4.1 ANSI raises even on double
+    # division) — and matches the oracle's NaN-compares-false semantics
+    def safe_cos(dp, na, nb):
+        den = na * nb
+        return F.round(F.when(den != 0, dp / den), 6)
+
+    exact_cos = safe_cos(
+        dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
     )
     if int8_filter:
         # int8 candidate pass: the blocked self-join ships every vector
@@ -1127,7 +1135,11 @@ def _semantic_dedup_cells(
         sa, sb = F.col("a._s"), F.col("b._s")
         d = F.size(F.col("a._q")).cast("double")
         approx = dq * sa * sb / F.lit(127.0 * 127.0)
-        margin = (
+        # zero vectors (s = 0) always pass to the exact verify, which
+        # alone decides their fate (NULL cosine -> dropped) — the
+        # filter must never decide differently from the verify
+        # (cos in [-1, 1] makes margin 2 an always-pass)
+        margin = F.when((sa == 0) | (sb == 0), F.lit(2.0)).otherwise(
             F.sqrt(d) * (sa + sb) / F.lit(254.0)
             + d * sa * sb / F.lit(254.0 * 254.0)
         )
@@ -1173,10 +1185,10 @@ def _semantic_dedup_cells(
                 F.greatest(
                     F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
                 ).alias("id_b"),
-                F.round(
-                    dot(F.col("a._v"), F.col("b._v"))
-                    / (F.col("a._nrm") * F.col("b._nrm")),
-                    6,
+                safe_cos(
+                    dot(F.col("a._v"), F.col("b._v")),
+                    F.col("a._nrm"),
+                    F.col("b._nrm"),
                 ).alias("cos"),
             )
             .filter(F.col("cos") >= threshold)

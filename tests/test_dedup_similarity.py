@@ -310,7 +310,12 @@ def test_ivf_assign_tree_and_train(spark):
 
     # int8 candidate pass: provable-superset margin filter + exact
     # re-verify => output bit-identical to the exact path (clustered
-    # data puts many pairs near the threshold, exercising the margin)
+    # data puts many pairs near the threshold, exercising the margin);
+    # a ZERO vector rides along — its pairs yield NULL cosine (guarded
+    # division; ANSI would otherwise abort) and drop in BOTH paths,
+    # while the row itself survives as its own singleton
+    df = df.union(spark.createDataFrame([(999, [0.0, 0.0, 0.0])],
+                                        ["vid", "vec"]))
     for thr in (0.5, 0.9):
         e = sorted(
             (r.vec_id, r.cell) for r in semantic_dedup(
