@@ -770,7 +770,12 @@ def cosine_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
+                F.when(
+                    F.col("_na") * F.col("_nb") != 0,
+                    dot(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                ),
+                6,
             ).alias("cos"),
         )
     else:
@@ -782,8 +787,11 @@ def cosine_near_dup_pairs(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
                 F.round(
-                    dot(F.col("a._v"), F.col("b._v"))
-                    / (F.col("a._nrm") * F.col("b._nrm")),
+                    F.when(
+                        F.col("a._nrm") * F.col("b._nrm") != 0,
+                        dot(F.col("a._v"), F.col("b._v"))
+                        / (F.col("a._nrm") * F.col("b._nrm")),
+                    ),
                     6,
                 ).alias("cos"),
             )

@@ -47,14 +47,21 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm (the
+    when-guard matters under Spark 4.1 ANSI mode, where even double
+    division by zero aborts the job — one zero embedding in 100 TB must
+    not kill the run; NULL drops at every >= threshold filter and sorts
+    last under desc ordering, matching DuckDB's NaN-compares-false)."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0, dot(a, b) / den)
 
 
 def normalize_vec(a: Column) -> Column:
     """L2-normalize (pre-normalizing the corpus once turns cosine top-k
-    into dot top-k — do this before repeated queries)."""
+    into dot top-k — do this before repeated queries). A zero vector
+    normalizes to itself (ANSI-safe; no defined direction exists)."""
     n = l2_norm(a)
-    return F.transform(a, lambda x: x / n)
+    return F.transform(a, lambda x: F.when(n != 0, x / n).otherwise(x * 0.0))
 
 
 def _as_double_vec(col: Column | str) -> Column:
@@ -133,7 +140,13 @@ def cosine_topk(
         "_qid",
         "_cid",
         F.round(
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6
+            # when-guard: a zero-norm vector yields NULL cos (ANSI-safe)
+            F.when(
+                F.col("_qn") * F.col("_cn") != 0,
+                dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn")),
+            ),
+            6,
         ).alias("cos"),
     )
     if exclude_self:
