@@ -604,9 +604,9 @@ def main() -> None:
                     spark.conf.unset(prov_key)
             for n in STREAM_SPLIT_QUERIES:
                 b, rk = base.get(n), stream_split.get(n)
-                if not b or not rk or rk is b:
-                    continue
-                b["rocksdb"] = {
+                if not rk or rk is b:
+                    continue  # rocksdb arm didn't capture; default stands
+                rocks = {
                     k: rk[k]
                     for k in (
                         "setup_sec",
@@ -616,6 +616,19 @@ def main() -> None:
                     )
                     if k in rk
                 }
+                # a missing or single-batch default capture (errored rep,
+                # or a stale 1-batch entry left over from the extra set)
+                # must NOT let the rocksdb numbers masquerade as the
+                # default provider's — label them explicitly instead
+                if not b or b.get("n_batches", 0) <= 1:
+                    stream_split[n] = {
+                        **(b or {}),
+                        "rocksdb": rocks,
+                        "rec": "default-provider multi-batch capture "
+                               "missing; rocksdb-only measurement",
+                    }
+                    continue
+                b["rocksdb"] = rocks
                 sh = b.get("steady_sec_per_batch")
                 sr = rk.get("steady_sec_per_batch")
                 if sh and sr:

@@ -772,8 +772,11 @@ def cosine_near_dup_pairs(
             F.round(
                 F.when(
                     F.col("_na") * F.col("_nb") != 0,
-                    dot(F.col("_va"), F.col("_vb"))
-                    / (F.col("_na") * F.col("_nb")),
+                    F.nanvl(
+                        dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb")),
+                        F.lit(None).cast("double"),
+                    ),
                 ),
                 6,
             ).alias("cos"),
@@ -789,8 +792,11 @@ def cosine_near_dup_pairs(
                 F.round(
                     F.when(
                         F.col("a._nrm") * F.col("b._nrm") != 0,
-                        dot(F.col("a._v"), F.col("b._v"))
-                        / (F.col("a._nrm") * F.col("b._nrm")),
+                        F.nanvl(
+                            dot(F.col("a._v"), F.col("b._v"))
+                            / (F.col("a._nrm") * F.col("b._nrm")),
+                            F.lit(None).cast("double"),
+                        ),
                     ),
                     6,
                 ).alias("cos"),
@@ -970,7 +976,8 @@ def semantic_dedup(
     ~n_blocks/2 times; with this flag it ships an int8 sketch of the
     UNIT vector (1 byte/dim vs 8) plus one scale double, filters
     candidates by quantized cosine with a PROVABLE error margin
-    (|cos - approx| <= sqrt(d)(s_a+s_b)/254 + d*s_a*s_b/254^2), and
+    (|cos - approx| <= sqrt(d)(s_a+s_b)/254 + d*s_a*s_b/254^2, plus the
+    5e-7 slack of the verify's 6-dp rounding), and
     re-joins exact doubles (shipped once, keyed by id) only for
     near-threshold survivors — the output is bit-for-bit identical to
     the exact path (pinned by test), only the shuffle shrinks.
@@ -1096,7 +1103,9 @@ def _semantic_dedup_cells(
     # division) — and matches the oracle's NaN-compares-false semantics
     def safe_cos(dp, na, nb):
         den = na * nb
-        return F.round(F.when(den != 0, dp / den), 6)
+        # NaN -> NULL too: Spark orders NaN above all values, so an
+        # unguarded NaN cosine would pass every >= threshold filter
+        return F.round(F.when(den != 0, F.nanvl(dp / den, F.lit(None).cast("double"))), 6)
 
     exact_cos = safe_cos(
         dot(F.col("_va"), F.col("_vb")), F.col("_na"), F.col("_nb")
@@ -1107,22 +1116,29 @@ def _semantic_dedup_cells(
         # vector quantized to int8 bytes (8x smaller than doubles) plus
         # its per-vector quantization scale. The approximate filter is a
         # PROVABLE superset of the true pairs: with u = v/|v|, s = max|u|
-        # and per-element error <= s/254, |cos - approx| <= margin :=
-        # sqrt(d)*(s_a + s_b)/254 + d*s_a*s_b/254^2, so keeping
-        # approx >= threshold - margin can never drop a true pair.
+        # and per-element error <= s/254, |cos - approx| <=
+        # sqrt(d)*(s_a + s_b)/254 + d*s_a*s_b/254^2; margin adds the
+        # verify's 6-dp rounding slack (5e-7) on top, so keeping
+        # approx >= threshold - margin can never drop a pair the exact
+        # path would keep.
         # Survivors re-join the exact doubles (keyed by id — shipped
         # ONCE, not B/2 times) and pass the IDENTICAL rounded-cosine
         # verify, so the output is bit-for-bit the exact path's.
+        # NaN-proof guards throughout: Spark evaluates NaN > 0 as TRUE
+        # (NaN orders above everything), and round(NaN).cast("byte")
+        # ABORTS under ANSI — a corrupt embedding must fall through to
+        # the exact verify (which NULLs it), never kill the job.
+        nrm_ok = (F.col("_nrm") > 0) & ~F.isnan(F.col("_nrm"))
         u = F.transform(
             F.col("_v"),
-            lambda x: F.when(F.col("_nrm") > 0, x / F.col("_nrm"))
+            lambda x: F.when(nrm_ok, x / F.col("_nrm"))
             .otherwise(F.lit(0.0)),
         )
         lite = cells.withColumn("_u", u).withColumn(
             "_s", F.array_max(F.transform(F.col("_u"), F.abs))
         )
         q = F.when(
-            F.col("_s") > 0,
+            (F.col("_s") > 0) & ~F.isnan(F.col("_s")),
             F.transform(
                 F.col("_u"),
                 lambda x: F.round(x / F.col("_s") * 127).cast("byte"),
@@ -1147,9 +1163,16 @@ def _semantic_dedup_cells(
         # alone decides their fate (NULL cosine -> dropped) — the
         # filter must never decide differently from the verify
         # (cos in [-1, 1] makes margin 2 an always-pass)
-        margin = F.when((sa == 0) | (sb == 0), F.lit(2.0)).otherwise(
+        margin = F.when(
+            (sa == 0) | (sb == 0) | F.isnan(sa) | F.isnan(sb), F.lit(2.0)
+        ).otherwise(
             F.sqrt(d) * (sa + sb) / F.lit(254.0)
             + d * sa * sb / F.lit(254.0 * 254.0)
+            # the exact verify rounds cos to 6 dp half-up, so a pair at
+            # cos = threshold - 5e-7 still rounds up to threshold and is
+            # KEPT there — the filter's slack must cover that too or the
+            # superset claim has a 5e-7 hole
+            + F.lit(5e-7)
         )
         cand = (
             blocked_pairs(lite)

@@ -35,6 +35,12 @@ __all__ = [
 ]
 
 
+def _null_d() -> Column:
+    """Typed NULL for nanvl guards (NaN -> NULL); built lazily — lit()
+    needs an active session, so no module-level Column constants."""
+    return F.lit(None).cast("double")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Element-wise dot product of two array<double> columns."""
     return F.aggregate(
@@ -47,13 +53,17 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL when either vector has zero norm (the
-    when-guard matters under Spark 4.1 ANSI mode, where even double
-    division by zero aborts the job — one zero embedding in 100 TB must
-    not kill the run; NULL drops at every >= threshold filter and sorts
-    last under desc ordering, matching DuckDB's NaN-compares-false)."""
+    """Cosine similarity; NULL when either vector has zero norm OR any
+    non-finite component. The zero guard matters under Spark 4.1 ANSI
+    mode (even double division by zero aborts the job); the NaN guard
+    matters because Spark orders NaN ABOVE every value, so an unguarded
+    NaN cosine would PASS every >= threshold filter and rank first —
+    one corrupt embedding must not merge with everything it touches.
+    NULL instead drops at filters and sorts last under desc ordering,
+    matching DuckDB's NaN-compares-false. One zero/NaN embedding in
+    100 TB must not kill (or silently destroy) the run."""
     den = l2_norm(a) * l2_norm(b)
-    return F.when(den != 0, dot(a, b) / den)
+    return F.when(den != 0, F.nanvl(dot(a, b) / den, _null_d()))
 
 
 def normalize_vec(a: Column) -> Column:
@@ -140,11 +150,15 @@ def cosine_topk(
         "_qid",
         "_cid",
         F.round(
-            # when-guard: a zero-norm vector yields NULL cos (ANSI-safe)
+            # guards: zero-norm -> NULL (ANSI-safe), NaN -> NULL (Spark
+            # orders NaN above all, it would pass every filter)
             F.when(
                 F.col("_qn") * F.col("_cn") != 0,
-                dot(F.col("_qv"), F.col("_cv"))
-                / (F.col("_qn") * F.col("_cn")),
+                F.nanvl(
+                    dot(F.col("_qv"), F.col("_cv"))
+                    / (F.col("_qn") * F.col("_cn")),
+                    _null_d(),
+                ),
             ),
             6,
         ).alias("cos"),

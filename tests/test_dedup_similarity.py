@@ -311,25 +311,31 @@ def test_ivf_assign_tree_and_train(spark):
     # int8 candidate pass: provable-superset margin filter + exact
     # re-verify => output bit-identical to the exact path (clustered
     # data puts many pairs near the threshold, exercising the margin);
-    # a ZERO vector rides along — its pairs yield NULL cosine (guarded
-    # division; ANSI would otherwise abort) and drop in BOTH paths,
-    # while the row itself survives as its own singleton
-    df = df.union(spark.createDataFrame([(999, [0.0, 0.0, 0.0])],
-                                        ["vid", "vec"]))
+    # a ZERO vector and a NaN vector ride along — ANSI would abort on
+    # the zero division, and Spark orders NaN ABOVE every value so an
+    # unguarded NaN cosine would pass every threshold and merge with
+    # everything; both must instead yield NULL cosine (pairs dropped),
+    # survive as singletons, and decide IDENTICALLY in both paths
+    df2 = df.union(spark.createDataFrame(
+        [(999, [0.0, 0.0, 0.0]), (998, [float("nan"), 1.0, 1.0])],
+        ["vid", "vec"],
+    ))
     for thr in (0.5, 0.9):
         e = sorted(
             (r.vec_id, r.cell) for r in semantic_dedup(
-                df.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
+                df2.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
                 centroids=flat_c, threshold=thr,
             ).collect()
         )
         i8 = sorted(
             (r.vec_id, r.cell) for r in semantic_dedup(
-                df.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
+                df2.withColumnRenamed("vid", "vec_id"), "vec", "vec_id",
                 centroids=flat_c, threshold=thr, int8_filter=True,
             ).collect()
         )
         assert e == i8
+        ids = {vid for vid, _ in e}
+        assert 999 in ids and 998 in ids  # degenerate rows survive solo
 
     c1, sub = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
     c1b, subb = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
