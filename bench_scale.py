@@ -55,6 +55,7 @@ SKEW_DIR = os.environ.get(
 RUN_100X = os.environ.get("BENCH_SCALE_100X", "1") == "1"
 RUN_SKEW = os.environ.get("BENCH_SCALE_SKEW", "1") == "1"
 RUN_SEMARMS = os.environ.get("BENCH_SCALE_SEMARMS", "1") == "1"
+RUN_STREAMSTATE = os.environ.get("BENCH_SCALE_STREAMSTATE", "1") == "1"
 # comma-separated query subset for iteration (empty = all targets)
 ONLY = {q for q in os.environ.get("BENCH_SCALE_ONLY", "").split(",") if q}
 
@@ -495,6 +496,119 @@ def _bench_semdedup_arms(spark, probe: ShuffleProbe) -> list[dict]:
     return out
 
 
+def _bench_stream_state(spark, probe: ShuffleProbe) -> list[dict]:
+    """Streaming state-store GROWTH arm (round 9): bench.py's per-query
+    provider recommendation is measured at sf0.1's ~98.5k session-state
+    rows — toy state, where the in-heap HDFS-backed provider wins. The
+    recommendation's second clause ("at state >> executor memory RocksDB
+    is the only option") was an extrapolation; this arm measures the
+    trend: the heaviest-state shape (``session_window`` per user over
+    events — ``stream_session_user``'s exact plan) at the sf0.1 and 10x
+    tiers (10x the distinct users => ~985k state rows) under BOTH
+    providers, recording steady s/batch, state rows, and state bytes.
+    Multi-batch shape mirrors bench.py: a time-ordered 10-file copy of
+    events with ``maxFilesPerTrigger=1``."""
+    import tempfile
+
+    from hybridbackend_spark.queries import _t
+    from hybridbackend_spark.streaming import ops as sops
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+        session_agg,
+    )
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    n_files = 10
+    out = []
+    for label, d in [("sf0.1", f"{BASE}/sf0.1"), ("sf0.1x10", SYN_DIR)]:
+        evdir = os.path.join(
+            tempfile.mkdtemp(prefix=f"hb_scale_stream_{label.replace('.', '_')}_"),
+            "events.parquet",
+        )
+        ev = _t(spark, d, "events")
+        n_rows = ev.count()
+        ev.repartitionByRange(n_files, "ts").write.parquet(evdir)
+        # file source dispatches oldest-mtime first: stamp ascending in
+        # range order so batches arrive in event-time order (bench.py's
+        # production-ingest shape)
+        parts = sorted(f for f in os.listdir(evdir) if f.startswith("part-"))
+        base_t = time.time() - len(parts) * 10
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(evdir, p), (base_t + i * 10, base_t + i * 10))
+
+        default_prov = None
+        try:
+            default_prov = spark.conf.get(prov_key)
+        except Exception:
+            pass
+        sops.DEFAULT_MAX_FILES_PER_TRIGGER = 1
+        try:
+            for arm, prov in [("hdfs_backed", None), ("rocksdb", rocksdb)]:
+                if prov:
+                    spark.conf.set(prov_key, prov)
+                sops.RUN_LOG.clear()
+                probe.snapshot()
+                t0 = time.perf_counter()
+                res = run_available_now(
+                    session_agg(
+                        read_event_stream(spark, evdir),
+                        "ts",
+                        "10 minutes",
+                        keys=["user_id"],
+                    )
+                )
+                n_sessions = res.count()
+                wall = time.perf_counter() - t0
+                runs = list(sops.RUN_LOG)
+                batches = [b for r in runs for b in r["batches"]]
+                steady = [ms for r in runs for _, ms in r["batches"][1:]]
+                state = [t for r in runs for t in r.get("state") or []]
+                row = {
+                    "tier": label, "arm": arm, "rows": n_rows,
+                    "n_sessions": n_sessions,
+                    "wall_sec": round(wall, 3),
+                    "setup_sec": round(
+                        sum(r["batches"][0][1] for r in runs if r["batches"])
+                        / 1000.0, 3,
+                    ),
+                    "steady_sec_per_batch": (
+                        round(sum(steady) / len(steady) / 1000.0, 3)
+                        if steady else None
+                    ),
+                    "n_batches": len(batches),
+                    "state_rows_final": state[-1][1] if state else None,
+                    "state_mem_peak_mb": (
+                        round(max(t[3] for t in state) / 1e6, 3)
+                        if state else None
+                    ),
+                    **probe.delta(),
+                }
+                print(
+                    f"streamstate {label:10} {arm:12} "
+                    f"{row['wall_sec']:7.1f}s "
+                    f"steady {row['steady_sec_per_batch']}s/batch "
+                    f"state {row['state_rows_final']} rows "
+                    f"{row['state_mem_peak_mb']} MB"
+                )
+                out.append(row)
+        finally:
+            sops.DEFAULT_MAX_FILES_PER_TRIGGER = None
+            if default_prov:
+                spark.conf.set(prov_key, default_prov)
+            else:
+                try:
+                    spark.conf.unset(prov_key)
+                except Exception:
+                    pass
+        shutil.rmtree(os.path.dirname(evdir), ignore_errors=True)
+    return out
+
+
 def main() -> None:
     build = os.environ.get("BENCH_SCALE_REBUILD", "1") == "1"
     if build and os.path.isdir(SYN_DIR):
@@ -602,6 +716,10 @@ def main() -> None:
         _bench_semdedup_arms(spark, probe) if RUN_SEMARMS and not ONLY
         else None
     )
+    streamstate = (
+        _bench_stream_state(spark, probe) if RUN_STREAMSTATE and not ONLY
+        else None
+    )
 
     if ONLY:
         # MERGE mode: refresh ONLY the re-measured curves inside the
@@ -636,7 +754,8 @@ def main() -> None:
         json.dump({"reps": REPS, "agg": "min", "copies": COPIES,
                    "copies_100x": COPIES_100X if RUN_100X else None,
                    "curves": result, "skew": skew,
-                   "semdedup_arms": semarms}, f, indent=2)
+                   "semdedup_arms": semarms,
+                   "stream_state": streamstate}, f, indent=2)
     print("wrote BENCH_SCALE.json")
 
 
