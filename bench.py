@@ -454,7 +454,13 @@ def main() -> None:
         # growth must be a tracked number, not a guess
         state = [t for r in runs for t in r.get("state") or []]
         if state:
-            entry["state_rows_final"] = state[-1][1]
+            # SUM of each stream's final batch: a multi-stream query
+            # (n_streams > 1) holds every stream's state at once, so
+            # taking only the last stream's final row count would
+            # under-report the footprint by the other streams' share
+            entry["state_rows_final"] = sum(
+                r["state"][-1][1] for r in runs if r.get("state")
+            )
             entry["state_rows_updated_per_batch"] = round(
                 sum(t[2] for t in state) / len(state), 1
             )

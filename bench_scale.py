@@ -467,21 +467,24 @@ def _bench_semdedup_arms(spark, probe: ShuffleProbe) -> list[dict]:
             ),
         )
         k12 = math.ceil(math.sqrt(8 * copies))
-        trained: list = []
 
-        def train_once():
-            if not trained:
-                trained.append(kmeans_train_tree(
-                    emb, "embedding", "vec_id", k1=k12, k2=k12, iters=2
-                ))
-            return trained[0]
+        # each tree arm trains its OWN quantizer: kmeans_train_tree is
+        # bit-reproducible, so the centroids (and dedup output) are
+        # identical — and every arm's total_sec/shuffle delta carries
+        # its full cost, so the rows compare head-to-head (a shared
+        # cached training would credit the second arm with ~0 train
+        # cost and overstate its win)
+        def train():
+            return kmeans_train_tree(
+                emb, "embedding", "vec_id", k1=k12, k2=k12, iters=2
+            )
 
         timed(
             "kPropN_tree", k12 * k12,
             lambda c, s: semantic_dedup_tree(
                 emb, "embedding", "vec_id", c, s, threshold=0.35,
             ),
-            train=train_once,
+            train=train,
         )
         # int8 candidate pass: identical output (provable-superset
         # margin + exact re-verify), shuffle shipped as 1-byte sketches
@@ -491,7 +494,7 @@ def _bench_semdedup_arms(spark, probe: ShuffleProbe) -> list[dict]:
                 emb, "embedding", "vec_id", c, s, threshold=0.35,
                 int8_filter=True,
             ),
-            train=train_once,
+            train=train,
         )
     return out
 

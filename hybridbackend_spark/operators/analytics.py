@@ -2124,13 +2124,16 @@ def weighted_quantiles(
     Returns (group, total_weight, wp25, wp50, wp75) on the value scale.
     """
     v = F.round(F.col(value_col).cast("double") * scale).cast("long")
-    wr = F.round(F.col(weight_col).cast("double")).cast("long")
+    # guard the RAW weight, not the rounded one: weights in (-0.5, 0)
+    # round to 0 and would silently bypass a post-rounding check
+    wraw = F.col(weight_col).cast("double")
+    wr = F.round(wraw).cast("long")
     w = F.when(
-        wr < 0,
+        wraw < 0,
         F.raise_error(
             F.concat(
                 F.lit("weighted_quantiles: negative weight "),
-                wr.cast("string"),
+                wraw.cast("string"),
                 F.lit(f" in column {weight_col!r}"),
             )
         ).cast("long"),

@@ -1826,7 +1826,8 @@ def uniform_sample_exact(
     filter, and the driver collects at most one offending row for the
     error message — O(1) driver data regardless of key cardinality.
     Under-coverage raises rather than silently returning a biased
-    sample.
+    sample. Rows with a NULL key are excluded up front (an equi-join
+    can never sample them) rather than tripping the guard.
 
     Returns the sampled rows (all original columns) plus ``_rn`` (the
     1-based hash rank within the key).
@@ -1836,6 +1837,11 @@ def uniform_sample_exact(
     hv = F.conv(
         F.substring(F.md5(_c(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # NULL keys are excluded from the sample (the equi-join below can
+    # never match them), so they must be excluded from the coverage
+    # guard too — otherwise a single NULL-key row aborts the job with
+    # an "under-covered key" error no oversample can fix
+    df = df.filter(F.col(key_col).isNotNull())
     n_per = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
     joined = df.join(F.broadcast(n_per), key_col).withColumn("_hv", hv)
     frac = F.least(

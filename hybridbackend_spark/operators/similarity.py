@@ -564,13 +564,18 @@ def quantize_int8(
     embedding storage/ANN at scale, as pure array expressions (zero
     shuffle, zero Python). Zero vectors quantize to all-zero with scale 0.
     Dequantization is ``q_i * scale / 127``; the roundtrip error is
-    bounded by ``scale / 254`` per element.
+    bounded by ``scale / 254`` per element. A vector containing NaN
+    (scale NaN) quantizes to all-zero like the zero vector — under
+    Spark 4.1 ANSI an unguarded ``round(NaN).cast('int')`` would abort
+    the whole job, and NaN==0 is false so the zero-vector branch alone
+    does not cover it.
     """
     v = _as_double_vec(vec_col)
     s = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.when(s == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.round(x / s * 127).cast("int"))
-    )
+    q = F.when(
+        (s > 0) & ~F.isnan(s),
+        F.transform(v, lambda x: F.round(x / s * 127).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
     return df.withColumn(out_scale, s).withColumn(out_q, q)
 
 

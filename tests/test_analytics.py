@@ -1495,3 +1495,10 @@ def test_weighted_quantiles_weight_rounding_and_negative_guard(spark):
     )
     with pytest.raises(Exception, match="negative weight"):
         weighted_quantiles(neg, "g", "v", "w").collect()
+    # weights in (-0.5, 0) round to 0 — the guard must check the RAW
+    # weight, or -0.4 silently becomes an inert zero-weight row
+    neg_small = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 2.0, -0.4)], "g string, v double, w double"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        weighted_quantiles(neg_small, "g", "v", "w").collect()

@@ -1026,6 +1026,18 @@ def test_uniform_sample_exact_selection_and_guard(spark):
         uniform_sample_exact(
             df, "event_type", "event_id", k=1, oversample=1e-6
         )
+    # NULL keys are excluded, never sampled AND never guard-aborted:
+    # the equi-join can't match them, so before the round-9 fix a
+    # single NULL-key row tripped the left-join guard with an
+    # "under-covered key" no oversample could fix
+    with_null = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None)], "event_id long, event_type string"
+    )
+    got_nn = uniform_sample_exact(
+        with_null, "event_type", "event_id", k=5
+    ).collect()
+    assert sorted(r.event_id for r in got_nn) == [1, 2]
+    assert all(r.event_type == "a" for r in got_nn)
 
 
 def test_decontaminate_spans_window_union(spark):

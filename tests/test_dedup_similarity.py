@@ -398,6 +398,17 @@ def test_quantize_int8_roundtrip_bounds(spark):
     for r in deq:
         if r["scale"] > 0:
             assert r["err"] <= r["scale"] / 254 + 1e-12
+    # NaN component: scale is NaN, quantizes to all-zero like the zero
+    # vector — an unguarded round(NaN).cast('int') aborts the job
+    # under Spark 4.1 ANSI (NaN==0 is false, so the zero-vector branch
+    # alone doesn't cover it)
+    nan_df = spark.createDataFrame(
+        [(9, [1.0, float("nan"), 0.5, 0.0])], ["vid", "vec"]
+    )
+    nr = quantize_int8(nan_df, "vec").collect()[0]
+    import math
+
+    assert math.isnan(nr["scale"]) and nr["q"] == [0, 0, 0, 0]
 
 
 def test_semantic_dedup_within_cell_only(spark):
