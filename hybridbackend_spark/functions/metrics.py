@@ -162,7 +162,15 @@ def auc_histogram(
     total = swept.agg(
         F.sum("_p").alias("_P"), F.sum("_n").alias("_N")
     ).collect()[0]
-    P, N = float(total["_P"]), float(total["_N"])
+    # degenerate inputs: an EMPTY frame sums to NULL (float(None) would
+    # TypeError), and a single-class frame makes the curve undefined —
+    # PR needs positives, ROC needs both classes. Return a 1-row NULL
+    # instead of letting the /P (or /N) ANSI-abort the job downstream.
+    P, N = float(total["_P"] or 0.0), float(total["_N"] or 0.0)
+    if P <= 0 or (curve == "ROC" and N <= 0):
+        return df.sparkSession.range(1).select(
+            F.lit(None).cast("double").alias(alias)
+        )
     if curve == "PR":
         # pair each non-empty bucket with the next higher one (empty
         # buckets have zero deltas and contribute nothing, so skipping

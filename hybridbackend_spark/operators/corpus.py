@@ -1071,8 +1071,15 @@ def neyman_sample(
     weight = F.floor(
         F.sqrt(F.greatest(var, F.lit(0.0))) * F.col("_n") * 1_000_000
     ).cast("long")
-    weights = stats.select(strata, weight.alias("_w"))
-    wsum = weights.agg(F.sum("_w").alias("_wtot"))
+    weights = stats.select(strata, F.col("_n"), weight.alias("_w"))
+    wsum = weights.agg(
+        F.sum("_w").alias("_wtot"), F.sum("_n").alias("_ntot")
+    )
+    # when EVERY stratum has zero variance the Neyman weights all
+    # vanish (_wtot = 0) and the allocation is undefined — fall back
+    # to proportional allocation (w_h = N_h) instead of letting the
+    # division ANSI-abort (any allocation estimates a constant mean
+    # exactly, so proportional is the natural degenerate choice)
     quota = (
         weights.join(F.broadcast(wsum))
         .select(
@@ -1081,8 +1088,14 @@ def neyman_sample(
             # scale; w fits a double exactly enough for a floor quota
             F.floor(
                 F.lit(float(total_n))
-                * F.col("_w").cast("double")
-                / F.col("_wtot").cast("double")
+                * F.when(
+                    F.col("_wtot") != 0,
+                    F.col("_w").cast("double")
+                    / F.col("_wtot").cast("double"),
+                ).otherwise(
+                    F.col("_n").cast("double")
+                    / F.col("_ntot").cast("double")
+                )
             ).cast("long").alias("_quota"),
         )
     )

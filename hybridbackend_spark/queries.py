@@ -5436,9 +5436,11 @@ def lsh_linkage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_join_customers",
     """
     WITH corr AS (
+      -- greatest(length, 1): an empty name would make the corruption
+      -- position a mod-by-zero ANSI abort (engine side matches)
       SELECT c_custkey AS corrupt_key,
-             substr(c_name, 1, (c_custkey % length(c_name))::INT)
-               || substr(c_name, (c_custkey % length(c_name))::INT + 2)
+             substr(c_name, 1, (c_custkey % greatest(length(c_name), 1))::INT)
+               || substr(c_name, (c_custkey % greatest(length(c_name), 1))::INT + 2)
                AS cname
       FROM customer
     )
@@ -5462,8 +5464,10 @@ def fuzzy_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted = c.select(
         F.col("c_custkey").alias("corrupt_key"),
         F.expr(
-            "concat(substring(c_name, 1, cast(c_custkey % length(c_name) as int)),"
-            " substring(c_name, cast(c_custkey % length(c_name) as int) + 2))"
+            "concat(substring(c_name, 1,"
+            " cast(c_custkey % greatest(length(c_name), 1) as int)),"
+            " substring(c_name,"
+            " cast(c_custkey % greatest(length(c_name), 1) as int) + 2))"
         ).alias("cname"),
     )
     return fuzzy_join(
@@ -6855,11 +6859,15 @@ def incremental_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     ),
     quota AS (
-      SELECT o_orderpriority,
-             CAST(floor(1000.0 * w::DOUBLE
-                        / (SELECT sum(w) FROM wts)::DOUBLE) AS BIGINT)
-               AS qn
-      FROM wts
+      -- all-zero-variance fallback: proportional allocation (matches
+      -- the engine's guard; on non-degenerate data the CASE is inert)
+      SELECT w.o_orderpriority,
+             CAST(floor(1000.0 * CASE
+               WHEN (SELECT sum(w) FROM wts) <> 0
+               THEN w.w::DOUBLE / (SELECT sum(w) FROM wts)::DOUBLE
+               ELSE s.n::DOUBLE / (SELECT sum(n) FROM stats)::DOUBLE
+             END) AS BIGINT) AS qn
+      FROM wts w JOIN stats s USING (o_orderpriority)
     ),
     ranked AS (
       SELECT o.o_orderkey, o.o_orderpriority, quota.qn,
@@ -8601,12 +8609,14 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents),
     toksa AS (
+      -- TRY_CAST: a malformed source tag yields NULL (row in neither
+      -- half) instead of aborting the scan (engine side matches)
       SELECT DISTINCT u.t AS tok FROM t, unnest(w) u(t)
-      WHERE CAST(substr(source, 4) AS INT) < 10
+      WHERE TRY_CAST(substr(source, 4) AS INT) < 10
     ),
     toksb AS (
       SELECT DISTINCT u.t AS tok FROM t, unnest(w) u(t)
-      WHERE CAST(substr(source, 4) AS INT) >= 10
+      WHERE TRY_CAST(substr(source, 4) AS INT) >= 10
     ),
     ha AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
            FROM toksa ORDER BY 1 LIMIT 256),
@@ -8645,7 +8655,9 @@ def kmv_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import tokens as _tok
 
     docs = _t(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
+    # try_cast parity with the oracle's TRY_CAST: a malformed source
+    # tag drops the row from both halves instead of ANSI-aborting
+    src_num = F.substring("source", 4, 10).try_cast("int")
     toks = docs.select(
         src_num.alias("_s"), F.explode(_tok(F.col("text"))).alias("tok")
     )

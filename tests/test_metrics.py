@@ -56,6 +56,28 @@ def test_auc_histogram_converges(spark):
     assert approx == pytest.approx(exact, abs=0.01)
 
 
+def test_auc_histogram_degenerate_single_class_and_empty(spark):
+    """Single-class and empty inputs return a 1-row NULL instead of
+    ANSI-aborting on the /P (or /N) normalization — PR needs positives,
+    ROC needs both classes, and an empty frame sums to NULL totals."""
+    from hybridbackend_spark.functions.metrics import auc_histogram
+
+    all_neg = spark.createDataFrame(
+        [(0, 0.2), (0, 0.7)], "y: int, s: double"
+    )
+    all_pos = spark.createDataFrame(
+        [(1, 0.2), (1, 0.7)], "y: int, s: double"
+    )
+    empty = all_neg.filter("s > 10")
+    for curve in ("ROC", "PR"):
+        for df in (all_neg, empty):
+            rows = auc_histogram(df, "y", "s", curve=curve).collect()
+            assert len(rows) == 1 and rows[0]["auc"] is None
+    # all-positive: PR is undefined-free (P > 0) but ROC lacks negatives
+    rows = auc_histogram(all_pos, "y", "s", curve="ROC").collect()
+    assert len(rows) == 1 and rows[0]["auc"] is None
+
+
 def test_gauc(spark):
     random.seed(2)
     rows = []
