@@ -11,6 +11,9 @@ degenerate shapes and executes them:
 - tier ``empty``:    every table with the real schema and 0 rows
 - tier ``constant``: 3 rows per table, every non-key column constant
                      (zeros / empty strings / zero vectors / one ts)
+- tier ``single``:   1 row per table (same constant values) — the
+                     /(n-1) sample-variance class, lag/lead-NULL
+                     window paths, and single-vertex graphs
 
 A query PASSES if it returns (possibly zero rows) or raises one of its
 own DOCUMENTED guards (USER_RAISED_EXCEPTION / ValueError with a
@@ -74,8 +77,8 @@ def _degenerate_copy(out_dir: str, tier: str) -> None:
         t = pq.read_table(os.path.join(SRC, fn))
         if tier == "empty":
             out = t.slice(0, 0)
-        else:  # constant
-            head = t.slice(0, 3)
+        else:  # constant / single
+            head = t.slice(0, 1 if tier == "single" else 3)
             cols = []
             for name in head.schema.names:
                 col = head[name]
