@@ -69,7 +69,10 @@ def covariance_matrix(
             "consumers stop being 'bounded by dimension' past that"
         )
     scale = 1 << scale_bits
-    q = df.select(
+    # exclude NULL-vector rows BEFORE counting: they contribute nothing
+    # to the sums/products, so letting them inflate n would silently
+    # shrink every covariance by (n_valid-1)/(n-1)
+    q = df.filter(F.col(vec_col).isNotNull()).select(
         F.transform(
             F.col(vec_col), lambda x: F.round(x * scale).cast("long")
         ).alias("_v")
@@ -219,7 +222,9 @@ def power_pca_project(
             " this path collects dim^2 Gramian cells"
         )
     scale = 1 << scale_bits
-    q = df.select(
+    # NULL-vector rows carry no Gramian mass and would crash the
+    # bounded driver collect (int(NULL sum)); exclude them, SQL-style
+    q = df.filter(F.col(vec_col).isNotNull()).select(
         "*",
         F.transform(
             F.col(vec_col),

@@ -112,13 +112,20 @@ def random_hyperplane_key(
             F.lit(0).cast("long")
         )
         key = key + bit
-    return F.when(F.size(v) == dim, key).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"random_hyperplane_key: expected dim={dim}, got "),
-                F.size(v).cast("string"),
-            )
-        ).cast("long")
+    # NULL vector -> NULL key (the row can't hash anywhere; downstream
+    # equi-joins drop it, SQL-style) — it must NOT fall through to the
+    # raise, whose concat-with-NULL message would read as 'null'
+    return (
+        F.when(F.size(v) == dim, key)
+        .when(v.isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"random_hyperplane_key: expected dim={dim}, got "),
+                    F.size(v).cast("string"),
+                )
+            ).cast("long")
+        )
     )
 
 
@@ -368,6 +375,9 @@ def kmeans_train(
     centroids are bit-reproducible across partitionings — and across
     engines (the DuckDB oracle unrolls the same iterations).
     """
+    # NULL-vector rows can neither seed nor move a centroid — exclude
+    # them up front (a NULL seed would crash list(None) on the driver)
+    df = df.filter(F.col(vec_col).isNotNull())
     if init is None:
         if id_col is None:
             raise ValueError("pass init centroids or id_col for seeding")
@@ -785,7 +795,7 @@ def kcenter_select(
     """
     base = df.select(
         F.col(id_col).alias("_id"), _as_double_vec(vec_col).alias("_v")
-    )
+    ).filter(F.col("_v").isNotNull())  # a NULL vector can't be a center
     first = base.orderBy("_id").take(1)
     if not first:
         return []

@@ -110,11 +110,27 @@ def _update_session_emitter(gap_ms: int):
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            v = pdf["value"].fillna(0.0)
+            # NULL event times cannot be placed in any session — drop
+            # them like the built-in watermark operators do (a NaT's
+            # int64 sentinel is negative and would arm a negative
+            # timeout, killing the whole stream)
+            tsv = pd.to_datetime(pdf["ts"])
+            ok = tsv.notna().to_numpy()
+            if not ok.any():
+                continue
+            v = pdf["value"].fillna(0.0)[ok]
             cents_all.append(
                 (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
             )
-            ts_all.append(pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+            ts_all.append(tsv[ok].astype("int64").to_numpy() // 1000)
+        if not ts_all:
+            # only NULL-event-time rows arrived: nothing to add; keep
+            # the open session (if any) and re-arm its gap timer —
+            # timeouts are cleared whenever the function is invoked
+            if state.exists:
+                _, _, _, t1_keep = state.get
+                state.setTimeoutTimestamp(t1_keep // 1000 + gap_ms)
+            return
         ts = np.concatenate(ts_all)
         cents = np.concatenate(cents_all)
         order = np.argsort(ts, kind="stable")
@@ -201,6 +217,12 @@ def _update_zscore_flags(min_prior: int, k_sigma: int, ttl_ms: int | None):
             state.update((n0, s0, q0))
             return
         pdf = pd.concat(frames)
+        # drop NULL event times (watermark-operator semantics; a NaT
+        # would arm a negative TTL timeout below and kill the stream)
+        pdf = pdf[pd.to_datetime(pdf["ts"]).notna()]
+        if len(pdf) == 0:
+            state.update((n0, s0, q0))
+            return
         # event-time order within the batch; state carries across batches
         pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
         v = pdf["value"].fillna(0.0)

@@ -14,6 +14,9 @@ degenerate shapes and executes them:
 - tier ``single``:   1 row per table (same constant values) — the
                      /(n-1) sample-variance class, lag/lead-NULL
                      window paths, and single-vertex graphs
+- tier ``nulls``:    3 rows per table, keys kept, every non-key value
+                     column NULL — NULL propagation through casts,
+                     windows, and driver-side collects (float(None))
 
 A query PASSES if it returns (possibly zero rows) or raises one of its
 own DOCUMENTED guards (USER_RAISED_EXCEPTION / ValueError with a
@@ -84,7 +87,10 @@ def _degenerate_copy(out_dir: str, tier: str) -> None:
                 col = head[name]
                 typ = col.type
                 n = len(head)
-                if pa.types.is_integer(typ):
+                is_key = name.endswith(("_id", "key")) or name == "vec_id"
+                if tier == "nulls" and not is_key:
+                    arr = pa.nulls(n, typ)
+                elif pa.types.is_integer(typ):
                     # keys keep 3 distinct small values so joins/groups
                     # still form; "constant" stresses VALUE columns
                     if name.endswith(("_id", "key")) or name in ("vec_id",):
