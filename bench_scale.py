@@ -528,7 +528,12 @@ def _bench_stream_state(spark, probe: ShuffleProbe) -> list[dict]:
     )
     n_files = 10
     out = []
-    for label, d in [("sf0.1", f"{BASE}/sf0.1"), ("sf0.1x10", SYN_DIR)]:
+    tiers = [("sf0.1", f"{BASE}/sf0.1"), ("sf0.1x10", SYN_DIR)]
+    if RUN_100X:
+        # ~9.85M state rows — the decade where the in-heap provider's
+        # linear ~620 B/row memory growth crosses multi-GB per store
+        tiers.append(("sf0.1x100", SYN100_DIR))
+    for label, d in tiers:
         evdir = os.path.join(
             tempfile.mkdtemp(prefix=f"hb_scale_stream_{label.replace('.', '_')}_"),
             "events.parquet",
