@@ -221,6 +221,9 @@ def _update_zscore_flags(min_prior: int, k_sigma: int, ttl_ms: int | None):
         # would arm a negative TTL timeout below and kill the stream)
         pdf = pdf[pd.to_datetime(pdf["ts"]).notna()]
         if len(pdf) == 0:
+            # state is (n, s, q) only — no last-event time to re-arm
+            # the TTL from, so after an all-NULL batch the key's state
+            # lingers until real data arrives (which re-arms it below)
             state.update((n0, s0, q0))
             return
         # event-time order within the batch; state carries across batches
