@@ -369,6 +369,11 @@ STREAM_SPLIT_QUERIES = [
     "stream_session_user",
     "stream_click_purchase_join",
     "stream_sessions_stateful",
+    # round-10 (r9 verdict item 6): these two previously only ran in the
+    # single-batch extra set, leaving steady_sec_per_batch null — every
+    # multi-batch-capable shape must have a steady-state number
+    "stream_sliding_counts",
+    "stream_running_counter",
 ]
 STREAM_SPLIT_FILES = 8
 
@@ -686,10 +691,17 @@ def main() -> None:
         drift = round(abs(a - b) / b, 3)
 
     total = round(sum(t for t in per_query.values() if t > 0), 3)
+    import uuid
+
     common = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        # content-based run identity: bench_guard decides "is the working
+        # BENCH.json a run the driver already recorded?" by run_id match,
+        # not file mtime — a fresh clone resets every mtime to checkout
+        # time, which made the old ordering check arbitrary (r9 advisor)
+        "run_id": uuid.uuid4().hex,
         "queries": per_query,
         "scans_rows_per_sec": scans,
         "scans_rows_per_sec_pre": scans_pre,

@@ -36,6 +36,7 @@ Usage: python bench_scale.py            (~25 min; run on a quiet box)
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -52,12 +53,24 @@ SYN100_DIR = os.environ.get(
 SKEW_DIR = os.environ.get(
     "BENCH_SCALE_SKEWDIR", "/tmp/spark_graft_scale/sf1_skew"
 )
+HD_DIM = int(os.environ.get("BENCH_SCALE_HD_DIM", "768"))
+HD_DIR = os.environ.get(
+    "BENCH_SCALE_HDDIR", "/tmp/spark_graft_scale/hd768_10"
+)
+HD100_DIR = os.environ.get(
+    "BENCH_SCALE_HD100DIR", "/tmp/spark_graft_scale/hd768_100"
+)
 RUN_100X = os.environ.get("BENCH_SCALE_100X", "1") == "1"
 RUN_SKEW = os.environ.get("BENCH_SCALE_SKEW", "1") == "1"
 RUN_SEMARMS = os.environ.get("BENCH_SCALE_SEMARMS", "1") == "1"
+RUN_HD = os.environ.get("BENCH_SCALE_HD", "1") == "1"
 RUN_STREAMSTATE = os.environ.get("BENCH_SCALE_STREAMSTATE", "1") == "1"
 # comma-separated query subset for iteration (empty = all targets)
 ONLY = {q for q in os.environ.get("BENCH_SCALE_ONLY", "").split(",") if q}
+# comma-separated non-curve parts to (re)run and MERGE into the existing
+# artifact: semarms, hd, skew, streamstate — the surgical-rerun path for
+# one arm set without repaying the whole scale sweep
+PARTS = {p for p in os.environ.get("BENCH_SCALE_PARTS", "").split(",") if p}
 
 # query -> (table it scales with)
 TARGETS = {
@@ -226,6 +239,7 @@ def build_synthetic(out_dir: str, copies: int, skew: bool = False) -> None:
         pc.add(emb["vec_id"], k * OFFSET),
     ))
 
+
     ev = pq.read_table(f"{BASE}/sf0.1/events.parquet")
 
     def events_copy(k):
@@ -285,6 +299,58 @@ def build_synthetic(out_dir: str, copies: int, skew: bool = False) -> None:
         dst = f"{out_dir}/{small}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/sf0.1/{small}.parquet", dst)
+
+
+def build_highdim(
+    out_dir: str,
+    copies: int,
+    dim: int = HD_DIM,
+    base_rows: int = 2000,
+    clusters: int = 200,
+) -> None:
+    """Deterministic high-dim embedding fixture — the int8 candidate
+    pass's TARGET regime (768–4096-dim LLM vectors; the testdata tops
+    out at dim=64). Same schema and replication contract as the
+    dim-64 tier: ``base_rows`` unit vectors in ``clusters`` clusters
+    (within-cluster cosine ≈ 0.75, well above the bench arms' 0.35
+    threshold; cross-cluster ≈ 0), replicated ``copies`` times with
+    remapped ids and identical values — exact cross-copy duplicates
+    plus within-cluster near-dups, written row-group-streamed so the
+    100x tier never materializes in memory."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(7682026)
+    centers = rng.standard_normal((clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = np.arange(base_rows) % clusters
+    # noise norm ~ 0.577 -> E[cos] between same-cluster rows ~ 1/(1+s^2)
+    base = centers[cl] + rng.standard_normal((base_rows, dim)) * (
+        0.577 / math.sqrt(dim)
+    )
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    emb_arr = pa.array(
+        base.astype(np.float32).tolist(), pa.list_(pa.float32())
+    )
+    label_arr = pa.array((cl % 32).astype(np.int32))
+    ids = np.arange(base_rows, dtype=np.int64)
+    path = f"{out_dir}/embeddings.parquet"
+    writer = None
+    try:
+        for k in range(copies):
+            t = pa.table({
+                "vec_id": pa.array(ids + k * OFFSET),
+                "embedding": emb_arr,
+                "label": label_arr,
+            })
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema, version="2.6")
+            writer.write_table(t)
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 def _bench_skew(spark, probe: ShuffleProbe) -> dict:
@@ -417,85 +483,129 @@ def _bench_semdedup_arms(spark, probe: ShuffleProbe) -> list[dict]:
     embeddings tiers REPLICATE vectors across copies (ids remapped,
     values identical) — a duplicate-heavy dedup workload rather than
     disjoint corpora, identical for both arms."""
-    import math
+    from hybridbackend_spark.queries import _ivf_centroids
 
+    out: list[dict] = []
+    tiers = [("sf0.1x10", SYN_DIR, COPIES)]
+    if RUN_100X:
+        tiers.append(("sf0.1x100", SYN100_DIR, COPIES_100X))
+    for label, d, copies in tiers:
+        _semdedup_tier(spark, probe, out, label, d, copies,
+                       fixed_centroids=_ivf_centroids())
+    return out
+
+
+def _semdedup_tier(
+    spark, probe: "ShuffleProbe", out: list[dict], label: str, d: str,
+    copies: int, fixed_centroids: list[list[float]] | None,
+) -> None:
+    """Run the semantic-dedup arm set on one tier directory, appending
+    result rows to ``out``. ``fixed_centroids`` adds the registered
+    query's fixed-K+shard-cap arm (its constants are dim-64, so the
+    high-dim tiers pass None and compare tree arms only)."""
     from hybridbackend_spark.operators.dedup import (
         semantic_dedup,
         semantic_dedup_tree,
     )
     from hybridbackend_spark.operators.similarity import kmeans_train_tree
-    from hybridbackend_spark.queries import _ivf_centroids
 
-    out = []
-    tiers = [("sf0.1x10", SYN_DIR, COPIES)]
-    if RUN_100X:
-        tiers.append(("sf0.1x100", SYN100_DIR, COPIES_100X))
-    for label, d, copies in tiers:
-        emb = spark.read.parquet(f"{d}/embeddings.parquet")
-        n = emb.count()
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = emb.count()
 
-        def timed(arm, k_total, make, train=None):
-            probe.snapshot()
-            t0 = time.perf_counter()
-            extra = {}
-            args = ()
-            if train is not None:
-                args = train()
-                extra["train_sec"] = round(time.perf_counter() - t0, 3)
-                t1 = time.perf_counter()
-            else:
-                t1 = t0
-            survivors = make(*args).count()
-            sec = time.perf_counter() - t1
-            row = {
-                "tier": label, "arm": arm, "rows": n, "k_cells": k_total,
-                "dedup_sec": round(sec, 3), **extra,
-                "total_sec": round(time.perf_counter() - t0, 3),
-                "survivors": survivors, **probe.delta(),
-            }
-            print(f"semdedup {label:10} {arm:16} K={k_total:<5} "
-                  f"{row['total_sec']:8.1f}s surv {survivors:7d} "
-                  f"shufW {row['shuffle_write_mb']:8.1f}MB "
-                  f"spill {row['spill_disk_mb']:6.1f}MB")
-            out.append(row)
+    def timed(arm, k_total, make, train=None):
+        probe.snapshot()
+        t0 = time.perf_counter()
+        extra = {}
+        args = ()
+        if train is not None:
+            args = train()
+            extra["train_sec"] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+        else:
+            t1 = t0
+        survivors = make(*args).count()
+        sec = time.perf_counter() - t1
+        row = {
+            "tier": label, "arm": arm, "rows": n, "k_cells": k_total,
+            "dedup_sec": round(sec, 3), **extra,
+            "total_sec": round(time.perf_counter() - t0, 3),
+            "survivors": survivors, **probe.delta(),
+        }
+        print(f"semdedup {label:10} {arm:16} K={k_total:<5} "
+              f"{row['total_sec']:8.1f}s surv {survivors:7d} "
+              f"shufW {row['shuffle_write_mb']:8.1f}MB "
+              f"spill {row['spill_disk_mb']:6.1f}MB", flush=True)
+        out.append(row)
 
+    if fixed_centroids is not None:
         timed(
             "fixedK8_shard250", 8,
             lambda: semantic_dedup(
-                emb, "embedding", "vec_id", centroids=_ivf_centroids(),
+                emb, "embedding", "vec_id", centroids=fixed_centroids,
                 threshold=0.35, max_cell_rows=250,
             ),
         )
-        k12 = math.ceil(math.sqrt(8 * copies))
+    k12 = math.ceil(math.sqrt(8 * copies))
 
-        # each tree arm trains its OWN quantizer: kmeans_train_tree is
-        # bit-reproducible, so the centroids (and dedup output) are
-        # identical — and every arm's total_sec/shuffle delta carries
-        # its full cost, so the rows compare head-to-head (a shared
-        # cached training would credit the second arm with ~0 train
-        # cost and overstate its win)
-        def train():
-            return kmeans_train_tree(
-                emb, "embedding", "vec_id", k1=k12, k2=k12, iters=2
-            )
+    # each tree arm trains its OWN quantizer: kmeans_train_tree is
+    # bit-reproducible, so the centroids (and dedup output) are
+    # identical — and every arm's total_sec/shuffle delta carries
+    # its full cost, so the rows compare head-to-head (a shared
+    # cached training would credit the second arm with ~0 train
+    # cost and overstate its win)
+    def train(frac=None):
+        return kmeans_train_tree(
+            emb, "embedding", "vec_id", k1=k12, k2=k12, iters=2,
+            train_frac=frac,
+        )
 
-        timed(
-            "kPropN_tree", k12 * k12,
-            lambda c, s: semantic_dedup_tree(
-                emb, "embedding", "vec_id", c, s, threshold=0.35,
-            ),
-            train=train,
-        )
-        # int8 candidate pass: identical output (provable-superset
-        # margin + exact re-verify), shuffle shipped as 1-byte sketches
-        timed(
-            "kPropN_tree_int8", k12 * k12,
-            lambda c, s: semantic_dedup_tree(
-                emb, "embedding", "vec_id", c, s, threshold=0.35,
-                int8_filter=True,
-            ),
-            train=train,
-        )
+    timed(
+        "kPropN_tree", k12 * k12,
+        lambda c, s: semantic_dedup_tree(
+            emb, "embedding", "vec_id", c, s, threshold=0.35,
+        ),
+        train=train,
+    )
+    # int8 candidate pass: identical output (provable-superset
+    # margin + exact re-verify), shuffle shipped as 1-byte sketches
+    timed(
+        "kPropN_tree_int8", k12 * k12,
+        lambda c, s: semantic_dedup_tree(
+            emb, "embedding", "vec_id", c, s, threshold=0.35,
+            int8_filter=True,
+        ),
+        train=train,
+    )
+    # mini-batch training (round-10 verdict item 4): FAISS-style
+    # deterministic subsample for the Lloyd iterations, full-data
+    # assignment unchanged — the survivors delta vs kPropN_tree is the
+    # fidelity cost of the cheaper training, measured not assumed
+    timed(
+        "kPropN_tree_mb25", k12 * k12,
+        lambda c, s: semantic_dedup_tree(
+            emb, "embedding", "vec_id", c, s, threshold=0.35,
+        ),
+        train=lambda: train(frac=0.25),
+    )
+
+
+def _bench_semdedup_hd(spark, probe: "ShuffleProbe") -> list[dict]:
+    """Round-10 verdict item 3: the int8 candidate pass measured in its
+    TARGET regime. The r9 measurement ran at the testdata's dim=64,
+    where the sketch saves only 448 B/vector on the B/2-replicated
+    self-join and the two extra re-attach joins make it a wash-to-loss;
+    the feature exists for 768–4096-dim LLM embeddings (6–32 KB/vector
+    saved). This arm set runs the same tree-quantizer trio on a
+    deterministic 768-dim clustered fixture (:func:`build_highdim`) at
+    the 10x/100x tiers and records whether int8 wins where it was
+    designed to."""
+    out: list[dict] = []
+    tiers = [("hd768x10", HD_DIR, COPIES)]
+    if RUN_100X:
+        tiers.append(("hd768x100", HD100_DIR, COPIES_100X))
+    for label, d, copies in tiers:
+        _semdedup_tier(spark, probe, out, label, d, copies,
+                       fixed_centroids=None)
     return out
 
 
@@ -617,22 +727,52 @@ def _bench_stream_state(spark, probe: ShuffleProbe) -> list[dict]:
     return out
 
 
+def _merge_parts(parts: dict[str, object]) -> None:
+    """Surgical-rerun path: refresh only the named non-curve parts inside
+    the existing canonical artifact (same MERGE discipline as
+    BENCH_SCALE_ONLY for curves — partial runs never replace the file)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALE.json"
+    )
+    with open(path) as f:
+        art = json.load(f)
+    art.update(parts)
+    art.setdefault("remeasured", {}).update(
+        {name: "partial rerun (BENCH_SCALE_PARTS)" for name in parts}
+    )
+    with open(path, "w") as f:
+        json.dump(art, f, indent=2)
+    print(f"merged {sorted(parts)} into BENCH_SCALE.json")
+
+
 def main() -> None:
     build = os.environ.get("BENCH_SCALE_REBUILD", "1") == "1"
-    if build and os.path.isdir(SYN_DIR):
-        shutil.rmtree(SYN_DIR)
-    if not os.path.isdir(SYN_DIR):
-        build_synthetic(SYN_DIR, COPIES)
-    if RUN_100X:
+    want_curves = not PARTS
+    if want_curves or PARTS & {"semarms", "skew"}:
+        if build and os.path.isdir(SYN_DIR):
+            shutil.rmtree(SYN_DIR)
+        if not os.path.isdir(SYN_DIR):
+            build_synthetic(SYN_DIR, COPIES)
+    if RUN_100X and (want_curves or "semarms" in PARTS):
         if build and os.path.isdir(SYN100_DIR):
             shutil.rmtree(SYN100_DIR)
         if not os.path.isdir(SYN100_DIR):
             build_synthetic(SYN100_DIR, COPIES_100X)
-    if RUN_SKEW:
+    if RUN_SKEW and (want_curves or "skew" in PARTS):
         if build and os.path.isdir(SKEW_DIR):
             shutil.rmtree(SKEW_DIR)
         if not os.path.isdir(SKEW_DIR):
             build_synthetic(SKEW_DIR, COPIES, skew=True)
+    if RUN_HD and (want_curves or "hd" in PARTS):
+        if build and os.path.isdir(HD_DIR):
+            shutil.rmtree(HD_DIR)
+        if not os.path.isdir(HD_DIR):
+            build_highdim(HD_DIR, COPIES)
+        if RUN_100X:
+            if build and os.path.isdir(HD100_DIR):
+                shutil.rmtree(HD100_DIR)
+            if not os.path.isdir(HD100_DIR):
+                build_highdim(HD100_DIR, COPIES_100X)
 
     from hybridbackend_spark.queries import get_queries
     from hybridbackend_spark.session import get_session
@@ -642,6 +782,22 @@ def main() -> None:
     )
     queries = get_queries()
     probe = ShuffleProbe(spark)
+
+    if PARTS:
+        runners = {
+            "semarms": ("semdedup_arms", lambda: _bench_semdedup_arms(
+                spark, probe)),
+            "hd": ("semdedup_arms_768", lambda: _bench_semdedup_hd(
+                spark, probe)),
+            "skew": ("skew", lambda: _bench_skew(spark, probe)),
+            "streamstate": ("stream_state", lambda: _bench_stream_state(
+                spark, probe)),
+        }
+        unknown = PARTS - set(runners)
+        if unknown:
+            raise SystemExit(f"unknown BENCH_SCALE_PARTS: {sorted(unknown)}")
+        _merge_parts({runners[p][0]: runners[p][1]() for p in sorted(PARTS)})
+        return
 
     tiers = [
         ("sf0.01", f"{BASE}/sf0.01"),
@@ -724,6 +880,9 @@ def main() -> None:
         _bench_semdedup_arms(spark, probe) if RUN_SEMARMS and not ONLY
         else None
     )
+    semarms_hd = (
+        _bench_semdedup_hd(spark, probe) if RUN_HD and not ONLY else None
+    )
     streamstate = (
         _bench_stream_state(spark, probe) if RUN_STREAMSTATE and not ONLY
         else None
@@ -763,6 +922,7 @@ def main() -> None:
                    "copies_100x": COPIES_100X if RUN_100X else None,
                    "curves": result, "skew": skew,
                    "semdedup_arms": semarms,
+                   "semdedup_arms_768": semarms_hd,
                    "stream_state": streamstate}, f, indent=2)
     print("wrote BENCH_SCALE.json")
 

@@ -499,6 +499,7 @@ def kmeans_train_tree(
     k2: int,
     iters: int = 2,
     scale: int = 1_000_000,
+    train_frac: float | None = None,
 ) -> tuple[list[list[float]], dict[int, list[list[float]]]]:
     """Hierarchical two-level Lloyd k-means: K = k1*k2 total cells at
     O(n*(k1+k2)*d) per iteration — the trainer behind
@@ -518,9 +519,29 @@ def kmeans_train_tree(
     sub-centroids; empty updates carry the previous value.
 
     Returns ``(coarse, sub)`` ready for :func:`ivf_assign_tree`.
+
+    ``train_frac`` (round-10): train on a DETERMINISTIC hash-sample of
+    the rows (``xxhash64(id) pmod 10^6 < frac * 10^6`` — partition- and
+    order-independent, so still bit-reproducible) instead of the full
+    table. Standard coarse-quantizer practice — FAISS subsamples
+    training to a multiple of K by default (arXiv:2401.08281 §3.1) —
+    because Lloyd iterations only need enough points per cell to place
+    the centroids, while the full-data ASSIGNMENT pass downstream is
+    unchanged. Cuts the per-iteration O(n*(k1+k2)*d) train cost by the
+    sampling factor; centroids differ from full-data training (measured
+    against the survivors metric in BENCH_SCALE's ``kPropN_tree_mb``
+    arm), so leave it ``None`` where bit-parity with the full-data
+    trainer matters.
     """
     if k1 < 1 or k2 < 1:
         raise ValueError("k1 and k2 must be >= 1")
+    if train_frac is not None:
+        if not 0.0 < train_frac <= 1.0:
+            raise ValueError("train_frac must be in (0, 1]")
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(train_frac * 1_000_000)
+        )
     coarse = kmeans_train(
         df, vec_col, k=k1, iters=iters, id_col=id_col, scale=scale
     )

@@ -756,62 +756,62 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-9 window (tools/plan_window.py --stale 50): no new
-    # registry queries this round by design (round-8 verdict item 1:
-    # burn down re-verification debt) — all 50 slots go to the
-    # STALEST previously-verified queries whose function/helper/module
-    # dependencies CHANGED since the commit that recorded their last
-    # green driver row (git-diff based; mostly r03/r04 vintage).
-    "cosine_topk_lsh_docs",
-    "cosine_topk_ivf_docs",
-    "stream_sliding_counts",
-    "stream_session_user",
-    "stream_dedup_keys",
-    "stream_running_counter",
-    "decontaminate_docs",
-    "pagerank_customer_supplier",
-    "semantic_dedup_docs",
-    "triangle_count_parts",
-    "stream_segment_counts",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_excess_stock_suppliers",
-    "cc_star_event_chains",
-    "pq_topk_docs",
-    "lsh_linkage_docs",
-    "fuzzy_join_customers",
-    "cohort_retention_events",
-    "funnel_unbounded_events",
-    "dq_audit_orders",
-    "bloom_prune_join_lineitem",
-    "ewma_user_value",
-    "bfs_hops_suppliers",
-    "equidepth_bins_lineitem",
-    "stream_topk_types",
-    "covariance_embeddings",
-    "join_size_estimate_cms",
-    "attribution_multitouch",
-    "merge_upsert_orders",
-    "provenance_lineitem",
-    "winsorize_lineitem",
-    "keywords_docs",
-    "kcore_parts",
-    "kmv_overlap_docs",
-    "psi_orders",
-    "cuped_events",
-    "forecast_backtest_events",
-    "golden_record_customers",
-    "embedding_outliers_labels",
-    "mips_topk_embeddings",
-    "stream_enrich_user_tier",
-    "rbo_orders",
-    "label_centroid_embeddings",
-    "ivf_train_centroids",
-    "quantize_embeddings_int8",
-    "vocab_encode_docs",
-    "boilerplate_prune_docs",
-    "zorder_key_lineitem",
-    "resample_events_hourly",
+    # Round-10 window (tools/plan_window.py --stale 50, run after the
+    # r09 artifact landed + the untracked-artifact accounting fix):
+    # all 50 slots again go to the STALEST previously-verified queries
+    # whose function/helper/module dependency cones changed since their
+    # last green driver row (r04/r05 vintage). Real stale-and-changed
+    # count at rotation time: 154; a green r10 window takes it to ~104.
+    "standard_scale_lineitem",
+    "mad_outliers_events",
+    "lpa_communities_parts",
+    "event_transition_matrix",
+    "bigram_surprisal_docs",
+    "minhash_dedup_keep_longest_docs",
+    "table_diff_orders",
+    "cms_token_counts",
+    "customer_hierarchy_closure",
+    "substring_dedup_docs",
+    "item_similarity_parts",
+    "pit_join_events",
+    "target_encode_orders",
+    "k_anonymity_orders",
+    "attribution_last_touch",
+    "pareto_customers",
+    "percent_rank_orders",
+    "incremental_join_state",
+    "neyman_sample_orders",
+    "sequence_pattern_events",
+    "rolling_anomaly_events",
+    "hashing_vectorize_docs",
+    "calibration_embeddings",
+    "embedding_drift_labels",
+    "text_ann_pipeline",
+    "leakage_check_events",
+    "session_paths_events",
+    "kcenter_select_embeddings",
+    "ndcg_orders",
+    "mrr_hitrate_orders",
+    "corr_lineitem",
+    "ols_trend_orders",
+    "seasonal_dow_events",
+    "skew_report_lineitem",
+    "k_anonymize_customers",
+    "coverage_novelty_parts",
+    "changepoint_events",
+    "q4_order_priority",
+    "q18_large_orders",
+    "source_mix_report",
+    "ppr_customer_supplier",
+    "sort_advisor_lineitem",
+    "q12_shipmode_priority",
+    "quantile_sketch_orders",
+    "ab_ztest_events",
+    "t_closeness_orders",
+    "conformal_interval_orders",
+    "bpe_merges_docs",
+    "chisq_events",
+    "pca_project_embeddings",
 ]
 
 

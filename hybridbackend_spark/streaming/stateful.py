@@ -126,10 +126,21 @@ def _update_session_emitter(gap_ms: int):
         if not ts_all:
             # only NULL-event-time rows arrived: nothing to add; keep
             # the open session (if any) and re-arm its gap timer —
-            # timeouts are cleared whenever the function is invoked
+            # timeouts are cleared whenever the function is invoked.
+            # The watermark may have passed the session's gap deadline
+            # in this very trigger (keys WITH batch rows never get
+            # hasTimedOut=True), and setTimeoutTimestamp refuses a
+            # timestamp at/behind the watermark — in that case the gap
+            # has provably elapsed, so close the session now exactly as
+            # the timer would have.
             if state.exists:
-                _, _, _, t1_keep = state.get
-                state.setTimeoutTimestamp(t1_keep // 1000 + gap_ms)
+                deadline_ms = state.get[3] // 1000 + gap_ms
+                if deadline_ms <= state.getCurrentWatermarkMs():
+                    n, c, t0, t1 = state.get
+                    state.remove()
+                    yield pd.DataFrame([row(n, c, t0, t1)])
+                else:
+                    state.setTimeoutTimestamp(deadline_ms)
             return
         ts = np.concatenate(ts_all)
         cents = np.concatenate(cents_all)
@@ -212,19 +223,31 @@ def _update_zscore_flags(min_prior: int, k_sigma: int, ttl_ms: int | None):
             state.remove()
             return
         n0, s0, q0 = state.get if state.exists else (0, 0, 0)
+
+        def rearm_from_watermark() -> None:
+            # invoking the function CLEARS any armed timer, so a batch
+            # that adds no data must still re-arm the TTL or the key's
+            # (n, s, q) leaks forever if real data never returns. The
+            # state carries no last-event time, so re-arm from the
+            # watermark — never behind it, and the key still expires
+            # within one TTL of the stream's event-time frontier.
+            if ttl_ms is not None:
+                state.setTimeoutTimestamp(
+                    state.getCurrentWatermarkMs() + ttl_ms
+                )
+
         frames = [p for p in pdfs if len(p)]
         if not frames:
             state.update((n0, s0, q0))
+            rearm_from_watermark()
             return
         pdf = pd.concat(frames)
         # drop NULL event times (watermark-operator semantics; a NaT
         # would arm a negative TTL timeout below and kill the stream)
         pdf = pdf[pd.to_datetime(pdf["ts"]).notna()]
         if len(pdf) == 0:
-            # state is (n, s, q) only — no last-event time to re-arm
-            # the TTL from, so after an all-NULL batch the key's state
-            # lingers until real data arrives (which re-arms it below)
             state.update((n0, s0, q0))
+            rearm_from_watermark()
             return
         # event-time order within the batch; state carries across batches
         pdf = pdf.sort_values(["ts", "event_id"], kind="stable")

@@ -84,3 +84,19 @@ class TestQueryMoves:
 
     def test_single_round_no_flags(self):
         assert bg._query_moves([_row(9, {"a": 1.0}, 6.0e6)]) == []
+
+
+class TestQueryMovesSmallSample:
+    def test_two_query_regression_attributed_correctly(self):
+        # r9 advisor: with only two comparable queries, the sorted-median
+        # residual IS one of the moves — a real 2x regression would
+        # become the "residual" and the STABLE query would flag as a
+        # -100pp improvement (inverted attribution). Below 3 samples the
+        # check must fall back to ABSOLUTE moves: the regression flags,
+        # the stable query does not.
+        prev = _row(8, {"a": 1.0, "b": 1.0}, 6.0e6)
+        cur = _row(9, {"a": 1.0, "b": 2.0}, 6.0e6)
+        flags = bg._query_moves([prev, cur])
+        named = [f for f in flags if f.startswith("`")]
+        assert len(named) == 1 and named[0].startswith("`b`"), flags
+        assert "too few for a median residual" in flags[0]

@@ -345,6 +345,25 @@ def test_ivf_assign_tree_and_train(spark):
     got = t.agg(F.count(F.lit(1)), F.min("cell"), F.max("cell")).collect()[0]
     assert got[0] == 120 and got[1] >= 0 and got[2] < 4
 
+    # train_frac (round-10): the hash-sampled trainer is deterministic
+    # across repeated runs AND partitionings (xxhash64-keyed sample is
+    # layout-independent), trains on a strict subset, and the sampled
+    # quantizer still assigns every row
+    mb1 = kmeans_train_tree(
+        df, "vec", "vid", k1=2, k2=2, iters=2, train_frac=0.5
+    )
+    mb2 = kmeans_train_tree(
+        df.repartition(7), "vec", "vid", k1=2, k2=2, iters=2,
+        train_frac=0.5,
+    )
+    assert mb1 == mb2
+    t2 = ivf_assign_tree(v, "_v", mb1[0], mb1[1], "cell")
+    assert t2.count() == 120
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="train_frac"):
+        kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, train_frac=0.0)
+
 
 def test_contamination_check_planted(spark):
     from hybridbackend_spark.operators.dedup import contamination_check

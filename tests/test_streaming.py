@@ -798,3 +798,122 @@ def test_stream_hll_actives_tracks_exact_distinct(spark):
         assert abs(est - exact[w]) <= max(10, 0.25 * exact[w]), (
             w, exact[w], est, r.raw_est
         )
+
+
+def _write_events_file(d, fname, rows):
+    """rows: (event_id, user_id, ts_iso_or_None, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [
+                    dt.datetime.fromisoformat(r[2]) if r[2] else None
+                    for r in rows
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([float(r[3]) for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, f"{d}/{fname}")
+
+
+def test_session_emitter_null_ts_batch_past_deadline_closes(spark, tmp_path):
+    """r9 advisor (medium): a batch carrying ONLY NULL-ts rows for a key
+    whose gap deadline the watermark has ALREADY passed (keys with data
+    in the trigger never get hasTimedOut=True) must close the session
+    exactly as the timer would — naively re-arming the stored deadline
+    would hand GroupState a timestamp at/behind the watermark, raising
+    and killing the whole stream."""
+    import time as _time
+
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+    )
+    from hybridbackend_spark.streaming.stateful import session_emitter
+
+    d = str(tmp_path / "sess_null")
+    os.makedirs(d)
+    # batch 0: user 1 opens a session at 10:00 (gap deadline 10:30)
+    _write_events_file(d, "1.parquet", [(0, 1, "2024-03-01 10:00:00", 1.0)])
+    _time.sleep(1.1)
+    # batch 1: user 4 advances the watermark a full day past 10:30
+    _write_events_file(d, "2.parquet", [(1, 4, "2024-03-02 00:00:00", 2.0)])
+    _time.sleep(1.1)
+    # batch 2: user 1 gets ONLY a NULL-ts row — it HAS data, so its
+    # expired timer is suppressed, and the update function must close
+    # the session itself (deadline 10:30 <= watermark ~Mar-02)
+    _write_events_file(d, "3.parquet", [(2, 1, None, 9.0)])
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    sess = session_emitter(
+        stream.withWatermark("ts", "1 second"), gap="30 minutes"
+    )
+    out = run_available_now(sess, mode="append").collect()
+    mine = [r for r in out if r.user_id == 1]
+    assert len(mine) == 1  # emitted exactly once, stream did not crash
+    assert mine[0].n_events == 1 and mine[0].sum_value == 1.0
+    assert mine[0].session_start.hour == 10
+
+
+def test_zscore_flags_null_ts_batch_rearms_ttl(spark, tmp_path):
+    """r9 verdict item 5 / advisor: invoking the stateful function
+    clears any armed timer, so an all-NULL-ts batch used to leave a
+    key's (n, s, q) state immortal if real data never returned. The fix
+    re-arms the TTL from the watermark: after the all-NULL batch the
+    key still expires, and a post-TTL spike restarts its baseline
+    (n_prior=0 -> unflagged)."""
+    import time as _time
+
+    from hybridbackend_spark.streaming.ops import (
+        read_event_stream,
+        run_available_now,
+    )
+    from hybridbackend_spark.streaming.stateful import zscore_flags
+
+    d = str(tmp_path / "zs_null")
+    os.makedirs(d)
+    # batch 0: user 2 builds an 8-event quiet baseline
+    _write_events_file(
+        d,
+        "1.parquet",
+        [(100 + i, 2, f"2024-03-01 10:0{i}:00", 10.0 + (i % 2))
+         for i in range(8)],
+    )
+    _time.sleep(1.1)
+    # batch 1: user 2 gets ONLY a NULL-ts row (clears its timer; the fix
+    # re-arms TTL from the ~10:07 watermark -> expires 2024-03-02 10:07);
+    # user 3 drives the watermark to 2024-03-05 for the NEXT batch
+    _write_events_file(
+        d,
+        "2.parquet",
+        [(108, 2, None, 11.0), (300, 3, "2024-03-05 00:00:00", 1.0)],
+    )
+    _time.sleep(1.1)
+    # batch 2: no user-2 data -> its re-armed timer fires against the
+    # advanced watermark and the state is evicted
+    _write_events_file(d, "3.parquet", [(301, 3, "2024-03-05 00:10:00", 1.0)])
+    _time.sleep(1.1)
+    # batch 3: user 2 spikes — with the state evicted, n_prior restarts
+    # at 0 and the spike must NOT flag (without the re-arm the leaked
+    # state flags it with n_prior=8)
+    _write_events_file(d, "4.parquet", [(109, 2, "2024-03-05 10:00:00", 500.0)])
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    flags = zscore_flags(
+        stream.withWatermark("ts", "1 second"),
+        min_prior=8,
+        k_sigma=3,
+        state_ttl="1 day",
+    )
+    out = run_available_now(flags, mode="append").collect()
+    assert all(r.user_id != 2 for r in out), [
+        (r.user_id, r.event_id, r.n_prior) for r in out
+    ]

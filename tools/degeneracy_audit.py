@@ -17,6 +17,15 @@ degenerate shapes and executes them:
 - tier ``nulls``:    3 rows per table, keys kept, every non-key value
                      column NULL — NULL propagation through casts,
                      windows, and driver-side collects (float(None))
+- tier ``extremes``: 3 rows per table, float value columns cycled
+                     through 1e300 / -inf / NaN (scalars and vectors) —
+                     corrupt-scale magnitudes. Overflow-family ANSI
+                     aborts are CLASSIFIED AS DESIGNED here: the
+                     exact-cents BIGINT pattern overflows at
+                     |x| > ~9.2e14, far beyond any legitimate business
+                     magnitude, and a loud abort on corrupt-scale data
+                     is correct (a silent try_cast would hide the
+                     corruption). Non-overflow ANSI classes still fail.
 
 A query PASSES if it returns (possibly zero rows) or raises one of its
 own DOCUMENTED guards (USER_RAISED_EXCEPTION / ValueError with a
@@ -25,7 +34,8 @@ DIVIDE_BY_ZERO, CAST_INVALID_INPUT, CAST_OVERFLOW, ARITHMETIC_OVERFLOW,
 NUMERIC_VALUE_OUT_OF_RANGE, ARRAY_INDEX..., etc.
 
 Usage:
-  python tools/degeneracy_audit.py [empty|constant] [query ...]
+  python tools/degeneracy_audit.py [empty|constant|single|nulls|extremes]
+                                   [query ...]
 """
 
 from __future__ import annotations
@@ -51,21 +61,31 @@ ANSI_CLASSES = (
     "INTERVAL_DIVIDED_BY_ZERO",
 )
 
+# overflow-family subset: on the `extremes` tier these are the designed
+# loud failure of the exact-cents integer pattern on corrupt-scale
+# values (|x| > ~9.2e14), not defects — see classification in main()
+OVERFLOW_CLASSES = (
+    "CAST_OVERFLOW",
+    "ARITHMETIC_OVERFLOW",
+    "NUMERIC_VALUE_OUT_OF_RANGE",
+    "CAST_INVALID_INPUT",
+)
+
 # raises that are the operator's own documented, intentional guards —
-# a guard firing on degenerate input is correct behavior, not a bug
+# a guard firing on degenerate input is correct behavior, not a bug.
+# Anchored to the guards' FULL phrases (r9 advisor: broad substrings
+# like 'empty' / 'must be' silently reclassified unrelated failures as
+# designed); an unexpected failure must land in 'other', loudly.
 DESIGNED_RAISE_MARKERS = (
-    "USER_RAISED_EXCEPTION",
-    "under-covered",
-    "negative weight",
-    "fat bucket",
-    "max_bucket",
-    "requires at least",
-    "must be",
-    "need ",
-    "no rows",
-    "empty",
-    "zero matvec",
-    "degenerate",
+    "USER_RAISED_EXCEPTION",  # Spark's class for F.raise_error guards
+    "hash pre-filter under-covered",       # corpus.uniform_sample_exact
+    "weighted_quantiles: negative weight",  # analytics.weighted_quantiles
+    "token occurs in",                     # dedup max_df fat-bucket guard
+    "observations > max_obs",              # timeseries per-key bound
+    "pass init centroids or id_col for seeding",  # similarity.kmeans_train
+    "init centroids, got",                 # similarity seeding underflow
+    "zero matvec (degenerate input)",      # decomp.power_pca_project
+    "no rows in input files",              # sources.tabular strict scan
 )
 
 
@@ -88,6 +108,10 @@ def _degenerate_copy(out_dir: str, tier: str) -> None:
                 typ = col.type
                 n = len(head)
                 is_key = name.endswith(("_id", "key")) or name == "vec_id"
+                # extremes tier (round-10 verdict item 7): corrupt-scale
+                # FLOAT values — 1e300, -inf, NaN — cycled across rows;
+                # keys and non-float columns keep the constant-tier shape
+                ext = [1e300, float("-inf"), float("nan")]
                 if tier == "nulls" and not is_key:
                     arr = pa.nulls(n, typ)
                 elif pa.types.is_integer(typ):
@@ -98,7 +122,12 @@ def _degenerate_copy(out_dir: str, tier: str) -> None:
                     else:
                         arr = pa.array([0] * n, typ)
                 elif pa.types.is_floating(typ):
-                    arr = pa.array([0.0] * n, typ)
+                    if tier == "extremes":
+                        arr = pa.array(
+                            [ext[i % 3] for i in range(n)], typ
+                        )
+                    else:
+                        arr = pa.array([0.0] * n, typ)
                 elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
                     arr = pa.array([""] * n, typ)
                 elif pa.types.is_timestamp(typ):
@@ -116,7 +145,16 @@ def _degenerate_copy(out_dir: str, tier: str) -> None:
                             len(col[i]) if col[i].is_valid else 0
                             for i in range(n)
                         ]
-                        arr = pa.array([[0.0] * d for d in dims], typ)
+                        if tier == "extremes":
+                            arr = pa.array(
+                                [
+                                    [ext[i % 3]] * d
+                                    for i, d in enumerate(dims)
+                                ],
+                                typ,
+                            )
+                        else:
+                            arr = pa.array([[0.0] * d for d in dims], typ)
                     else:
                         arr = pa.array([[]] * n, typ)
                 elif pa.types.is_decimal(typ):
@@ -155,8 +193,22 @@ def main() -> int:
             msg = str(e).splitlines()[0] if str(e) else repr(e)
             full = str(e)
             if any(c in full for c in ANSI_CLASSES):
-                results["ansi"].append((name, msg[:160]))
-                print(f"ANSI-ABORT {name}: {msg[:160]}", flush=True)
+                # extremes tier: overflow-family aborts are the exact-
+                # cents quantization refusing |x| beyond its BIGINT range
+                # (~9.2e14 — far past any legitimate business magnitude).
+                # A LOUD failure on corrupt-scale data is the designed
+                # behavior (silently try_cast'ing it away would hide the
+                # corruption); anything else (divide-by-zero, bad index)
+                # is still a genuine abort.
+                if tier == "extremes" and any(
+                    c in full for c in OVERFLOW_CLASSES
+                ):
+                    results["designed"].append(
+                        (name, f"designed-loud overflow: {msg[:110]}")
+                    )
+                else:
+                    results["ansi"].append((name, msg[:160]))
+                    print(f"ANSI-ABORT {name}: {msg[:160]}", flush=True)
             elif any(m in full for m in DESIGNED_RAISE_MARKERS):
                 results["designed"].append((name, msg[:120]))
             else:

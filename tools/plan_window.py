@@ -128,6 +128,14 @@ def stale_changed(lg: dict[str, tuple[int, str]], registered: list[str],
         commit = _git(
             "log", "-1", "--format=%H", "--", os.path.basename(artifact)
         ).strip()
+        if not commit and os.path.exists(artifact):
+            # The artifact exists on disk but isn't committed yet (the
+            # driver writes CORRECTNESS_r{N}.json before anyone commits
+            # it). Its green rows were produced against a tree no older
+            # than HEAD, so HEAD is the correct conservative baseline —
+            # without this, every freshly-verified query is miscounted
+            # as changed-since-green (round-9 verdict, "What's wrong" 4).
+            commit = _git("rev-parse", "HEAD").strip()
         if not commit:
             return {}, set()
         if commit not in per_commit:
