@@ -29,6 +29,30 @@ RUNNING_COUNTER_SCHEMA = "user_id long, n_events long, sum_value double"
 _STATE_SCHEMA = "n long, c long"
 
 
+def _exact_cents(v: "pd.Series"):
+    """SQL ``round half away from zero`` cents as an int64 array, with
+    the same LOUD failure contract as the batch engines' ANSI
+    ``CAST(round(x*100) AS BIGINT)``: a non-finite or out-of-int64-range
+    value raises a named guard instead of pandas' behavior — which
+    silently WRAPS finite overflow (1e300 becomes int64 min, corrupting
+    the running sum) and kills the stream with an opaque
+    IntCastingNaNError on ±inf. Callers fillna(0.0) first, so NaN never
+    reaches this; a raise here is the designed response to corrupt-scale
+    input (|x| > ~9.2e16), mirroring the batch oracle's abort.
+    """
+    import numpy as np
+
+    c = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
+    arr = np.asarray(c, dtype="float64")
+    bad = ~np.isfinite(arr) | (np.abs(arr) >= float(2**63))
+    if bad.any():
+        raise ValueError(
+            "exact-cents value outside BIGINT range or non-finite "
+            f"(|x| > ~9.2e16, inf, or NaN): {float(np.asarray(v)[bad][0])!r}"
+        )
+    return arr.astype("int64")
+
+
 def _update_running_counter(
     key: tuple[Any, ...],
     pdfs: Iterable[pd.DataFrame],
@@ -43,15 +67,11 @@ def _update_running_counter(
     n, c = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        v = pdf["value"].fillna(0.0)
         # exact integer cents, rounded half-away-from-zero (matches SQL
         # round()): the running sum is order- and batching-independent,
         # so the final emission is bit-reproducible against a batch
         # engine regardless of micro-batch splits
-        import numpy as np
-
-        cents = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)
-        c += int(cents.astype("int64").sum())
+        c += int(_exact_cents(pdf["value"].fillna(0.0)).sum())
     state.update((n, c))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "sum_value": [c / 100.0]}
@@ -119,9 +139,7 @@ def _update_session_emitter(gap_ms: int):
             if not ok.any():
                 continue
             v = pdf["value"].fillna(0.0)[ok]
-            cents_all.append(
-                (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
-            )
+            cents_all.append(_exact_cents(v))
             ts_all.append(tsv[ok].astype("int64").to_numpy() // 1000)
         if not ts_all:
             # only NULL-event-time rows arrived: nothing to add; keep
@@ -251,9 +269,7 @@ def _update_zscore_flags(min_prior: int, k_sigma: int, ttl_ms: int | None):
             return
         # event-time order within the batch; state carries across batches
         pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
-        v = pdf["value"].fillna(0.0)
-        x = (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype("int64")
-        xs = x.to_numpy()
+        xs = _exact_cents(pdf["value"].fillna(0.0))
         # PRIOR stats for row i = state + cumulative of rows < i
         cn = n0 + np.arange(len(xs), dtype="int64")
         cs = s0 + np.concatenate(([0], np.cumsum(xs)[:-1])).astype("int64")

@@ -117,3 +117,23 @@ def test_designed_raise_still_fires(spark, degen_dirs):
         _queries()["pca_project_embeddings"](
             spark, degen_dirs["constant"]
         ).count()
+
+
+def test_exact_cents_guard_refuses_corrupt_scale():
+    """The stateful ops' exact-cents conversion must fail LOUDLY (named
+    guard) on corrupt-scale input: pandas' astype silently WRAPS finite
+    overflow (1e300 -> int64 min, corrupting the running sum) and dies
+    with an opaque IntCastingNaNError on inf — both found by the r10
+    extremes audit via stream_running_counter."""
+    import pandas as pd
+    import pytest
+
+    from hybridbackend_spark.streaming.stateful import _exact_cents
+
+    # normal values round half-away-from-zero like SQL
+    assert _exact_cents(pd.Series([1.23, -2.678, 0.0])).tolist() == [
+        123, -268, 0
+    ]
+    for bad in (1e300, float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="exact-cents value outside"):
+            _exact_cents(pd.Series([1.0, bad]))

@@ -86,6 +86,7 @@ DESIGNED_RAISE_MARKERS = (
     "init centroids, got",                 # similarity seeding underflow
     "zero matvec (degenerate input)",      # decomp.power_pca_project
     "no rows in input files",              # sources.tabular strict scan
+    "exact-cents value outside BIGINT range",  # streaming.stateful guard
 )
 
 
