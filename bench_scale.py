@@ -536,6 +536,17 @@ def _semdedup_tier(
               f"shufW {row['shuffle_write_mb']:8.1f}MB "
               f"spill {row['spill_disk_mb']:6.1f}MB", flush=True)
         out.append(row)
+        # release the finished arm's shuffle files and localCheckpoint
+        # blocks NOW: Spark's ContextCleaner only deletes them when the
+        # JVM garbage-collects the dependency, and at the hd768 100x
+        # tier three arms' accumulated shuffle (10-30 GB each) filled
+        # the disk before the periodic GC ran (first r10 attempt died
+        # on ENOSPC exactly this way)
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
 
     if fixed_centroids is not None:
         timed(

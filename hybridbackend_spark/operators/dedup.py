@@ -972,15 +972,27 @@ def semantic_dedup(
     md5-derived, so an oracle can replay the sub-split bit-for-bit at
     any scale; cells within the bound are untouched (shards == 1).
 
-    ``int8_filter`` (round-9): the blocked self-join ships every vector
-    ~n_blocks/2 times; with this flag it ships an int8 sketch of the
-    UNIT vector (1 byte/dim vs 8) plus one scale double, filters
-    candidates by quantized cosine with a PROVABLE error margin
+    ``int8_filter`` (round-9; pair plan rebuilt round-10): the blocked
+    self-join ships every vector ~n_blocks/2 times; with this flag it
+    ships an int8 sketch of the UNIT vector (1 byte/dim vs 8) plus one
+    scale double, filters candidates by quantized cosine with a
+    PROVABLE error margin
     (|cos - approx| <= sqrt(d)(s_a+s_b)/254 + d*s_a*s_b/254^2, plus the
-    5e-7 slack of the verify's 6-dp rounding), and
-    re-joins exact doubles (shipped once, keyed by id) only for
-    near-threshold survivors — the output is bit-for-bit identical to
-    the exact path (pinned by test), only the shuffle shrinks.
+    5e-7 slack of the verify's 6-dp rounding), accepts pairs whose
+    quantized score clears ``threshold + margin`` WITHOUT touching the
+    doubles (the bound proves the exact verify would keep them), and
+    re-joins exact doubles (shipped once, keyed by id) only for the
+    boundary band — the output is bit-for-bit identical to the exact
+    path (pinned by test), only the shuffle shrinks.
+
+    Measured regime (BENCH_SCALE ``semdedup_arms`` / ``_768``, 200k
+    vectors): at dim=768 int8 halves the dedup shuffle (5.0 vs 10.4 GB)
+    at identical survivors and ~7% less wall; at dim=64 it is par to
+    slightly ahead. Default OFF only because the win is shuffle-bound:
+    enable it whenever embeddings are >= 256 dims or the job is
+    shuffle-constrained (any multi-node cluster); leave it off for
+    small in-memory runs where the extra quantize pass is pure
+    overhead.
     """
     from .similarity import ivf_assign
 
@@ -1184,10 +1196,29 @@ def _semantic_dedup_cells(
                 F.greatest(
                     F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
                 ).alias("id_b"),
+                # accept-sure flag: approx - margin >= threshold means
+                # cos >= threshold + 5e-7 (margin already carries the
+                # 6-dp rounding slack), so round6(cos) >= threshold is
+                # PROVEN — the pair lands in the output either way and
+                # the CC closure only consumes (id_a, id_b). Only the
+                # boundary band re-joins exact doubles: without this
+                # split, a merge-heavy corpus (most in-cell pairs far
+                # above threshold — the hd768x100 tier) re-attached
+                # 2 x dim doubles to EVERY candidate pair through two
+                # shuffling joins, ~290 GB where the sure path ships
+                # 16 bytes/pair (found as an ENOSPC in round 10).
+                (approx - margin >= F.lit(threshold)).alias("_sure"),
             )
         )
-        pairs = (
-            cand.join(
+        # materialize once: both the sure branch and the band branch
+        # consume cand, and without this the quadratic blocked-pair
+        # scan would run twice (16-17 bytes/row, so the checkpoint is
+        # small even when most in-cell pairs are candidates)
+        cand = cand.localCheckpoint(eager=True)
+        band = (
+            cand.filter(~F.col("_sure"))
+            .select("id_a", "id_b")
+            .join(
                 cells.select(
                     F.col(id_col).alias("id_a"),
                     F.col("_v").alias("_va"),
@@ -1205,6 +1236,12 @@ def _semantic_dedup_cells(
             )
             .select("id_a", "id_b", exact_cos.alias("cos"))
             .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b")
+        )
+        pairs = (
+            cand.filter(F.col("_sure"))
+            .select("id_a", "id_b")
+            .unionByName(band)
         )
     else:
         pairs = (
