@@ -31,6 +31,9 @@ shuffle MB; writes BENCH_SCALE.json.
 Usage: python bench_scale.py            (~25 min; run on a quiet box)
        BENCH_SCALE_100X=0 python bench_scale.py   (skip the 100x tier)
        BENCH_SCALE_SKEW=0 python bench_scale.py   (skip the skew tier)
+       BENCH_SCALE_PARTS=semarms,hd python bench_scale.py
+           (surgical rerun: run only the named non-curve parts and
+            MERGE them into the existing BENCH_SCALE.json)
 """
 
 from __future__ import annotations
