@@ -573,10 +573,15 @@ def _semdedup_tier(
             train_frac=frac,
         )
 
+    # int8_filter passed EXPLICITLY on the control/int8 arms: the knob's
+    # default became "auto" in round 11 (on at >= 256 dims), which on
+    # the hd768 tiers would silently turn the exact-path control arm
+    # into a second int8 arm and void the head-to-head
     timed(
         "kPropN_tree", k12 * k12,
         lambda c, s: semantic_dedup_tree(
             emb, "embedding", "vec_id", c, s, threshold=0.35,
+            int8_filter=False,
         ),
         train=train,
     )
@@ -598,9 +603,30 @@ def _semdedup_tier(
         "kPropN_tree_mb25", k12 * k12,
         lambda c, s: semantic_dedup_tree(
             emb, "embedding", "vec_id", c, s, threshold=0.35,
+            int8_filter=False,
         ),
         train=lambda: train(frac=0.25),
     )
+    # "auto" arm (round-11 verdict item 3): the DEFAULT knob, run at the
+    # cheap 10x tiers only — its shuffle signature must match the int8
+    # arm at dim 768 and the exact arm at dim 64, proving auto keys the
+    # decision on vector width correctly; int8_resolved records what the
+    # resolver chose for this tier's dimensionality
+    if label.endswith("x10"):
+        from hybridbackend_spark.operators.dedup import (
+            _resolve_int8_filter,
+        )
+
+        dim = len(emb.select("embedding").first()[0])
+        timed(
+            "kPropN_tree_auto", k12 * k12,
+            lambda c, s: semantic_dedup_tree(
+                emb, "embedding", "vec_id", c, s, threshold=0.35,
+            ),
+            train=train,
+        )
+        out[-1]["int8_resolved"] = _resolve_int8_filter("auto", dim)
+        out[-1]["dim"] = dim
 
 
 def _bench_semdedup_hd(spark, probe: "ShuffleProbe") -> list[dict]:

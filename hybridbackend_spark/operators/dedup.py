@@ -914,6 +914,28 @@ def contamination_check(
     )
 
 
+# int8_filter="auto" enables the sketch pass at or above this vector
+# width — the measured crossover (BENCH_SCALE semdedup_arms / _768,
+# round 10): at dim=768 int8 halves the dedup shuffle at identical
+# survivors; at dim=64 it is par to slightly ahead, so auto stays off
+# there to skip the quantize pass on small in-memory jobs.
+_INT8_AUTO_MIN_DIM = 256
+
+
+def _resolve_int8_filter(int8_filter: bool | str, dim: int) -> bool:
+    """Resolve the ``int8_filter`` knob: booleans pass through; "auto"
+    keys on the vector width known from the centroids (driver-side —
+    no extra Spark job), enabling at >= ``_INT8_AUTO_MIN_DIM`` dims
+    where the sketch pass is measured to win on shuffle."""
+    if int8_filter == "auto":
+        return dim >= _INT8_AUTO_MIN_DIM
+    if isinstance(int8_filter, bool):
+        return int8_filter
+    raise ValueError(
+        f"int8_filter must be True, False, or 'auto', got {int8_filter!r}"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str,
@@ -922,7 +944,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_blocks: int = 8,
     max_cell_rows: int | None = None,
-    int8_filter: bool = False,
+    int8_filter: bool | str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): assign each embedding to its nearest centroid (the
@@ -988,21 +1010,25 @@ def semantic_dedup(
     Measured regime (BENCH_SCALE ``semdedup_arms`` / ``_768``, 200k
     vectors): at dim=768 int8 halves the dedup shuffle (5.0 vs 10.4 GB)
     at identical survivors and ~7% less wall; at dim=64 it is par to
-    slightly ahead. Default OFF only because the win is shuffle-bound:
-    enable it whenever embeddings are >= 256 dims or the job is
-    shuffle-constrained (any multi-node cluster); leave it off for
-    small in-memory runs where the extra quantize pass is pure
-    overhead.
+    slightly ahead. Default ``"auto"`` (round-11): the engine keys the
+    decision on the vector width it already knows from ``centroids`` —
+    on at >= 256 dims (the measured shuffle win), off below (skips the
+    quantize pass on small in-memory jobs). Pass ``True``/``False`` to
+    force either arm; the OUTPUT is bit-for-bit identical either way
+    (pinned by test), only the plan changes.
     """
     from .similarity import ivf_assign
 
+    use_int8 = _resolve_int8_filter(
+        int8_filter, len(centroids[0]) if centroids else 0
+    )
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     cells = ivf_assign(v, "_v", centroids, "_cell")
     return _semantic_dedup_cells(
-        cells, id_col, threshold, n_blocks, max_cell_rows, int8_filter
+        cells, id_col, threshold, n_blocks, max_cell_rows, use_int8
     )
 
 
@@ -1015,7 +1041,7 @@ def semantic_dedup_tree(
     threshold: float = 0.95,
     n_blocks: int = 8,
     max_cell_rows: int | None = None,
-    int8_filter: bool = False,
+    int8_filter: bool | str = "auto",
 ) -> DataFrame:
     """:func:`semantic_dedup` with the TWO-LEVEL quantizer
     (:func:`~.similarity.ivf_assign_tree`) — the exact-fidelity growth
@@ -1024,16 +1050,20 @@ def semantic_dedup_tree(
     ``max_cell_rows`` shard cap's fidelity trade. Train ``(coarse, sub)``
     with :func:`~.similarity.kmeans_train_tree`; everything downstream of
     the assignment (blocked self-join, threshold verify, CC closure,
-    smallest-id survivor) is identical code to :func:`semantic_dedup`."""
+    smallest-id survivor) is identical code to :func:`semantic_dedup`,
+    including the ``int8_filter="auto"`` vector-width default."""
     from .similarity import ivf_assign_tree
 
+    use_int8 = _resolve_int8_filter(
+        int8_filter, len(coarse[0]) if coarse else 0
+    )
     v = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     cells = ivf_assign_tree(v, "_v", coarse, sub, "_cell")
     return _semantic_dedup_cells(
-        cells, id_col, threshold, n_blocks, max_cell_rows, int8_filter
+        cells, id_col, threshold, n_blocks, max_cell_rows, use_int8
     )
 
 
@@ -1207,7 +1237,20 @@ def _semantic_dedup_cells(
                 # 2 x dim doubles to EVERY candidate pair through two
                 # shuffling joins, ~290 GB where the sure path ships
                 # 16 bytes/pair (found as an ENOSPC in round 10).
-                (approx - margin >= F.lit(threshold)).alias("_sure"),
+                # NaN guard (round-11 advisor): a +/-inf element makes
+                # _nrm = inf, so the unit vector holds inf/inf = NaN,
+                # _s = NaN, and approx = dq*sa*sb = NaN even though q is
+                # all-zero — Spark evaluates NaN - 2.0 >= threshold as
+                # TRUE (NaN orders above everything), which would mark
+                # the corrupt pair "sure" and bypass the exact verify
+                # that NULLs it. The margin-2.0 always-pass branch
+                # already routes such rows INTO the candidate set;
+                # ~isnan forces them down the band (exact-verify)
+                # branch where they belong.
+                (
+                    ~F.isnan(approx)
+                    & (approx - margin >= F.lit(threshold))
+                ).alias("_sure"),
             )
         )
         # materialize once: both the sure branch and the band branch

@@ -311,13 +311,19 @@ def test_ivf_assign_tree_and_train(spark):
     # int8 candidate pass: provable-superset margin filter + exact
     # re-verify => output bit-identical to the exact path (clustered
     # data puts many pairs near the threshold, exercising the margin);
-    # a ZERO vector and a NaN vector ride along — ANSI would abort on
-    # the zero division, and Spark orders NaN ABOVE every value so an
-    # unguarded NaN cosine would pass every threshold and merge with
-    # everything; both must instead yield NULL cosine (pairs dropped),
-    # survive as singletons, and decide IDENTICALLY in both paths
+    # a ZERO vector, a NaN vector, and an INF vector ride along — ANSI
+    # would abort on the zero division, and Spark orders NaN ABOVE
+    # every value so an unguarded NaN cosine would pass every threshold
+    # and merge with everything; the inf row is the round-11 advisor
+    # repro: _nrm = inf makes the unit vector inf/inf = NaN, so
+    # approx = NaN and an un-guarded accept-sure flag (NaN - margin >=
+    # threshold is TRUE in Spark) would skip the exact verify and merge
+    # the corrupt row via a bogus sure edge; all three must instead
+    # yield NULL cosine (pairs dropped), survive as singletons, and
+    # decide IDENTICALLY in both paths
     df2 = df.union(spark.createDataFrame(
-        [(999, [0.0, 0.0, 0.0]), (998, [float("nan"), 1.0, 1.0])],
+        [(999, [0.0, 0.0, 0.0]), (998, [float("nan"), 1.0, 1.0]),
+         (997, [float("inf"), 1.0, 1.0])],
         ["vid", "vec"],
     ))
     for thr in (0.5, 0.9):
@@ -335,7 +341,8 @@ def test_ivf_assign_tree_and_train(spark):
         )
         assert e == i8
         ids = {vid for vid, _ in e}
-        assert 999 in ids and 998 in ids  # degenerate rows survive solo
+        # degenerate rows survive solo
+        assert 999 in ids and 998 in ids and 997 in ids
 
     c1, sub = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
     c1b, subb = kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, iters=2)
@@ -363,6 +370,59 @@ def test_ivf_assign_tree_and_train(spark):
 
     with _pytest.raises(ValueError, match="train_frac"):
         kmeans_train_tree(df, "vec", "vid", k1=2, k2=2, train_frac=0.0)
+
+
+def test_int8_filter_auto_resolution(spark):
+    """int8_filter="auto" (round-11): the resolver keys on the vector
+    width known from the centroids — on at >= 256 dims (the measured
+    shuffle win), off below — and the auto default produces output
+    bit-identical to the forced-off exact path at a >= 256-dim input
+    (the parity contract makes auto purely a plan decision)."""
+    import pytest
+
+    from hybridbackend_spark.operators.dedup import (
+        _INT8_AUTO_MIN_DIM,
+        _resolve_int8_filter,
+        semantic_dedup,
+    )
+
+    assert _INT8_AUTO_MIN_DIM == 256
+    assert _resolve_int8_filter(True, 2) is True
+    assert _resolve_int8_filter(False, 4096) is False
+    assert _resolve_int8_filter("auto", 64) is False
+    assert _resolve_int8_filter("auto", 255) is False
+    assert _resolve_int8_filter("auto", 256) is True
+    assert _resolve_int8_filter("auto", 768) is True
+    with pytest.raises(ValueError, match="int8_filter"):
+        _resolve_int8_filter("yes", 768)
+
+    # e2e at dim 256: default (auto -> int8 on) == forced-off exact path
+    import random
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(256)] for _ in range(3)]
+    rows = []
+    for i in range(36):
+        b = base[i % 3]
+        rows.append(
+            (i, [x + rng.uniform(-0.02, 0.02) for x in b])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "vec"])
+    cents = [base[0], base[1]]
+    auto = sorted(
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(
+            df, "vec", "vec_id", centroids=cents, threshold=0.9
+        ).collect()
+    )
+    exact = sorted(
+        (r.vec_id, r.cell)
+        for r in semantic_dedup(
+            df, "vec", "vec_id", centroids=cents, threshold=0.9,
+            int8_filter=False,
+        ).collect()
+    )
+    assert auto == exact and 0 < len(auto) < 36
 
 
 def test_contamination_check_planted(spark):

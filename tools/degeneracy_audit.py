@@ -22,10 +22,12 @@ degenerate shapes and executes them:
                      corrupt-scale magnitudes. Overflow-family ANSI
                      aborts are CLASSIFIED AS DESIGNED here: the
                      exact-cents BIGINT pattern overflows at
-                     |x| > ~9.2e14, far beyond any legitimate business
-                     magnitude, and a loud abort on corrupt-scale data
-                     is correct (a silent try_cast would hide the
-                     corruption). Non-overflow ANSI classes still fail.
+                     |x| > ~9.2e16 (2^63/100), far beyond any
+                     legitimate business magnitude, and a loud abort on
+                     corrupt-scale data is correct (a silent try_cast
+                     would hide the corruption). Non-overflow ANSI
+                     classes still fail, and every reclassified message
+                     is printed so a human can audit the call.
 
 A query PASSES if it returns (possibly zero rows) or raises one of its
 own DOCUMENTED guards (USER_RAISED_EXCEPTION / ValueError with a
@@ -63,12 +65,15 @@ ANSI_CLASSES = (
 
 # overflow-family subset: on the `extremes` tier these are the designed
 # loud failure of the exact-cents integer pattern on corrupt-scale
-# values (|x| > ~9.2e14), not defects — see classification in main()
+# values (|x| > ~9.2e16 = 2^63/100), not defects — see classification in
+# main(). CAST_INVALID_INPUT is deliberately NOT here (r10 advisor): the
+# cents pattern on 1e300/NaN/-inf always raises CAST_OVERFLOW ("cannot
+# be cast to BIGINT"), while CAST_INVALID_INPUT fires only on malformed
+# STRING input — a genuine bug class that must stay an audit failure.
 OVERFLOW_CLASSES = (
     "CAST_OVERFLOW",
     "ARITHMETIC_OVERFLOW",
     "NUMERIC_VALUE_OUT_OF_RANGE",
-    "CAST_INVALID_INPUT",
 )
 
 # raises that are the operator's own documented, intentional guards —
@@ -196,16 +201,22 @@ def main() -> int:
             if any(c in full for c in ANSI_CLASSES):
                 # extremes tier: overflow-family aborts are the exact-
                 # cents quantization refusing |x| beyond its BIGINT range
-                # (~9.2e14 — far past any legitimate business magnitude).
-                # A LOUD failure on corrupt-scale data is the designed
-                # behavior (silently try_cast'ing it away would hide the
-                # corruption); anything else (divide-by-zero, bad index)
-                # is still a genuine abort.
+                # (~9.2e16 = 2^63/100 — far past any legitimate business
+                # magnitude). A LOUD failure on corrupt-scale data is the
+                # designed behavior (silently try_cast'ing it away would
+                # hide the corruption); anything else (divide-by-zero,
+                # bad index, malformed-string cast) is still a genuine
+                # abort. Every reclassified message is printed so the
+                # call is auditable.
                 if tier == "extremes" and any(
                     c in full for c in OVERFLOW_CLASSES
                 ):
                     results["designed"].append(
                         (name, f"designed-loud overflow: {msg[:110]}")
+                    )
+                    print(
+                        f"RECLASSIFIED-OVERFLOW {name}: {msg[:160]}",
+                        flush=True,
                     )
                 else:
                     results["ansi"].append((name, msg[:160]))
