@@ -374,6 +374,15 @@ STREAM_SPLIT_QUERIES = [
     # multi-batch-capable shape must have a steady-state number
     "stream_sliding_counts",
     "stream_running_counter",
+    # round-11 (r10 verdict item 2): the last four shapes without a
+    # steady-state number — stream-static broadcast enrichment (x2),
+    # windowed top-k, and the bounded-state HLL sketch; all run the same
+    # read_event_stream + availableNow machinery, so multi-batch is just
+    # maxFilesPerTrigger=1 over the 8-file dir
+    "stream_segment_counts",
+    "stream_topk_types",
+    "stream_enrich_user_tier",
+    "stream_hll_actives",
 ]
 STREAM_SPLIT_FILES = 8
 

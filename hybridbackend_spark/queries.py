@@ -756,62 +756,63 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-10 window (tools/plan_window.py --stale 50, run after the
-    # r09 artifact landed + the untracked-artifact accounting fix):
-    # all 50 slots again go to the STALEST previously-verified queries
-    # whose function/helper/module dependency cones changed since their
-    # last green driver row (r04/r05 vintage). Real stale-and-changed
-    # count at rotation time: 154; a green r10 window takes it to ~104.
-    "standard_scale_lineitem",
-    "mad_outliers_events",
-    "lpa_communities_parts",
-    "event_transition_matrix",
-    "bigram_surprisal_docs",
-    "minhash_dedup_keep_longest_docs",
-    "table_diff_orders",
-    "cms_token_counts",
-    "customer_hierarchy_closure",
-    "substring_dedup_docs",
-    "item_similarity_parts",
-    "pit_join_events",
-    "target_encode_orders",
-    "k_anonymity_orders",
-    "attribution_last_touch",
-    "pareto_customers",
-    "percent_rank_orders",
-    "incremental_join_state",
-    "neyman_sample_orders",
-    "sequence_pattern_events",
-    "rolling_anomaly_events",
-    "hashing_vectorize_docs",
-    "calibration_embeddings",
-    "embedding_drift_labels",
-    "text_ann_pipeline",
-    "leakage_check_events",
-    "session_paths_events",
-    "kcenter_select_embeddings",
-    "ndcg_orders",
-    "mrr_hitrate_orders",
-    "corr_lineitem",
-    "ols_trend_orders",
-    "seasonal_dow_events",
-    "skew_report_lineitem",
-    "k_anonymize_customers",
-    "coverage_novelty_parts",
-    "changepoint_events",
-    "q4_order_priority",
-    "q18_large_orders",
-    "source_mix_report",
-    "ppr_customer_supplier",
-    "sort_advisor_lineitem",
-    "q12_shipmode_priority",
-    "quantile_sketch_orders",
-    "ab_ztest_events",
-    "t_closeness_orders",
-    "conformal_interval_orders",
-    "bpe_merges_docs",
-    "chisq_events",
-    "pca_project_embeddings",
+    # Round-11 window (tools/plan_window.py --stale 50, run after the
+    # r10 artifact landed): all 50 slots go to the STALEST
+    # previously-verified queries whose function/helper/module
+    # dependency cones changed since their last green driver row
+    # (r05-r07 vintage). Real stale-and-changed count at rotation time:
+    # 113; a green r11 window takes it to ~63 (plus this round's own
+    # re-staling).
+    "woe_orders",
+    "kaplan_meier_users",
+    "mutual_info_orders",
+    "stream_anomaly_flags",
+    "multimodal_png_stats",
+    "multimodal_wav_stats",
+    "multimodal_mp4_stats",
+    "multimodal_mp4_video_stats",
+    "media_probe_mixed",
+    "image_ahash_mixed",
+    "stream_hll_actives",
+    "mau_hll_events",
+    "symspell_correct_docs",
+    "sssp_suppliers",
+    "balance_sample_docs",
+    "halfsample_ci_orders",
+    "luhn_audit_orders",
+    "ttr_docs",
+    "funnel_ttc_events",
+    "isotonic_calibration_embeddings",
+    "markov_backtest_events",
+    "phrase_search_docs",
+    "dataset_shift_orders",
+    "bandit_replay_events",
+    "feistel_pseudonymize_customers",
+    "bitmap_yearly_actives",
+    "bloom_semijoin_orders",
+    "zorder_advisor_lineitem",
+    "ranking_metrics_orders",
+    "target_encode_binary_custkey",
+    "intra_doc_repetition_docs",
+    "join_cardinality_advisor",
+    "chunk_documents_docs",
+    "stratified_sample_docs",
+    "stratified_topn_docs",
+    "latest_state_per_key",
+    "negative_samples_orders",
+    "line_dedup_docs",
+    "unigram_surprisal_docs",
+    "temperature_mixture_docs",
+    "scd2_user_state",
+    "weighted_sample_docs",
+    "incremental_sales_state",
+    "source_token_drift",
+    "latest_state_with_tombstones",
+    "jsonl_scan_docs",
+    "stream_click_purchase_join",
+    "split_leakage_docs",
+    "stream_sessions_stateful",
+    "setsim_join_docs",
 ]
 
 
@@ -15364,3 +15365,36 @@ def token_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_ch").cast("double") / F.sum("_bpe").cast("double"), 6
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "corrupt_scale_events",
+    """
+    SELECT 'value' AS column,
+           count(*)::BIGINT AS n_rows,
+           coalesce(sum(CASE WHEN isnan(value) THEN 1 END), 0)::BIGINT
+             AS n_nan,
+           coalesce(sum(CASE WHEN isinf(value) THEN 1 END), 0)::BIGINT
+             AS n_inf,
+           coalesce(sum(CASE WHEN NOT isnan(value) AND NOT isinf(value)
+                              AND abs(value) >= 9.223372036854776e16
+                             THEN 1 END), 0)::BIGINT AS n_out_of_range,
+           (coalesce(sum(CASE WHEN isnan(value) OR isinf(value)
+                               OR abs(value) >= 9.223372036854776e16
+                              THEN 1 END), 0) = 0) AS clean
+    FROM events
+    """,
+)
+def corrupt_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-scan corrupt-scale validator on the events value column
+    (round-11, the extremes-tier lenient-mode decision record): counts
+    rows that would trip the exact-cents family's designed-loud ANSI
+    abort (NaN / ±inf / |x| >= 2^63/100) BEFORE any cents-consuming job
+    runs — the operational answer to "one corrupt row kills the 100 TB
+    job" that keeps every operator's exactness contract intact. One
+    narrow scan + one partial-aggregated collect; see
+    :func:`~.sources.validate.corrupt_scale_report`."""
+    from .sources.validate import corrupt_scale_report
+
+    ev = _t(spark, sf_dir, "events")
+    return corrupt_scale_report(ev, cols=["value"])

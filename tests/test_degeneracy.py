@@ -137,3 +137,57 @@ def test_exact_cents_guard_refuses_corrupt_scale():
     for bad in (1e300, float("inf"), float("-inf")):
         with pytest.raises(ValueError, match="exact-cents value outside"):
             _exact_cents(pd.Series([1.0, bad]))
+
+
+def test_corrupt_scale_report_finds_planted_rows(spark):
+    """The pre-scan validator (the extremes-tier lenient-mode decision:
+    keep every cents consumer designed-loud, make corruption FINDABLE
+    first) counts exactly the rows that would trip the exact-cents
+    abort — NaN, +/-inf, and finite |x| >= 2^63/100 — over scalar AND
+    array float columns, and reads clean on healthy data."""
+    import pytest
+
+    from hybridbackend_spark.sources.validate import (
+        CENTS_BOUND,
+        corrupt_scale_report,
+    )
+
+    rows = [
+        (1, 1.23, [0.1, 0.2]),
+        (2, float("nan"), [1.0, float("inf")]),
+        (3, float("-inf"), [float("nan"), 2.0]),
+        (4, 1e300, [0.0, -1e300]),
+        (5, CENTS_BOUND, [0.5, 0.6]),       # boundary: >= bound trips
+        (6, CENTS_BOUND * 0.99, [0.7]),     # just inside: clean
+        (7, None, None),                    # NULLs never flag
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, v double, vec array<double>"
+    )
+    got = {
+        r["column"]: r for r in corrupt_scale_report(df).collect()
+    }
+    assert set(got) == {"v", "vec"}
+    v = got["v"]
+    assert (v["n_rows"], v["n_nan"], v["n_inf"], v["n_out_of_range"]) == (
+        7, 1, 1, 2
+    )
+    assert v["clean"] is False
+    vec = got["vec"]
+    assert (
+        vec["n_nan"], vec["n_inf"], vec["n_out_of_range"]
+    ) == (1, 1, 1)
+
+    clean = spark.createDataFrame(
+        [(1, 0.5), (2, -3.25)], "id long, v double"
+    )
+    out = corrupt_scale_report(clean).collect()
+    assert len(out) == 1 and out[0]["clean"] is True
+
+    # cols= filter + loud errors on misuse
+    one = corrupt_scale_report(df, cols=["v"]).collect()
+    assert len(one) == 1 and one[0]["column"] == "v"
+    with pytest.raises(ValueError, match="not float-typed"):
+        corrupt_scale_report(df, cols=["id"])
+    with pytest.raises(ValueError, match="no float/double columns"):
+        corrupt_scale_report(df.select("id"))

@@ -153,9 +153,31 @@ def main():
     # "the whole registry is green" is evidenced by an artifact, not notes.
     if not only:
         import json
+        import os
+        import subprocess
 
+        # _meta stamps the tree this gate ran on (round-10 verdict item
+        # 6): per-query implementation fingerprints (source segment +
+        # helper segments + imported module contents — plan_window's
+        # staleness cone) let the rotation scheduler count a green row
+        # here as "locally re-proven" for exactly as long as the code
+        # stays byte-identical, plus HEAD for human audit.
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from plan_window import current_fingerprints
+
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        out = {
+            "_meta": {
+                "head": head,
+                "fingerprints": current_fingerprints(),
+            },
+            **report,
+        }
         with open(f"{REPO}/CORRECTNESS_local.json", "w") as f:
-            json.dump(report, f, indent=2)
+            json.dump(out, f, indent=2)
         print(f"wrote CORRECTNESS_local.json ({len(report)} entries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)

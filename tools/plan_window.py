@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import ast
 import glob
+import hashlib
 import json
 import os
 import re
@@ -109,6 +110,80 @@ def _body_deps(seg: str, all_defs: set[str]) -> tuple[set[str], set[str]]:
             modules.add(f"hybridbackend_spark/{rel}.py")
             modules.add(f"hybridbackend_spark/{rel}/__init__.py")
     return helpers, modules
+
+
+def current_fingerprints() -> dict[str, str]:
+    """name -> sha256 fingerprint (16 hex chars) of each registered
+    query's CURRENT implementation: its queries.py source segment, the
+    segments of the queries.py-local helpers it references, and the file
+    content of every package module its body imports — the same one-level
+    dependency cone :func:`stale_changed` diffs. Two equal fingerprints
+    mean the implementation is byte-identical, which is the unit of
+    "unchanged since verification".
+
+    check_oracle.py stamps these into CORRECTNESS_local.json's ``_meta``
+    at run time (round-10 verdict item 6); :func:`main` compares them to
+    the current tree to count a green local row as "locally re-proven
+    since the driver's last green row". Self-validating: a fingerprint
+    match means the code is identical to what the local gate ran, so
+    whether the artifact is committed yet doesn't change its evidence.
+    """
+    from hybridbackend_spark.queries import QUERIES
+
+    cur_src = open(os.path.join(REPO, QUERIES_PATH)).read()
+    cur_defs = _top_level_defs(ast.parse(cur_src), cur_src)
+    all_def_names = set(cur_defs)
+    file_sha: dict[str, str] = {}
+
+    def fsha(rel: str) -> str:
+        if rel not in file_sha:
+            p = os.path.join(REPO, rel)
+            file_sha[rel] = (
+                hashlib.sha256(open(p, "rb").read()).hexdigest()
+                if os.path.exists(p)
+                else ""
+            )
+        return file_sha[rel]
+
+    out: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        seg = cur_defs.get(fn.__name__)
+        if seg is None:
+            continue
+        helpers, modules = _body_deps(seg, all_def_names)
+        h = hashlib.sha256(seg.encode())
+        for hn in sorted(helpers):
+            h.update((cur_defs.get(hn) or "").encode())
+        for m in sorted(modules):
+            h.update(m.encode())
+            h.update(fsha(m).encode())
+        out[name] = h.hexdigest()[:16]
+    return out
+
+
+def local_reproven() -> set[str]:
+    """Names whose implementation is byte-identical to what the last
+    full check_oracle.py run proved green: CORRECTNESS_local.json rows
+    that are green AND whose recorded fingerprint matches the current
+    tree's. Empty set if the artifact predates fingerprint stamping."""
+    path = os.path.join(REPO, "CORRECTNESS_local.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        report = json.load(f)
+    meta = report.get("_meta") or {}
+    fps = meta.get("fingerprints") or {}
+    if not fps:
+        return set()
+    cur = current_fingerprints()
+    return {
+        name
+        for name, row in report.items()
+        if name != "_meta"
+        and _green(row)
+        and fps.get(name)
+        and fps.get(name) == cur.get(name)
+    }
 
 
 def stale_changed(lg: dict[str, tuple[int, str]], registered: list[str],
@@ -190,20 +265,40 @@ def main() -> None:
     verified = set(lg) & set(registered)
     never = [n for n in registered if n not in verified]
     stale = stale_changed(lg, registered, fn_names)
+    # local-gate currency (round-10 verdict item 6): the builder runs
+    # the full 287-query oracle gate every round; when its artifact
+    # carries per-query implementation fingerprints, a driver-stale
+    # query whose fingerprint still matches the current tree has been
+    # RE-PROVEN locally since the code changed. Driver windows remain
+    # the hard signal — local re-proof only deprioritizes, never
+    # removes, a query from rotation.
+    reproven = local_reproven()
+    stale_hard = [(r, n) for r, n in stale if n not in reproven]
+    stale_soft = [(r, n) for r, n in stale if n in reproven]
 
     print(
         f"registered={len(registered)} driver-verified={len(verified)} "
         f"never-verified={len(never)} stale-and-changed={len(stale)}"
     )
+    print(
+        f"  of stale: locally re-proven on current tree "
+        f"(CORRECTNESS_local fingerprint match) = {len(stale_soft)}, "
+        f"needing any proof = {len(stale_hard)}"
+    )
     head = list(args.new) + [n for n in never if n not in args.new]
     budget = max(0, 50 - len(head))
-    picked = [n for _, n in stale if n not in head][: min(args.stale, budget)]
+    ranked = stale_hard + stale_soft
+    picked = [n for _, n in ranked if n not in head][
+        : min(args.stale, budget)
+    ]
     print("suggested _DRIVER_WINDOW_FIRST head "
-          "(additions + never-verified + stalest-changed):")
+          "(additions + never-verified + stalest-changed, "
+          "locally-unproven first):")
     for n in head + picked:
         tag = ""
         if n in lg:
-            tag = f"  # changed since last green (r{lg[n][0]:02d})"
+            lp = " local-green" if n in reproven else ""
+            tag = f"  # changed since last green (r{lg[n][0]:02d}){lp}"
         print(f'    "{n}",{tag}')
 
 
