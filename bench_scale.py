@@ -71,8 +71,8 @@ RUN_STREAMSTATE = os.environ.get("BENCH_SCALE_STREAMSTATE", "1") == "1"
 # comma-separated query subset for iteration (empty = all targets)
 ONLY = {q for q in os.environ.get("BENCH_SCALE_ONLY", "").split(",") if q}
 # comma-separated non-curve parts to (re)run and MERGE into the existing
-# artifact: semarms, hd, skew, streamstate — the surgical-rerun path for
-# one arm set without repaying the whole scale sweep
+# artifact: semarms, hd, annhd, skew, streamstate — the surgical-rerun
+# path for one arm set without repaying the whole scale sweep
 PARTS = {p for p in os.environ.get("BENCH_SCALE_PARTS", "").split(",") if p}
 
 # query -> (table it scales with)
@@ -501,11 +501,17 @@ def _bench_semdedup_arms(spark, probe: ShuffleProbe) -> list[dict]:
 def _semdedup_tier(
     spark, probe: "ShuffleProbe", out: list[dict], label: str, d: str,
     copies: int, fixed_centroids: list[list[float]] | None,
+    train_fracs: tuple[float, ...] = (0.25,),
 ) -> None:
     """Run the semantic-dedup arm set on one tier directory, appending
     result rows to ``out``. ``fixed_centroids`` adds the registered
     query's fixed-K+shard-cap arm (its constants are dim-64, so the
-    high-dim tiers pass None and compare tree arms only)."""
+    high-dim tiers pass None and compare tree arms only).
+    ``train_fracs`` picks the mini-batch training fractions measured
+    (round-11 verdict item 4: the high-dim tiers chart the fidelity/
+    cost frontier at {0.25, 0.5, 0.75} instead of the single mb25
+    point, whose −6%-survivors reading at dim 768 was a cliff edge,
+    not a curve)."""
     from hybridbackend_spark.operators.dedup import (
         semantic_dedup,
         semantic_dedup_tree,
@@ -599,14 +605,15 @@ def _semdedup_tier(
     # deterministic subsample for the Lloyd iterations, full-data
     # assignment unchanged — the survivors delta vs kPropN_tree is the
     # fidelity cost of the cheaper training, measured not assumed
-    timed(
-        "kPropN_tree_mb25", k12 * k12,
-        lambda c, s: semantic_dedup_tree(
-            emb, "embedding", "vec_id", c, s, threshold=0.35,
-            int8_filter=False,
-        ),
-        train=lambda: train(frac=0.25),
-    )
+    for frac in train_fracs:
+        timed(
+            f"kPropN_tree_mb{int(frac * 100)}", k12 * k12,
+            lambda c, s: semantic_dedup_tree(
+                emb, "embedding", "vec_id", c, s, threshold=0.35,
+                int8_filter=False,
+            ),
+            train=lambda frac=frac: train(frac=frac),
+        )
     # "auto" arm (round-11 verdict item 3): the DEFAULT knob, run at the
     # cheap 10x tiers only — its shuffle signature must match the int8
     # arm at dim 768 and the exact arm at dim 64, proving auto keys the
@@ -644,8 +651,138 @@ def _bench_semdedup_hd(spark, probe: "ShuffleProbe") -> list[dict]:
     if RUN_100X:
         tiers.append(("hd768x100", HD100_DIR, COPIES_100X))
     for label, d, copies in tiers:
+        # high-dim tiers chart the full train_frac frontier (round-11
+        # verdict item 4): at dim 768 mb25 read −6% survivors with no
+        # intermediate point, so a user choosing the knob was choosing
+        # blind between full-cost and −6%
         _semdedup_tier(spark, probe, out, label, d, copies,
-                       fixed_centroids=None)
+                       fixed_centroids=None,
+                       train_fracs=(0.25, 0.5, 0.75))
+    return out
+
+
+def _bench_ann_hd(spark, probe: "ShuffleProbe") -> list[dict]:
+    """Round-10 verdict item 5: the ANN family (sign-LSH / IVF top-k,
+    recall@5) is value-oracled at the testdata's dim=64 only, and
+    parameterizations that work at 64d routinely fall apart at 768d.
+    This part measures recall@5 of each approximate index against the
+    exact brute-force top-5 on a 20-query sample (the standard
+    recall-evaluation protocol) over the hd768 10x fixture — first with
+    the dim-64 registered parameters, then with a wider arm so the 768-d
+    guidance is a measured choice, not a copy of the 64-d constants.
+    IVF rows carry the k-means training cost separately, mirroring the
+    semdedup arms."""
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{HD_DIR}/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 20)
+
+    # Ground truth EXCLUDES same-origin replicas: the fixture replicates
+    # each base vector ``copies`` times (vec_id + k*OFFSET, identical
+    # values), so the raw top-5 is the query's own exact duplicates at
+    # cos = 1.0 — which collide in EVERY LSH table and land in the same
+    # IVF cell by construction (measured: recall@5 over raw ground truth
+    # reads 1.0 for all four arms — trivially). The number that answers
+    # "do the 64-d parameters survive 768d?" is recall over genuine
+    # NEAR-neighbors (within-cluster cos ≈ 0.75–0.9), so both ground
+    # truth and each arm drop same-origin pairs, then take the top 5
+    # survivors per query.
+    def top5_near(df) -> set:
+        rows = [
+            r
+            for r in df.collect()
+            if r["vec_id"] % OFFSET != r["neighbor_id"] % OFFSET
+        ]
+        rows.sort(key=lambda r: (r["vec_id"], -r["cos"], r["neighbor_id"]))
+        out_pairs, seen = set(), {}
+        for r in rows:
+            c = seen.get(r["vec_id"], 0)
+            if c < 5:
+                seen[r["vec_id"]] = c + 1
+                out_pairs.add((r["vec_id"], r["neighbor_id"]))
+        return out_pairs
+
+    # k = 5 + (copies-1) so the 5 near-neighbors survive after the
+    # up-to-(copies-1) same-origin duplicates are dropped
+    k_raw = 5 + COPIES - 1
+    exact = top5_near(
+        cosine_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding", k=k_raw
+        )
+    )
+    out: list[dict] = []
+
+    def arm(name: str, make, train=None):
+        probe.snapshot()
+        t0 = time.perf_counter()
+        extra = {}
+        args = ()
+        if train is not None:
+            args = train()
+            extra["train_sec"] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+        else:
+            t1 = t0
+        got = top5_near(make(*args))
+        sec = time.perf_counter() - t1
+        recall = round(len(got & exact) / len(exact), 4) if exact else None
+        row = {
+            "tier": f"hd{HD_DIM}x10", "arm": name, "rows": n,
+            "n_queries": 20, "recall5": recall,
+            "query_sec": round(sec, 3), **extra, **probe.delta(),
+        }
+        print(f"ann_hd {name:22} recall@5 {recall} "
+              f"{row['query_sec']:7.2f}s", flush=True)
+        out.append(row)
+
+    # the registered 64-d parameters, applied verbatim at 768d (only the
+    # mandatory dim= changes — the planes must match the vector width)
+    arm(
+        "lsh_b6t6_64dparams",
+        lambda: cosine_topk_lsh(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=k_raw, bits=6, n_tables=6, dim=HD_DIM,
+        ),
+    )
+    # wider arm: more tables raise collision recall, more bits cut the
+    # per-bucket candidate fan-out that 6 bits leaves huge at 768d
+    arm(
+        "lsh_b10t12",
+        lambda: cosine_topk_lsh(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=k_raw, bits=10, n_tables=12, dim=HD_DIM,
+        ),
+    )
+
+    def ivf_train(k):
+        return lambda: (
+            kmeans_train(emb, "embedding", k=k, iters=2, id_col="vec_id"),
+        )
+
+    arm(
+        "ivf_k8p2_64dparams",
+        lambda c: cosine_topk_ivf(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            centroids=c, k=k_raw, n_probe=2,
+        ),
+        train=ivf_train(8),
+    )
+    arm(
+        "ivf_k32p8",
+        lambda c: cosine_topk_ivf(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            centroids=c, k=k_raw, n_probe=8,
+        ),
+        train=ivf_train(32),
+    )
     return out
 
 
@@ -803,12 +940,12 @@ def main() -> None:
             shutil.rmtree(SKEW_DIR)
         if not os.path.isdir(SKEW_DIR):
             build_synthetic(SKEW_DIR, COPIES, skew=True)
-    if RUN_HD and (want_curves or "hd" in PARTS):
+    if RUN_HD and (want_curves or PARTS & {"hd", "annhd"}):
         if build and os.path.isdir(HD_DIR):
             shutil.rmtree(HD_DIR)
         if not os.path.isdir(HD_DIR):
             build_highdim(HD_DIR, COPIES)
-        if RUN_100X:
+        if RUN_100X and (want_curves or "hd" in PARTS):
             if build and os.path.isdir(HD100_DIR):
                 shutil.rmtree(HD100_DIR)
             if not os.path.isdir(HD100_DIR):
@@ -829,6 +966,7 @@ def main() -> None:
                 spark, probe)),
             "hd": ("semdedup_arms_768", lambda: _bench_semdedup_hd(
                 spark, probe)),
+            "annhd": ("ann_hd", lambda: _bench_ann_hd(spark, probe)),
             "skew": ("skew", lambda: _bench_skew(spark, probe)),
             "streamstate": ("stream_state", lambda: _bench_stream_state(
                 spark, probe)),
@@ -923,6 +1061,7 @@ def main() -> None:
     semarms_hd = (
         _bench_semdedup_hd(spark, probe) if RUN_HD and not ONLY else None
     )
+    ann_hd = _bench_ann_hd(spark, probe) if RUN_HD and not ONLY else None
     streamstate = (
         _bench_stream_state(spark, probe) if RUN_STREAMSTATE and not ONLY
         else None
@@ -963,6 +1102,7 @@ def main() -> None:
                    "curves": result, "skew": skew,
                    "semdedup_arms": semarms,
                    "semdedup_arms_768": semarms_hd,
+                   "ann_hd": ann_hd,
                    "stream_state": streamstate}, f, indent=2)
     print("wrote BENCH_SCALE.json")
 
