@@ -756,13 +756,15 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-11 window (tools/plan_window.py --stale 50, run after the
-    # r10 artifact landed): all 50 slots go to the STALEST
+    # Round-11 window (tools/plan_window.py --stale 50, re-run after
+    # this round's corrupt_scale_events registration): the one
+    # never-verified addition leads, then 49 slots go to the STALEST
     # previously-verified queries whose function/helper/module
     # dependency cones changed since their last green driver row
     # (r05-r07 vintage). Real stale-and-changed count at rotation time:
-    # 113; a green r11 window takes it to ~63 (plus this round's own
-    # re-staling).
+    # 116 (113 pre-round + this round's own re-staling); a green r11
+    # window takes it to ~67 plus any further re-staling.
+    "corrupt_scale_events",
     "woe_orders",
     "kaplan_meier_users",
     "mutual_info_orders",
@@ -812,7 +814,6 @@ _DRIVER_WINDOW_FIRST = [
     "stream_click_purchase_join",
     "split_leakage_docs",
     "stream_sessions_stateful",
-    "setsim_join_docs",
 ]
 
 
