@@ -546,10 +546,25 @@ def kmeans_train_tree(
     because Lloyd iterations only need enough points per cell to place
     the centroids, while the full-data ASSIGNMENT pass downstream is
     unchanged. Cuts the per-iteration O(n*(k1+k2)*d) train cost by the
-    sampling factor; centroids differ from full-data training (measured
-    against the survivors metric in BENCH_SCALE's ``kPropN_tree_mb``
-    arm), so leave it ``None`` where bit-parity with the full-data
-    trainer matters.
+    sampling factor; centroids differ from full-data training, so leave
+    it ``None`` where bit-parity with the full-data trainer matters.
+
+    Measured fidelity/cost frontier (BENCH_SCALE ``kPropN_tree_mb*``
+    arms, survivors metric of the downstream semantic dedup vs the
+    full-data trainer's). The cost is DIM-DEPENDENT — at high dim the
+    subsample moves centroids enough to change survivor counts, so pick
+    the fraction off the measured curve, not the low-dim habit:
+
+    - dim 64, 200k rows (r10): frac 0.25 -> train 2.3x cheaper,
+      survivors +0.12% — effectively free.
+    - dim 768, 200k rows (r11, same-run arms): full train 223s / 842
+      survivors; frac 0.25 -> 140s, 791 (**-6.1%**); frac 0.5 -> 151s,
+      815 (-3.2%); frac 0.75 -> 191s, 834 (-0.95%).
+
+    Guidance: below ~256 dims any fraction >= 0.25 is safe; at 768+
+    dims frac 0.75 keeps survivors within ~1% for ~15% less training,
+    frac 0.5 is the balanced point, and frac 0.25 is a real -6%
+    fidelity trade that should be a deliberate choice.
     """
     if k1 < 1 or k2 < 1:
         raise ValueError("k1 and k2 must be >= 1")
