@@ -383,6 +383,11 @@ STREAM_SPLIT_QUERIES = [
     "stream_topk_types",
     "stream_enrich_user_tier",
     "stream_hll_actives",
+    # round-11 close: the last captured shape without a provider rec —
+    # it picked up an incidental 2-batch split row from the extra set
+    # but never ran the RocksDB arm; with this every one of the 12
+    # stream shapes has both a steady number and a rec
+    "stream_anomaly_flags",
 ]
 STREAM_SPLIT_FILES = 8
 
