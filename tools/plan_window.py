@@ -161,12 +161,13 @@ def current_fingerprints() -> dict[str, str]:
     return out
 
 
-def local_reproven() -> set[str]:
+def local_reproven(path: str | None = None) -> set[str]:
     """Names whose implementation is byte-identical to what the last
     full check_oracle.py run proved green: CORRECTNESS_local.json rows
     that are green AND whose recorded fingerprint matches the current
-    tree's. Empty set if the artifact predates fingerprint stamping."""
-    path = os.path.join(REPO, "CORRECTNESS_local.json")
+    tree's. Empty set if the artifact predates fingerprint stamping.
+    ``path`` overrides the artifact location (tests)."""
+    path = path or os.path.join(REPO, "CORRECTNESS_local.json")
     if not os.path.exists(path):
         return set()
     with open(path) as f:
