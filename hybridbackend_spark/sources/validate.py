@@ -142,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--print-schema", action="store_true", help="print the resolved schema"
     )
+    p.add_argument(
+        "--values",
+        action="store_true",
+        help="also DATA-scan float columns for corrupt-scale values "
+        "(NaN / inf / |x| >= 2^63/100 — the exact-cents abort range); "
+        "one narrow column scan per call, runs a local Spark session",
+    )
     args = p.parse_args(argv)
 
     files = list(args.files)
@@ -159,7 +166,39 @@ def main(argv: list[str] | None = None) -> int:
         print(prob)
     if not problems:
         print(f"OK: {len(files)} file(s) consistent")
-    return 1 if problems else 0
+    rc = 1 if problems else 0
+
+    if args.values and not problems:
+        from ..session import get_session
+
+        spark = get_session(
+            "validate-values",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        df = spark.read.parquet(*files)
+        try:
+            report = corrupt_scale_report(df)
+        except ValueError as e:
+            # no float columns: nothing to value-check is a pass for
+            # this flag, stated explicitly rather than silently
+            print(f"values: skipped ({e})")
+            return rc
+        dirty = 0
+        for r in report.collect():
+            flag = "OK   " if r["clean"] else "DIRTY"
+            print(
+                f"values: {flag} {r['column']}: rows={r['n_rows']} "
+                f"nan={r['n_nan']} inf={r['n_inf']} "
+                f"out_of_range={r['n_out_of_range']}"
+            )
+            dirty += 0 if r["clean"] else 1
+        if dirty:
+            print(
+                f"values: {dirty} column(s) would trip the exact-cents "
+                "designed-loud abort; clean or quarantine before running"
+            )
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":

@@ -163,3 +163,32 @@ def test_narrow_uint64_roundtrip(spark, tmp_path):
         read_parquet(spark, bad, widen_uint64_to="long").collect()
     with pytest.raises(ValueError, match="decimal"):
         read_parquet(spark, ok, widen_uint64_to="float")
+
+
+def test_validate_cli_values_flag(spark, sf_dir, tmp_path, capsys):
+    """--values (round-11) extends the footer-only CLI with the
+    corrupt-scale data scan: clean data exits 0 with per-column OK
+    lines; planted corruption exits 1 and names the dirty column; a
+    floatless file is a stated skip, not a silent pass."""
+    from hybridbackend_spark.sources.validate import main
+
+    ev = f"{sf_dir}/events.parquet"
+    assert main([ev, "--values"]) == 0
+    out = capsys.readouterr().out
+    assert "values: OK    value:" in out and "DIRTY" not in out
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [(1, 1.5), (2, float("inf")), (3, 1e300)], "id long, v double"
+    ).coalesce(1).write.parquet(bad)
+    assert main(["--glob", f"{bad}/part-*.parquet", "--values"]) == 1
+    out = capsys.readouterr().out
+    assert "values: DIRTY v:" in out and "inf=1" in out \
+        and "out_of_range=1" in out
+
+    nofloat = str(tmp_path / "nofloat.parquet")
+    spark.createDataFrame([(1, "a")], "id long, s string").coalesce(
+        1
+    ).write.parquet(nofloat)
+    assert main(["--glob", f"{nofloat}/part-*.parquet", "--values"]) == 0
+    assert "values: skipped" in capsys.readouterr().out
