@@ -710,9 +710,13 @@ def _bench_ann_hd(spark, probe: "ShuffleProbe") -> list[dict]:
                 out_pairs.add((r["vec_id"], r["neighbor_id"]))
         return out_pairs
 
-    # k = 5 + (copies-1) so the 5 near-neighbors survive after the
-    # up-to-(copies-1) same-origin duplicates are dropped
-    k_raw = 5 + COPIES - 1
+    # k = 5 + copies so the 5 near-neighbors survive after the same-origin
+    # drop: each query's raw top-k holds up to (copies - 1) replicas of
+    # itself PLUS its own self-match (round-11 advisor: the previous
+    # 5 + copies - 1 left only 4 genuine near-neighbors per query, making
+    # the metric recall@4 in recall@5 clothing — consistent across arms,
+    # but the headroom was a lie by one)
+    k_raw = 5 + COPIES
     exact = top5_near(
         cosine_topk(
             q, emb, "vec_id", "vec_id", "embedding", "embedding", k=k_raw
@@ -782,6 +786,25 @@ def _bench_ann_hd(spark, probe: "ShuffleProbe") -> list[dict]:
             centroids=c, k=k_raw, n_probe=8,
         ),
         train=ivf_train(32),
+    )
+    # round-12: the strategy="auto" router (similarity.cosine_topk_ann)
+    # at 768d must pick the IVF arm unprompted — this row is the proof
+    # that a defaults-following user now gets the recall-1.0 plan, not
+    # the 0.75 LSH one (query_sec here INCLUDES the in-router k-means
+    # training, so compare against ivf_k8p2's train_sec + query_sec)
+    from hybridbackend_spark.operators.similarity import (
+        _resolve_ann_strategy,
+        cosine_topk_ann,
+    )
+
+    assert _resolve_ann_strategy("auto", HD_DIM) == "ivf"
+    assert _resolve_ann_strategy("auto", 64) == "lsh"
+    arm(
+        "auto_routed_ivf",
+        lambda: cosine_topk_ann(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=k_raw, dim=HD_DIM,
+        ),
     )
     return out
 

@@ -20,6 +20,8 @@ __all__ = [
     "random_hyperplane_key",
     "cosine_topk",
     "cosine_topk_lsh",
+    "cosine_topk_ann",
+    "ANN_AUTO_IVF_MIN_DIM",
     "ivf_assign",
     "ivf_assign_tree",
     "kmeans_train",
@@ -211,7 +213,9 @@ def cosine_topk_lsh(
     per-bit collision probability (1 - theta/pi) degrades for the
     moderate-angle near-neighbors that dominate at high dim. Prefer
     :func:`cosine_topk_ivf` there: recall@5 = 1.0 at a third of the
-    LSH wall on the same fixture."""
+    LSH wall on the same fixture — or call :func:`cosine_topk_ann`
+    (``strategy="auto"``), which routes on the vector width so the
+    defaults do the right thing unprompted."""
     q = queries.select(
         F.col(query_id).alias("_qid"), _as_double_vec(query_vec).alias("_qv")
     )
@@ -365,6 +369,93 @@ def cosine_topk_ivf(
             "cos",
             "rnk",
         )
+    )
+
+
+# strategy="auto" routes cosine top-k to IVF at or above this vector
+# width. Measured (BENCH_SCALE ``ann_hd``, 20k x 768-d clustered
+# vectors, near-neighbor ground truth): sign-LSH with the dim-64
+# registered parameters (bits=6, n_tables=6) reads recall@5 = 0.75 at
+# 768d and widening to bits=10/n_tables=12 buys only 0.80 at ~3x the
+# cost, while IVF with the dim-64 parameters (k=8, n_probe=2) holds
+# recall 1.0 at a third of the LSH wall — sign-LSH's per-bit collision
+# probability (1 - theta/pi) degrades for the moderate-angle
+# near-neighbors that dominate at high dim, where a trained coarse
+# quantizer adapts to the data's cluster structure. Below the cutoff
+# the LSH arm keeps its value-oracled dim-64 behavior (no training
+# round trips, fully expression-side). Same defaults-should-self-select
+# principle as ``dedup._resolve_int8_filter``; the reference analog is
+# the lookup rewrite picking the physical strategy for the user
+# (hybridbackend graph/optimize_lookup.cc:29-40).
+ANN_AUTO_IVF_MIN_DIM = 256
+
+
+def _resolve_ann_strategy(strategy: str, dim: int) -> str:
+    """Resolve the ``strategy`` knob of :func:`cosine_topk_ann`:
+    ``"lsh"`` / ``"ivf"`` pass through; ``"auto"`` picks IVF at or above
+    ``ANN_AUTO_IVF_MIN_DIM`` vector dims and LSH below (rationale and
+    measurements at the constant's definition)."""
+    if strategy == "auto":
+        return "ivf" if dim >= ANN_AUTO_IVF_MIN_DIM else "lsh"
+    if strategy in ("lsh", "ivf"):
+        return strategy
+    raise ValueError(
+        f"strategy must be 'lsh', 'ivf', or 'auto', got {strategy!r}"
+    )
+
+
+def cosine_topk_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int = 10,
+    dim: int = 64,
+    strategy: str = "auto",
+    bits: int = 6,
+    n_tables: int = 6,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+    ivf_k: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k with a self-selecting physical strategy.
+
+    ``strategy="auto"`` (default) routes on the vector width the caller
+    already knows: sign-LSH below ``ANN_AUTO_IVF_MIN_DIM`` dims (the
+    regime where its dim-64 parameters are value-oracled and recall is
+    high), IVF at or above it (where the same LSH parameters measured
+    recall@5 = 0.75 while IVF read 1.0 at a third of the cost — see the
+    constant's comment). Explicit ``"lsh"`` / ``"ivf"`` override the
+    router; both arms return the identical output contract
+    ``(query_id, neighbor_id, cos, rnk)`` as :func:`cosine_topk_lsh` /
+    :func:`cosine_topk_ivf`, which the router delegates to verbatim.
+
+    The IVF arm trains its coarse quantizer with :func:`kmeans_train`
+    (``ivf_k`` centroids, ``kmeans_iters`` Lloyd iterations, seeded by
+    the ``corpus_id`` order — deterministic) unless ``centroids`` are
+    passed; training is two bounded Spark round trips per iteration and
+    the centroid literal is k x dim driver-side floats.
+    """
+    resolved = _resolve_ann_strategy(strategy, dim)
+    if resolved == "lsh":
+        return cosine_topk_lsh(
+            queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+            k=k, bits=bits, n_tables=n_tables, seed=seed, dim=dim,
+            exclude_self=exclude_self,
+        )
+    if centroids is None:
+        centroids = kmeans_train(
+            corpus, corpus_vec, k=ivf_k, iters=kmeans_iters, id_col=corpus_id
+        )
+    return cosine_topk_ivf(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        centroids=centroids, k=k, n_probe=n_probe,
+        exclude_self=exclude_self,
     )
 
 

@@ -120,6 +120,75 @@ def test_ivf_assign_and_topk(spark):
     assert 1 in got  # near-dup in the same probed cell
 
 
+def test_resolve_ann_strategy():
+    import pytest
+
+    from hybridbackend_spark.operators.similarity import (
+        ANN_AUTO_IVF_MIN_DIM,
+        _resolve_ann_strategy,
+    )
+
+    assert _resolve_ann_strategy("auto", 64) == "lsh"
+    assert _resolve_ann_strategy("auto", ANN_AUTO_IVF_MIN_DIM - 1) == "lsh"
+    assert _resolve_ann_strategy("auto", ANN_AUTO_IVF_MIN_DIM) == "ivf"
+    assert _resolve_ann_strategy("auto", 768) == "ivf"
+    assert _resolve_ann_strategy("lsh", 768) == "lsh"  # explicit overrides
+    assert _resolve_ann_strategy("ivf", 64) == "ivf"
+    with pytest.raises(ValueError, match="strategy"):
+        _resolve_ann_strategy("annoy", 64)
+
+
+def test_cosine_topk_ann_auto_lsh_parity(spark, sf_dir):
+    # auto at the testdata's dim 64 must route to LSH and reproduce the
+    # registered parameters' output exactly (oracle hashes stay valid)
+    from hybridbackend_spark.operators.similarity import cosine_topk_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    via_lsh = cosine_topk_lsh(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding",
+        k=5, bits=6, n_tables=6,
+    )
+    via_auto = cosine_topk_ann(
+        q, emb, "vec_id", "vec_id", "embedding", "embedding", k=5, dim=64
+    )
+    lhs = sorted(map(tuple, via_lsh.collect()))
+    rhs = sorted(map(tuple, via_auto.collect()))
+    assert lhs == rhs and len(lhs) > 0
+
+
+def test_cosine_topk_ann_auto_ivf_at_high_dim(spark):
+    # 256-d near-dup fixture: auto must route to IVF (trained in-line
+    # via kmeans_train) and find the planted neighbor; the explicit
+    # "ivf" arm with the same knobs must match the router bit-for-bit
+    from hybridbackend_spark.operators.similarity import (
+        cosine_topk_ann,
+        cosine_topk_ivf,
+        kmeans_train,
+    )
+
+    d = 256
+    base_a = [1.0] + [0.0] * (d - 1)
+    near_a = [0.99, 0.1] + [0.0] * (d - 2)
+    base_b = [0.0, 0.0, 1.0] + [0.0] * (d - 3)
+    rows = [(0, base_a), (1, near_a), (2, base_b)]
+    v = spark.createDataFrame(rows, "vec_id: long, v: array<float>")
+    q = v.filter("vec_id = 0")
+    auto = cosine_topk_ann(
+        v.filter("vec_id = 0"), v, "vec_id", "vec_id", "v", "v",
+        k=1, dim=d, ivf_k=2, n_probe=1,
+    )
+    got = [(r["neighbor_id"], r["rnk"]) for r in auto.collect()]
+    assert got == [(1, 1)]
+    cents = kmeans_train(v, "v", k=2, iters=2, id_col="vec_id")
+    explicit = cosine_topk_ivf(
+        q, v, "vec_id", "vec_id", "v", "v", centroids=cents, k=1, n_probe=1
+    )
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, auto.collect())
+    )
+
+
 def test_cosine_near_dup_pairs_bucketed(spark):
     from hybridbackend_spark.operators.dedup import cosine_near_dup_pairs
 

@@ -124,9 +124,15 @@ def current_fingerprints() -> dict[str, str]:
     check_oracle.py stamps these into CORRECTNESS_local.json's ``_meta``
     at run time (round-10 verdict item 6); :func:`main` compares them to
     the current tree to count a green local row as "locally re-proven
-    since the driver's last green row". Self-validating: a fingerprint
-    match means the code is identical to what the local gate ran, so
-    whether the artifact is committed yet doesn't change its evidence.
+    since the driver's last green row". Scope (round-11 advisor): the
+    cone is ONE level deep — a change in a helper-of-a-helper, or in a
+    module imported by an imported module, does NOT move the
+    fingerprint, so "re-proven" means "the one-level cone is
+    byte-identical to what the local gate ran", not a transitive
+    guarantee. Acceptable because the signal only orders the rotation
+    (stale queries re-enter the driver window either way); the hard
+    evidence remains the driver's own hash rows. Whether the artifact
+    is committed yet doesn't change its evidence.
     """
     from hybridbackend_spark.queries import QUERIES
 
