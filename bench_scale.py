@@ -809,6 +809,53 @@ def _bench_ann_hd(spark, probe: "ShuffleProbe") -> list[dict]:
     return out
 
 
+def _bench_neardup_int8(spark, probe: "ShuffleProbe") -> list[dict]:
+    """Round-12 verdict item 3: the int8 pre-filter offered on the
+    bucketed cosine near-dup pair plan (``cosine_near_dup_pairs``,
+    ``bucket_bits > 0``) — measure the shuffle cut at 768d where the
+    doubles re-join is the blowup the semantic int8 pass halved, and
+    pin bit-parity (identical pair counts AND identical pair sets)
+    between the forced-off / forced-on / auto arms. At threshold 0.95
+    on the clustered hd768 fixture most bucket collisions score ~0.75
+    (within-cluster near-misses), so the filter prunes the bulk of the
+    candidate set before it ever touches the 6 KB/row double vectors."""
+    from hybridbackend_spark.operators.dedup import (
+        _resolve_int8_filter,
+        cosine_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{HD_DIR}/embeddings.parquet")
+    n = emb.count()
+    assert _resolve_int8_filter("auto", HD_DIM)  # auto is ON at 768d
+    kw = dict(
+        threshold=0.95, bucket_bits=12, seed=7, dim=HD_DIM, n_tables=4
+    )
+    out: list[dict] = []
+    results: dict[str, set] = {}
+    for name, knob in (("int8_off", False), ("int8_on", True),
+                       ("int8_auto", "auto")):
+        probe.snapshot()
+        t0 = time.perf_counter()
+        got = cosine_near_dup_pairs(
+            emb, "embedding", "vec_id", int8_filter=knob, **kw
+        )
+        pairs = {(r["id_a"], r["id_b"], r["cos"]) for r in got.collect()}
+        sec = time.perf_counter() - t0
+        results[name] = pairs
+        row = {
+            "tier": f"hd{HD_DIM}x10", "arm": name, "rows": n,
+            "n_pairs": len(pairs), "sec": round(sec, 3), **probe.delta(),
+        }
+        print(f"neardup_int8 {name:10} pairs {len(pairs):>8} "
+              f"{row['sec']:7.2f}s shuffle "
+              f"{row.get('shuffle_write_mb')} MB", flush=True)
+        out.append(row)
+    assert results["int8_off"] == results["int8_on"] == results["int8_auto"], (
+        "int8 near-dup arms diverged — the superset-prune proof is broken"
+    )
+    return out
+
+
 def _bench_stream_state(spark, probe: ShuffleProbe) -> list[dict]:
     """Streaming state-store GROWTH arm (round 9): bench.py's per-query
     provider recommendation is measured at sf0.1's ~98.5k session-state
@@ -963,7 +1010,7 @@ def main() -> None:
             shutil.rmtree(SKEW_DIR)
         if not os.path.isdir(SKEW_DIR):
             build_synthetic(SKEW_DIR, COPIES, skew=True)
-    if RUN_HD and (want_curves or PARTS & {"hd", "annhd"}):
+    if RUN_HD and (want_curves or PARTS & {"hd", "annhd", "nddup"}):
         if build and os.path.isdir(HD_DIR):
             shutil.rmtree(HD_DIR)
         if not os.path.isdir(HD_DIR):
@@ -990,6 +1037,8 @@ def main() -> None:
             "hd": ("semdedup_arms_768", lambda: _bench_semdedup_hd(
                 spark, probe)),
             "annhd": ("ann_hd", lambda: _bench_ann_hd(spark, probe)),
+            "nddup": ("neardup_int8_768", lambda: _bench_neardup_int8(
+                spark, probe)),
             "skew": ("skew", lambda: _bench_skew(spark, probe)),
             "streamstate": ("stream_state", lambda: _bench_stream_state(
                 spark, probe)),

@@ -33,6 +33,7 @@ __all__ = [
     "content_hash",
     "exact_dedup",
     "minhash_signatures",
+    "minhash_band_rows",
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "minhash_lsh_join",
@@ -157,6 +158,33 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) LSH index rows from a :func:`minhash_signatures`
+    frame — the banding step factored out so the streaming incremental
+    dedup (``streaming.dedup_stream``) can maintain the index as an
+    APPEND-ONLY table across microbatches (band keys are a deterministic
+    function of the document alone). Empty-document sentinel signatures
+    are excluded: they can never verify (Jaccard over empty shingle sets
+    is null), and they form the worst all-collide bucket. A non-empty
+    doc's minhash is always < ``_MERSENNE_P`` (it is a value mod P);
+    only the sentinel equals P, so one comparison removes every
+    sentinel row."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    band_keys = [
+        F.xxhash64(
+            F.lit(b), F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
+        )
+        for b in range(bands)
+    ]
+    return sig.filter(F.col("mh0") != _MERSENNE_P).select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -201,24 +229,12 @@ def minhash_lsh_candidates(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_n, seed, portable
     )
     sig = sig.persist()
     try:
-        band_keys = [
-            F.xxhash64(
-                F.lit(b), F.concat_ws(",", *[F.col(f"mh{b * r + j}") for j in range(r)])
-            )
-            for b in range(bands)
-        ]
-        # A non-empty doc's minhash is always < _MERSENNE_P (it is a value
-        # mod P); only the empty-doc sentinel equals P. One comparison
-        # removes every sentinel row from banding.
-        with_bands = sig.filter(F.col("mh0") != _MERSENNE_P).select(
-            F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "bucket")
-        )
+        with_bands = minhash_band_rows(sig, id_col, num_hashes, bands)
         if max_bucket is not None:
             ok = (
                 with_bands.groupBy("band", "bucket")
@@ -706,6 +722,7 @@ def cosine_near_dup_pairs(
     seed: int = 7,
     dim: int = 64,
     n_tables: int = 1,
+    int8_filter: bool | str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. ``bucket_bits = 0`` compares
     all pairs (exact; quadratic — small corpora / verify stage only).
@@ -720,8 +737,31 @@ def cosine_near_dup_pairs(
     Scale shape: the self-join shuffles only (id, table, bucket) rows —
     vectors are re-joined afterwards for the surviving candidates, so
     shuffle volume is |ids| x T keys, not T copies of the embeddings.
+
+    ``int8_filter`` (round-12; the :func:`semantic_dedup` int8 pass
+    offered on the bucketed pair plan — same candidate-pairs shape, same
+    768-d doubles blowup): before re-joining the full double vectors,
+    candidate pairs first join the int8 unit-vector sketches (dim BYTES
+    per side instead of 8 x dim), and pairs whose approximate cosine is
+    provably below ``threshold`` are pruned — the same error bound as
+    the semantic path (|cos - approx| <= sqrt(d)(s_a+s_b)/254 +
+    d s_a s_b / 254^2, plus the verify's 6-dp rounding slack), so the
+    survivor set is a PROVABLE SUPERSET of the true pairs and the
+    output is bit-for-bit the unfiltered path's. Unlike
+    ``semantic_dedup`` there is no accept-sure branch: this operator
+    EMITS the exact rounded cosine, so every surviving pair must reach
+    the exact verify regardless — the win is pruning the
+    below-threshold bulk (at near-dup thresholds most bucket collisions
+    score far below) out of the two shuffling double-vector joins.
+    ``"auto"`` resolves on ``dim`` like the semantic knob (on at >=
+    ``_INT8_AUTO_MIN_DIM``, off below — testdata dim-64 plans and oracle
+    hashes unchanged); ignored when ``bucket_bits = 0`` (the quadratic
+    arm scores the cross join directly — there is no pair list to
+    prune).
     """
     from .similarity import dot, l2_norm, random_hyperplane_key
+
+    use_int8 = _resolve_int8_filter(int8_filter, dim) and bucket_bits > 0
 
     # norm precomputed once per vector (bit-identical to the inline form,
     # which would recompute it per candidate pair)
@@ -751,6 +791,79 @@ def cosine_near_dup_pairs(
             )
             .distinct()
         )
+        if use_int8:
+            # int8 sketch per id: the UNIT vector quantized to bytes
+            # plus its per-vector scale — identical construction and
+            # guards to _semantic_dedup_cells (zero/NaN norms quantize
+            # to all-zero and take the always-pass margin, so corrupt
+            # vectors fall through to the exact verify, which NULLs
+            # their cosine; they can never be pruned OR pass early)
+            nrm_ok = (F.col("_nrm") > 0) & ~F.isnan(F.col("_nrm"))
+            u = F.transform(
+                F.col("_v"),
+                lambda x: F.when(nrm_ok, x / F.col("_nrm")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            lite = v.withColumn("_u", u).withColumn(
+                "_s", F.array_max(F.transform(F.col("_u"), F.abs))
+            )
+            q8 = F.when(
+                (F.col("_s") > 0) & ~F.isnan(F.col("_s")),
+                F.transform(
+                    F.col("_u"),
+                    lambda x: F.round(x / F.col("_s") * 127).cast("byte"),
+                ),
+            ).otherwise(
+                F.transform(F.col("_u"), lambda x: F.lit(0).cast("byte"))
+            )
+            lite = lite.select(
+                F.col(id_col), F.col("_s"), q8.alias("_q")
+            )
+            sk = pairs.join(
+                lite.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_s").alias("_sa"),
+                    F.col("_q").alias("_qa"),
+                ),
+                "id_a",
+            ).join(
+                lite.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_s").alias("_sb"),
+                    F.col("_q").alias("_qb"),
+                ),
+                "id_b",
+            )
+            dq = F.aggregate(
+                F.zip_with(
+                    F.col("_qa"),
+                    F.col("_qb"),
+                    lambda x, y: x.cast("int") * y.cast("int"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            sa, sb = F.col("_sa"), F.col("_sb")
+            d_w = F.size(F.col("_qa")).cast("double")
+            approx = dq * sa * sb / F.lit(127.0 * 127.0)
+            # margin covers the quantization error bound plus the
+            # exact verify's 6-dp half-up rounding slack (5e-7); the
+            # 2.0 branch makes zero/NaN-scale rows an always-pass
+            # (cos is in [-1, 1]) — NaN approx also lands there via
+            # the isnan() terms, so Spark's NaN-orders-above-all
+            # comparison semantics can't sneak a corrupt pair past
+            margin = F.when(
+                (sa == 0) | (sb == 0) | F.isnan(sa) | F.isnan(sb),
+                F.lit(2.0),
+            ).otherwise(
+                F.sqrt(d_w) * (sa + sb) / F.lit(254.0)
+                + d_w * sa * sb / F.lit(254.0 * 254.0)
+                + F.lit(5e-7)
+            )
+            pairs = sk.filter(approx >= F.lit(threshold) - margin).select(
+                "id_a", "id_b"
+            )
         joined = pairs.join(
             v.select(
                 F.col(id_col).alias("id_a"),

@@ -1071,6 +1071,43 @@ def minhash_lsh_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8, portable=True)
 
 
+@register("stream_minhash_dedup_docs", _minhash_dedup_oracle())
+def stream_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INCREMENTAL MinHash+LSH dedup (round-12): the documents
+    table replayed as a multi-file stream through the foreachBatch
+    incremental pipeline (``streaming.dedup_stream`` — append-only LSH
+    index probed per batch, component labels maintained with
+    bridge-retraction), whose final survivor set is bit-identical to
+    the batch operator for ANY batch split — so the SAME recursive-CTE
+    oracle as ``minhash_lsh_dedup_docs`` value-checks the whole
+    incremental path end-to-end. Prefix-parity (equality after every
+    batch, including a survivor retracted by a later bridging doc) is
+    pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from .streaming.dedup_stream import (
+        run_minhash_dedup_stream,
+        stream_survivors,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="hb_stream_mhdedup_")
+    src = os.path.join(base, "src")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state = os.path.join(base, "state")
+    run_minhash_dedup_stream(
+        spark, stream, state, "text", "doc_id",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        threshold=0.8, portable=True,
+    )
+    return stream_survivors(spark, state, "doc_id")
+
+
 @register(
     "simhash_docs",
     f"""

@@ -189,6 +189,68 @@ def test_cosine_topk_ann_auto_ivf_at_high_dim(spark):
     )
 
 
+def test_cosine_near_dup_bucketed_int8_parity(spark):
+    # the int8 pre-filter is a provable superset pruner: forced ON vs
+    # forced OFF must be bit-identical on a fixture that includes the
+    # adversarial inputs (zero vector, NaN element, +/-inf element —
+    # the round-11 accept-sure escape shape) and pairs straddling the
+    # threshold boundary
+    import math
+    import random
+
+    from hybridbackend_spark.operators.dedup import cosine_near_dup_pairs
+
+    rng = random.Random(5)
+    d = 16
+    base = [rng.uniform(-1, 1) for _ in range(d)]
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    mid = [x + rng.uniform(-0.5, 0.5) for x in base]
+    rows = [
+        (0, base),
+        (1, near),
+        (2, mid),
+        (3, [rng.uniform(-1, 1) for _ in range(d)]),
+        (4, [0.0] * d),                        # zero norm
+        (5, [math.nan] + base[1:]),            # NaN element
+        (6, [math.inf] + base[1:]),            # inf -> NaN unit vector
+        (7, [-math.inf] + near[1:]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    kw = dict(
+        threshold=0.9, bucket_bits=2, seed=3, dim=d, n_tables=4
+    )
+    off = cosine_near_dup_pairs(df, "v", "vec_id", int8_filter=False, **kw)
+    on = cosine_near_dup_pairs(df, "v", "vec_id", int8_filter=True, **kw)
+    off_rows = sorted(map(tuple, off.collect()))
+    on_rows = sorted(map(tuple, on.collect()))
+    assert off_rows == on_rows
+    ids_in_pairs = {i for r in on_rows for i in r[:2]}
+    assert (0, 1) in {r[:2] for r in on_rows}  # the planted near-dup
+    assert not ids_in_pairs & {4, 5, 6, 7}  # corrupt rows never merge
+
+
+def test_cosine_near_dup_int8_auto_resolution(spark):
+    # auto keys on dim: OFF at the testdata's 64 (registered plans and
+    # oracle hashes unchanged), ON at 256+; bad knob values raise
+    import pytest
+
+    from hybridbackend_spark.operators.dedup import (
+        _INT8_AUTO_MIN_DIM,
+        _resolve_int8_filter,
+        cosine_near_dup_pairs,
+    )
+
+    assert not _resolve_int8_filter("auto", 64)
+    assert _resolve_int8_filter("auto", _INT8_AUTO_MIN_DIM)
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1])], "vec_id: long, v: array<double>"
+    )
+    with pytest.raises(ValueError, match="int8_filter"):
+        cosine_near_dup_pairs(
+            df, "v", "vec_id", bucket_bits=1, dim=2, int8_filter="sometimes"
+        )
+
+
 def test_cosine_near_dup_pairs_bucketed(spark):
     from hybridbackend_spark.operators.dedup import cosine_near_dup_pairs
 

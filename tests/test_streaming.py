@@ -917,3 +917,82 @@ def test_zscore_flags_null_ts_batch_rearms_ttl(spark, tmp_path):
     assert all(r.user_id != 2 for r in out), [
         (r.user_id, r.event_id, r.n_prior) for r in out
     ]
+
+
+def test_stream_minhash_dedup_prefix_parity(spark, tmp_path):
+    """Incremental minhash dedup must equal the batch operator after
+    EVERY batch prefix — including the bridge case where a later doc
+    merges two components and RETRACTS a previously-kept survivor."""
+    from hybridbackend_spark.operators.dedup import minhash_lsh_dedup
+    from hybridbackend_spark.streaming.dedup_stream import (
+        minhash_dedup_batch_apply,
+        stream_survivors,
+    )
+
+    w = [f"w{i}" for i in range(1, 12)]
+    v = [f"v{i}" for i in range(1, 12)]
+    # 12-word docs, 10 3-shingles each. One edge word changed -> 9
+    # common shingles (J = 9/11 = 0.818); both edge words changed ->
+    # 8 common (J = 8/12 = 0.667). Threshold 0.75 sits between.
+    a_txt = " ".join(w + ["w12"])
+    b_txt = " ".join(w + ["x12"])              # A~B = 0.818 (last word)
+    c_txt = " ".join(["y1"] + w[1:] + ["x12"])  # B~C = 0.818, A~C = 0.667
+    d_txt = " ".join(v + ["v12"])
+    f_txt = " ".join(v + ["u12"])              # D~F = 0.818
+    e_txt = " ".join(["z1"] + v[1:] + ["u12"])  # E~F = 0.818, D~E = 0.667
+    batches = [
+        [(10, a_txt), (40, d_txt)],
+        [(11, b_txt), (42, e_txt)],
+        [(12, c_txt), (41, f_txt)],  # F bridges D and E -> retracts 42
+    ]
+    kw = dict(threshold=0.75, num_hashes=64, bands=32, shingle_n=3)
+    state = str(tmp_path / "state")
+    seen = []
+    for i, rows in enumerate(batches):
+        seen += rows
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        minhash_dedup_batch_apply(spark, bdf, state, "text", "doc_id", **kw)
+        inc = {r.doc_id for r in stream_survivors(spark, state, "doc_id").collect()}
+        full = spark.createDataFrame(seen, "doc_id: long, text: string")
+        ref = {r.doc_id for r in minhash_lsh_dedup(full, "text", "doc_id", **kw).collect()}
+        assert inc == ref, f"prefix {i}: {inc} != {ref}"
+    # semantic spot checks: the A~B~C chain keeps only A; F's bridge
+    # collapses {D, E, F} onto D, retracting E (kept after prefix 1)
+    assert inc == {10, 40}
+    mid_state = str(tmp_path / "state2")
+    for rows in batches[:2]:
+        bdf = spark.createDataFrame(rows, "doc_id: long, text: string")
+        minhash_dedup_batch_apply(spark, bdf, mid_state, "text", "doc_id", **kw)
+    mid = {r.doc_id for r in stream_survivors(spark, mid_state, "doc_id").collect()}
+    assert 42 in mid  # E survives until the bridge arrives
+
+
+def test_stream_minhash_dedup_runner_equals_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch runner over a multi-file documents stream lands
+    on exactly the batch operator's survivor set (the registered
+    stream_minhash_dedup_docs contract, exercised at module scale)."""
+    from hybridbackend_spark.operators.dedup import minhash_lsh_dedup
+    from hybridbackend_spark.streaming.dedup_stream import (
+        run_minhash_dedup_stream,
+        stream_survivors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    state = str(tmp_path / "state")
+    run_minhash_dedup_stream(
+        spark, stream, state, "text", "doc_id",
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.8,
+    )
+    inc = {r.doc_id for r in stream_survivors(spark, state, "doc_id").collect()}
+    ref = {
+        r.doc_id
+        for r in minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert inc == ref and len(inc) > 0
