@@ -193,7 +193,22 @@ class CorpusSpec:
     - ``{"op": "hash_split", "weights": {"train": 0.98, ...}}`` —
       appends the split column;
     - ``{"op": "sample", "fraction": 0.5}`` — deterministic hash-rate
-      sample.
+      sample;
+    - ``{"op": "dsir_select", "target_expr": "source = 'wiki'",
+      "n_buckets": 4096}`` — DSIR importance selection: keep docs more
+      target-like than corpus average (round-12; zero-token docs carry
+      no evidence and drop — the operator's contract);
+    - ``{"op": "decontaminate", "eval": "evalset", "n": 3,
+      "max_frac": 0.2}`` — span-level eval decontamination: drop docs
+      whose covered-token fraction exceeds ``max_frac`` (the eval
+      table comes from ``apply(tables=...)``); an eval doc duplicated
+      into the corpus covers itself 100% and drops naturally;
+    - ``{"op": "token_budget", "group": "source",
+      "budget_frac_pct": 50, "max_epochs": 2, "rounds": 2}`` — compute
+      the water-filled per-group token allocation and APPLY it: docs
+      are taken per group in deterministic (md5-bucket, id) order
+      while the group's cumulative token count stays within its
+      allocation (zero-token docs cost nothing and always fit).
 
     Every stage resolves to the existing oracled operators, so a spec
     run is exactly the composition a hand-written pipeline would be
@@ -212,6 +227,7 @@ class CorpusSpec:
         df: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        tables: dict[str, DataFrame] | None = None,
     ) -> DataFrame:
         from ..operators.corpus import boilerplate_prune, hash_split, hash_bucket
         from ..operators.dedup import exact_dedup, minhash_lsh_dedup
@@ -257,6 +273,73 @@ class CorpusSpec:
                     seed=st.get("seed", 0),
                 )
                 out = out.filter(bucket < int(frac * 1_000_000))
+            elif op == "dsir_select":
+                from ..operators.corpus import dsir_importance
+
+                scored = dsir_importance(
+                    out, F.expr(st["target_expr"]), id_col, text_col,
+                    n_buckets=st.get("n_buckets", 4096),
+                )
+                if "min_bits" in st:
+                    # calibrated cutoff: whole-bit integer scores are
+                    # coarse, and on a broad target (many sources) the
+                    # normalization term can push every doc below 0 —
+                    # "selected" would then empty the corpus where the
+                    # intent is "keep the most target-like tail"
+                    kept = scored.filter(
+                        F.col("dsir_bits") >= int(st["min_bits"])
+                    )
+                else:
+                    kept = scored.filter("selected")
+                out = out.join(kept.select(id_col), id_col, "left_semi")
+            elif op == "decontaminate":
+                from ..operators.corpus import decontaminate_spans
+
+                name = st["eval"]
+                if tables is None or name not in tables:
+                    raise ValueError(
+                        f"decontaminate stage needs tables={{{name!r}: df}}"
+                    )
+                rep = decontaminate_spans(
+                    out, tables[name], text_col, id_col, n=st.get("n", 3)
+                )
+                keep = rep.filter(
+                    F.col("frac_covered") <= float(st.get("max_frac", 0.0))
+                ).select(id_col)
+                out = out.join(keep, id_col, "left_semi")
+            elif op == "token_budget":
+                from pyspark.sql import Window
+
+                from ..operators.corpus import token_budget_mix
+                from ..operators.text import token_count
+
+                grp = st["group"]
+                alloc = token_budget_mix(
+                    out, grp, text_col,
+                    budget_frac_pct=st.get("budget_frac_pct", 50),
+                    max_epochs=st.get("max_epochs", 2),
+                    rounds=st.get("rounds", 2),
+                ).select(grp, "alloc")
+                w = (
+                    Window.partitionBy(grp)
+                    .orderBy(
+                        hash_bucket(
+                            F.col(id_col), n_buckets=1_000_000,
+                            seed=st.get("seed", 0),
+                        ),
+                        F.col(id_col),
+                    )
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                out = (
+                    out.withColumn(
+                        "_cum_nt",
+                        F.sum(token_count(F.col(text_col)).cast("long")).over(w),
+                    )
+                    .join(F.broadcast(alloc), grp)
+                    .filter(F.col("_cum_nt") <= F.col("alloc"))
+                    .drop("_cum_nt", "alloc")
+                )
             else:
                 raise ValueError(f"unknown corpus stage op: {op!r}")
         return out

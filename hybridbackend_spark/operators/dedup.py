@@ -817,9 +817,14 @@ def cosine_near_dup_pairs(
             ).otherwise(
                 F.transform(F.col("_u"), lambda x: F.lit(0).cast("byte"))
             )
+            # materialize the per-id sketch ONCE: projection collapse
+            # would otherwise inline the _s subtree (array_max over the
+            # unit vector) into q8's per-element lambda — a dim^2 blowup
+            # per row — and re-evaluate the whole sketch on both sides
+            # of the pair join. Bounded: n x (dim + 16) bytes.
             lite = lite.select(
                 F.col(id_col), F.col("_s"), q8.alias("_q")
-            )
+            ).localCheckpoint(eager=True)
             sk = pairs.join(
                 lite.select(
                     F.col(id_col).alias("id_a"),

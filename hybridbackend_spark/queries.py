@@ -13940,6 +13940,140 @@ def token_budget_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_spec_curation_docs",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_t,
+             ('0x' || substr(md5(u.t || ':0'), 1, 8))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, source, {_TOKS_SQL} AS w FROM documents
+            WHERE length(trim(text)) > 0) d,
+           unnest(w) u(t)
+    ),
+    lm AS (
+      SELECT b, count(*)::BIGINT AS r,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS t
+      FROM tk GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(r) AS BIGINT) AS rr, CAST(sum(t) AS BIGINT) AS tt
+      FROM lm
+    ),
+    wt AS (
+      SELECT b,
+             (length(bin(t + 1)) - length(bin(r + 1)))
+             + (length(bin(rr + 4096)) - length(bin(tt + 4096))) AS w
+      FROM lm, tot
+    ),
+    dsel AS (
+      SELECT tk.doc_id FROM tk JOIN wt USING (b)
+      GROUP BY tk.doc_id HAVING CAST(sum(w) AS BIGINT) >= -30
+    ),
+    c1 AS (
+      SELECT d.doc_id, d.source, {_TOKS_SQL} AS w
+      FROM documents d JOIN dsel ON d.doc_id = dsel.doc_id
+    ),
+    pos1 AS (
+      SELECT doc_id, u.i AS p,
+             concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS g
+      FROM c1 CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0)))
+           u(i)
+      WHERE len(w) >= 3
+    ),
+    evg AS (
+      SELECT DISTINCT concat_ws(' ', w[u.i], w[u.i+1], w[u.i+2]) AS g
+      FROM (SELECT {_TOKS_SQL} AS w FROM documents
+            WHERE doc_id % 10 = 0 AND length(trim(text)) > 0) e
+      CROSS JOIN unnest(generate_series(1, greatest(len(w) - 2, 0))) u(i)
+      WHERE len(w) >= 3
+    ),
+    hits AS (SELECT p.doc_id, p.p FROM pos1 p JOIN evg USING (g)),
+    cov AS (
+      SELECT doc_id, count(DISTINCT c.cp)::BIGINT AS n_cov
+      FROM hits CROSS JOIN unnest(generate_series(hits.p, hits.p + 2)) c(cp)
+      GROUP BY doc_id
+    ),
+    c2 AS (
+      SELECT c1.doc_id, c1.source, len(w)::BIGINT AS nt
+      FROM c1 LEFT JOIN cov USING (doc_id)
+      WHERE round(coalesce(n_cov, 0)::DOUBLE / len(w), 6) <= 0.2
+    ),
+    cc AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+           FROM c2 GROUP BY source),
+    ctot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM cc),
+    a0 AS (
+      SELECT source, n_tokens, 2 * n_tokens AS cap,
+             (total * 50) // 100 AS budget
+      FROM cc, ctot
+    ),
+    r1m AS (
+      SELECT max(budget) AS left1,
+             sum(CASE WHEN 0 < cap THEN n_tokens ELSE 0 END) AS umass1
+      FROM a0
+    ),
+    a1 AS (
+      SELECT a0.*,
+             CASE WHEN 0 < cap AND umass1 > 0
+                  THEN least(cap, CAST((left1::HUGEINT * n_tokens)
+                                       // umass1 AS BIGINT))
+                  ELSE 0 END AS alloc1
+      FROM a0, r1m
+    ),
+    r2m AS (
+      SELECT max(budget) - sum(alloc1) AS left2,
+             sum(CASE WHEN alloc1 < cap THEN n_tokens ELSE 0 END) AS umass2
+      FROM a1
+    ),
+    a2 AS (
+      SELECT a1.source,
+             CASE WHEN alloc1 < cap AND umass2 > 0
+                  THEN least(cap, alloc1 + CAST((left2::HUGEINT * n_tokens)
+                                                // umass2 AS BIGINT))
+                  ELSE alloc1 END AS alloc
+      FROM a1, r2m
+    ),
+    sel AS (
+      SELECT doc_id, source,
+             sum(nt) OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 8))
+                          ::BIGINT % 1000000,
+                        doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c2
+    )
+    SELECT sel.doc_id, sel.source
+    FROM sel JOIN a2 USING (source) WHERE cum <= alloc
+    """,
+)
+def corpus_spec_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end config-driven curation over the r6-r8 additions
+    (round-12, verdict item 5b): a three-stage :class:`CorpusSpec` —
+    DSIR target-domain selection (src0-4 as the target proxy), span
+    decontamination against the eval split (every 10th doc; docs with
+    > 20% covered tokens drop, eval-duplicated docs drop naturally at
+    100%), then the 50%-budget/2-epoch water-filled token mix APPLIED
+    as a deterministic per-source prefix in (md5-bucket, id) order.
+    The oracle replays all three stages and their interactions (each
+    stage computes over the previous stage's survivors) in one SQL
+    pipeline — the whole config-driven path is hash-checked."""
+    from .functions.spec import CorpusSpec
+
+    docs = _t(spark, sf_dir, "documents")
+    spec = CorpusSpec([
+        {"op": "dsir_select", "min_bits": -30,
+         "target_expr": "source IN ('src0','src1','src2','src3','src4')"},
+        {"op": "decontaminate", "eval": "evalset", "n": 3, "max_frac": 0.2},
+        {"op": "token_budget", "group": "source", "budget_frac_pct": 50,
+         "max_epochs": 2, "rounds": 2},
+    ])
+    out = spec.apply(
+        docs, "doc_id", "text",
+        tables={"evalset": docs.filter(F.col("doc_id") % 10 == 0)},
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
     "pmi_bigrams_docs",
     f"""
     WITH t AS (SELECT {_TOKS_SQL} AS w FROM documents),

@@ -847,3 +847,71 @@ def test_bh_fdr_null_p_excluded(spark):
                 .collect())
     assert rc == rd
     assert all(r.m == 4 for r in rd)
+
+
+def test_corpus_spec_curation_stages_equal_hand_composition(spark, sf_dir):
+    """Round-12 stages (dsir_select / decontaminate / token_budget)
+    resolve to the exact hand-written operator composition, including
+    the budget stage's deterministic (md5-bucket, id) prefix fill."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.functions.spec import CorpusSpec
+    from hybridbackend_spark.operators.corpus import (
+        decontaminate_spans,
+        dsir_importance,
+        hash_bucket,
+        token_budget_mix,
+    )
+    from hybridbackend_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    spec = CorpusSpec([
+        {"op": "dsir_select", "min_bits": -30,
+         "target_expr": "source IN ('src0','src1','src2','src3','src4')"},
+        {"op": "decontaminate", "eval": "ev", "n": 3, "max_frac": 0.2},
+        {"op": "token_budget", "group": "source", "budget_frac_pct": 50,
+         "max_epochs": 2},
+    ])
+    got = spec.apply(docs, tables={"ev": ev}).select("doc_id").collect()
+
+    hand = docs
+    sc = dsir_importance(
+        hand,
+        F.expr("source IN ('src0','src1','src2','src3','src4')"),
+        "doc_id", "text", n_buckets=4096,
+    )
+    hand = hand.join(
+        sc.filter(F.col("dsir_bits") >= -30).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    rep = decontaminate_spans(hand, ev, "text", "doc_id", n=3)
+    hand = hand.join(
+        rep.filter(F.col("frac_covered") <= 0.2).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    alloc = token_budget_mix(hand, "source", "text").select("source", "alloc")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hash_bucket(F.col("doc_id"), 1_000_000, 0), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hand = (
+        hand.withColumn("_c", F.sum(token_count(F.col("text")).cast("long")).over(w))
+        .join(F.broadcast(alloc), "source")
+        .filter(F.col("_c") <= F.col("alloc"))
+    )
+    ref = hand.select("doc_id").collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in ref)
+    assert len(got) > 0
+
+
+def test_corpus_spec_decontaminate_requires_table(spark):
+    import pytest
+
+    from hybridbackend_spark.functions.spec import CorpusSpec
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="tables"):
+        CorpusSpec([{"op": "decontaminate", "eval": "ev"}]).apply(df)
