@@ -1304,9 +1304,15 @@ def _semantic_dedup_cells(
                 lambda x: F.round(x / F.col("_s") * 127).cast("byte"),
             ),
         ).otherwise(F.transform(F.col("_u"), lambda x: F.lit(0).cast("byte")))
+        # materialize the per-id sketch ONCE (round-12, found via the
+        # bucketed near-dup arm: 6x wall regression without it):
+        # projection collapse inlines the _s subtree (array_max over
+        # the unit vector) into q's per-element lambda — a dim^2 blowup
+        # per row — and re-evaluates the sketch on both sides of the
+        # blocked self-join. Bounded: n x (dim + ~40) bytes.
         lite = lite.select(
             id_col, "_cell", "_shard", "_blk", "_s", q.alias("_q")
-        )
+        ).localCheckpoint(eager=True)
         dq = F.aggregate(
             F.zip_with(
                 F.col("a._q"),
