@@ -188,6 +188,46 @@ def main() -> int:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     queries = get_queries()
+    if tier == "extremes":
+        # corrupt-scale PRE-FLIGHT (round-12, verdict item 6): the
+        # operational story for the designed-loud exact-cents aborts is
+        # "find the corrupt rows before the job" — so the extremes board
+        # itself runs the one-pass validator over its planted fixtures
+        # first. Every DIRTY line below attributes the downstream
+        # designed-loud aborts to specific (table, column) corruption;
+        # an extremes run whose pre-flight printed nothing dirty but
+        # whose queries still abort would be a genuine bug, not design.
+        from hybridbackend_spark.sources.validate import (
+            corrupt_scale_report,
+        )
+
+        print("=== corrupt-scale pre-flight "
+              "(sources.validate.corrupt_scale_report) ===", flush=True)
+        dirty_tables = 0
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            tbl = fn[: -len(".parquet")]
+            try:
+                rep = corrupt_scale_report(
+                    spark.read.parquet(os.path.join(out_dir, fn))
+                )
+            except ValueError:
+                continue  # table has no float columns to validate
+            rows = rep.filter("NOT clean").collect()
+            for r in rows:
+                print(
+                    f"DIRTY {tbl}.{r['column']}: nan={r['n_nan']} "
+                    f"inf={r['n_inf']} oor={r['n_out_of_range']} "
+                    f"of {r['n_rows']} rows",
+                    flush=True,
+                )
+            dirty_tables += 1 if rows else 0
+        print(
+            f"pre-flight: {dirty_tables} dirty tables — downstream "
+            "designed-loud overflow aborts are EXPECTED and attributable\n",
+            flush=True,
+        )
     results = {"ok": [], "designed": [], "ansi": [], "other": []}
     for name, fn in queries.items():
         if only and name not in only:
