@@ -1,1 +1,1 @@
-from . import ops, stateful
+from . import dedup_stream, ops, stateful
