@@ -346,6 +346,11 @@ EXTRA = [
     "vocab_coverage_docs",
     "decontaminate_spans_docs",
     "token_fertility_docs",
+    # round-11 addition
+    "corrupt_scale_events",
+    # round-12 additions
+    "stream_minhash_dedup_docs",
+    "corpus_spec_curation_docs",
 ]
 
 # Intentionally-quadratic exact verifiers, timed separately so the
