@@ -756,64 +756,65 @@ def feature_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order. Validated against the registry in
 # tests/test_sources_and_queries.py.
 _DRIVER_WINDOW_FIRST = [
-    # Round-11 window (tools/plan_window.py --stale 50, re-run after
-    # this round's corrupt_scale_events registration): the one
-    # never-verified addition leads, then 49 slots go to the STALEST
-    # previously-verified queries whose function/helper/module
-    # dependency cones changed since their last green driver row
-    # (r05-r07 vintage). Real stale-and-changed count at rotation time:
-    # 116 (113 pre-round + this round's own re-staling); a green r11
-    # window takes it to ~67 plus any further re-staling.
-    "corrupt_scale_events",
-    "woe_orders",
-    "kaplan_meier_users",
-    "mutual_info_orders",
-    "stream_anomaly_flags",
-    "multimodal_png_stats",
-    "multimodal_wav_stats",
-    "multimodal_mp4_stats",
-    "multimodal_mp4_video_stats",
-    "media_probe_mixed",
-    "image_ahash_mixed",
-    "stream_hll_actives",
-    "mau_hll_events",
-    "symspell_correct_docs",
-    "sssp_suppliers",
-    "balance_sample_docs",
-    "halfsample_ci_orders",
-    "luhn_audit_orders",
-    "ttr_docs",
-    "funnel_ttc_events",
-    "isotonic_calibration_embeddings",
-    "markov_backtest_events",
-    "phrase_search_docs",
-    "dataset_shift_orders",
-    "bandit_replay_events",
-    "feistel_pseudonymize_customers",
-    "bitmap_yearly_actives",
-    "bloom_semijoin_orders",
-    "zorder_advisor_lineitem",
-    "ranking_metrics_orders",
-    "target_encode_binary_custkey",
-    "intra_doc_repetition_docs",
-    "join_cardinality_advisor",
-    "chunk_documents_docs",
-    "stratified_sample_docs",
-    "stratified_topn_docs",
-    "latest_state_per_key",
-    "negative_samples_orders",
-    "line_dedup_docs",
-    "unigram_surprisal_docs",
-    "temperature_mixture_docs",
-    "scd2_user_state",
-    "weighted_sample_docs",
-    "incremental_sales_state",
-    "source_token_drift",
-    "latest_state_with_tombstones",
-    "jsonl_scan_docs",
-    "stream_click_purchase_join",
-    "split_leakage_docs",
-    "stream_sessions_stateful",
+    # Round-12 window (tools/plan_window.py --stale 50, re-run after
+    # this round's two registrations): the 2 never-verified additions
+    # lead, then the 25 cones genuinely CHANGED by this round's churn
+    # (dedup/similarity/spec/corpus — r06-r11 vintage, locally-unproven
+    # at rotation time, re-proven by the close gate), then the stalest
+    # locally-re-proven r07 arithmetic residue. Real stale-and-changed
+    # at rotation time: 69; a green r12 window leaves ~21 (the
+    # arithmetic tail) plus any later re-staling — the burn-down's
+    # final stretch.
+    "stream_minhash_dedup_docs",
+    "corpus_spec_curation_docs",
+    "dataspec_transform",  # changed since last green (r06)
+    "setsim_join_docs",  # changed since last green (r07)
+    "entity_linkage_customers",  # changed since last green (r07)
+    "rrf_hybrid_docs",  # changed since last green (r07)
+    "exact_dedup_docs",  # changed since last green (r08)
+    "ngram_jaccard_pairs_docs",  # changed since last green (r08)
+    "minhash_lsh_dedup_docs",  # changed since last green (r08)
+    "simhash_docs",  # changed since last green (r08)
+    "cosine_near_dup_pairs",  # changed since last green (r08)
+    "cosine_near_dup_bucketed",  # changed since last green (r08)
+    "cosine_topk_bruteforce",  # changed since last green (r08)
+    "corpus_curation_pipeline",  # changed since last green (r08)
+    "ann_recall_lsh_docs",  # changed since last green (r08)
+    "cosine_topk_lsh_docs",  # changed since last green (r09)
+    "cosine_topk_ivf_docs",  # changed since last green (r09)
+    "ivf_train_centroids",  # changed since last green (r09)
+    "decontaminate_docs",  # changed since last green (r09)
+    "quantize_embeddings_int8",  # changed since last green (r09)
+    "semantic_dedup_docs",  # changed since last green (r09)
+    "pq_topk_docs",  # changed since last green (r09)
+    "lsh_linkage_docs",  # changed since last green (r09)
+    "minhash_dedup_keep_longest_docs",  # changed since last green (r10)
+    "text_ann_pipeline",  # changed since last green (r10)
+    "kcenter_select_embeddings",  # changed since last green (r10)
+    "split_leakage_docs",  # changed since last green (r11)
+    "mannwhitney_events",  # changed since last green (r07) local-green
+    "ks_test_orders",  # changed since last green (r07) local-green
+    "mwu_incremental_events",  # changed since last green (r07) local-green
+    "ks_incremental_orders",  # changed since last green (r07) local-green
+    "quantile_normalize_events",  # changed since last green (r07) local-green
+    "kendall_tau_events",  # changed since last green (r07) local-green
+    "did_events",  # changed since last green (r07) local-green
+    "incremental_join_orders",  # changed since last green (r07) local-green
+    "assoc_rules_brands",  # changed since last green (r07) local-green
+    "ipf_rake_docs",  # changed since last green (r07) local-green
+    "eb_shrink_parts",  # changed since last green (r07) local-green
+    "logrank_users",  # changed since last green (r07) local-green
+    "robust_stats_orders",  # changed since last green (r07) local-green
+    "spearman_events",  # changed since last green (r07) local-green
+    "quality_classifier_docs",  # changed since last green (r07) local-green
+    "distinct_ngrams_docs",  # changed since last green (r07) local-green
+    "bh_fdr_events",  # changed since last green (r07) local-green
+    "fleiss_kappa_lineitem",  # changed since last green (r07) local-green
+    "token_budget_mix_docs",  # changed since last green (r07) local-green
+    "pmi_bigrams_docs",  # changed since last green (r07) local-green
+    "kneser_ney_bigram_docs",  # changed since last green (r07) local-green
+    "dsir_select_docs",  # changed since last green (r07) local-green
+    "holt_trend_events",  # changed since last green (r07) local-green
 ]
 
 
