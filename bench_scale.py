@@ -809,6 +809,92 @@ def _bench_ann_hd(spark, probe: "ShuffleProbe") -> list[dict]:
     return out
 
 
+def _bench_ann_dim_sweep(spark, probe: "ShuffleProbe") -> list[dict]:
+    """Round-12: recall@5 of the three ANN arms at the ROUTER'S CUTOFF
+    BOUNDARY (dims 128 and 256) — the 64d/768d endpoints are measured
+    (`ann_hd`), but `ANN_AUTO_IVF_MIN_DIM = 256` sits between them on
+    theory plus the 768d reading alone. Each dim gets its own clustered
+    fixture (same generator as the hd tiers) and runs sign-LSH with the
+    registered dim-64 parameters, IVF k8p2 with in-sweep k-means
+    training, and the `strategy="auto"` router; the right cutoff shows
+    LSH still competitive at 128 and IVF strictly better at 256."""
+    from pyspark.sql import functions as F
+
+    from hybridbackend_spark.operators.similarity import (
+        _resolve_ann_strategy,
+        cosine_topk,
+        cosine_topk_ann,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        kmeans_train,
+    )
+
+    out: list[dict] = []
+    for dim in (128, 256):
+        d = f"/tmp/spark_graft_scale/hd{dim}_10"
+        if not os.path.isdir(d):
+            build_highdim(d, COPIES, dim=dim)
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = emb.count()
+        q = emb.filter(F.col("vec_id") < 20)
+        k_raw = 5 + COPIES  # self-match + copies-1 replicas dropped
+
+        def top5_near(df) -> set:
+            rows = [
+                r for r in df.collect()
+                if r["vec_id"] % OFFSET != r["neighbor_id"] % OFFSET
+            ]
+            rows.sort(key=lambda r: (r["vec_id"], -r["cos"], r["neighbor_id"]))
+            pairs, seen = set(), {}
+            for r in rows:
+                c = seen.get(r["vec_id"], 0)
+                if c < 5:
+                    seen[r["vec_id"]] = c + 1
+                    pairs.add((r["vec_id"], r["neighbor_id"]))
+            return pairs
+
+        exact = top5_near(cosine_topk(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding", k=k_raw))
+
+        def arm(name, make, train=None):
+            probe.snapshot()
+            t0 = time.perf_counter()
+            extra = {}
+            args = ()
+            if train is not None:
+                args = train()
+                extra["train_sec"] = round(time.perf_counter() - t0, 3)
+                t1 = time.perf_counter()
+            else:
+                t1 = t0
+            got = top5_near(make(*args))
+            recall = round(len(got & exact) / len(exact), 4) if exact else None
+            row = {
+                "tier": f"hd{dim}x10", "dim": dim, "arm": name, "rows": n,
+                "n_queries": 20, "recall5": recall,
+                "query_sec": round(time.perf_counter() - t1, 3),
+                **extra, **probe.delta(),
+            }
+            print(f"ann_dim d={dim} {name:16} recall@5 {recall} "
+                  f"{row['query_sec']:7.2f}s", flush=True)
+            out.append(row)
+
+        arm("lsh_b6t6_64dparams", lambda: cosine_topk_lsh(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            k=k_raw, bits=6, n_tables=6, dim=dim))
+        arm("ivf_k8p2", lambda c: cosine_topk_ivf(
+            q, emb, "vec_id", "vec_id", "embedding", "embedding",
+            centroids=c, k=k_raw, n_probe=2),
+            train=lambda: (kmeans_train(
+                emb, "embedding", k=8, iters=2, id_col="vec_id"),))
+        arm(f"auto_routed_{_resolve_ann_strategy('auto', dim)}",
+            lambda: cosine_topk_ann(
+                q, emb, "vec_id", "vec_id", "embedding", "embedding",
+                k=k_raw, dim=dim))
+        out[-1]["auto_resolved"] = _resolve_ann_strategy("auto", dim)
+    return out
+
+
 def _bench_neardup_int8(spark, probe: "ShuffleProbe") -> list[dict]:
     """Round-12 verdict item 3: the int8 pre-filter offered on the
     bucketed cosine near-dup pair plan (``cosine_near_dup_pairs``,
@@ -1038,6 +1124,8 @@ def main() -> None:
                 spark, probe)),
             "annhd": ("ann_hd", lambda: _bench_ann_hd(spark, probe)),
             "nddup": ("neardup_int8_768", lambda: _bench_neardup_int8(
+                spark, probe)),
+            "anndim": ("ann_dim_sweep", lambda: _bench_ann_dim_sweep(
                 spark, probe)),
             "skew": ("skew", lambda: _bench_skew(spark, probe)),
             "streamstate": ("stream_state", lambda: _bench_stream_state(

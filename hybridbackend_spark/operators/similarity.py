@@ -373,21 +373,28 @@ def cosine_topk_ivf(
 
 
 # strategy="auto" routes cosine top-k to IVF at or above this vector
-# width. Measured (BENCH_SCALE ``ann_hd``, 20k x 768-d clustered
-# vectors, near-neighbor ground truth): sign-LSH with the dim-64
-# registered parameters (bits=6, n_tables=6) reads recall@5 = 0.75 at
-# 768d and widening to bits=10/n_tables=12 buys only 0.80 at ~3x the
-# cost, while IVF with the dim-64 parameters (k=8, n_probe=2) holds
-# recall 1.0 at a third of the LSH wall — sign-LSH's per-bit collision
-# probability (1 - theta/pi) degrades for the moderate-angle
-# near-neighbors that dominate at high dim, where a trained coarse
-# quantizer adapts to the data's cluster structure. Below the cutoff
-# the LSH arm keeps its value-oracled dim-64 behavior (no training
-# round trips, fully expression-side). Same defaults-should-self-select
-# principle as ``dedup._resolve_int8_filter``; the reference analog is
-# the lookup rewrite picking the physical strategy for the user
-# (hybridbackend graph/optimize_lookup.cc:29-40).
-ANN_AUTO_IVF_MIN_DIM = 256
+# width. Measured recall@5 of the dim-64 registered LSH parameters
+# (bits=6, n_tables=6) vs IVF k8p2 on 20k-row clustered fixtures with
+# near-neighbor ground truth (BENCH_SCALE ``ann_hd`` + the round-12
+# ``ann_dim_sweep`` at the cutoff boundary):
+#
+#   dim   LSH recall (sec)   IVF recall (sec, excl. train)
+#   128   0.85 (14.5)        1.0 (5.5)
+#   256   0.70 (14.7)        1.0 (6.3)
+#   768   0.75 (48.1)        1.0 (16.2)   (widened LSH b10t12: 0.80 @ 3x)
+#
+# sign-LSH's per-bit collision probability (1 - theta/pi) degrades for
+# the moderate-angle near-neighbors that dominate as dim grows, where a
+# trained coarse quantizer adapts to the data's cluster structure — IVF
+# dominates on BOTH recall and cost from 128 dims up, so the cutoff
+# sits at 128 (initially set to 256 on the 768d reading alone; the
+# boundary sweep moved it). Below the cutoff the LSH arm keeps its
+# value-oracled dim-64 behavior (no training round trips, fully
+# expression-side). Same defaults-should-self-select principle as
+# ``dedup._resolve_int8_filter``; the reference analog is the lookup
+# rewrite picking the physical strategy for the user (hybridbackend
+# graph/optimize_lookup.cc:29-40).
+ANN_AUTO_IVF_MIN_DIM = 128
 
 
 def _resolve_ann_strategy(strategy: str, dim: int) -> str:
