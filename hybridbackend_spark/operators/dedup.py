@@ -335,7 +335,20 @@ def _verify_jaccard(
     shingle_n: int,
     threshold: float,
 ) -> DataFrame:
-    sh = df.select(
+    # Only documents that appear in a candidate pair need shingles: a
+    # semi-join against the pair ids (small — broadcast by AQE) before
+    # the shingle projection skips tokenize+shingle for every
+    # non-candidate doc (round-12, guide §2.3 "project before the
+    # exchange" applied to an opaque-cost expression: the shingle array
+    # was computed for the whole corpus, then joined away). In the
+    # streaming incremental dedup this is the difference between
+    # per-batch O(touched docs) and per-batch O(corpus-so-far).
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = df.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
     )
     j = (

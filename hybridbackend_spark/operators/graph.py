@@ -56,18 +56,45 @@ def connected_components(
     raises if not converged by then. For deep chains where even that is
     too many rounds, use :func:`connected_components_star` (O(log d)
     rounds).
+
+    Round-12 optimization (guide §1.2 step 1 — remove passes): the loop
+    warm-starts from the ONE-PASS tentative labeling
+    ``min(node, neighbors(node))`` and first CHECKS it — if every edge
+    has equal endpoint labels the labeling is uniform per component and
+    therefore already the answer (the component minimum labels itself),
+    so star-shaped inputs — the near-dup dedup norm, where clusters are
+    (original, duplicate...) stars — finish after one join+agg and one
+    O(|E|) check instead of >= 1 full two-step propagation round plus
+    its checkpoint and convergence pass. Chain-shaped inputs pay one
+    extra O(|E|) check and then iterate FROM the tentative labels,
+    which is always at least as converged as the identity labeling the
+    loop previously started from (labels are monotone decreasing and
+    every tentative label is a member of the node's own component, so
+    the fixpoint is unchanged). Output is identical in all cases.
     """
     sym = edges.select(
         F.col(src).alias("_n"), F.col(dst).alias("_m")
     ).union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
+    # one-pass tentative labeling: min(node, neighbors(node))
     labels = (
-        sym.select(F.col("_n").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
+        sym.groupBy(F.col("_n").alias("id"))
+        .agg(F.min("_m").alias("_nbr"))
+        .select("id", F.least(F.col("id"), F.col("_nbr")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    la = labels.select(F.col("id").alias("_n"), F.col("component").alias("_ca"))
+    lb = labels.select(F.col("id").alias("_m"), F.col("component").alias("_cb"))
+    violations = (
+        sym.join(la, "_n")
+        .join(lb, "_m")
+        .filter(F.col("_ca") != F.col("_cb"))
+        .limit(1)
+        .count()
+    )
+    if violations == 0:
+        return labels
 
     def _label_sum(lbl: DataFrame):
         # labels only ever decrease, so the (exact, overflow-free) sum of
@@ -131,30 +158,12 @@ def connected_components_fast(
     multi-job round cost even when no chains exist. The check is one
     aggregate (a single driver-side scalar), so correctness never rests
     on an assumption about the input.
+
+    Round-12: :func:`connected_components` itself now runs this
+    one-pass-then-check plan first and warm-starts its propagation loop
+    from the tentative labels on the rare fallback, so this function is
+    a straight delegate kept for API stability.
     """
-    sym = (
-        edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
-        .union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        sym.groupBy(F.col("_n").alias("id"))
-        .agg(F.min("_m").alias("_nbr"))
-        .select("id", F.least(F.col("id"), F.col("_nbr")).alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    la = labels.select(F.col("id").alias("_n"), F.col("component").alias("_ca"))
-    lb = labels.select(F.col("id").alias("_m"), F.col("component").alias("_cb"))
-    violations = (
-        sym.join(la, "_n")
-        .join(lb, "_m")
-        .filter(F.col("_ca") != F.col("_cb"))
-        .limit(1)
-        .count()
-    )
-    if violations == 0:
-        return labels
     return connected_components(edges, src, dst)
 
 
@@ -282,8 +291,13 @@ def pagerank(
     Per iteration: one equi-join of edges against ranks on the source id
     and one partial-agg groupBy on the destination id — both shuffles on
     the node key, combined map-side, so shuffled bytes scale with
-    |edges| not iterations x corpus. Lineage is cut per round with an
-    eager localCheckpoint so the plan stays flat.
+    |edges| not iterations x corpus. Lineage is cut with an eager
+    localCheckpoint every 4th iteration (round-12: each rank state is
+    consumed exactly once by the next iteration, so the un-checkpointed
+    plan grows LINEARLY — 3 operators per iteration — and the typical
+    3-5 iteration call runs as ONE job instead of paying a
+    materialize-and-rescan barrier per iteration; the every-4th cut
+    keeps plan depth bounded for large iteration counts).
 
     Dangling nodes (no out-edges) leak their mass, the usual simplified
     formulation; symmetrize the edge list for the strongly-connected
@@ -301,26 +315,24 @@ def pagerank(
     )
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = ed.join(
             ranks.select(F.col("node").alias("_s"), "rank"), "_s"
         ).select(
             F.col("_d").alias("node"), F.expr("rank div _deg").alias("_c")
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
-                )
-                .cast("long")
-                .alias("rank"),
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("rank"),
         )
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -340,9 +352,9 @@ def personalized_pagerank(
     related-entity primitive (seeds = a user's items -> ranks =
     candidates). Seeds start at ``scale``; non-seeds at 0; each update
     adds the ``(100-d)%`` restart only on seed nodes. Same per-round
-    shuffle shape as pagerank; nodes never reached by seed mass keep
-    rank 0 (and are still emitted, making the output spine the full
-    node set)."""
+    shuffle shape (and round-12 every-4th-iteration lineage-cut policy)
+    as pagerank; nodes never reached by seed mass keep rank 0 (and are
+    still emitted, making the output spine the full node set)."""
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ed = e.join(deg, "_s").localCheckpoint(eager=True)
@@ -359,26 +371,24 @@ def personalized_pagerank(
     ranks = nodes.select(
         "node", (F.col("_seed").cast("long") * scale).alias("rank")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = ed.join(
             ranks.select(F.col("node").alias("_s"), "rank"), "_s"
         ).select(
             F.col("_d").alias("node"), F.expr("rank div _deg").alias("_c")
         )
         sums = contrib.groupBy("node").agg(F.sum("_c").alias("_sum"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("_seed").cast("long") * base
-                    + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
-                )
-                .cast("long")
-                .alias("rank"),
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.col("_seed").cast("long") * base
+                + F.expr(f"({damping_pct} * coalesce(_sum, 0)) div 100")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("rank"),
         )
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -573,6 +583,12 @@ def bfs_distances(
     loop stops early once a round changes nothing. Rounds needed =
     eccentricity of the seed set, each round one co-partitioned join +
     agg — never an all-pairs product.
+
+    Round-12 note: batching TWO relaxations per checkpoint was tried
+    and measured SLOWER (bfs_hops_suppliers 2.7 -> 3.9 s): the relaxed
+    state feeds both the next join and the min-fold union, and without
+    the per-round materialization that shared subtree runs twice per
+    relaxation. One relaxation per checkpoint stands.
     """
     sym = edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
     if not directed:
@@ -654,6 +670,13 @@ def shortest_paths(
     convergence measure). Per round: one co-partitioned join + one
     partial-agg min — never an all-pairs product, the 1000-executor
     Bellman-Ford shape.
+
+    Round-12 note: batching TWO relaxations per checkpoint was tried
+    and measured SLOWER (sssp_suppliers 3.8 -> 6.3 s): the relaxed
+    state feeds both the next join and the min-fold union, and without
+    the materialization between rounds that shared subtree is computed
+    twice per relaxation (exchange reuse does not fire across the
+    union/join pair under AQE). One relaxation per checkpoint stands.
     """
     sym = edges.select(
         F.col(src).alias("_n"), F.col(dst).alias("_m"),

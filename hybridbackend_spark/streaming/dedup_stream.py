@@ -58,6 +58,7 @@ exact verify and with it batch parity).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -108,6 +109,14 @@ def minhash_dedup_batch_apply(
         .localCheckpoint(eager=True)  # streaming sources can't be re-read
     )
     docs_p, idx_p = _docs_dir(state_dir), _index_dir(state_dir)
+    # crash recovery for the rename swap below: a complete next-state
+    # (_SUCCESS present) with no live docs table means the crash hit
+    # between the two renames — finish the swap before reading state
+    tmp = docs_p + "_next"
+    if not os.path.isdir(docs_p) and os.path.exists(
+        os.path.join(tmp, "_SUCCESS")
+    ):
+        os.rename(tmp, docs_p)
     if os.path.isdir(docs_p):
         # idempotent replay: ids already in the state (a checkpoint
         # re-delivered batch after a crash mid-commit) are no-ops —
@@ -157,7 +166,10 @@ def minhash_dedup_batch_apply(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     cands = new_new if old_new is None else new_new.unionByName(old_new)
-    cands = cands.distinct()
+    # materialized: the verify references the pair list three times (the
+    # candidate-id semi-filter + both shingle joins) — without the cut
+    # the index self-join would re-run per reference
+    cands = cands.distinct().localCheckpoint(eager=True)
 
     # exact Jaccard verify over the union of texts (old side needs its
     # text back from the state table)
@@ -213,15 +225,22 @@ def minhash_dedup_batch_apply(
     # batch -> its buckets never enter the index. Docs table then
     # rewrites via tmp-swap — the full next state is materialized to a
     # sibling path first (docs_p is an input of this plan; overwriting a
-    # path being read is both unsafe and rejected), then copied over
-    # (a lakehouse MERGE in production).
+    # path being read is both unsafe and rejected), then DIRECTORY-
+    # RENAMED over (round-12: the previous read-back-and-rewrite copy
+    # paid the full docs write twice per batch; the rename is free, and
+    # the _SUCCESS-guarded recovery at the top of this function covers a
+    # crash between the two renames — a lakehouse MERGE in production).
     new_idx.write.mode("append").parquet(idx_p)
     final = merged.join(all_docs.select("id", "text"), "id").select(
         "id", "text", "component"
     )
-    tmp = docs_p + "_next"
     final.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(docs_p)
+    old = docs_p + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(docs_p):
+        os.rename(docs_p, old)
+    os.rename(tmp, docs_p)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def run_minhash_dedup_stream(
