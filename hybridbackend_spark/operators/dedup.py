@@ -27,7 +27,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import tokens, word_shingles
+from .text import spread_small_scan, tokens, word_shingles
 
 __all__ = [
     "content_hash",
@@ -139,6 +139,7 @@ def minhash_signatures(
         if portable
         else F.abs(F.xxhash64("_s")) % _MERSENNE_P
     )
+    df = spread_small_scan(df)
     sh = df.select(
         F.col(id_col),
         F.explode_outer(word_shingles(text_col, shingle_n)).alias("_s"),
@@ -387,7 +388,7 @@ def simhash_sketches(
         if portable
         else F.xxhash64("_t")
     )
-    toks = df.select(
+    toks = spread_small_scan(df).select(
         F.col(id_col), F.explode_outer(tokens(text_col)).alias("_t")
     ).select(id_col, base.alias("_h"))
     votes = [
@@ -482,7 +483,9 @@ def ngram_jaccard_pairs(
     approximation: Jaccard then ignores those shingles) or use
     ``minhash_lsh_candidates`` + verify as the discovery path.
     """
-    sh = df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh"))
+    sh = spread_small_scan(df).select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("_sh")
+    )
     inv = sh.select(id_col, F.explode("_sh").alias("_g")).select(
         id_col, F.xxhash64("_g").alias("_h")
     )

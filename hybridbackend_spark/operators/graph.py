@@ -212,7 +212,12 @@ def connected_components_star(
         ).union(ed.select(F.col("_lo").alias("_a"), F.col("_hi").alias("_b")))
         mins = sym.groupBy("_a").agg(F.min("_b").alias("_mn"))
         mins = mins.select("_a", F.least("_a", "_mn").alias("_m"))
-        # (v, m(u)) for v in N(u), v > u; v > u >= m so hi=v, lo=m
+        # (v, m(u)) for v in N(u), v > u; v > u >= m so hi=v, lo=m.
+        # distinct kept (round-12 A/B): dropping it is result-identical
+        # (small-star's min-agg is duplicate-insensitive) but measured
+        # SLOWER on chain graphs (cc_star_event_chains 10.8 -> 13.3 s)
+        # — multi-path duplicates inflate the very next round's
+        # large-star input more than the dedup exchange costs.
         return (
             sym.join(mins, "_a")
             .filter(F.col("_b") > F.col("_a"))
@@ -806,15 +811,26 @@ def hyperball_reach(
     neighborhood-function / effective-diameter primitive at graph
     scale, where materializing balls is |V| x ball-size and infeasible.
 
-    Each node's state is the HLL register set of its ball-so-far:
-    <= 256 (reg, rho) rows per node, rho derived from md5(id) exactly
-    like functions/windows.py::rolling_distinct_count_hll_md5 (register
-    = first md5 byte, rho = 17 - bit_length(next 16 bits), 17 for the
-    all-zero pattern). A round propagates neighbor states across edges
-    and register-maxes — one co-partitioned join + partial-final agg,
-    state volume <= |V| * 256 regardless of ball sizes (the entire
-    point vs exact BFS ball materialization, whose state is
-    sum-of-ball-sizes). Lineage is cut per round.
+    Each node's state is the HLL register set of its ball-so-far, rho
+    derived from md5(id) exactly like functions/windows.py::
+    rolling_distinct_count_hll_md5 (register = first md5 byte, rho =
+    17 - bit_length(next 16 bits), 17 for the all-zero pattern).
+
+    State layout (round-12 rewrite, guide §2.3 — fewer/narrower rows
+    through every exchange): registers are packed ONE-HOT — register i
+    occupies an 18-bit lane (bit b set iff some ball member maps to
+    (i, rho=b)) at offset ``(i % 3) * 18`` of long column ``_b{i//3}``,
+    86 longs ~ 700 B per node, ONE row per node. The register-max merge
+    becomes ``bit_or`` (max rho = highest set bit of the OR — OR is
+    associative/commutative and bit_or partial-aggregates in codegen),
+    so a round is one co-partitioned join + an 86-column bit_or groupBy.
+    The previous (id, reg, rho) row-sparse layout materialized up to
+    |V| x 256 rows per round (~437 MB per checkpoint on the registered
+    query, the slowest stage of the whole extra set); this layout is
+    |V| rows flat, and the final round feeds the readout directly with
+    no checkpoint (single consumer). Readout unpacks each lane once in
+    a single parsed projection; outputs are bit-identical to the row
+    layout (oracle re-verified).
 
     Output per node: ``n_regs``, ``zeros``, ``harmonic_num`` (exact
     integer, sum of 2^(17-rho) over all 256 registers), and ``raw_est``
@@ -838,37 +854,67 @@ def hyperball_reach(
         .union(sym.select(F.col("_b").alias("id")))
         .distinct()
     )
-    hexd = F.md5(F.col("id").cast("string"))
-    state = nodes.select(
-        "id",
-        F.conv(F.substring(hexd, 1, 2), 16, 10).cast("int").alias("_reg"),
-        F.when(
-            F.conv(F.substring(hexd, 3, 4), 16, 10).cast("int") == 0,
-            F.lit(17),
+    # one-hot init: node's own (reg, rho) as a single set bit. (reg,
+    # rho) are materialized in their own projection FIRST — inlining
+    # them into all 86 lane expressions re-derives the md5 per lane
+    # (no common-subexpression elimination across select items;
+    # measured 8.4 s vs under 1 s). The lane list is rendered as SQL
+    # and parsed once (the 93db520 lesson: per-literal Column building
+    # is a py4j round-trip storm).
+    n_longs = (256 + 2) // 3  # 3 x 18-bit lanes per long
+    hexd = "md5(cast(id as string))"
+    v16 = f"cast(conv(substring({hexd}, 3, 4), 16, 10) as int)"
+    init = [
+        f"cast(case when _reg div 3 = {j} then "
+        f"shiftleft(cast(1 as bigint), (_reg % 3) * 18 + _rho) "
+        f"else 0 end as bigint) as _b{j}"
+        for j in range(n_longs)
+    ]
+    state = (
+        nodes.selectExpr(
+            "id",
+            f"cast(conv(substring({hexd}, 1, 2), 16, 10) as int) as _reg",
+            f"(case when {v16} = 0 then 17 "
+            f"else 17 - length(bin({v16})) end) as _rho",
         )
-        .otherwise(
-            17
-            - F.length(
-                F.bin(F.conv(F.substring(hexd, 3, 4), 16, 10).cast("int"))
-            )
-        )
-        .alias("_rho"),
-    ).localCheckpoint(eager=True)
+        .selectExpr("id", *init)
+        .localCheckpoint(eager=True)
+    )
 
-    for _ in range(k):
-        prop = sym.join(
-            state.select(F.col("id").alias("_a"), "_reg", "_rho"), "_a"
-        ).select(F.col("_b").alias("id"), "_reg", "_rho")
+    bcols = [f"_b{j}" for j in range(n_longs)]
+    for r in range(k):
+        prop = sym.join(state.withColumnRenamed("id", "_a"), "_a").select(
+            F.col("_b").alias("id"), *bcols
+        )
         state = (
             state.unionByName(prop)
-            .groupBy("id", "_reg")
-            .agg(F.max("_rho").alias("_rho"))
-            .localCheckpoint(eager=True)
+            .groupBy("id")
+            .agg(*[F.expr(f"bit_or({c})").alias(c) for c in bcols])
         )
+        if r + 1 < k:
+            # the final round's state has a single consumer (the
+            # readout) — no checkpoint needed there
+            state = state.localCheckpoint(eager=True)
 
+    # readout: unpivot the lanes back to (id, rho) rows — max rho over
+    # the merged ball = highest set bit of the lane, length(bin(.)) - 1
+    # — and aggregate exactly like the row layout did. (A flat 256-term
+    # projection was tried first: its two ~1500-node expression trees
+    # fell out of codegen and evaluated interpreted at ~450 us/row —
+    # this Generate + hash-agg form stays compiled, and the groupBy
+    # rides the final round's id-partitioning with no exchange.)
+    def lane(i: int) -> str:
+        return f"(shiftright(_b{i // 3}, {(i % 3) * 18}) & 262143)"
+
+    lanes_arr = "array(" + ",".join(lane(i) for i in range(256)) + ")"
+    per_reg = (
+        state.selectExpr("id", f"explode({lanes_arr}) as _lane")
+        .filter("_lane != 0")
+        .selectExpr("id", "(length(bin(_lane)) - 1) as _rho")
+    )
     alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     return (
-        state.groupBy("id")
+        per_reg.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_regs"),
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 17 - _rho)"))

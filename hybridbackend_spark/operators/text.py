@@ -50,6 +50,24 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def spread_small_scan(df):
+    """Round-robin repartition up to the session's default parallelism
+    when the input arrives in FEWER partitions (round-12, guide §2.5
+    "one huge unsplittable file ... repartition immediately after the
+    read"): the corpus fixtures are single-file parquet tables, so a
+    tokenize/md5-heavy pipeline otherwise runs its entire per-row
+    compute on 1-2 scan tasks while the rest of the cores idle. At
+    scale, many-file inputs already exceed the core count and this is
+    a no-op — the partition check, not a constant, decides. Only
+    partitioning changes; every consumer of this helper is
+    partitioning-invariant (exact-integer aggs / joins)."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of lowercased text (empty text -> [])."""
     t = F.lower(F.trim(_c(col)))
