@@ -429,17 +429,24 @@ def test_triangle_count_no_cartesian(spark):
 
 
 def test_pagerank_round_is_two_shuffles(spark):
-    # one iteration = join on source id + partial-agg groupBy on dest id;
-    # localCheckpoint keeps the lineage flat so rounds don't stack
+    # one iteration = join on source id + partial-agg groupBy on dest id
+    # (+ the final left join against the checkpointed node set). Round-12
+    # cadence: localCheckpoint fires every 4th iteration only — rank state
+    # is consumed exactly once per round, so the un-checkpointed plan
+    # grows linearly and a short call runs as ONE job — so a 1-iteration
+    # plan carries exactly one round's exchanges...
     from hybridbackend_spark.plans.inspect import count_exchanges
     from hybridbackend_spark.operators.graph import pagerank
 
     edges = spark.createDataFrame(
         [(i, (i + 1) % 50) for i in range(50)], ["src", "dst"]
     )
-    ranks = pagerank(edges, iterations=1)
-    # checkpointed inputs: the remaining plan is the final round only
-    assert count_exchanges(ranks) <= 3
+    one_round = count_exchanges(pagerank(edges, iterations=1))
+    assert one_round <= 4
+    # ...and the every-4th checkpoint BOUNDS plan depth: 5 iterations
+    # (checkpoint after round 4) leave one un-checkpointed round, the
+    # same exchange count as iterations=1 — rounds don't stack past a cut
+    assert count_exchanges(pagerank(edges, iterations=5)) == one_round
 
 
 def test_profile_single_scan(spark, sf_dir):
