@@ -32,6 +32,7 @@ from .text import spread_small_scan, tokens, word_shingles
 __all__ = [
     "content_hash",
     "exact_dedup",
+    "exact_dedup_keep",
     "minhash_signatures",
     "minhash_band_rows",
     "minhash_lsh_candidates",
@@ -92,6 +93,29 @@ def exact_dedup(
             F.count(F.lit(1)).alias("dup_count"),
         )
         .drop("_h")
+    )
+
+
+def exact_dedup_keep(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact dedup that returns the surviving ROWS (all columns), not
+    just ids: keep the smallest ``id_col`` per normalized content.
+
+    Same survivor set as ``exact_dedup(df, ...)`` followed by a join
+    back on ``id_col`` — but computed as one min-window over the content
+    hash and a filter, so a pipeline that needs the survivors' payload
+    columns pays ONE exchange (by content hash) instead of two (the
+    dedup groupBy plus the id join) and evaluates ``df``'s projection
+    once instead of once per join side (round-12, guide §2.4: two
+    operations keyed the same way share one exchange; the join-back
+    re-evaluated the upstream quality scoring on both sides)."""
+    h = content_hash(text_col, normalize)
+    w = Window.partitionBy(h)
+    return (
+        df.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
     )
 
 

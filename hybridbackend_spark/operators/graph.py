@@ -167,6 +167,76 @@ def connected_components_fast(
     return connected_components(edges, src, dst)
 
 
+def _local_contract(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Partition-local union-find contraction (round-12, guide §8.4 "fix
+    the algorithm" / §1.2 remove passes): within each input partition,
+    collapse every locally-connected set to (member, local_min_id) star
+    edges. Connectivity — and therefore the final (id, component)
+    labeling — is exactly preserved: each local component's members
+    re-attach to a member of that same component, every input node still
+    appears (both endpoints of an edge are seen by its partition), and
+    no edge ever crosses components. What changes is DEPTH: a chain
+    whose edges are co-located (the norm when edges come from a window
+    or groupBy — e.g. per-user event chains) contracts to depth 1 in one
+    zero-shuffle pass, so the large-star/small-star loop that follows
+    converges in O(log of the REMAINING cross-partition depth) rounds
+    instead of O(log graph-diameter). Arrow-batched mapInPandas (the
+    sanctioned Python boundary, guide §4.1); only the two id columns are
+    shipped (guide §2.3 project-before-opaque-op). Per-task memory is
+    O(nodes in partition) — bounded by the scan/shuffle partition
+    sizing, same contract as a map-side hash aggregate."""
+    import pandas as pd
+
+    def part(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for a, c in zip(
+                b.iloc[:, 0].to_numpy().tolist(),
+                b.iloc[:, 1].to_numpy().tolist(),
+            ):
+                if a not in parent:
+                    parent[a] = a
+                if c not in parent:
+                    parent[c] = c
+                ra, rc = find(a), find(c)
+                if ra != rc:
+                    parent[ra] = rc
+        if not parent:
+            return
+        gmin: dict = {}
+        roots = {}
+        for n in parent:
+            r = find(n)
+            roots[n] = r
+            m = gmin.get(r)
+            if m is None or n < m:
+                gmin[r] = n
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {
+                "_ln": pd.Series(nodes, dtype="int64"),
+                "_lm": pd.Series(
+                    [gmin[roots[n]] for n in nodes], dtype="int64"
+                ),
+            }
+        )
+
+    pairs = edges.select(
+        F.col(src).cast("long").alias("_ln"),
+        F.col(dst).cast("long").alias("_lm"),
+    )
+    return pairs.mapInPandas(part, "_ln long, _lm long")
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "id_a",
@@ -189,11 +259,20 @@ def connected_components_star(
     rooted at each component's minimum id. Lineage is cut per round with
     an eager localCheckpoint, as in the propagation variant.
     """
-    # canonical (hi, lo) representation, self-loops dropped
+    # round-12: partition-local union-find contraction FIRST (see
+    # _local_contract) — connectivity-preserving, zero-shuffle, and it
+    # flattens any depth that is co-located within a partition, which is
+    # most of it when edges come off a window/groupBy. The star loop
+    # then only has to close the cross-partition remainder (measured on
+    # the per-user event-chain graph: the contracted edge set is already
+    # a star forest, so the loop runs ONE verification round instead of
+    # ~6 contraction rounds; cc_star_event_chains 9.8 -> 3.0 s).
+    # Then canonical (hi, lo) representation, self-loops dropped.
     e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("_hi"),
-            F.least(F.col(src), F.col(dst)).alias("_lo"),
+        _local_contract(edges, src, dst)
+        .select(
+            F.greatest(F.col("_ln"), F.col("_lm")).alias("_hi"),
+            F.least(F.col("_ln"), F.col("_lm")).alias("_lo"),
         )
         .filter(F.col("_hi") != F.col("_lo"))
         .distinct()
@@ -870,8 +949,15 @@ def hyperball_reach(
         f"else 0 end as bigint) as _b{j}"
         for j in range(n_longs)
     ]
+    # round-12 A/B note: spreading the state/sym checkpoints to the
+    # session parallelism was tried (all hyperball values are
+    # exact-integer, so it is output-safe) and reverted — wall stayed
+    # 5.7-6.1 s in every arm because the cost is the serial job chain
+    # (~13 jobs/run), while per-task overhead (~0.17 s on this box)
+    # made the extra partitions a net loss in task-seconds.
     state = (
-        nodes.selectExpr(
+        nodes
+        .selectExpr(
             "id",
             f"cast(conv(substring({hexd}, 1, 2), 16, 10) as int) as _reg",
             f"(case when {v16} = 0 then 17 "
@@ -896,30 +982,38 @@ def hyperball_reach(
             # readout) — no checkpoint needed there
             state = state.localCheckpoint(eager=True)
 
-    # readout: unpivot the lanes back to (id, rho) rows — max rho over
-    # the merged ball = highest set bit of the lane, length(bin(.)) - 1
-    # — and aggregate exactly like the row layout did. (A flat 256-term
-    # projection was tried first: its two ~1500-node expression trees
-    # fell out of codegen and evaluated interpreted at ~450 us/row —
-    # this Generate + hash-agg form stays compiled, and the groupBy
-    # rides the final round's id-partitioning with no exchange.)
+    # readout: fold the 256 lanes per NODE ROW — no Generate, no
+    # |V| x 256 intermediate rows, no per-lane groupBy. (History: a
+    # flat 256-term projection fell out of codegen and evaluated
+    # interpreted at ~450 us/row; the next form — explode + filter +
+    # length(bin(.)) + hash-agg — stayed compiled but allocated a
+    # binary STRING per non-zero lane and hash-aggregated |V| x 256
+    # rows, 8.6 s of task time on the registered query. This form
+    # replaces both: one aggregate() fold over the lane array whose
+    # per-element contribution 2^(17 - rho) comes from an 18-branch
+    # integer CASE ladder (rho = highest set bit — no string ever
+    # built), plus a second small fold for the non-zero count. Pure
+    # exact-integer arithmetic, so outputs stay bit-identical; measured
+    # 5.8 -> ~3 s isolated on hyperball_reach_suppliers.)
     def lane(i: int) -> str:
         return f"(shiftright(_b{i // 3}, {(i % 3) * 18}) & 262143)"
 
     lanes_arr = "array(" + ",".join(lane(i) for i in range(256)) + ")"
-    per_reg = (
-        state.selectExpr("id", f"explode({lanes_arr}) as _lane")
-        .filter("_lane != 0")
-        .selectExpr("id", "(length(bin(_lane)) - 1) as _rho")
+    # contribution of one lane: 0 if empty, else 2^(17 - highest_bit)
+    contrib = "case " + " ".join(
+        f"when x >= {1 << b} then {1 << (17 - b)}L"
+        for b in range(17, -1, -1)
+    ) + " else 0L end"
+    per_node = state.selectExpr(
+        "id",
+        f"aggregate({lanes_arr}, 0L, (acc, x) -> acc + {contrib})"
+        " as _hit_num",
+        f"aggregate({lanes_arr}, 0, (acc, x) ->"
+        " acc + (case when x != 0 then 1 else 0 end)) as n_regs",
     )
     alpha = 0.7213 / (1.0 + 1.079 / 256.0)
     return (
-        per_reg.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_regs"),
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 17 - _rho)"))
-            .alias("_hit_num"),
-        )
+        per_node
         .select(
             "id",
             "n_regs",

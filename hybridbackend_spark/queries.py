@@ -371,6 +371,17 @@ def pooled_lookup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", mod_bucket(F.col("l_partkey"), 500).alias("vec_id")
     )
+    # round-12 note (examined, deliberately left alone): AQE coalesces
+    # the agg shuffle by BYTES (a few MB -> 4 partitions), so the
+    # compute-dense pooling downstream (explode + lookup + element-wise
+    # vector fold) runs on 4 tasks at ~0.8 s each. Re-spreading was
+    # tried (keyed repartition before AND after this agg) and REVERTED:
+    # collect_list merge order is plan-shape-sensitive, and the checksum
+    # sits on a +-0.0 rounding knife edge for at least one group at
+    # sf0.1 (order 13781 flips between round(-0.000177, 3) = -0.0 and
+    # +0.0 when partials merge in a different order), breaking the value
+    # oracle. Partitioning changes on this float-fold path are
+    # hash-unsafe; the parallelism gap stays.
     ids = li.groupBy("l_orderkey").agg(F.collect_list("vec_id").alias("ids"))
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pooled = pooled_lookup(ids, emb, "ids", "l_orderkey", "embedding", combiner="sum")
@@ -1639,16 +1650,26 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (survivor = min doc_id per normalized text) -> per-source stats.
     The shape of a real 100 TB pre-training data pipeline, built entirely
     from the engine's operators."""
-    from .operators.dedup import exact_dedup
-    from .operators.text import quality_score
+    from .operators.dedup import exact_dedup_keep
+    from .operators.text import quality_score, spread_small_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # round-12: spread the single-file scan before the regex-heavy
+    # scoring (guide §2.5 input skew — a no-op on many-file inputs at
+    # scale), and keep survivors with ONE content-hash window instead of
+    # the dedup-groupBy + join-back (guide §2.4), which evaluated the
+    # scoring twice (once per join side) and paid two extra exchanges.
+    # The lazy localCheckpoint is a predicate-pushdown barrier: without
+    # it Catalyst pushes the score>=0.5 filter through the repartition
+    # back into the single scan task, un-doing the spread (measured —
+    # the scoring then runs serially at ~0.5 s/rep).
+    docs = spread_small_scan(_t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     kept = docs.withColumn("q", quality_score(F.col("text"))).filter(
         F.col("q") >= 0.5
     )
-    survivors = exact_dedup(kept, "text", "doc_id").select("doc_id")
     return (
-        kept.join(survivors, "doc_id")
+        exact_dedup_keep(kept, "text", "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

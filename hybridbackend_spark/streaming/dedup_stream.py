@@ -101,13 +101,6 @@ def minhash_dedup_batch_apply(
     )
     from ..operators.graph import connected_components
 
-    batch = (
-        batch_df.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
-        )
-        .dropDuplicates(["id"])
-        .localCheckpoint(eager=True)  # streaming sources can't be re-read
-    )
     docs_p, idx_p = _docs_dir(state_dir), _index_dir(state_dir)
     # crash recovery for the rename swap below: a complete next-state
     # (_SUCCESS present) with no live docs table means the crash hit
@@ -117,13 +110,21 @@ def minhash_dedup_batch_apply(
         os.path.join(tmp, "_SUCCESS")
     ):
         os.rename(tmp, docs_p)
+    batch = batch_df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).dropDuplicates(["id"])
     if os.path.isdir(docs_p):
         # idempotent replay: ids already in the state (a checkpoint
         # re-delivered batch after a crash mid-commit) are no-ops —
         # their pairs, labels, and index rows already exist
         batch = batch.join(
             spark.read.parquet(docs_p).select("id"), "id", "left_anti"
-        ).localCheckpoint(eager=True)
+        )
+    # ONE eager checkpoint (round-12: was two — one before and one
+    # after the anti-join, a full extra materialization per batch): the
+    # streaming source is consumed exactly once by this plan, and every
+    # later reference (signatures, texts, labels) reads the cut.
+    batch = batch.localCheckpoint(eager=True)
     sig = minhash_signatures(
         batch, "text", "id", num_hashes, shingle_n, seed, portable
     )
@@ -171,17 +172,6 @@ def minhash_dedup_batch_apply(
     # the index self-join would re-run per reference
     cands = cands.distinct().localCheckpoint(eager=True)
 
-    # exact Jaccard verify over the union of texts (old side needs its
-    # text back from the state table)
-    all_docs = (
-        batch
-        if old_docs is None
-        else batch.unionByName(old_docs.select("id", "text"))
-    )
-    verified = _verify_jaccard(
-        all_docs, cands, "text", "id", shingle_n, threshold
-    ).select("id_a", "id_b")
-
     # contract to current component labels, CC over touched labels only
     if old_docs is None:
         label = batch.select("id", F.col("id").alias("component"))
@@ -189,33 +179,54 @@ def minhash_dedup_batch_apply(
         label = old_docs.select("id", "component").unionByName(
             batch.select("id", F.col("id").alias("component"))
         )
-    lbl_a = label.select(
-        F.col("id").alias("id_a"), F.col("component").alias("_ca")
+
+    # round-12 fast path: no candidate pairs -> no verify, no CC, no
+    # relabel (the common steady case for non-duplicating batches).
+    # ``cands`` is already materialized, so the emptiness probe is a
+    # metadata-cheap take(1), and the skipped path is provably the
+    # identity: empty cands -> empty verified -> empty root_edges ->
+    # empty relabel -> merged == label.
+    all_docs = (
+        batch
+        if old_docs is None
+        else batch.unionByName(old_docs.select("id", "text"))
     )
-    lbl_b = label.select(
-        F.col("id").alias("id_b"), F.col("component").alias("_cb")
-    )
-    root_edges = (
-        verified.join(lbl_a, "id_a")
-        .join(lbl_b, "id_b")
-        .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))
-        .distinct()
-    )
-    relabel = connected_components(root_edges, "id_a", "id_b").select(
-        F.col("id").alias("_old_c"), F.col("component").alias("_new_c")
-    )
-    merged = (
-        label.join(
-            relabel, label.component == F.col("_old_c"), "left"
+    if not cands.take(1):
+        merged = label
+    else:
+        # exact Jaccard verify over the union of texts (old side needs
+        # its text back from the state table)
+        verified = _verify_jaccard(
+            all_docs, cands, "text", "id", shingle_n, threshold
+        ).select("id_a", "id_b")
+
+        lbl_a = label.select(
+            F.col("id").alias("id_a"), F.col("component").alias("_ca")
         )
-        .select(
-            "id",
-            F.coalesce(F.col("_new_c"), F.col("component")).alias(
-                "component"
-            ),
+        lbl_b = label.select(
+            F.col("id").alias("id_b"), F.col("component").alias("_cb")
         )
-    )
+        root_edges = (
+            verified.join(lbl_a, "id_a")
+            .join(lbl_b, "id_b")
+            .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        relabel = connected_components(root_edges, "id_a", "id_b").select(
+            F.col("id").alias("_old_c"), F.col("component").alias("_new_c")
+        )
+        merged = (
+            label.join(
+                relabel, label.component == F.col("_old_c"), "left"
+            )
+            .select(
+                "id",
+                F.coalesce(F.col("_new_c"), F.col("component")).alias(
+                    "component"
+                ),
+            )
+        )
 
     # commit: index rows append FIRST — if the job dies between the two
     # writes, the replayed batch is NOT anti-joined out (its ids are

@@ -212,6 +212,53 @@ def test_star_contraction_deep_chain_beyond_propagation_budget(spark):
     assert len(out) == 501
 
 
+def test_star_contraction_partition_layout_invariant(spark):
+    """Round-12 local union-find pre-contraction: the (id, component)
+    result must not depend on how edges are spread across partitions —
+    co-located (1 partition), scattered (round-robin 16), and
+    adversarially keyed layouts must all produce identical labels, and
+    the contraction pass itself must preserve connectivity exactly."""
+    import random
+
+    from hybridbackend_spark.operators.graph import (
+        _local_contract,
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(100, 190)]  # deep chain
+    edges += [(rng.randrange(0, 50), rng.randrange(0, 50)) for _ in range(60)]
+    edges += [(7000, 7000), (8000, 8001)]  # self-loop + isolated pair
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    expect = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=60).collect()
+    }
+    # pre-existing star contract (unchanged by the contraction): a node
+    # whose only edge is a self-loop is not part of the node set
+    star_expect = {k: v for k, v in expect.items() if k != 7000}
+    for layout in (
+        df.coalesce(1),
+        df.repartition(16),
+        df.repartition(16, "id_b"),
+    ):
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(layout).collect()
+        }
+        assert got == star_expect
+    # the contraction emits every non-self-loop node exactly once, each
+    # pointing at a member of its own (local) component
+    pairs = _local_contract(df.repartition(16), "id_a", "id_b").collect()
+    seen = {r["_ln"] for r in pairs}
+    assert {a for a, b in edges} | {b for a, b in edges} <= seen
+    for r in pairs:
+        assert expect.get(r["_ln"], r["_ln"]) == expect.get(
+            r["_lm"], r["_lm"]
+        )
+
+
 def test_mad_outliers_robust_to_extremes(spark):
     from hybridbackend_spark.operators.profile import mad_outliers
 
