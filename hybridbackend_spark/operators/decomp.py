@@ -2,13 +2,17 @@
 covariance accumulation and PCA projection.
 
 The distributed part — the only part that touches data-proportional
-rows — is the covariance (Gramian) accumulation, and it is expressed as
-pure column operations: per row, the upper-triangle products of the
-quantized vector are computed JVM-side and exploded; a single
-partial+final aggregation reduces them to one row per (i, j) cell. The
-shuffle volume after map-side combine is d*(d+1)/2 cells x partitions —
-NEVER proportional to the number of rows, which is exactly the
-treeAggregate shape MLlib's RowMatrix uses for its Gramian.
+rows — is the covariance (Gramian) accumulation: ONE Arrow pass
+(mapInPandas) that reduces each batch of quantized vectors to the
+d*(d+1)/2 upper-triangle product sums plus the d component sums and the
+row count, all exact integers, merged by a single tiny aggregation. The
+shuffle volume is d*(d+1)/2 + d + 1 cells x partitions — NEVER
+proportional to the number of rows, which is exactly the treeAggregate
+shape MLlib's RowMatrix uses for its Gramian. (Round-12: this replaced
+a per-row explode of the 2080 upper-triangle structs through a hash
+aggregate — three full passes over the data, and on single-file inputs
+one 4.7 s single-task stage; the Arrow pass is a per-batch integer
+dgemm and the three statistics come out of the same scan.)
 
 The eigendecomposition runs on the driver over the d x d matrix (bounded
 by dimension, not data — 64x64 here), like every distributed PCA does;
@@ -38,6 +42,111 @@ def _round_half_away(x: float) -> int:
     from decimal import ROUND_HALF_UP, Decimal
 
     return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _gramian_stats(q: DataFrame, dim: int) -> DataFrame:
+    """Every Gramian sufficient statistic in ONE Arrow pass over the
+    quantized long-vector column ``_v``: returns the merged stats frame
+    ``(i, j, p)`` holding the upper-triangle product sums at
+    ``j >= i >= 0``, the component sums at ``(i, -1)`` and the row count
+    at ``(-1, -1)``, all exact integers as decimal(38,0).
+
+    Exactness of the fast path: with M = max|v| over a batch, a float64
+    dgemm over a chunk of rows is exact while chunk * M^2 < 2^53 (every
+    partial sum is an integer below 2^53, and the int64 -> float64
+    conversion is exact because chunk >= 1 forces M < 2^26). Chunk
+    results accumulate into Python-int matrices, so cross-chunk totals
+    never overflow; batches with M >= 2^26 fall back to exact Python-int
+    arithmetic. Merging batch partials by integer addition is
+    associative, so the merged cells are bit-identical to the previous
+    per-row explode regardless of partitioning or batch boundaries.
+
+    The returned frame is localCheckpoint(eager=False)-ed: it is tiny
+    (d*(d+1)/2 + d + 1 rows) and its consumers read it up to three times
+    (cells / sums / count) — without the cut each read would re-run the
+    scan.
+    """
+    from decimal import Decimal
+
+    from .text import spread_small_scan
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((dim, dim), dtype=object)
+        S = np.zeros(dim, dtype=object)
+        n = 0
+        seen = False
+        for pdf in batches:
+            col = pdf["_v"]
+            rows = len(col)
+            if rows == 0:
+                continue
+            seen = True
+            n += rows
+            arrs = col.to_numpy()
+            V = None
+            try:
+                V = np.stack([np.asarray(a) for a in arrs])
+            except (ValueError, TypeError):
+                V = None  # ragged / null vectors -> exact row loop below
+            if (
+                V is not None
+                and V.ndim == 2
+                and V.shape[1] == dim
+                and np.issubdtype(V.dtype, np.integer)
+                and int(np.abs(V).max(initial=0)) < (1 << 26)
+            ):
+                M = int(np.abs(V).max(initial=0))
+                chunk = max(1, (1 << 53) // (M * M + 1))
+                Vf = V.astype(np.float64)
+                for k0 in range(0, rows, chunk):
+                    c = Vf[k0 : k0 + chunk]
+                    G += (c.T @ c).astype(np.int64).astype(object)
+                    S += c.sum(axis=0).astype(np.int64).astype(object)
+                continue
+            # exact fallback (huge magnitudes / null elements): a NULL
+            # element's products and sums were skipped by the previous
+            # SQL aggregates — identical to contributing 0
+            for a in arrs:
+                if a is None or len(a) != dim:
+                    raise ValueError(
+                        f"gramian: expected non-null length-{dim} "
+                        "vectors, got "
+                        + ("NULL" if a is None else f"length {len(a)}")
+                    )
+                v = [
+                    0
+                    if x is None or (isinstance(x, float) and x != x)
+                    else int(x)
+                    for x in a
+                ]
+                for i in range(dim):
+                    vi = v[i]
+                    S[i] += vi
+                    if vi:
+                        for j in range(i, dim):
+                            G[i, j] += vi * v[j]
+        if not seen:
+            return
+        ii, jj = np.triu_indices(dim)
+        out_i = ii.tolist() + list(range(dim)) + [-1]
+        out_j = jj.tolist() + [-1] * dim + [-1]
+        out_p = (
+            [Decimal(int(x)) for x in G[ii, jj]]
+            + [Decimal(int(x)) for x in S]
+            + [Decimal(n)]
+        )
+        yield pd.DataFrame({"i": out_i, "j": out_j, "p": out_p})
+
+    stats = (
+        spread_small_scan(q.select("_v"))
+        .mapInPandas(gen, "i int, j int, p decimal(38,0)")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("p"))
+    )
+    return stats.localCheckpoint(eager=False)
 
 
 def covariance_matrix(
@@ -77,29 +186,19 @@ def covariance_matrix(
             F.col(vec_col), lambda x: F.round(x * scale).cast("long")
         ).alias("_v")
     )
-    # per-row upper-triangle products, flattened then exploded: the
-    # groupBy's map-side combine reduces each partition to <= d(d+1)/2
-    # cells before any shuffle
-    prods = q.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    f"transform(sequence(0, {dim - 1}), i -> "
-                    f"transform(sequence(i, {dim - 1}), j -> "
-                    "struct(i, j, _v[i] * _v[j] AS p)))"
-                )
-            )
-        ).alias("_c")
-    ).select("_c.i", "_c.j", "_c.p")
-    cells = prods.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("spp")
+    # all three sufficient statistics from ONE Arrow pass (see
+    # _gramian_stats); previously: a d(d+1)/2-structs-per-row explode
+    # plus a posexplode sum pass plus a count — three scans
+    stats = _gramian_stats(q, dim)
+    cells = stats.filter(F.col("j") >= 0).select(
+        "i", "j", F.col("p").alias("spp")
     )
-    sums = (
-        q.select(F.posexplode("_v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("s"))
+    sums = stats.filter((F.col("i") >= 0) & (F.col("j") < 0)).select(
+        "i", F.col("p").alias("s")
     )
-    n_row = q.agg(F.count(F.lit(1)).alias("n"))
+    n_row = stats.filter(F.col("i") < 0).agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long").alias("n")
+    )
     si = sums.select(F.col("i"), F.col("s").alias("si"))
     sj = sums.select(F.col("i").alias("j"), F.col("s").alias("sj"))
     nd = F.col("n").cast("double")
@@ -231,33 +330,27 @@ def power_pca_project(
             lambda x: F.round(x.cast("double") * scale).cast("long"),
         ).alias("_xq"),
     )
-    e = q.select(F.posexplode("_xq").alias("_i", "_x"))
-    prods = q.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    f"transform(sequence(0, {dim - 1}), i -> "
-                    f"transform(sequence(i, {dim - 1}), j -> "
-                    "struct(i, j, _xq[i] * _xq[j] AS p)))"
-                )
-            )
-        ).alias("_c")
-    ).select("_c.i", "_c.j", "_c.p")
-    cells = prods.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("spp")
+    # one Arrow pass + ONE collect for all three sufficient statistics
+    # (previously: cells collect + sums collect + count = three actions,
+    # each re-scanning the input)
+    rows = _gramian_stats(
+        q.select(F.col("_xq").alias("_v")), dim
     ).collect()
-    sums = (
-        e.groupBy("_i").agg(F.sum(F.col("_x").cast("decimal(38,0)")).alias("s"))
-    ).collect()
-    n = q.count()
+    n = 0
     s = [0] * dim
-    for r in sums:
-        s[r["_i"]] = int(r["s"])
+    cells = []
+    for r in rows:
+        if r["i"] < 0:
+            n = int(r["p"])
+        elif r["j"] < 0:
+            s[r["i"]] = int(r["p"])
+        else:
+            cells.append((r["i"], r["j"], int(r["p"])))
     M = [[0] * dim for _ in range(dim)]
-    for r in cells:
-        m = n * int(r["spp"]) - s[r["i"]] * s[r["j"]]
-        M[r["i"]][r["j"]] = m
-        M[r["j"]][r["i"]] = m
+    for i, j, spp in cells:
+        m = n * spp - s[i] * s[j]
+        M[i][j] = m
+        M[j][i] = m
 
     def _power(mat: list[list[int]]) -> list[int]:
         v = [10**6] * dim

@@ -142,3 +142,58 @@ def test_cms_join_size_zero_dot_row_wins_min(spark):
     cb = cms_build(right, "k", width=65536, depth=4)
     est = cms_join_size(ca, cb).collect()[0].est_pairs
     assert est == 0
+
+
+def test_gramian_stats_exact_and_layout_invariant(spark):
+    """The round-12 single-pass Arrow Gramian: fast (float64-dgemm) path
+    and exact big-value fallback agree with directly computed Python-int
+    sums, for ANY partition layout / batch split."""
+    from decimal import Decimal
+
+    from hybridbackend_spark.operators.decomp import _gramian_stats
+
+    rng = np.random.RandomState(3)
+    dim = 5
+    # values straddling the per-chunk dgemm bound (chunk shrinks to a few
+    # rows at 2^24-ish magnitudes) plus negatives and zeros
+    vals = rng.randint(-(1 << 24), 1 << 24, size=(97, dim))
+    vals[::13] = 0
+    rows = [(i, [int(x) for x in vals[i]]) for i in range(len(vals))]
+
+    def expected():
+        cells = {}
+        for i in range(dim):
+            for j in range(i, dim):
+                cells[(i, j)] = Decimal(
+                    int(sum(int(a[i]) * int(a[j]) for a in vals))
+                )
+            cells[(i, -1)] = Decimal(int(vals[:, i].sum()))
+        cells[(-1, -1)] = Decimal(len(vals))
+        return cells
+
+    exp = expected()
+    for parts in (1, 7):
+        df = spark.createDataFrame(
+            rows, "vec_id long, v array<long>"
+        ).repartition(parts)
+        got = {
+            (r.i, r.j): r.p
+            for r in _gramian_stats(df.select(F.col("v").alias("_v")), dim)
+            .collect()
+        }
+        assert got == exp, f"parts={parts}"
+
+    # big-value fallback (M >= 2^26): products overflow float53 and
+    # int64 — must still be exact via Python ints
+    big = [(0, [1 << 40, -(1 << 40), 3, 0, 7]), (1, [5, 1 << 30, -2, 1, 0])]
+    bdf = spark.createDataFrame(big, "vec_id long, v array<long>")
+    bgot = {
+        (r.i, r.j): int(r.p)
+        for r in _gramian_stats(bdf.select(F.col("v").alias("_v")), dim)
+        .collect()
+    }
+    bv = [r[1] for r in big]
+    assert bgot[(0, 0)] == sum(v[0] * v[0] for v in bv)
+    assert bgot[(0, 1)] == sum(v[0] * v[1] for v in bv)
+    assert bgot[(1, -1)] == sum(v[1] for v in bv)
+    assert bgot[(-1, -1)] == 2
