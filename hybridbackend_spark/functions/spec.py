@@ -231,9 +231,21 @@ class CorpusSpec:
     ) -> DataFrame:
         from ..operators.corpus import boilerplate_prune, hash_split, hash_bucket
         from ..operators.dedup import exact_dedup, minhash_lsh_dedup
-        from ..operators.text import quality_score, token_count
+        from ..operators.text import quality_score, spread_small_scan, token_count
 
-        out = df
+        # round-12 (guide §1.2/§2.5): spread a single-file corpus scan
+        # once so every tokenize-heavy stage parallelizes, and cut each
+        # filtering stage's KEPT-ID lineage below. Each stage's survivor
+        # set otherwise re-evaluates the full upstream stage chain once
+        # per downstream reference (stages reference their input 2-3x,
+        # so stage-1 work replays up to ~3^(k-1) times by stage k); a
+        # materialized id list keeps `out` = base scan + broadcast
+        # semi-joins — the scoring work of each stage runs exactly once.
+        out = spread_small_scan(df)
+
+        def _cut(ids: DataFrame) -> DataFrame:
+            return ids.localCheckpoint(eager=False)
+
         for st in self.stages:
             op = st["op"]
             if op == "quality_filter":
@@ -247,19 +259,19 @@ class CorpusSpec:
                 if "max_tokens" in st:
                     out = out.filter(n <= st["max_tokens"])
             elif op == "exact_dedup":
-                keep = exact_dedup(out, text_col, id_col).select(id_col)
+                keep = _cut(exact_dedup(out, text_col, id_col).select(id_col))
                 out = out.join(keep, id_col, "left_semi")
             elif op == "minhash_dedup":
-                keep = minhash_lsh_dedup(
+                keep = _cut(minhash_lsh_dedup(
                     out, text_col, id_col,
                     threshold=st.get("threshold", 0.8),
                     keep=st.get("keep", "min_id"),
-                )
+                ))
                 out = out.join(keep, id_col, "left_semi")
             elif op == "boilerplate_prune":
-                pruned = boilerplate_prune(
+                pruned = _cut(boilerplate_prune(
                     out, id_col, text_col, max_df=st.get("max_df", 2)
-                ).select(id_col, F.col("pruned_text").alias(text_col))
+                ).select(id_col, F.col("pruned_text").alias(text_col)))
                 out = out.drop(text_col).join(pruned, id_col)
             elif op == "hash_split":
                 out = hash_split(
@@ -291,7 +303,7 @@ class CorpusSpec:
                     )
                 else:
                     kept = scored.filter("selected")
-                out = out.join(kept.select(id_col), id_col, "left_semi")
+                out = out.join(_cut(kept.select(id_col)), id_col, "left_semi")
             elif op == "decontaminate":
                 from ..operators.corpus import decontaminate_spans
 
@@ -303,9 +315,9 @@ class CorpusSpec:
                 rep = decontaminate_spans(
                     out, tables[name], text_col, id_col, n=st.get("n", 3)
                 )
-                keep = rep.filter(
+                keep = _cut(rep.filter(
                     F.col("frac_covered") <= float(st.get("max_frac", 0.0))
-                ).select(id_col)
+                ).select(id_col))
                 out = out.join(keep, id_col, "left_semi")
             elif op == "token_budget":
                 from pyspark.sql import Window

@@ -27,7 +27,7 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import tokens, word_shingles
+from .text import spread_small_scan, tokens, word_shingles
 
 __all__ = [
     "hash_bucket",
@@ -1269,16 +1269,29 @@ def dsir_importance(
 
     Returns (id, n_toks, dsir_bits, selected).
     """
-    toks = df.select(
+    toks = spread_small_scan(df).select(
         F.col(id_col),
         target_pred.alias("_is_t"),
         F.explode(tokens(_c(text_col))).alias("_tok"),
     ).select(
         id_col, "_is_t", hash_bucket(F.col("_tok"), n_buckets).alias("_b")
     )
-    lm = toks.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_r"),
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t"),
+    # compress the token stream to per-(id, is_t, bucket) counts FIRST
+    # and cut the lineage: both the bucket-LM build and the per-doc
+    # scoring pass are exact integer sums over these counts, so the
+    # tokenize+md5 pass over the corpus runs ONCE instead of once per
+    # consumer (round-12, guide §1.2/§2.3; sums regroup exactly —
+    # integer addition is associative)
+    grouped = (
+        toks.groupBy(id_col, "_is_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    lm = grouped.groupBy("_b").agg(
+        F.sum("_cnt").alias("_r"),
+        F.sum(F.when(F.col("_is_t"), F.col("_cnt")).otherwise(0)).alias(
+            "_t"
+        ),
     )
     # distinct names (not _R/_T): Spark resolves case-insensitively
     totals = lm.agg(
@@ -1298,9 +1311,9 @@ def dsir_importance(
             )
         ).alias("_w"),
     )
-    scored = toks.join(F.broadcast(weights), "_b").groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks"),
-        F.sum("_w").cast("long").alias("dsir_bits"),
+    scored = grouped.join(F.broadcast(weights), "_b").groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_toks"),
+        F.sum(F.col("_cnt") * F.col("_w")).cast("long").alias("dsir_bits"),
     )
     return scored.select(
         id_col, "n_toks", "dsir_bits", (F.col("dsir_bits") > 0).alias("selected")
@@ -1476,6 +1489,12 @@ def token_budget_mix(
     the still-unplaced budget after the final round (same value on
     every row — a scalar readout).
     """
+    # the per-group counts are referenced by `total`, by every
+    # water-filling round (whose crossJoin-of-agg structure doubles the
+    # reference count per round) and by the residual readout — without a
+    # lineage cut the corpus tokenize pass replays ~2^(rounds+2) times
+    # (round-12, guide §1.2; same cut ipf_rake_weights already applies
+    # to its state). <= |groups| rows, trivially materialized.
     counts = (
         df.select(
             F.col(group_col).alias("_g"),
@@ -1483,6 +1502,7 @@ def token_budget_mix(
         )
         .groupBy("_g")
         .agg(F.sum("_nt").cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("n_tokens").alias("_tot"))
     alloc = counts.crossJoin(F.broadcast(total)).select(
@@ -1918,9 +1938,12 @@ def decontaminate_spans(
     n_tokens_covered, frac_covered) — every corpus doc reported,
     zero-filled when clean.
     """
-    toked = corpus.select(
+    # the tokenized corpus feeds BOTH the positional-shingle pass and
+    # the per-doc length readout: spread past a single-file scan and cut
+    # the lineage so tokenization runs once (round-12, guide §1.2/§2.5)
+    toked = spread_small_scan(corpus).select(
         F.col(id_col).alias("_id"), tokens(_c(text_col)).alias("_toks")
-    )
+    ).localCheckpoint(eager=False)
     ev_grams = (
         eval_df.select(
             F.explode(word_shingles(_c(text_col), n)).alias("_g")

@@ -639,8 +639,15 @@ def prefix_setsim_join(
     if strategy == "auto":
         strategy = "prefix" if 10 * n >= 7 * d else "index"
     tok = (
-        df.select(F.col(id_col), F.explode(tokens_col).alias("_t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), F.explode(tokens_col).alias("_t"))
         .distinct()
+        # the inverted index is read 4-5x (bucket guard, sizes, both
+        # join sides / dfreq+ranked+tsets): materialize it once instead
+        # of re-tokenizing the corpus per reference (round-12, guide
+        # §1.2; the guard's collect is an action anyway, so the eager
+        # cut adds no extra job)
+        .localCheckpoint(eager=True)
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
 
@@ -1541,13 +1548,32 @@ def minhash_lsh_join(
         )
         lb = lb.join(combined, ["band", "bucket"])
         rb = rb.join(combined, ["band", "bucket"])
-    cands = lb.join(rb, ["band", "bucket"]).select("id_left", "id_right").distinct()
+    # the pair list is read three times below (join + two member-id
+    # semi-joins): cut its lineage so the banded join runs once
+    cands = (
+        lb.join(rb, ["band", "bucket"])
+        .select("id_left", "id_right")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
-    sh_l = left.select(
+    # only candidate-pair members need exact shingles: semi-join each
+    # side against its candidate ids BEFORE the shingle projection
+    # (round-12, guide §2.3 — same fix as _verify_jaccard; previously
+    # BOTH corpora were re-tokenized wholesale just to be joined away)
+    sh_l = left.join(
+        cands.select(F.col("id_left").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
         F.col(id_col).alias("id_left"),
         word_shingles(text_col, shingle_n).alias("_sha"),
     )
-    sh_r = right.select(
+    sh_r = right.join(
+        cands.select(F.col("id_right").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    ).select(
         F.col(id_col).alias("id_right"),
         word_shingles(text_col, shingle_n).alias("_shb"),
     )

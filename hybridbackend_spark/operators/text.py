@@ -345,7 +345,7 @@ def hashing_vectorize(
     """
     from .corpus import hash_bucket
 
-    toks = df.select(
+    toks = spread_small_scan(df).select(
         F.col(id_col), F.explode(tokens(_c(text_col))).alias("_tok")
     )
     cells = (
@@ -354,14 +354,14 @@ def hashing_vectorize(
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
     if idf:
+        # the tf cell table already holds one row per distinct (id,
+        # bucket), so the document frequencies are a reread of it — cut
+        # the lineage so the corpus is tokenized+hashed ONCE instead of
+        # once per reference (round-12, guide §1.2; previously dfs was
+        # a second full explode+md5 pass)
+        cells = cells.localCheckpoint(eager=False)
         n_docs = df.select(F.col(id_col)).distinct().count()
-        dfs = (
-            toks.withColumn("_b", hash_bucket(F.col("_tok"), dim, seed=0))
-            .select(id_col, "_b")
-            .distinct()
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("_df"))
-        )
+        dfs = cells.groupBy("_b").agg(F.count(F.lit(1)).alias("_df"))
         bits_n = len(bin(n_docs)) - 3  # floor(log2 n_docs): '0b1...'
         idf_bits = F.lit(1 + bits_n) - (F.length(F.bin(F.col("_df"))) - 1)
         cells = cells.join(F.broadcast(dfs), "_b").withColumn(

@@ -7278,7 +7278,11 @@ def text_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     dense = hashing_vectorize(docs, "doc_id", "text", dim=64, dense=True)
-    jl = jl_project(dense, "vector", in_dim=64, out_dim=16, seed=7)
+    # the projected frame feeds BOTH sides of the top-k join (query
+    # rows + corpus): cut the lineage so TF-IDF + JL compute once
+    # (round-12, guide §1.2)
+    jl = jl_project(dense, "vector", in_dim=64, out_dim=16, seed=7
+                    ).localCheckpoint(eager=False)
     q = jl.filter(F.col("doc_id") < 3)
     return cosine_topk(
         q, jl, "doc_id", "doc_id", "jl_vector", "jl_vector", k=5
@@ -12442,10 +12446,14 @@ def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/dedup.py::prefix_setsim_join for the completeness
     proof."""
     from .operators.dedup import prefix_setsim_join
-    from .operators.text import word_shingles
+    from .operators.text import spread_small_scan, word_shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    # spread BEFORE the shingle projection so tokenization parallelizes
+    # past the single-file scan task (round-12, guide §2.5)
+    sh = spread_small_scan(docs.select("doc_id", "text")).select(
+        "doc_id", word_shingles("text", 3).alias("sh")
+    )
     return prefix_setsim_join(
         sh, "doc_id", "sh", tau_num=1, tau_den=2
     ).select("id_a", "id_b", "inter_sz", "union_sz")
