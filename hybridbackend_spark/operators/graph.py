@@ -72,9 +72,16 @@ def connected_components(
     every tentative label is a member of the node's own component, so
     the fixpoint is unchanged). Output is identical in all cases.
     """
-    sym = edges.select(
+    # materialize the caller's edge plan ONCE before symmetrizing: the
+    # union references it in both directions, so without this cut an
+    # expensive edge frame (a verified near-dup pair join, a fuzzy-match
+    # verify) would be computed twice (round-12, guide §1.2; 16
+    # bytes/row, and the eager cut folds into the jobs the loop runs
+    # anyway)
+    e0 = edges.select(
         F.col(src).alias("_n"), F.col(dst).alias("_m")
-    ).union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+    ).localCheckpoint(eager=True)
+    sym = e0.union(e0.select(F.col("_m").alias("_n"), F.col("_n").alias("_m")))
     sym = sym.distinct().localCheckpoint(eager=True)
 
     # one-pass tentative labeling: min(node, neighbors(node))
@@ -558,9 +565,13 @@ def label_propagation(
 
     Returns (id, community).
     """
-    sym = edges.select(
+    # materialize the caller's edge plan once before symmetrizing — the
+    # two-direction union would otherwise compute it twice (round-12,
+    # guide §1.2; same cut as connected_components)
+    e0 = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).localCheckpoint(eager=False)
+    sym = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)
     labels = sym.select(F.col("a").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
@@ -674,9 +685,16 @@ def bfs_distances(
     the per-round materialization that shared subtree runs twice per
     relaxation. One relaxation per checkpoint stands.
     """
-    sym = edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
+    # materialize the caller's edge plan once before symmetrizing — the
+    # two-direction union would otherwise compute it twice (round-12,
+    # guide §1.2; same cut as connected_components)
+    sym = edges.select(
+        F.col(src).alias("_n"), F.col(dst).alias("_m")
+    ).localCheckpoint(eager=True)
     if not directed:
-        sym = sym.union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+        sym = sym.union(
+            sym.select(F.col("_m").alias("_n"), F.col("_n").alias("_m"))
+        )
     sym = sym.distinct().localCheckpoint(eager=True)
 
     dist = (
@@ -762,15 +780,17 @@ def shortest_paths(
     twice per relaxation (exchange reuse does not fire across the
     union/join pair under AQE). One relaxation per checkpoint stands.
     """
+    # materialize the caller's edge plan once before symmetrizing — the
+    # two-direction union would otherwise compute it twice (round-12,
+    # guide §1.2; same cut as connected_components)
     sym = edges.select(
         F.col(src).alias("_n"), F.col(dst).alias("_m"),
         F.col(weight).cast("long").alias("_w"),
-    )
+    ).localCheckpoint(eager=True)
     if not directed:
         sym = sym.union(
-            edges.select(
-                F.col(dst).alias("_n"), F.col(src).alias("_m"),
-                F.col(weight).cast("long").alias("_w"),
+            sym.select(
+                F.col("_m").alias("_n"), F.col("_n").alias("_m"), "_w"
             )
         )
     sym = sym.distinct().localCheckpoint(eager=True)
@@ -855,9 +875,14 @@ def kcore(
     (all shuffles keyed on node ids), lineage cut per round. Never
     materializes anything bigger than the (shrinking) edge list.
     """
+    # materialize the caller's edge plan once before symmetrizing — the
+    # two-direction union would otherwise compute it twice (round-12,
+    # guide §1.2; same cut as connected_components)
+    e0 = edges.select(
+        F.col(src).alias("_n"), F.col(dst).alias("_m")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(src).alias("_n"), F.col(dst).alias("_m"))
-        .union(edges.select(F.col(dst).alias("_n"), F.col(src).alias("_m")))
+        e0.union(e0.select(F.col("_m").alias("_n"), F.col("_n").alias("_m")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -921,10 +946,15 @@ def hyperball_reach(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
-    sym = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    # materialize the caller's edge plan once before symmetrizing — the
+    # two-direction union would otherwise compute it twice (round-12,
+    # guide §1.2; same cut as connected_components)
+    sym = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    ).localCheckpoint(eager=True)
     if not directed:
         sym = sym.union(
-            edges.select(F.col(dst).alias("_a"), F.col(src).alias("_b"))
+            sym.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
         )
     sym = sym.distinct().localCheckpoint(eager=True)
 
