@@ -879,7 +879,19 @@ def substring_dedup(
     """
     k = window_tokens
     toks = tokens(_c(text_col))
-    base = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+    # Tokenize ONCE: `base` feeds three consumers (token rows, window
+    # texts, the final length readout), so without a cut the tokenize
+    # pass re-runs per consumer — and on a single-file corpus it runs
+    # inside the lone scan task each time. Spread first (round-12,
+    # guide §2.5 input skew), project to (id, tokens) only, and
+    # lazily materialize (guide §1.2 remove passes: one tokenize pass
+    # + one ~corpus-sized materialization beats three corpus passes).
+    base = (
+        spread_small_scan(df)
+        .select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .localCheckpoint(eager=False)
+    )
     tok_rows = base.select(
         F.col(id_col), F.posexplode("_toks").alias("_pos", "_tok")
     )

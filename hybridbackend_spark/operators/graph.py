@@ -394,8 +394,19 @@ def pagerank(
     formulation; symmetrize the edge list for the strongly-connected
     variant. Distributed analog of the reference's iterative collective
     loops (``distribute/tests/allreduce_test.py``).
+
+    The projected edge frame is materialized ONCE at entry: the degree
+    aggregate, the degree join and the node-set union otherwise each
+    re-evaluate the caller's edge plan (up to 4 evaluations — and the
+    usual symmetrize-by-union caller doubles that), which for the
+    registered consumers is an orders-lineitem join + distinct, or the
+    frequent-bigram graph. 16 bytes/row, and the cut folds into the
+    jobs the prologue runs anyway — same rationale as the edge cut in
+    :func:`connected_components` et al.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ed = e.join(deg, "_s").localCheckpoint(eager=True)
     nodes = (
@@ -445,8 +456,13 @@ def personalized_pagerank(
     adds the ``(100-d)%`` restart only on seed nodes. Same per-round
     shuffle shape (and round-12 every-4th-iteration lineage-cut policy)
     as pagerank; nodes never reached by seed mass keep rank 0 (and are
-    still emitted, making the output spine the full node set)."""
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    still emitted, making the output spine the full node set). The
+    projected edge frame is materialized once at entry, same as
+    :func:`pagerank` (the prologue otherwise re-evaluates the caller's
+    edge plan up to 4 times)."""
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     ed = e.join(deg, "_s").localCheckpoint(eager=True)
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()

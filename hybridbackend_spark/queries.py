@@ -14970,9 +14970,12 @@ def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the frequent vocabulary, never corpus bytes."""
     from .operators.corpus import _bigram_pairs
     from .operators.graph import pagerank
-    from .operators.text import tokens as _tokens
+    from .operators.text import spread_small_scan, tokens as _tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the single-file corpus before the two tokenize passes
+    # (vocab counts + bigram stream) so they parallelize; partitioning
+    # only — counts/distinct/integer pagerank are layout-invariant
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
     vocab = (
         docs.select(F.explode(_tokens("text")).alias("w"))
         .groupBy("w")
