@@ -574,10 +574,15 @@ def label_propagation(
     the same rounds).
 
     Per round: one partial-agg groupBy((node, label)) + one per-node
-    top-1 window — shuffle volume is edge-count rows of 3 small
-    columns, the same shape per round regardless of community sizes.
-    Lineage is cut per round (localCheckpoint) so ``iters`` stays a
-    cost, not a plan-depth explosion.
+    top-1 — shuffle volume is edge-count rows of 3 small columns, the
+    same shape per round regardless of community sizes. The top-1 is a
+    ``min(struct(-count, label))`` aggregate, not a ranking window
+    (round-12 session 4, guide §2.3 "aggregate before you shuffle"):
+    identical winner — row_number ordered by (c DESC, lab ASC) picks
+    exactly the struct minimum — but the aggregate partial-combines
+    map-side and skips the window's per-partition sort. Lineage is cut
+    per round (localCheckpoint) so ``iters`` stays a cost, not a
+    plan-depth explosion.
 
     Returns (id, community).
     """
@@ -592,7 +597,6 @@ def label_propagation(
     labels = sym.select(F.col("a").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
     )
-    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
     for _ in range(iters):
         votes = (
             sym.join(labels, sym.a == labels.v)
@@ -601,9 +605,13 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         labels = (
-            votes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("v", "lab")
+            votes.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("l"))
+                ).alias("_w")
+            )
+            .select("v", F.col("_w.l").alias("lab"))
             .localCheckpoint(eager=False)
         )
     return labels.select(F.col("v").alias("id"), F.col("lab").alias("community"))

@@ -311,12 +311,73 @@ def cosine_topk_lsh(
     )
 
 
+def _dvec_sql(name: str) -> str:
+    """SQL form of :func:`_as_double_vec` for a named column."""
+    return f"transform(`{name}`, x -> CAST(x AS DOUBLE))"
+
+
+def _sqdist_sql(vexpr: str, cent: list[float]) -> str:
+    """SQL form of the squared-L2 fold between a vector expression and a
+    literal centroid — the identical ``aggregate(zip_with(...))`` tree as
+    the Column-builder form (same 0.0 seed, doubles via repr round-trip
+    through ``CAST(.. AS DOUBLE)``, the change-1 convention), rendered as
+    a string so ``dim`` literals cost ZERO py4j round trips."""
+    arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in cent)
+    return (
+        f"aggregate(zip_with({vexpr}, array({arr}), "
+        "(a, b) -> (a - b) * (a - b)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _const_mat_sql(mat: list[list[float]]) -> str:
+    """A literal list-of-vectors as ONE SQL array-of-arrays expression
+    (repr round-trip doubles) — zero py4j round trips."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in row)
+            + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
+def _argmin_pairs_sql(vexpr: str, centroids: list[list[float]]) -> str:
+    """SQL form of the (d, i) struct array the argmin assignments sort /
+    min over — bit-identical comparator to the Column-builder
+    ``F.struct(d, i)`` (field order d then i, i an INT literal)."""
+    pairs = ", ".join(
+        f"named_struct('d', {_sqdist_sql(vexpr, cent)}, 'i', {i})"
+        for i, cent in enumerate(centroids)
+    )
+    return f"array({pairs})"
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]], out_col: str = "ivf_cell"
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
     ``centroids`` are driver-side constants (train offline / sample);
-    assignment is a per-row argmin over literal arrays — no shuffle."""
+    assignment is a per-row argmin over literal arrays — no shuffle.
+
+    Round-12 session 4 (guide §7.3 planning time; the change-1 pattern):
+    for a named ``vec_col`` the whole k x dim argmin tree is rendered as
+    ONE SQL string parsed by a single ``F.expr`` — the Column-builder
+    form issued ~k*dim py4j round trips (one per ``F.lit`` coefficient),
+    which dominated the WALL time of the driver-bound IVF/PQ queries.
+    Identical expression tree (same fold, same repr-round-trip
+    literals), pinned bit-identical by test_ivf_assign_sql_parity;
+    Column inputs keep the builder path."""
+    if isinstance(vec_col, str):
+        return df.withColumn(
+            out_col,
+            F.expr(
+                f"array_min({_argmin_pairs_sql(_dvec_sql(vec_col), centroids)}).i"
+            ),
+        )
     v = _as_double_vec(vec_col)
     pairs = F.array(
         *[
@@ -371,31 +432,18 @@ def cosine_topk_ivf(
         centroids,
         "_cell",
     )
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(x) for x in cent]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i, cent in enumerate(centroids)
-        ]
+    # probe-cell list rendered as ONE parsed SQL expression (same
+    # argmin struct array, sorted and sliced — see ivf_assign): the
+    # Column-builder form issued ~k*dim py4j round trips of driver time
+    probe_cells = F.expr(
+        "transform(slice(array_sort("
+        f"{_argmin_pairs_sql(_dvec_sql(query_vec), centroids)}"
+        f"), 1, {int(n_probe)}), s -> s.i)"
     )
     q_probed = queries.select(
         F.col(query_id).alias("_qid"),
         v.alias("_qv"),
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["i"]
-            )
-        ).alias("_cell"),
+        F.explode(probe_cells).alias("_cell"),
     )
     cands = c_assigned.join(F.broadcast(q_probed), "_cell")
     if exclude_self:
@@ -870,10 +918,21 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace, argmin over the codebook
     (ties break to the lowest code). Pure projection — zero shuffle, zero
-    Python; the codebooks fold into the plan as literals."""
-    v = _as_double_vec(vec_col)
+    Python; the codebooks fold into the plan as literals. For a named
+    ``vec_col`` the whole m x k_sub x dsub code array is rendered as ONE
+    parsed SQL expression (round-12 session 4 — the builder form's
+    per-literal py4j round trips dominated the query's wall time);
+    Column inputs keep the builder path, parity pinned by test."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    if isinstance(vec_col, str):
+        dv = _dvec_sql(vec_col)
+        per_sub = []
+        for j, book in enumerate(codebooks):
+            sub = f"slice({dv}, {j * dsub + 1}, {dsub})"
+            per_sub.append(f"array_min({_argmin_pairs_sql(sub, book)}).i")
+        return df.withColumn(out_col, F.expr(f"array({', '.join(per_sub)})"))
+    v = _as_double_vec(vec_col)
     codes = []
     for j, book in enumerate(codebooks):
         sub = F.slice(v, j * dsub + 1, dsub)
@@ -925,18 +984,36 @@ def pq_topk(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    qv = _as_double_vec(query_vec)
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    _subspace_sqdist(F.slice(qv, j * dsub + 1, dsub), cent)
+    if isinstance(query_vec, str):
+        # the m x k_sub LUT as ONE parsed SQL expression (round-12
+        # session 4 — same py4j-round-trip removal as ivf_assign)
+        dv = _dvec_sql(query_vec)
+        lut = F.expr(
+            "array("
+            + ", ".join(
+                "array("
+                + ", ".join(
+                    _sqdist_sql(f"slice({dv}, {j * dsub + 1}, {dsub})", cent)
                     for cent in book
-                ]
+                )
+                + ")"
+                for j, book in enumerate(codebooks)
             )
-            for j, book in enumerate(codebooks)
-        ]
-    )
+            + ")"
+        )
+    else:
+        qv = _as_double_vec(query_vec)
+        lut = F.array(
+            *[
+                F.array(
+                    *[
+                        _subspace_sqdist(F.slice(qv, j * dsub + 1, dsub), cent)
+                        for cent in book
+                    ]
+                )
+                for j, book in enumerate(codebooks)
+            ]
+        )
     q = queries.select(F.col(query_id).alias("_qid"), lut.alias("_lut"))
     c = corpus.select(F.col(corpus_id).alias("_cid"), F.col(code_col).alias("_code"))
     # adist folds subspaces j = 0..m-1 in order — same tree as the
@@ -999,15 +1076,11 @@ def kcenter_select(
     center_vec = list(first[0]["_v"])
 
     def qdist_to(cent: list) -> Column:
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.array(*[F.lit(float(x)) for x in cent]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # one parsed SQL expression per round instead of ``dim`` F.lit
+        # round trips (round-12 session 4, same pattern as ivf_assign);
+        # identical fold/seed/literals, so the quantized distances are
+        # bit-equal and the selection unchanged
+        d2 = F.expr(_sqdist_sql("`_v`", [float(x) for x in cent]))
         return F.round(F.sqrt(d2) * scale).cast("long")
 
     cur = base.withColumn("_mind", qdist_to(center_vec)).localCheckpoint(

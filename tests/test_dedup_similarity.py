@@ -1145,3 +1145,61 @@ def test_random_hyperplane_key_sql_parity(spark, sf_dir):
         .collect()[0]["k"]
         is None
     )
+
+
+def test_ivf_pq_sql_parity(spark, sf_dir):
+    """The SQL-string fast paths for the IVF/PQ argmin trees (column NAME
+    input, one F.expr parse — the round-12 session-4 driver-time
+    optimization) must be bit-identical to the Column-builder paths:
+    ivf_assign cells, pq_encode codes, and the pq_topk LUT ranking must
+    not move a single assignment/neighbor."""
+    from hybridbackend_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_train,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_train(emb, "embedding", k=4, iters=1, id_col="vec_id")
+    as_col = emb.withColumn("_e", F.col("embedding"))
+    old_cells = ivf_assign(as_col, F.col("_e"), cents, "cell").select(
+        "vec_id", "cell"
+    )
+    new_cells = ivf_assign(emb, "embedding", cents, "cell").select(
+        "vec_id", "cell"
+    )
+    assert old_cells.exceptAll(new_cells).count() == 0
+    assert new_cells.exceptAll(old_cells).count() == 0
+
+    # tiny deterministic codebooks: 2 subspaces x 3 codewords over dim 64
+    dim = 64
+    dsub = dim // 2
+    books = [
+        [[0.1 * (c + 1)] * dsub for c in range(3)],
+        [[-0.05 * (c + 1)] * dsub for c in range(3)],
+    ]
+    old_codes = pq_encode(as_col, F.col("_e"), books, "code").select(
+        "vec_id", "code"
+    )
+    new_codes = pq_encode(emb, "embedding", books, "code").select(
+        "vec_id", "code"
+    )
+    assert old_codes.exceptAll(new_codes).count() == 0
+    assert new_codes.exceptAll(old_codes).count() == 0
+
+    # LUT path: Column-input query side vs named-column query side
+    enc = pq_encode(emb, "embedding", books, "pq_code")
+    q = emb.filter(F.col("vec_id") < 3)
+    new_topk = pq_topk(q, enc, "vec_id", "vec_id", "embedding", books, k=4)
+    old_topk = pq_topk(
+        q.withColumn("_e", F.col("embedding")),
+        enc,
+        "vec_id",
+        "vec_id",
+        F.col("_e"),
+        books,
+        k=4,
+    )
+    assert old_topk.exceptAll(new_topk).count() == 0
+    assert new_topk.exceptAll(old_topk).count() == 0
