@@ -1670,9 +1670,16 @@ def assoc_rules(
     Returns (antecedent, consequent, n_pair, n_antecedent,
     n_consequent, n_baskets, support, confidence, lift).
     """
+    # materialize the distinct basket-item set ONCE (round-12 session 4,
+    # guide §1.2 remove passes): it feeds five consumers — the basket
+    # guard's collect (an action anyway, so the eager cut adds no job),
+    # the basket count, the item counts, and both sides of the pair
+    # self-join — which otherwise each re-evaluate the caller's join +
+    # distinct. Two narrow columns, same discipline as the setsim index
+    # cut (change 14). Building this DataFrame therefore RUNS a job.
     bi = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     if max_basket_items is not None:
         big = (
             bi.groupBy("_b")

@@ -499,9 +499,18 @@ def bloom_filter_join(
     for r in pos_rows:
         p = int(r["p"])
         words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed longs for LongType literals
+    # two's-complement into signed longs for LongType literals; the
+    # m_bits/64-element literal array is rendered as ONE parsed SQL
+    # expression (round-12 session 4 — 1024 F.lit().cast() calls were
+    # ~2k py4j round trips of pure driver time per call; same pattern
+    # as the LSH/IVF literal trees). CAST('<n>' AS BIGINT) rather than
+    # a bare <n>L literal: Long.MIN_VALUE cannot be written as a SQL
+    # long literal (the minus parses as unary negation of an
+    # out-of-range positive).
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bitmap = F.array(*[F.lit(w).cast("long") for w in signed])
+    bitmap = F.expr(
+        "array(" + ", ".join(f"CAST('{w}' AS BIGINT)" for w in signed) + ")"
+    )
 
     fk = F.col(fact_key)
     cond = F.lit(True)
