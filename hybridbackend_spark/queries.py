@@ -358,7 +358,7 @@ def lookup_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l.l_orderkey,
            round(sum(list_sum(list_transform(emb.embedding, x -> x::DOUBLE))), 3)
-             AS pooled_checksum
+             + 0.0 AS pooled_checksum
     FROM (SELECT l_orderkey, ((l_partkey % 500) + 500) % 500 AS vec_id FROM lineitem) l
     JOIN embeddings emb ON l.vec_id = emb.vec_id
     GROUP BY l.l_orderkey
@@ -371,24 +371,44 @@ def pooled_lookup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", mod_bucket(F.col("l_partkey"), 500).alias("vec_id")
     )
-    # round-12 note (examined, deliberately left alone): AQE coalesces
-    # the agg shuffle by BYTES (a few MB -> 4 partitions), so the
-    # compute-dense pooling downstream (explode + lookup + element-wise
-    # vector fold) runs on 4 tasks at ~0.8 s each. Re-spreading was
-    # tried (keyed repartition before AND after this agg) and REVERTED:
-    # collect_list merge order is plan-shape-sensitive, and the checksum
-    # sits on a +-0.0 rounding knife edge for at least one group at
-    # sf0.1 (order 13781 flips between round(-0.000177, 3) = -0.0 and
-    # +0.0 when partials merge in a different order), breaking the value
-    # oracle. Partitioning changes on this float-fold path are
-    # hash-unsafe; the parallelism gap stays.
+    # round-12 found the checksum on a +-0.0 rounding knife edge
+    # (round(-0.000177, 3) = -0.0 vs +0.0 depending on collect_list
+    # partial-merge order), which made ANY partitioning change on this
+    # float-fold path hash-unsafe and forced a revert of the
+    # parallelism fix. Round 13 de-fuses it: `+ 0.0` in the final
+    # projection canonicalizes -0.0 to +0.0 (IEEE: -0.0 + 0.0 = +0.0;
+    # every other value incl. NaN/NULL unchanged) in BOTH the engine
+    # and the oracle SQL, so the result no longer depends on the sign
+    # of a zero. With the fuse out, the round-12 straggler fix lands
+    # (guide §2.5/§2.6): AQE coalesces the collect_list agg shuffle by
+    # BYTES (a few MB -> 4 partitions) while the downstream pooling
+    # (explode + lookup + element-wise vector fold) is compute-dense —
+    # 4 tasks x ~0.8 s on an idle 32-core box. A keyed repartition to
+    # the session parallelism after the agg spreads the pooling stage;
+    # scale-adaptive (defaultParallelism, not a constant), and at
+    # cluster scale the agg output is large enough that AQE would not
+    # over-coalesce it — the pin only matters where bytes-based
+    # coalescing misjudges compute-dense rows. The repartition sits
+    # BEFORE the groupBy: a user-specified numPartitions exchange is
+    # exempt from AQE coalescing, and the agg reuses its partitioning
+    # (one exchange total) — placed after the agg, Catalyst removes it
+    # as statically redundant and AQE re-coalesces the agg exchange.
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     ids = li.groupBy("l_orderkey").agg(F.collect_list("vec_id").alias("ids"))
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     pooled = pooled_lookup(ids, emb, "ids", "l_orderkey", "embedding", combiner="sum")
     return pooled.select(
         "l_orderkey",
-        F.round(
-            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x), 3
+        (
+            F.round(
+                F.aggregate(
+                    F.col("embedding"), F.lit(0.0), lambda a, x: a + x
+                ),
+                3,
+            )
+            + F.lit(0.0)
         ).alias("pooled_checksum"),
     )
 

@@ -84,6 +84,63 @@ def test_equidepth_bins_partition_rows(spark):
     assert b1.min_v == 1 and b1.max_v == 100
 
 
+def test_percentile_bounds_dist_parity_and_layouts(spark):
+    """percentile_bounds_dist must be BIT-IDENTICAL to the builtin
+    percentile() on its documented contract (integer-grid values, dyadic
+    fractions) — across partition layouts, with ties, negatives, nulls,
+    singletons — and return NULL for empty/all-null input (builtin
+    behavior). This parity is what lets winsorize/equidepth swap the
+    single-reduce-task builtin merge for the distributed form."""
+    import random
+
+    from hybridbackend_spark.operators.analytics import (
+        percentile_bounds_dist,
+    )
+
+    rng = random.Random(1313)
+    dyadic = [1 / 128.0, 1 / 8.0, 0.5, 7 / 8.0, 127 / 128.0]
+    frac_sql = ", ".join(repr(f) for f in dyadic)
+
+    def builtin(df):
+        return df.agg(
+            F.expr(f"percentile(v, array({frac_sql}))").alias("_b")
+        ).collect()[0]["_b"]
+
+    cases = [
+        [1],  # singleton
+        [5, 5, 5, 5],  # all ties
+        list(range(-50, 50)),  # negatives, unique
+        [rng.randint(-(10**7), 10**7) for _ in range(997)],  # price cents
+        [rng.randint(0, 9) for _ in range(500)],  # heavy ties
+        [0, 2**45, -(2**45)],  # grid-bound magnitudes
+    ]
+    for vals in cases:
+        for parts in (1, 7):
+            df = spark.createDataFrame(
+                [(v,) for v in vals], "v long"
+            ).repartition(parts)
+            got = percentile_bounds_dist(df, "v", dyadic).collect()
+            assert len(got) == 1
+            assert list(got[0]["_b"]) == list(builtin(df)), (
+                vals[:8],
+                parts,
+            )
+
+    # nulls ignored; all-null and empty inputs -> one row, NULL bounds
+    with_nulls = spark.createDataFrame(
+        [(None,), (3,), (None,), (1,), (2,)], "v long"
+    )
+    assert list(
+        percentile_bounds_dist(with_nulls, "v", dyadic).collect()[0]["_b"]
+    ) == list(builtin(with_nulls))
+    for empty in (
+        spark.createDataFrame([], "v long"),
+        spark.createDataFrame([(None,), (None,)], "v long"),
+    ):
+        row = percentile_bounds_dist(empty, "v", dyadic).collect()
+        assert len(row) == 1 and row[0]["_b"] is None
+
+
 def test_ols_trend_exact_line(spark):
     # y = 7x + 3 exactly, two groups with different slopes
     rows = [("a", x, 7 * x + 3) for x in range(10)] + [

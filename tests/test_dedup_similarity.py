@@ -251,6 +251,80 @@ def test_cosine_near_dup_int8_auto_resolution(spark):
         )
 
 
+def test_cosine_near_dup_blocking_router(spark):
+    """Round-13 (VERDICT item 6): the blocking router. At dim < 128
+    "auto" must BE the LSH arm (bit-identical pairs — the declared
+    dim-64 queries cannot move); at dim >= 128 "auto" resolves to IVF
+    blocking, whose pairs are exactly-scored (subset of brute force,
+    identical cosines) and find the planted high-dim near-dup."""
+    import random
+
+    from hybridbackend_spark.operators.dedup import cosine_near_dup_pairs
+    from hybridbackend_spark.operators.similarity import (
+        ANN_AUTO_IVF_MIN_DIM,
+        _resolve_ann_strategy,
+    )
+
+    assert _resolve_ann_strategy("auto", 64) == "lsh"
+    assert _resolve_ann_strategy("auto", ANN_AUTO_IVF_MIN_DIM) == "ivf"
+
+    # dim-64 regime: auto == explicit lsh, bit-for-bit
+    kw = dict(threshold=0.9, bucket_bits=1, seed=7, dim=3)
+    auto_rows = sorted(
+        map(
+            tuple,
+            cosine_near_dup_pairs(
+                _vecs(spark), "v", "vec_id", blocking="auto", **kw
+            ).collect(),
+        )
+    )
+    lsh_rows = sorted(
+        map(
+            tuple,
+            cosine_near_dup_pairs(
+                _vecs(spark), "v", "vec_id", blocking="lsh", **kw
+            ).collect(),
+        )
+    )
+    assert auto_rows == lsh_rows
+
+    # high-dim regime: 128-d clustered fixture; auto -> IVF blocking
+    rng = random.Random(13)
+    d = ANN_AUTO_IVF_MIN_DIM
+    c1 = [rng.uniform(-1, 1) for _ in range(d)]
+    c2 = [rng.uniform(-1, 1) for _ in range(d)]
+    rows = []
+    for i in range(6):  # two tight clusters of 3
+        base = c1 if i < 3 else c2
+        rows.append(
+            (i, [x + rng.uniform(-0.01, 0.01) for x in base])
+        )
+    df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in cosine_near_dup_pairs(
+            df, "v", "vec_id", threshold=0.9
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in cosine_near_dup_pairs(
+            df,
+            "v",
+            "vec_id",
+            threshold=0.9,
+            bucket_bits=8,
+            dim=d,
+            blocking="auto",
+            centroids=[c1, c2],
+            n_probe=1,
+        ).collect()
+    }
+    assert got <= exact  # exactly-scored subset
+    # within-cluster near-dups land in the same trained cell
+    assert {(p[0], p[1]) for p in got} >= {(0, 1), (0, 2), (3, 4), (3, 5)}
+
+
 def test_cosine_near_dup_pairs_bucketed(spark):
     from hybridbackend_spark.operators.dedup import cosine_near_dup_pairs
 

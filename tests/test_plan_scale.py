@@ -202,11 +202,19 @@ def test_fuzzy_join_streams_both_sides(spark, sf_dir):
 def test_equidepth_bins_no_global_window(spark, sf_dir):
     """The equi-depth query must NOT plan a global window (the ntile()
     trap that funnels the whole table through one partition): bin
-    assignment is a broadcast of the boundary row + a map-side CASE."""
+    assignment is a broadcast of the boundary row + a map-side CASE.
+    Round 13: the boundary computation itself moved from the builtin
+    percentile (single-reduce-task map merge) to the distributed
+    percentile_bounds_dist, whose running count is a window PARTITIONED
+    by spark_partition_id — so the pin is "no UNPARTITIONED window"
+    (the detector that powers the global-window gate), not "no Window
+    node at all"."""
+    from hybridbackend_spark.plans.inspect import has_unpartitioned_window
     from hybridbackend_spark.queries import equidepth_bins_lineitem
 
-    plan = physical_plan(equidepth_bins_lineitem(spark, sf_dir))
-    assert "Window" not in plan
+    df = equidepth_bins_lineitem(spark, sf_dir)
+    plan = physical_plan(df)
+    assert not has_unpartitioned_window(df)
     assert "CartesianProduct" not in plan
 
 
