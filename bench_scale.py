@@ -913,8 +913,15 @@ def _bench_neardup_int8(spark, probe: "ShuffleProbe") -> list[dict]:
     emb = spark.read.parquet(f"{HD_DIR}/embeddings.parquet")
     n = emb.count()
     assert _resolve_int8_filter("auto", HD_DIM)  # auto is ON at 768d
+    # blocking pinned to "lsh": these arms measure the int8 pass ON THE
+    # HYPERPLANE-BLOCKED plan — the round-13 blocking="auto" default
+    # would silently reroute them to IVF cells at 768d (the exact
+    # silent-arm-swap hazard the int8_filter rows already pin against;
+    # the first unpinned run enumerated ~n^2/k pairs and filled the
+    # disk). The router's own evidence rows follow below.
     kw = dict(
-        threshold=0.95, bucket_bits=12, seed=7, dim=HD_DIM, n_tables=4
+        threshold=0.95, bucket_bits=12, seed=7, dim=HD_DIM, n_tables=4,
+        blocking="lsh",
     )
     out: list[dict] = []
     results: dict[str, set] = {}
@@ -956,10 +963,14 @@ def _bench_neardup_int8(spark, probe: "ShuffleProbe") -> list[dict]:
     true_pairs = n_clusters * per_cluster * (per_cluster - 1) // 2
     kw_rec = dict(threshold=0.35, bucket_bits=12, seed=7, dim=HD_DIM,
                   n_tables=4)
+    # ivf_k=100 sizes cells to ~n/100 = 200 rows (the fixture's natural
+    # clusters hold 100 rows, so same-cluster pairs share a cell and the
+    # max_cell_rows cap never shards) — the "k scales with n" discipline
+    # the operator's docstring demands of recall-sensitive callers
     for name, extra_kw in (
         ("lsh_blocking_rec35", dict(blocking="lsh")),
-        ("auto_routed_ivf_rec35", dict(blocking="auto", ivf_k=32,
-                                       n_probe=2)),
+        ("auto_routed_ivf_rec35", dict(blocking="auto", ivf_k=100,
+                                       n_probe=1)),
     ):
         probe.snapshot()
         t0 = time.perf_counter()

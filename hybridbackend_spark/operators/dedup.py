@@ -775,6 +775,7 @@ def cosine_near_dup_pairs(
     n_probe: int = 2,
     kmeans_iters: int = 2,
     centroids: list[list[float]] | None = None,
+    max_cell_rows: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. ``bucket_bits = 0`` compares
     all pairs (exact; quadratic — small corpora / verify stage only).
@@ -829,6 +830,17 @@ def cosine_near_dup_pairs(
     pipeline (int8 pre-filter + exact cosine), so the emitted pairs
     are exactly-scored either way; which near-dups are FOUND remains
     recall-by-design, as for any blocking choice.
+
+    ``max_cell_rows`` (IVF arm only): in-cell pair enumeration is
+    quadratic in cell population — with a FIXED ``ivf_k`` that is
+    O(n^2 / k), a scale hazard no blocking scheme should default to
+    (the first bench run of the unguarded arm filled the disk). Cells
+    larger than the bound are sub-split into
+    ``ceil(|cell| / max_cell_rows)`` deterministic md5 shards and
+    pairs compared only within a shard — work <= n * max_cell_rows
+    * n_probe / 2, LINEAR in n; the same fidelity trade (and the same
+    shard hash) as :func:`semantic_dedup`'s cap. Size ``ivf_k`` so
+    cells stay under the cap when recall matters; ``None`` disables.
     """
     from .similarity import (
         _resolve_ann_strategy,
@@ -869,6 +881,40 @@ def cosine_near_dup_pairs(
             keyed = v.select(
                 F.col(id_col), F.explode(probe).alias("_bkt")
             )
+            if max_cell_rows is not None:
+                if max_cell_rows < 1:
+                    raise ValueError("max_cell_rows must be >= 1")
+                counts = keyed.groupBy("_bkt").agg(
+                    F.count(F.lit(1)).alias("_cn")
+                )
+                keyed = (
+                    keyed.join(F.broadcast(counts), "_bkt")
+                    .withColumn(
+                        "_nsh",
+                        F.expr(
+                            f"CAST((_cn + {max_cell_rows - 1}) DIV "
+                            f"{max_cell_rows} AS INT)"
+                        ),
+                    )
+                    .withColumn(
+                        "_sh",
+                        F.pmod(
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.col(id_col).cast("string")),
+                                    1,
+                                    4,
+                                ),
+                                16,
+                                10,
+                            ).cast("int"),
+                            F.col("_nsh"),
+                        ),
+                    )
+                    .select(F.col(id_col), "_bkt", "_sh")
+                )
+            else:
+                keyed = keyed.withColumn("_sh", F.lit(0))
         else:
             keys = [
                 random_hyperplane_key("_v", bucket_bits, seed + t, dim)
@@ -880,7 +926,9 @@ def cosine_near_dup_pairs(
             )
         a, b = keyed.alias("a"), keyed.alias("b")
         same_block = F.col("a._bkt") == F.col("b._bkt")
-        if resolved != "ivf":
+        if resolved == "ivf":
+            same_block = same_block & (F.col("a._sh") == F.col("b._sh"))
+        else:
             same_block = same_block & (F.col("a._tbl") == F.col("b._tbl"))
         pairs = (
             a.join(
