@@ -206,7 +206,15 @@ def percentile_bounds_dist(
     vals = df.select(F.col(value_col).alias("_v")).where(
         F.col("_v").isNotNull()
     )
-    cnt = vals.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    # cut lineage BEFORE the range repartition: its boundary-sampling
+    # pass re-executes the child plan once, so without the cut the
+    # scan + partial agg run twice (sample + real exchange). Bounded:
+    # one row per DISTINCT value.
+    cnt = (
+        vals.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     rng = cnt.repartitionByRange(F.col("_v"))
     w_run = (
         Window.partitionBy("_pid")
